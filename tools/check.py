@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate: run oracle_sql.json in
+DuckDB over the same sf dir, compare with the Spark parquet dumps.
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, math
+import duckdb
+import pandas as pd
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+def main(sf_dir: str, out_dir: str) -> None:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = 0
+    for name, sql in sorted(oracles.items()):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"[FAIL] {name}: no spark output"); continue
+        spark_df = norm(pd.concat([pd.read_parquet(f) for f in sorted(files)]))
+        try:
+            duck_df = norm(con.execute(sql).fetchdf())
+        except Exception as e:
+            print(f"[FAIL] {name}: oracle error {e}"); continue
+        if list(spark_df.columns) != list(duck_df.columns):
+            print(f"[FAIL] {name}: cols spark={list(spark_df.columns)} duck={list(duck_df.columns)}"); continue
+        if len(spark_df) != len(duck_df):
+            print(f"[FAIL] {name}: rows spark={len(spark_df)} duck={len(duck_df)}"); continue
+        bad = None
+        for c in spark_df.columns:
+            a, b = spark_df[c], duck_df[c]
+            for i, (x, y) in enumerate(zip(a, b)):
+                both_nan = (isinstance(x, float) and isinstance(y, float)
+                            and math.isnan(x) and math.isnan(y))
+                xn = x is None or (isinstance(x, float) and math.isnan(x))
+                yn = y is None or (isinstance(y, float) and math.isnan(y))
+                if both_nan or (xn and yn):
+                    continue
+                if x != y:
+                    bad = (c, i, x, y); break
+            if bad: break
+        if bad:
+            c, i, x, y = bad
+            print(f"[FAIL] {name}: value mismatch col={c} row={i} spark={x!r} duck={y!r}")
+        else:
+            n_ok += 1
+            print(f"[ OK ] {name} ({len(spark_df)} rows)")
+    print(f"{n_ok}/{len(oracles)} ok")
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
