@@ -39,7 +39,9 @@ object Num {
   def dstd(c: Column): Column = {
     val n = count(c).cast(DoubleType)
     val s = dsum(c)
-    val s2 = sum((c.cast(Exact) * c.cast(Exact)).cast(Exact)).cast(DoubleType)
+    // product of (18,4)s is (37,8) — summed as-is (exact); re-casting the
+    // product to (18,4) would round to 4dp and diverge from the oracle
+    val s2 = sum(c.cast(Exact) * c.cast(Exact)).cast(DoubleType)
     when(count(c) > 1, sqrt(greatest((s2 - s * s / n) / (n - lit(1.0)), lit(0.0))))
   }
 
@@ -50,9 +52,9 @@ object Num {
     val ye = when(x.isNotNull, y).cast(Exact)
     val sx = sum(xe).cast(DoubleType)
     val sy = sum(ye).cast(DoubleType)
-    val sxx = sum((xe * xe).cast(Exact)).cast(DoubleType)
-    val syy = sum((ye * ye).cast(Exact)).cast(DoubleType)
-    val sxy = sum((xe * ye).cast(Exact)).cast(DoubleType)
+    val sxx = sum(xe * xe).cast(DoubleType)
+    val syy = sum(ye * ye).cast(DoubleType)
+    val sxy = sum(xe * ye).cast(DoubleType)
     val cov = sxy - sx * sy / n
     val vx = sxx - sx * sx / n
     val vy = syy - sy * sy / n

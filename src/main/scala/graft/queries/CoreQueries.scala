@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators._
+
+/** Batch 1: aggregation + distribution transformers (SURVEY.md §2 A, B). */
+object CoreQueries {
+
+  /** Classic dim-join aggregation used as the flagship entry:
+    * revenue per nation (auto-broadcast dims, one shuffle on n_name). */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "supplier", "nation").foreach { t =>
+      Tables(spark, dir, t).createOrReplaceTempView(t)
+    }
+    spark.sql("""
+      SELECT n_name,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             COUNT(*) AS n_items
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name""")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_statistical_summary" -> { (s, dir) =>
+      Aggregations.statisticalSummary(
+        Tables.lineitem(s, dir), "l_quantity", Seq("l_returnflag"))
+    },
+    "q_field_aggregator" -> { (s, dir) =>
+      Aggregations.fieldAggregator(
+        Seq(
+          Aggregations.FieldSpec(
+            Tables.customer(s, dir).withColumnRenamed("c_nationkey", "nationkey"),
+            "c_custkey", "customer_count", "count"),
+          Aggregations.FieldSpec(
+            Tables.customer(s, dir).withColumnRenamed("c_nationkey", "nationkey"),
+            "c_acctbal", "acctbal_sum", "sum"),
+          Aggregations.FieldSpec(
+            Tables.supplier(s, dir).withColumnRenamed("s_nationkey", "nationkey"),
+            "s_suppkey", "supplier_count", "count")),
+        key = "nationkey")
+    },
+    "q_top_ranking" -> { (s, dir) =>
+      Aggregations.topRanking(Tables.part(s, dir), "p_brand", Seq("p_type"), n = 3)
+    },
+    "q_binary_counter" -> { (s, dir) =>
+      Aggregations.binaryCounter(
+        Tables.events(s, dir), col("value") > 0, Seq("event_type"))
+    },
+    "q_database_aggregator" -> { (s, dir) => revenueByNation(s, dir) },
+    "q_binned_distribution" -> { (s, dir) =>
+      Distributions.binnedDistribution(
+        Tables.lineitem(s, dir), "l_quantity",
+        bins = Seq(0, 10, 20, 30, 40, 50), groupBy = Seq("l_returnflag"))
+    },
+    "q_categorical_distribution" -> { (s, dir) =>
+      Distributions.categoricalDistribution(
+        Tables.orders(s, dir), "o_orderpriority",
+        categories = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"),
+        groupBy = Seq("o_orderstatus"))
+    },
+    "q_time_series" -> { (s, dir) =>
+      Distributions.timeSeriesPresence(
+        Tables.events(s, dir), "ts", "value", Seq("event_type"))
+    },
+  )
+
+  /** Exact decimal-sum expression fragments reused across oracles (must
+    * mirror graft.operators.Num — see its Scaladoc). */
+  private[queries] def dsum(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
+  /** Sum of squares / cross products: the first operand is DECIMAL(19,4)
+    * so DuckDB widens the multiply to int128 (a pure 18×18 multiply
+    * overflows its int64 fast path on ~1e5-scale money values); the
+    * result type (37,8) and values are identical to Spark's (18,4)×(18,4).
+    * The double conversion goes THROUGH VARCHAR because DuckDB's direct
+    * decimal(38,8)→double cast is not correctly rounded on >2^53-scaled
+    * values (Spark's is); string→double parses correctly rounded in both. */
+  private[queries] def dsum2(x: String) =
+    s"CAST(CAST(SUM(CAST($x AS DECIMAL(19,4)) * CAST($x AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)"
+  private[queries] def dsumProd(x: String, y: String) =
+    s"CAST(CAST(SUM(CAST($x AS DECIMAL(19,4)) * CAST($y AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)"
+
+  val oracles: Map[String, String] = Map(
+    "q_statistical_summary" -> s"""
+      SELECT l_returnflag,
+        MIN(l_quantity) AS min_val,
+        ${dsum("l_quantity")} / COUNT(l_quantity) AS mean_val,
+        MAX(l_quantity) AS max_val,
+        MEDIAN(l_quantity) AS median_val,
+        CASE WHEN COUNT(l_quantity) > 1 THEN
+          SQRT(GREATEST((${dsum2("l_quantity")} - ${dsum("l_quantity")} * ${dsum("l_quantity")} / COUNT(l_quantity)) / (COUNT(l_quantity) - 1.0), 0.0))
+        END AS std_val,
+        COUNT(l_quantity) AS cnt
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_field_aggregator" -> s"""
+      SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+             c.customer_count, c.acctbal_sum, s.supplier_count
+      FROM (SELECT c_nationkey AS nationkey, COUNT(c_custkey) AS customer_count,
+                   ${dsum("c_acctbal")} AS acctbal_sum
+            FROM customer GROUP BY 1) c
+      FULL OUTER JOIN
+           (SELECT s_nationkey AS nationkey, COUNT(s_suppkey) AS supplier_count
+            FROM supplier GROUP BY 1) s
+      ON c.nationkey = s.nationkey
+      ORDER BY 1""",
+    "q_top_ranking" -> """
+      SELECT p_type, p_brand, cnt, rank FROM (
+        SELECT p_type, p_brand, COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (PARTITION BY p_type ORDER BY COUNT(*) DESC, p_brand) AS rank
+        FROM part WHERE p_brand IS NOT NULL GROUP BY p_type, p_brand) t
+      WHERE rank <= 3 ORDER BY p_type, rank""",
+    "q_binary_counter" -> """
+      SELECT event_type,
+        COUNT(CASE WHEN value > 0 THEN 1 END) AS true_count,
+        COUNT(CASE WHEN NOT (value > 0) THEN 1 END) AS false_count,
+        COUNT(CASE WHEN (value > 0) IS NULL THEN 1 END) AS null_count
+      FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_database_aggregator" -> """
+      SELECT n_name,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             COUNT(*) AS n_items
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name""",
+    "q_binned_distribution" -> """
+      WITH groups AS (SELECT DISTINCT l_returnflag FROM lineitem),
+      bins(bin, bin_label) AS (VALUES
+        (0,'0.0-10.0'),(1,'10.0-20.0'),(2,'20.0-30.0'),(3,'30.0-40.0'),(4,'40.0-50.0')),
+      counts AS (
+        SELECT l_returnflag,
+          CASE WHEN l_quantity >= 40 AND l_quantity <= 50 THEN 4
+               WHEN l_quantity >= 30 AND l_quantity < 40 THEN 3
+               WHEN l_quantity >= 20 AND l_quantity < 30 THEN 2
+               WHEN l_quantity >= 10 AND l_quantity < 20 THEN 1
+               WHEN l_quantity >= 0 AND l_quantity < 10 THEN 0 END AS bin,
+          COUNT(*) AS cnt
+        FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
+      counts2 AS (SELECT * FROM counts WHERE bin IS NOT NULL),
+      totals AS (SELECT l_returnflag, SUM(cnt) AS total FROM counts2 GROUP BY 1)
+      SELECT g.l_returnflag, CAST(b.bin AS INT) AS bin, b.bin_label,
+             CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt,
+             CASE WHEN t.total > 0 THEN
+               ROUND(CAST(COALESCE(c.cnt, 0) AS DOUBLE) * 100.0 / CAST(t.total AS DOUBLE), 2)
+             ELSE 0.0 END AS pct
+      FROM groups g CROSS JOIN bins b
+      LEFT JOIN counts2 c ON c.l_returnflag = g.l_returnflag AND c.bin = b.bin
+      LEFT JOIN totals t ON t.l_returnflag = g.l_returnflag
+      ORDER BY g.l_returnflag, b.bin""",
+    "q_categorical_distribution" -> """
+      WITH groups AS (SELECT DISTINCT o_orderstatus FROM orders),
+      cats(category, cat_order) AS (VALUES
+        ('1-URGENT',0),('2-HIGH',1),('3-MEDIUM',2),('4-NOT SPECIFIED',3),('5-LOW',4)),
+      counts AS (
+        SELECT o_orderstatus, o_orderpriority AS category, COUNT(*) AS cnt
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+        GROUP BY 1, 2),
+      totals AS (SELECT o_orderstatus, SUM(cnt) AS total FROM counts GROUP BY 1)
+      SELECT g.o_orderstatus, k.category, CAST(k.cat_order AS INT) AS cat_order,
+             CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt,
+             CASE WHEN t.total > 0 THEN
+               ROUND(CAST(COALESCE(c.cnt, 0) AS DOUBLE) * 100.0 / CAST(t.total AS DOUBLE), 2)
+             ELSE 0.0 END AS pct
+      FROM groups g CROSS JOIN cats k
+      LEFT JOIN counts c ON c.o_orderstatus = g.o_orderstatus AND c.category = k.category
+      LEFT JOIN totals t ON t.o_orderstatus = g.o_orderstatus
+      ORDER BY g.o_orderstatus, k.cat_order""",
+    "q_time_series" -> """
+      WITH groups AS (SELECT DISTINCT event_type FROM events),
+      months AS (SELECT CAST(range AS INT) AS month FROM range(1, 13)),
+      agg AS (
+        SELECT event_type, CAST(MONTH(ts) AS INT) AS month,
+               COUNT(*) AS n_rows,
+               COUNT(CASE WHEN value IS NOT NULL AND value > 0 THEN 1 END) AS n_present
+        FROM events GROUP BY 1, 2)
+      SELECT g.event_type, m.month,
+             CAST(COALESCE(a.n_rows, 0) AS BIGINT) AS n_rows,
+             CAST(COALESCE(a.n_present, 0) AS BIGINT) AS n_present,
+             CASE WHEN COALESCE(a.n_rows, 0) > 0 THEN
+               ROUND(CAST(a.n_present AS DOUBLE) * 100.0 / CAST(a.n_rows AS DOUBLE), 2)
+             ELSE 0.0 END AS presence_pct
+      FROM groups g CROSS JOIN months m
+      LEFT JOIN agg a ON a.event_type = g.event_type AND a.month = m.month
+      ORDER BY g.event_type, m.month""",
+  )
+}
