@@ -19,8 +19,10 @@ object SparkEntry {
     CoreQueries.revenueByNation(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.all ++ HierarchyQueries.all ++ ExtractionQueries.all
+    CoreQueries.all ++ HierarchyQueries.all ++ ExtractionQueries.all ++
+      TextQueries.all
 
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles ++ HierarchyQueries.oracles ++ ExtractionQueries.oracles
+    CoreQueries.oracles ++ HierarchyQueries.oracles ++ ExtractionQueries.oracles ++
+      TextQueries.oracles
 }
