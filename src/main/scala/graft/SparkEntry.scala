@@ -20,9 +20,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.all ++ HierarchyQueries.all ++ ExtractionQueries.all ++
-      TextQueries.all
+      TextQueries.all ++ DedupQueries.all
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ HierarchyQueries.oracles ++ ExtractionQueries.oracles ++
-      TextQueries.oracles
+      TextQueries.oracles ++ DedupQueries.oracles
 }

@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Deduplication suite for LLM training-data pipelines (SURVEY.md §2 J):
+  * exact hashing, MinHash+LSH, SimHash, n-gram Jaccard, embedding
+  * cosine. Everything is expressed as Catalyst column pipelines +
+  * key-partitioned joins so the candidate space is always bucketed —
+  * never an unblocked N² cross join — which is what makes these run on
+  * a 100 TB corpus:
+  *
+  *  - exact: one hash-groupBy (map-side partial agg, single shuffle).
+  *  - MinHash/LSH: shuffle only (band, bucket) pairs; candidate pairs
+  *    come from within-bucket expansion, |pairs| ≪ N².
+  *  - SimHash: 16-bit chunk pigeonhole (4 chunks ⇒ every pair with
+  *    hamming ≤ 3 shares a chunk) — same bucketing shape as LSH.
+  *  - Jaccard / embedding cosine: blocked self-join on a caller-chosen
+  *    key (source, label, or an LSH bucket from the ops above).
+  */
+object Dedup {
+
+  /** Word n-gram shingles of a text column. Assumes ≥ n tokens; callers
+    * filter shorter docs out (`size(split(text,' ')) >= n`) so the
+    * DuckDB oracle can mirror the same predicate. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    transform(sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))
+  }
+
+  /** J1 — exact dedup: one row per distinct text hash with cluster size
+    * and the canonical (min) id to keep. Single shuffle. */
+  def exactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
+      .orderBy("text_hash")
+
+  /** MinHash signature: for hash function h, min over shingles of
+    * xxhash64(shingle, h) — the classic permutation-free MinHash
+    * family (ref behavior: niamoto has no dedup; this follows the
+    * standard Broder construction).
+    *
+    * Shaped as ONE fold over the shingle array (per shingle: 64
+    * hashes, elementwise-min into the accumulator). The transposed
+    * form — transform over hash ids with array_min inside — re-evals
+    * the whole shingle-construction expression once per hash id
+    * (lambda bodies don't cache subexpressions), which measured 60×
+    * slower. */
+  def minhashSignature(sh: Column, numHashes: Int): Column =
+    aggregate(sh, array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, s) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(numHashes - 1)), h => xxhash64(s, h)),
+        (a, b) => least(a, b)))
+
+  /** J2 — MinHash + LSH candidate pairs. Signatures are split into
+    * `bands` bands of numHashes/bands rows; docs sharing any band
+    * bucket become a candidate pair, scored by the fraction of equal
+    * minhashes (the unbiased Jaccard estimate). Only (band, bucket)
+    * keys shuffle; within-bucket pair expansion is quadratic per
+    * bucket, so skewy mega-buckets are capped at `maxBucket` (dropping
+    * a bucket of identical boilerplate docs is the standard move at
+    * corpus scale — they are caught by exact dedup first). */
+  def minhashCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val toks = split(col(textCol), " ")
+    val sigDf = df
+      .where(size(toks) >= shingleN)
+      .select(
+        col(idCol).as("doc_id"),
+        minhashSignature(array_distinct(shingles(col(textCol), shingleN)), numHashes).as("sig"))
+    val banded = sigDf.select(
+      col("doc_id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(
+          b.as("band"),
+          xxhash64(slice(col("sig"), b * lit(r) + lit(1), lit(r))).as("bucket")))).as("bb"))
+    val buckets = banded
+      .groupBy(col("bb.band"), col("bb.bucket"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("members"))
+      .where(size(col("members")) > 1 && size(col("members")) <= maxBucket)
+    buckets
+      .select(explode(flatten(transform(col("members"), (m, i) =>
+        transform(slice(col("members"), i + lit(2), size(col("members"))), m2 =>
+          struct(
+            m.getField("doc_id").as("id_a"),
+            m2.getField("doc_id").as("id_b"),
+            (size(filter(zip_with(m.getField("sig"), m2.getField("sig"), (x, y) => x === y),
+              eq => eq)).cast(DoubleType) / lit(numHashes.toDouble)).as("est_jaccard"))))))
+        .as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.est_jaccard"))
+      .distinct()
+      .orderBy("id_a", "id_b")
+  }
+
+  /** 64-bit SimHash of the token stream: bit b votes +1/−1 by the
+    * parity of xxhash64(token, b); the fingerprint folds the vote
+    * signs MSB-first (acc·2 + bit — avoids per-column shift limits). */
+  def simhash(text: Column): Column = {
+    val toks = split(text, " ")
+    // One fold over the tokens (64 parities per token, elementwise
+    // vote-sum) — NOT a transform over bit ids, which would re-split
+    // the text once per bit.
+    val votes = aggregate(toks, array_repeat(lit(0L), 64),
+      (acc, t) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(63)), b =>
+          xxhash64(t, b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)),
+        (a, v) => a + v))
+    aggregate(votes, lit(0L), (acc, v) =>
+      // shiftleft (not acc*2): the sign-bit step must wrap, and ANSI
+      // mode turns a long-multiply wrap into ARITHMETIC_OVERFLOW.
+      shiftleft(acc, 1).bitwiseOR(when(v > 0, lit(1L)).otherwise(lit(0L))))
+  }
+
+  /** J3 — SimHash candidate pairs via 16-bit chunk pigeonhole: the
+    * 64-bit fingerprint splits into 4 chunks, so any pair within
+    * hamming distance 3 shares at least one exact chunk — bucketing by
+    * (chunk_idx, chunk_value) finds all such pairs with one shuffle.
+    * Emits every bucket-collision pair with its exact hamming
+    * distance; pass `maxHamming` to filter. */
+  def simhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 64, maxBucket: Int = 1000): DataFrame = {
+    val simDf = df.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("simhash"))
+    val chunked = simDf.select(
+      col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(c =>
+        struct(
+          lit(c).as("chunk"),
+          shiftright(col("simhash"), 16 * c).bitwiseAND(lit(0xFFFFL)).as("ckey"))): _*)).as("cb"))
+    chunked
+      .groupBy(col("cb.chunk"), col("cb.ckey"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("members"))
+      .where(size(col("members")) > 1 && size(col("members")) <= maxBucket)
+      .select(explode(flatten(transform(col("members"), (m, i) =>
+        transform(slice(col("members"), i + lit(2), size(col("members"))), m2 =>
+          struct(
+            m.getField("doc_id").as("id_a"),
+            m2.getField("doc_id").as("id_b"),
+            bit_count(m.getField("simhash").bitwiseXOR(m2.getField("simhash")))
+              .cast("int").as("hamming"))))))
+        .as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy("id_a", "id_b")
+  }
+
+  /** J4 — exact word-n-gram Jaccard similarity over pairs blocked by
+    * `blockCol` (a metadata key or an LSH bucket from J2/J3 — never an
+    * unblocked cross join). */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String, blockCol: String,
+      n: Int = 3, minJaccard: Double = 0.1): DataFrame = {
+    val s = df
+      .where(size(split(col(textCol), " ")) >= n)
+      .select(
+        col(idCol).as("doc_id"), col(blockCol).as("block"),
+        array_distinct(shingles(col(textCol), n)).as("sh"))
+    s.as("a").join(s.as("b"),
+        col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast(DoubleType) /
+          size(array_union(col("a.sh"), col("b.sh"))).cast(DoubleType)).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** J5 — embedding-cosine near-duplicates over pairs blocked by
+    * `blockCol` (cluster label or an ANN bucket — see
+    * [[Similarity.lshBucket]] for the scale path). */
+  def embeddingNearDup(
+      df: DataFrame, idCol: String, vecCol: String, blockCol: String,
+      threshold: Double): DataFrame = {
+    val e = df.select(
+      col(idCol).as("vec_id"), col(blockCol).as("block"), col(vecCol).as("emb"))
+    e.as("a").join(e.as("b"),
+        col("a.block") === col("b.block") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        VectorOps.cosineD(col("a.emb"), col("b.emb")).as("cosine"))
+      .where(col("cosine") > threshold)
+      .orderBy("id_a", "id_b")
+  }
+}

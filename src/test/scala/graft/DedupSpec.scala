@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity, VectorOps}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog and runs far away today"
+  private val docs = Seq(
+    (1L, base, "s0"),
+    (2L, base, "s0"), // exact dup of 1
+    (3L, base.replace("today", "tonight"), "s0"), // near dup of 1
+    (4L, "completely different words about spark shuffles and joins entirely", "s0"),
+    (5L, "another unrelated document mentioning catalyst optimizer rules only", "s1"),
+  ).toDF("doc_id", "text", "source")
+
+  test("exactDuplicates groups identical texts and keeps min id") {
+    val out = Dedup.exactDuplicates(docs, "doc_id", "text").collect()
+    assert(out.length == 4) // 5 docs, one exact-dup pair
+    val dup = out.filter(_.getAs[Long]("n_docs") == 2)
+    assert(dup.length == 1 && dup.head.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhashCandidates surfaces exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val keys = pairs.map(p => (p._1, p._2))
+    assert(keys.contains((1L, 2L))) // exact dup: est jaccard 1.0
+    assert(pairs.find(p => (p._1, p._2) == ((1L, 2L))).get._3 == 1.0)
+    assert(keys.contains((1L, 3L)) || keys.contains((2L, 3L))) // near dup
+    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L || p._2 == 5L))
+  }
+
+  test("simhash is deterministic, equal for equal text, near for near text") {
+    val sims = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims(1L) == sims(2L))
+    assert(java.lang.Long.bitCount(sims(1L) ^ sims(3L)) <= 8)
+    assert(java.lang.Long.bitCount(sims(1L) ^ sims(4L)) > 8)
+  }
+
+  test("simhashPairs pigeonhole finds all pairs within hamming 3") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // hamming 0 must always be found
+  }
+
+  test("ngramJaccardPairs computes exact blocked jaccard") {
+    val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source", n = 3, minJaccard = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out(((1L, 2L))) == 1.0)
+    assert(out.contains((1L, 3L)) && out(((1L, 3L))) < 1.0)
+    assert(!out.keys.exists(p => p._1 == 5L || p._2 == 5L)) // other block
+  }
+
+  test("embeddingNearDup finds parallel vectors within a block") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f), 0),
+      (2L, Seq(0.99f, 0.01f, 0.0f), 0),
+      (3L, Seq(0.0f, 1.0f, 0.0f), 0),
+      (4L, Seq(1.0f, 0.0f, 0.0f), 1), // same direction but other block
+    ).toDF("vec_id", "embedding", "label")
+    val out = Dedup.embeddingNearDup(vecs, "vec_id", "embedding", "label", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L)))
+  }
+
+  test("cosineD matches an exact hand computation") {
+    val df = Seq((Seq(3.0f, 4.0f), Seq(4.0f, 3.0f))).toDF("a", "b")
+    val c = df.select(VectorOps.cosineD(col("a"), col("b"))).head.getDouble(0)
+    assert(math.abs(c - 24.0 / 25.0) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks by cosine desc and excludes self") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f)), (3L, Seq(0.5f, 0.5f)),
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(
+      vecs, vecs.where(col("vec_id") === 0), "vec_id", "embedding", k = 2).collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(1L, 3L))
+    assert(out.map(_.getInt(1)).toSeq == Seq(1, 2))
+  }
+
+  test("lshTopK returns a subset of brute-force results for same bucket") {
+    val dim = 8
+    val vecs = (0L until 50L).map { i =>
+      (i, (0 until dim).map(d => math.sin(i * 31 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.lshTopK(
+      vecs, vecs.where(col("vec_id") < 3), "vec_id", "embedding",
+      k = 5, nPlanes = 2, dim = dim).collect()
+    assert(out.nonEmpty)
+    // every returned neighbor shares the query's bucket → cosine computed
+    // exactly; ranks are 1..k without gaps per query
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getInt(1)).toSeq.sorted == (1 to rows.length).toSeq)
+    }
+  }
+}

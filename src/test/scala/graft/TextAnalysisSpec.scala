@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "le chat est sur le tapis et la table"),
+    (3L, "a b c 123 456"),
+  ).toDF("doc_id", "text")
+
+  test("quality computes char/token counts and ratios") {
+    val r = TextAnalysis.quality(docs, "doc_id", "text")
+      .where(col("doc_id") === 1).head()
+    assert(r.getAs[Long]("n_chars") == 22L)
+    assert(r.getAs[Long]("n_tokens") == 6L)
+    // "the" twice + "on" not in list → stopwords: the, on? only 'the','on':
+    // stopEn has "the","a","of","and","to","in","is","it","that","for"
+    assert(r.getAs[Double]("stopword_ratio") == 2.0 / 6.0)
+    assert(r.getAs[Double]("quality_score") > 0.0)
+  }
+
+  test("langId picks the language with most stopword hits") {
+    val out = TextAnalysis.langId(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("lang_pred")).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "fr")
+  }
+
+  test("tokenStats counts whitespace/alpha/distinct tokens") {
+    val r = TextAnalysis.tokenStats(docs, "doc_id", "text")
+      .where(col("doc_id") === 3).head()
+    assert(r.getAs[Long]("n_ws_tokens") == 5L)
+    assert(r.getAs[Long]("n_alpha_tokens") == 3L)
+    assert(r.getAs[Long]("n_distinct_tokens") == 5L)
+  }
+
+  test("fingerprintClusters collapses docs with identical word sets") {
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "gamma beta alpha alpha"), // same word set, different order/mult
+      (3L, "delta epsilon zeta"),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.fingerprintClusters(df, "doc_id", "text").collect()
+    assert(out.length == 2)
+    val big = out.filter(_.getAs[Long]("n_docs") == 2L)
+    assert(big.length == 1 && big.head.getAs[Long]("canonical_id") == 1L)
+  }
+}
