@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time operators (SURVEY.md §2 I): tumbling-window aggregation
+  * and gap-based sessionization. Batch forms here; the streaming
+  * variants (same semantics on an unbounded source) live in
+  * [[graft.streaming.StreamOps]].
+  *
+  * Sessionization is the one genuinely order-dependent operator in the
+  * engine; it uses a single window-partitioned pass (shuffle by user,
+  * in-partition sort) — per-user data volumes are tiny even at 100 TB
+  * total, so the sort never spills.
+  */
+object Events {
+
+  /** I1 — tumbling-window aggregation by `date_trunc(unit)`. */
+  def windowAggregate(
+      df: DataFrame, tsCol: String, unit: String,
+      keys: Seq[String], aggs: Seq[Column]): DataFrame = {
+    val gcols = date_trunc(unit, col(tsCol)).as("window_start") +: keys.map(col)
+    df.groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("window_start") +: keys.map(col): _*)
+  }
+
+  /** I2 — gap-based sessionization: a new session starts when the gap
+    * to the previous event of the same user exceeds `gapSeconds`.
+    * Gap arithmetic is in integer microseconds (`unix_micros`) so the
+    * boundary predicate is exact and engine-independent. Returns one
+    * row per session. */
+  def sessionize(
+      df: DataFrame, userCol: String, tsCol: String, gapSeconds: Long,
+      aggs: Seq[Column]): DataFrame = {
+    val byUser = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
+    val us = unix_micros(col(tsCol))
+    val prevUs = lag(us, 1).over(byUser)
+    val isNew = when(
+      prevUs.isNull || us - prevUs > gapSeconds * 1000000L, 1L).otherwise(0L)
+    val sessionSeq = sum(isNew).over(
+      byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val base = Seq(
+      min(col(tsCol)).as("session_start"),
+      max(col(tsCol)).as("session_end"),
+      count(lit(1)).as("n_events"))
+    df.withColumn("session_seq", sessionSeq)
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(base.head, (base.tail ++ aggs): _*)
+      .orderBy(col(userCol), col("session_seq"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Geospatial operators (SURVEY.md §2 F), re-expressing niamoto's
+  * point-extraction / grid / spatial-join / raster-stats plugins
+  * (ref: `transformers/geospatial/geospatial_extractor.py`,
+  * `shape_processor.py`, `raster_stats.py`, `loaders/spatial.py`)
+  * without a geometry library: points are (lon, lat) doubles, zones
+  * are rectangles, rasters are (cell_x, cell_y, value) tables — the
+  * representations that actually shard over a cluster. Geometry joins
+  * stay range-predicate joins so the small side broadcasts and the
+  * point side never shuffles.
+  */
+object Geo {
+
+  /** F1 — point extraction: validate coordinate range, dedupe exact
+    * coordinates, count occurrences per point (niamoto's
+    * `geospatial_extractor` groups identical coordinates the same
+    * way). One hash-groupBy. */
+  def pointDedupe(df: DataFrame, lonCol: String, latCol: String): DataFrame =
+    df.where(
+        col(lonCol).isNotNull && col(latCol).isNotNull &&
+        col(lonCol).between(-180.0, 180.0) && col(latCol).between(-90.0, 90.0))
+      .groupBy(col(lonCol).as("lon"), col(latCol).as("lat"))
+      .agg(count(lit(1)).as("n_points"))
+      .orderBy("lon", "lat")
+
+  /** F2 — fixed-size grid binning (geohash-style): cell indices by
+    * floor division of shifted coordinates, plus per-cell stats. */
+  def gridBin(
+      df: DataFrame, lonCol: String, latCol: String, cellDeg: Double,
+      valueCol: String): DataFrame =
+    df.where(col(lonCol).isNotNull && col(latCol).isNotNull)
+      .groupBy(
+        floor((col(lonCol) + 180.0) / cellDeg).cast("int").as("cell_x"),
+        floor((col(latCol) + 90.0) / cellDeg).cast("int").as("cell_y"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        min(col(valueCol)).as("min_val"),
+        max(col(valueCol)).as("max_val"),
+        Num.dmean(col(valueCol)).as("mean_val"))
+      .orderBy("cell_x", "cell_y")
+
+  /** F3 — point-in-rectangle containment join. `zones` must be the
+    * small side (it is broadcast); points stream by. A point in k
+    * overlapping zones contributes to all k. */
+  def pointInRect(
+      points: DataFrame, zones: DataFrame,
+      lonCol: String, latCol: String, zoneKey: String,
+      aggs: Seq[Column]): DataFrame =
+    points.join(
+        broadcast(zones),
+        col(lonCol) >= col("xmin") && col(lonCol) < col("xmax") &&
+        col(latCol) >= col("ymin") && col(latCol) < col("ymax"))
+      .groupBy(col(zoneKey))
+      .agg(count(lit(1)).as("n_points"), aggs: _*)
+      .orderBy(col(zoneKey))
+
+  /** F4 — zonal statistics over a cell raster: zones are coarse cells
+    * (factor×factor fine cells); one groupBy, no join at all. */
+  def zonalStats(
+      raster: DataFrame, xCol: String, yCol: String, valueCol: String,
+      factor: Int): DataFrame =
+    raster.groupBy(
+        // floor, not int-cast: double→int casts truncate in Spark but
+        // round in DuckDB; floor agrees everywhere
+        floor(col(xCol) / factor).cast("int").as("zone_x"),
+        floor(col(yCol) / factor).cast("int").as("zone_y"))
+      .agg(
+        count(lit(1)).as("n_cells"),
+        min(col(valueCol)).as("min_val"),
+        max(col(valueCol)).as("max_val"),
+        Num.dsum(col(valueCol)).as("sum_val"),
+        Num.dmean(col(valueCol)).as("mean_val"))
+      .orderBy("zone_x", "zone_y")
+}

@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Formats
+
+/** Batch 4c: format/export transformers (SURVEY.md §2 G). The DwC
+  * occurrence mapping treats lineitem lines as "occurrences" with
+  * part = taxon, supplier = recorder, nation = locality — same
+  * declarative rename/constant/derived mapping shape as the
+  * reference's exporter. q_json_api_agg has no SQL oracle (JSON
+  * serialization differs across engines) → rows-only check +
+  * FormatsSpec unit test.
+  */
+object FormatQueries {
+
+  def occurrences(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dwc_mapping" -> { (s, dir) =>
+      Formats.mapToSchema(occurrences(s, dir), Seq(
+        "occurrenceID" -> concat_ws(":", lit("urn"), col("l_orderkey"), col("l_linenumber")),
+        "basisOfRecord" -> lit("HumanObservation"),
+        "scientificName" -> col("p_name"),
+        "recordedBy" -> col("s_name"),
+        "individualCount" -> col("l_quantity").cast("int"),
+        "eventDate" -> date_format(col("l_shipdate"), "yyyy-MM-dd"),
+        "country" -> col("n_name"),
+      )).orderBy("occurrenceID")
+    },
+    "q_json_api_agg" -> { (s, dir) =>
+      val custWithNation = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      Formats.jsonDetailRecords(
+        custWithNation, Seq("n_nationkey", "n_name"),
+        struct(col("c_acctbal"), col("c_custkey"), col("c_name")), topN = 5)
+    },
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_dwc_mapping" -> """
+      SELECT concat_ws(':', 'urn', l_orderkey, l_linenumber) AS occurrenceID,
+             'HumanObservation' AS basisOfRecord,
+             p_name AS scientificName,
+             s_name AS recordedBy,
+             CAST(l_quantity AS INT) AS individualCount,
+             strftime(l_shipdate, '%Y-%m-%d') AS eventDate,
+             n_name AS country
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      ORDER BY occurrenceID""",
+  )
+}

@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Geo, Num}
+
+/** Batch 4b: geospatial operators (SURVEY.md §2 F). The corpus has no
+  * coordinate columns, so points derive deterministically from keys
+  * (integer modular arithmetic — exact in both engines); the operators
+  * themselves take any (lon, lat) columns.
+  */
+object GeoQueries {
+
+  /** Synthetic customer point cloud: lon ∈ [−180, 179.9], lat ∈ [−90, 89.9]. */
+  def customerPoints(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(
+      col("c_custkey"), col("c_acctbal"),
+      ((col("c_custkey") * 7919 % 3600) / 10.0 - 180.0).as("lon"),
+      ((col("c_custkey") * 104729 % 1800) / 10.0 - 90.0).as("lat"))
+
+  private val pointsSql = """
+    SELECT c_custkey, c_acctbal,
+           ((c_custkey * 7919) % 3600) / 10.0 - 180.0 AS lon,
+           ((c_custkey * 104729) % 1800) / 10.0 - 90.0 AS lat
+    FROM customer"""
+
+  /** Rectangle zones derived from nations (the broadcastable dim side). */
+  def nationZones(s: SparkSession, dir: String): DataFrame =
+    Tables.nation(s, dir).select(
+      col("n_nationkey").as("zone_id"),
+      (col("n_nationkey") * 14.0 - 180.0).as("xmin"),
+      (col("n_nationkey") * 14.0 - 160.0).as("xmax"),
+      (col("n_nationkey") * 7.0 - 90.0).as("ymin"),
+      (col("n_nationkey") * 7.0 - 78.0).as("ymax"))
+
+  private val zonesSql = """
+    SELECT n_nationkey AS zone_id,
+           n_nationkey * 14.0 - 180.0 AS xmin, n_nationkey * 14.0 - 160.0 AS xmax,
+           n_nationkey * 7.0 - 90.0 AS ymin, n_nationkey * 7.0 - 78.0 AS ymax
+    FROM nation"""
+
+  /** Raster modeled as (cell_x, cell_y, value) samples from events. */
+  def eventRaster(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      (col("event_id") * 31 % 360).cast("int").as("cell_x"),
+      (col("event_id") * 17 % 180).cast("int").as("cell_y"),
+      col("value"))
+
+  private val rasterSql = """
+    SELECT CAST((event_id * 31) % 360 AS INT) AS cell_x,
+           CAST((event_id * 17) % 180 AS INT) AS cell_y, value
+    FROM events"""
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_geo_extract" -> { (s, dir) =>
+      Geo.pointDedupe(customerPoints(s, dir), "lon", "lat")
+    },
+    "q_grid_binning" -> { (s, dir) =>
+      Geo.gridBin(customerPoints(s, dir), "lon", "lat", cellDeg = 5.0, valueCol = "c_acctbal")
+    },
+    "q_spatial_join" -> { (s, dir) =>
+      Geo.pointInRect(
+        customerPoints(s, dir), nationZones(s, dir), "lon", "lat", "zone_id",
+        Seq(Num.dsum(col("c_acctbal")).as("acctbal_sum")))
+    },
+    "q_raster_stats" -> { (s, dir) =>
+      Geo.zonalStats(eventRaster(s, dir), "cell_x", "cell_y", "value", factor = 30)
+    },
+  )
+
+  import CoreQueries.dsum
+
+  val oracles: Map[String, String] = Map(
+    "q_geo_extract" -> s"""
+      WITH p AS ($pointsSql)
+      SELECT lon, lat, COUNT(*) AS n_points
+      FROM p
+      WHERE lon IS NOT NULL AND lat IS NOT NULL
+        AND lon BETWEEN -180.0 AND 180.0 AND lat BETWEEN -90.0 AND 90.0
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_grid_binning" -> s"""
+      WITH p AS ($pointsSql)
+      SELECT CAST(FLOOR((lon + 180.0) / 5.0) AS INT) AS cell_x,
+             CAST(FLOOR((lat + 90.0) / 5.0) AS INT) AS cell_y,
+             COUNT(*) AS n_points,
+             MIN(c_acctbal) AS min_val, MAX(c_acctbal) AS max_val,
+             ${dsum("c_acctbal")} / COUNT(c_acctbal) AS mean_val
+      FROM p WHERE lon IS NOT NULL AND lat IS NOT NULL
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_spatial_join" -> s"""
+      WITH p AS ($pointsSql), z AS ($zonesSql)
+      SELECT z.zone_id, COUNT(*) AS n_points, ${dsum("p.c_acctbal")} AS acctbal_sum
+      FROM p JOIN z ON p.lon >= z.xmin AND p.lon < z.xmax
+                   AND p.lat >= z.ymin AND p.lat < z.ymax
+      GROUP BY 1 ORDER BY 1""",
+    "q_raster_stats" -> s"""
+      WITH r AS ($rasterSql)
+      SELECT CAST(FLOOR(cell_x / 30) AS INT) AS zone_x,
+             CAST(FLOOR(cell_y / 30) AS INT) AS zone_y,
+             COUNT(*) AS n_cells,
+             MIN(value) AS min_val, MAX(value) AS max_val,
+             ${dsum("value")} AS sum_val,
+             ${dsum("value")} / COUNT(value) AS mean_val
+      FROM r GROUP BY 1, 2 ORDER BY 1, 2""",
+  )
+}

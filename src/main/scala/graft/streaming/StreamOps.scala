@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import graft.operators.Num
+
+/** Structured-Streaming variants of the event-time operators
+  * (SURVEY.md §2 I3). Each transform takes a DataFrame/Dataset and
+  * returns one, so the same code runs on `spark.read` (batch backfill)
+  * and `spark.readStream` (live) — the Spark-native replacement for
+  * the reference's one-shot import→transform pipeline runs.
+  */
+object StreamOps {
+
+  /** Watermarked tumbling-window aggregation: late events beyond
+    * `watermarkDur` are dropped and window state is bounded — the
+    * property that keeps an unbounded 100 TB/day stream in fixed
+    * executor memory. */
+  def windowedAggregate(
+      df: DataFrame, tsCol: String, keyCol: String,
+      windowDur: String, watermarkDur: String, aggs: Seq[Column]): DataFrame =
+    df.withWatermark(tsCol, watermarkDur)
+      .groupBy(window(col(tsCol), windowDur), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), aggs: _*)
+
+  case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class UserAgg(user_id: Long, n_events: Long, value_sum: Double)
+
+  /** Running per-user aggregate via `mapGroupsWithState` — the custom
+    * keyed-state primitive (niamoto's per-entity incremental stats,
+    * unbounded-stream edition). State is one tiny struct per user. */
+  def runningUserAgg(ds: Dataset[UserEvent]): Dataset[UserAgg] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, events: Iterator[UserEvent], state: GroupState[UserAgg]) =>
+          val prev = state.getOption.getOrElse(UserAgg(user, 0L, 0.0))
+          val next = events.foldLeft(prev) { (a, e) =>
+            UserAgg(user, a.n_events + 1L, a.value_sum + e.value)
+          }
+          state.update(next)
+          next
+      }
+  }
+
+  /** Streaming windowed event counts with an exact decimal value sum —
+    * the wiring used by the StreamingSpec and any readStream caller. */
+  def eventCounts(df: DataFrame): DataFrame =
+    windowedAggregate(
+      df, "ts", "event_type", "1 hour", "10 minutes",
+      Seq(Num.dsum(col("value")).as("value_sum")))
+}

@@ -1,0 +1,94 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.{Events, Formats, Geo, Num}
+
+class EventsGeoFormatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("sessionize splits on gaps greater than the threshold") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 10:10:00"), 2.0), // same session (10 min)
+      (1L, ts("2024-01-01 11:00:00"), 3.0), // new session (50 min gap)
+      (2L, ts("2024-01-01 10:05:00"), 4.0),
+    ).toDF("user_id", "ts", "value")
+    val out = Events.sessionize(
+      events, "user_id", "ts", gapSeconds = 1800L,
+      Seq(Num.dsum(col("value")).as("value_sum"))).collect()
+    assert(out.length == 3)
+    val u1s1 = out.find(r => r.getLong(0) == 1L && r.getLong(1) == 1L).get
+    assert(u1s1.getAs[Long]("n_events") == 2L)
+    assert(u1s1.getAs[Double]("value_sum") == 3.0)
+    assert(u1s1.getAs[Timestamp]("session_end") == ts("2024-01-01 10:10:00"))
+  }
+
+  test("windowAggregate buckets by date_trunc") {
+    val events = Seq(
+      (ts("2024-01-01 10:00:00"), "a", 1.0),
+      (ts("2024-01-01 23:59:59"), "a", 2.0),
+      (ts("2024-01-02 00:00:00"), "a", 4.0),
+    ).toDF("ts", "event_type", "value")
+    val out = Events.windowAggregate(
+      events, "ts", "day", Seq("event_type"),
+      Seq(count(lit(1)).as("n_events"), Num.dsum(col("value")).as("value_sum")))
+      .collect()
+    assert(out.length == 2)
+    assert(out.head.getAs[Long]("n_events") == 2L)
+    assert(out.head.getAs[Double]("value_sum") == 3.0)
+  }
+
+  test("pointInRect assigns points to containing rectangles only") {
+    val points = Seq((0.5, 0.5, 10.0), (5.0, 5.0, 20.0)).toDF("lon", "lat", "v")
+    val zones = Seq((1, 0.0, 1.0, 0.0, 1.0), (2, 4.0, 6.0, 4.0, 6.0), (3, -10.0, -5.0, 0.0, 1.0))
+      .toDF("zone_id", "xmin", "xmax", "ymin", "ymax")
+    val out = Geo.pointInRect(points, zones, "lon", "lat", "zone_id",
+      Seq(Num.dsum(col("v")).as("v_sum"))).collect()
+    assert(out.map(r => (r.getInt(0), r.getAs[Double]("v_sum"))).toSeq ==
+      Seq((1, 10.0), (2, 20.0)))
+  }
+
+  test("gridBin and zonalStats agree on cell arithmetic") {
+    val pts = Seq((-180.0, -90.0, 1.0), (-176.0, -86.0, 3.0), (0.0, 0.0, 5.0))
+      .toDF("lon", "lat", "v")
+    val out = Geo.gridBin(pts, "lon", "lat", 5.0, "v").collect()
+    // first two points share cell (0,0); third lands at (36,18)
+    assert(out.length == 2)
+    assert(out.head.getAs[Long]("n_points") == 2L)
+    assert(out.head.getAs[Double]("mean_val") == 2.0)
+
+    val raster = Seq((0, 0, 1.0), (29, 29, 3.0), (30, 0, 7.0)).toDF("x", "y", "v")
+    val z = Geo.zonalStats(raster, "x", "y", "v", factor = 30).collect()
+    assert(z.length == 2)
+    assert(z.head.getAs[Double]("sum_val") == 4.0)
+  }
+
+  test("mapToSchema renames, derives, and injects constants in order") {
+    val df = Seq((1L, "x")).toDF("id", "name")
+    val out = Formats.mapToSchema(df, Seq(
+      "recordID" -> concat_ws(":", lit("urn"), col("id")),
+      "label" -> col("name"),
+      "kind" -> lit("Thing")))
+    assert(out.columns.toSeq == Seq("recordID", "label", "kind"))
+    assert(out.head.toSeq == Seq("urn:1", "x", "Thing"))
+  }
+
+  test("jsonDetailRecords emits top-N details per entity as JSON") {
+    val df = Seq(
+      (1, "N1", 10.0, 101L, "a"), (1, "N1", 30.0, 102L, "b"),
+      (1, "N1", 20.0, 103L, "c"), (2, "N2", 5.0, 201L, "d"),
+    ).toDF("nk", "nname", "bal", "ck", "cname")
+    val out = Formats.jsonDetailRecords(
+      df, Seq("nk", "nname"), struct(col("bal"), col("ck"), col("cname")), topN = 2)
+      .collect()
+    assert(out.length == 2)
+    val r1 = out.find(_.getInt(0) == 1).get
+    assert(r1.getAs[Long]("n_details") == 3L)
+    val payload = r1.getAs[String]("payload")
+    assert(payload.contains("\"bal\":30.0") && payload.contains("\"bal\":20.0"))
+    assert(!payload.contains("\"bal\":10.0")) // beyond top-2
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.UserEvent
+
+/** SURVEY.md §2 I3 — Structured Streaming variants driven through
+  * MemoryStream: the same transforms a production caller would attach
+  * to `readStream` (kafka/files), exercised incrementally.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowed aggregate over a stream accumulates per hour window") {
+    val input = MemoryStream[(Timestamp, String, Double)](spark)
+    val agg = StreamOps.eventCounts(
+      input.toDF.toDF("ts", "event_type", "value"))
+    val q = agg.writeStream.format("memory").queryName("win_counts")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:55:00"), "click", 2.0),
+        (ts("2024-01-01 11:05:00"), "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .selectExpr("window.start", "event_type", "n_events", "value_sum")
+        .collect().map(r => (r.getTimestamp(0), r.getLong(2), r.getDouble(3)))
+      assert(rows.toSet == Set(
+        (ts("2024-01-01 10:00:00"), 2L, 3.0),
+        (ts("2024-01-01 11:00:00"), 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("watermark drops events later than the threshold") {
+    val input = MemoryStream[(Timestamp, String, Double)](spark)
+    val agg = StreamOps.eventCounts(input.toDF.toDF("ts", "event_type", "value"))
+    val q = agg.writeStream.format("memory").queryName("win_wm")
+      .outputMode("update").start()
+    try {
+      input.addData((ts("2024-01-01 12:00:00"), "click", 1.0))
+      q.processAllAvailable() // watermark advances to 11:50
+      input.addData((ts("2024-01-01 09:00:00"), "click", 100.0)) // > 10 min late
+      q.processAllAvailable()
+      val hours = spark.table("win_wm").selectExpr("window.start").collect()
+        .map(_.getTimestamp(0)).toSet
+      assert(hours == Set(ts("2024-01-01 12:00:00"))) // late row never emitted
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps running per-user aggregates across batches") {
+    val input = MemoryStream[UserEvent](spark)
+    val q = StreamOps.runningUserAgg(input.toDS())
+      .writeStream.format("memory").queryName("user_agg")
+      .outputMode("update").start()
+    try {
+      input.addData(UserEvent(1L, ts("2024-01-01 10:00:00"), 1.0))
+      q.processAllAvailable()
+      input.addData(
+        UserEvent(1L, ts("2024-01-01 10:01:00"), 2.0),
+        UserEvent(2L, ts("2024-01-01 10:02:00"), 5.0))
+      q.processAllAvailable()
+      // memory sink in update mode appends each update; take the latest per user
+      val last = spark.table("user_agg").groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.max("n_events").as("n"),
+          org.apache.spark.sql.functions.max("value_sum").as("s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(last == Set((1L, 2L, 3.0), (2L, 1L, 5.0)))
+    } finally q.stop()
+  }
+}
