@@ -40,7 +40,7 @@ class MultimodalSourcesSpec extends SparkSpec {
   test("fakeMediaFromText matches the declared media schema") {
     val docs = Seq((7L, "hello world")).toDF("doc_id", "text")
     val media = Multimodal.fakeMediaFromText(docs, "doc_id", "text")
-    assert(media.schema.sameType(Multimodal.mediaSchema)) // modulo nullability
+    assert(media.schema.catalogString == Multimodal.mediaSchema.catalogString) // modulo nullability
     val r = media.as[MediaRecord].head()
     assert(r.media_id == 7L && new String(r.content) == "hello world")
     assert(Seq("image", "audio", "video").contains(r.meta.media_type))
