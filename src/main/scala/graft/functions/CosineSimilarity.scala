@@ -1,0 +1,132 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst cosine similarity over two `array<float|double>`
+  * columns (SURVEY.md §4) — the hot inner op of ANN search (K1/K2) and
+  * embedding dedup (J5).
+  *
+  * Why an Expression and not a UDF / higher-order functions: a Scala
+  * UDF boxes both arrays per row and is an optimizer black box; the
+  * `zip_with`+`aggregate` composition ([[graft.operators.VectorOps]])
+  * stays declarative but evaluates lambdas interpretively per element
+  * and materializes the product array. This expression participates in
+  * whole-stage codegen (`doGenCode`): one fused primitive-double loop,
+  * no allocation, inlined into the enclosing generated stage.
+  *
+  * Accumulation order (three sequential folds over index order, double
+  * precision) is EXACTLY the VectorOps/DuckDB order, so results are
+  * bit-identical across all three implementations — swapping it into a
+  * query cannot change a driver-oracle hash.
+  *
+  * Null semantics: null input → null; mismatched lengths → null
+  * (mirrors `zip_with` padding to null). Array elements are assumed
+  * non-null (embedding vectors); a null element poisons the result to
+  * NaN rather than null.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_sim"
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> or array<double> arguments, " +
+        s"got ${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val aa = a.asInstanceOf[ArrayData]
+    val bb = b.asInstanceOf[ArrayData]
+    val n = aa.numElements()
+    if (n != bb.numElements()) return null
+    val aFloat = elemType(left) == FloatType
+    val bFloat = elemType(right) == FloatType
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) aa.getFloat(i).toDouble else aa.getDouble(i)
+      val y = if (bFloat) bb.getFloat(i).toDouble else bb.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / math.sqrt(na * nb)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aGet = if (elemType(left) == FloatType) "getFloat" else "getDouble"
+    val bGet = if (elemType(right) == FloatType) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double x = (double) $a.$aGet($i);
+         |    final double y = (double) $b.$bGet($i);
+         |    $dot += x * y; $na += x * x; $nb += y * y;
+         |  }
+         |  ${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-API + SQL-registry surface for graft's native expressions. */
+object GraftFunctions {
+
+  /** Codegen'd cosine similarity (see [[CosineSimilarity]]). */
+  def cosine_sim(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSimilarity(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  private val cosineInfo = (
+    FunctionIdentifier("cosine_sim"),
+    new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+    (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)): Expression)
+
+  /** Imperative registration: makes `cosine_sim(a, b)` usable from
+    * `spark.sql` / `expr` in an existing session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      cosineInfo._1, cosineInfo._2, cosineInfo._3)
+}
+
+/** `spark.sql.extensions=graft.functions.GraftExtensions` entry point —
+  * the deployment-config path to the same registrations. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+}

@@ -186,7 +186,7 @@ object Dedup {
         col("a.block") === col("b.block") && col("a.vec_id") < col("b.vec_id"))
       .select(
         col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        VectorOps.cosineD(col("a.emb"), col("b.emb")).as("cosine"))
+        graft.functions.GraftFunctions.cosine_sim(col("a.emb"), col("b.emb")).as("cosine"))
       .where(col("cosine") > threshold)
       .orderBy("id_a", "id_b")
   }

@@ -52,7 +52,7 @@ object Similarity {
       .where(col("neighbor_id") =!= col("query_id"))
       .select(
         col("query_id"), col("neighbor_id"),
-        VectorOps.cosineD(col("qv"), col("cv")).as("cosine"))
+        graft.functions.GraftFunctions.cosine_sim(col("qv"), col("cv")).as("cosine"))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
@@ -80,7 +80,7 @@ object Similarity {
       .where(col("neighbor_id") =!= col("query_id"))
       .select(
         col("query_id"), col("neighbor_id"),
-        VectorOps.cosineD(col("qv"), col("cv")).as("cosine"))
+        graft.functions.GraftFunctions.cosine_sim(col("qv"), col("cv")).as("cosine"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("cosine").desc, col("neighbor_id"))))

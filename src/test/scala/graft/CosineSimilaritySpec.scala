@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+import graft.operators.VectorOps
+
+class CosineSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = (0 until 50).map { i =>
+    ((0 until 64).map(d => math.sin(i * 131 + d * 7).toFloat),
+      (0 until 64).map(d => math.cos(i * 37 + d * 11).toFloat))
+  }.toDF("a", "b")
+
+  test("native expression is bit-identical to the HOF composition") {
+    val rows = vecs.select(
+      GraftFunctions.cosine_sim(col("a"), col("b")).as("native"),
+      VectorOps.cosineD(col("a"), col("b")).as("hof")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("null and length-mismatch semantics") {
+    val df = Seq(
+      (Some(Seq(1.0f, 0.0f)), Some(Seq(1.0f, 0.0f))),
+      (None, Some(Seq(1.0f, 0.0f))),
+      (Some(Seq(1.0f)), Some(Seq(1.0f, 0.0f))), // length mismatch
+    ).toDF("a", "b")
+    val out = df.select(GraftFunctions.cosine_sim(col("a"), col("b"))).collect()
+    assert(out(0).getDouble(0) == 1.0)
+    assert(out(1).isNullAt(0) && out(2).isNullAt(0))
+  }
+
+  test("SQL registration makes cosine_sim callable from spark.sql") {
+    GraftFunctions.register(spark)
+    Seq((Seq(3.0f, 4.0f), Seq(4.0f, 3.0f))).toDF("a", "b")
+      .createOrReplaceTempView("cos_t")
+    val v = spark.sql("SELECT cosine_sim(a, b) AS c FROM cos_t").head.getDouble(0)
+    assert(math.abs(v - 0.96) < 1e-12)
+  }
+
+  test("expression participates in whole-stage codegen") {
+    // a parquet-backed plan: local relations get constant-folded away
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val plan = emb
+      .select(GraftFunctions.cosine_sim(col("embedding"), col("embedding")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(")) // whole-stage-codegen regions print as *(n)
+  }
+}
