@@ -1,0 +1,167 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Specs for the aggregation / distribution / extraction / analysis /
+  * join transformer groups (SURVEY.md §2 A, B, D, E, H) on constructed
+  * inputs with hand-computed expectations.
+  */
+class CoreOperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vals = Seq(
+    ("g1", 1.0), ("g1", 2.0), ("g1", 3.0), ("g1", 4.0),
+    ("g2", 10.0),
+  ).toDF("g", "v")
+
+  test("statisticalSummary: exact min/mean/max/median/std/count per group") {
+    val out = Aggregations.statisticalSummary(vals, "v", Seq("g")).collect()
+    val g1 = out.find(_.getString(0) == "g1").get
+    assert(g1.getAs[Double]("min_val") == 1.0)
+    assert(g1.getAs[Double]("mean_val") == 2.5)
+    assert(g1.getAs[Double]("max_val") == 4.0)
+    assert(g1.getAs[Double]("median_val") == 2.5)
+    assert(math.abs(g1.getAs[Double]("std_val") - math.sqrt(5.0 / 3.0)) < 1e-12)
+    val g2 = out.find(_.getString(0) == "g2").get
+    assert(g2.isNullAt(g2.fieldIndex("std_val"))) // undefined for n=1
+  }
+
+  test("fieldAggregator: multi-source aggregates full-outer joined on key") {
+    val a = Seq((1, 5.0), (1, 7.0), (2, 1.0)).toDF("k", "x")
+    val b = Seq((2, "p"), (3, "q")).toDF("k", "y")
+    val out = Aggregations.fieldAggregator(Seq(
+      Aggregations.FieldSpec(a, "x", "x_sum", "sum"),
+      Aggregations.FieldSpec(b, "y", "y_count", "count")), key = "k")
+      .collect().map(r => (r.getInt(0), Option(r.get(1)), Option(r.get(2)))).toSeq
+    assert(out == Seq(
+      (1, Some(12.0), None), (2, Some(1.0), Some(1L)), (3, None, Some(1L))))
+  }
+
+  test("topRanking: frequency ranking with deterministic tie-break") {
+    val df = Seq("a", "a", "b", "b", "c").map(("g", _)).toDF("g", "v")
+    val out = Aggregations.topRanking(df, "v", Seq("g"), n = 2).collect()
+    // a and b tie at 2 — tie broken by value asc → a rank 1, b rank 2
+    assert(out.map(r => (r.getString(1), r.getInt(3))).toSeq ==
+      Seq(("a", 1), ("b", 2)))
+  }
+
+  test("binaryCounter: true/false/null counts") {
+    val df = Seq(("g", Some(1.0)), ("g", Some(-1.0)), ("g", None))
+      .toDF("g", "v")
+    val r = Aggregations.binaryCounter(df, col("v") > 0, Seq("g")).head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((1L, 1L, 1L)))
+  }
+
+  test("binnedDistribution: zero-filled bins, last bin closed") {
+    val df = Seq(("g", 0.0), ("g", 5.0), ("g", 10.0), ("g", 11.0), ("g", 20.0))
+      .toDF("g", "v")
+    val out = Distributions.binnedDistribution(
+      df, "v", bins = Seq(0.0, 10.0, 20.0), groupBy = Seq("g")).collect()
+    assert(out.length == 2)
+    // [0,10): {0,5}; [10,20]: {10,11,20}
+    assert(out.map(_.getAs[Long]("cnt")).toSeq == Seq(2L, 3L))
+    assert(out.map(_.getAs[Double]("pct")).toSeq == Seq(40.0, 60.0))
+  }
+
+  test("categoricalDistribution: fixed order, zero-filled, out-of-list dropped") {
+    val df = Seq(("g", "x"), ("g", "x"), ("g", "z")).toDF("g", "c")
+    val out = Distributions.categoricalDistribution(
+      df, "c", categories = Seq("x", "y"), groupBy = Seq("g")).collect()
+    assert(out.map(r => (r.getString(1), r.getAs[Long]("cnt"))).toSeq ==
+      Seq(("x", 2L), ("y", 0L))) // z not in list; pct uses in-list total
+    assert(out.head.getAs[Double]("pct") == 100.0)
+  }
+
+  test("timeSeriesPresence: all 12 months, presence share of positive values") {
+    val df = Seq(
+      ("g", Timestamp.valueOf("2024-03-01 00:00:00"), 5.0),
+      ("g", Timestamp.valueOf("2024-03-10 00:00:00"), 0.0),
+    ).toDF("g", "t", "v")
+    val out = Distributions.timeSeriesPresence(df, "t", "v", Seq("g")).collect()
+    assert(out.length == 12)
+    val march = out.find(_.getAs[Int]("month") == 3).get
+    assert(march.getAs[Long]("n_rows") == 2L && march.getAs[Long]("n_present") == 1L)
+    assert(march.getAs[Double]("presence_pct") == 50.0)
+    assert(out.filter(_.getAs[Int]("month") != 3).forall(_.getAs[Long]("n_rows") == 0L))
+  }
+
+  test("directAttribute maps labels with raw-value fallback") {
+    val df = Seq((1, "A"), (2, "B"), (3, "UNMAPPED")).toDF("id", "code")
+    val out = Extraction.directAttribute(
+      df, Seq("id"), "code", Map("A" -> "Alpha", "B" -> "Beta"), "label")
+      .collect().map(_.getString(1)).toSeq
+    assert(out == Seq("Alpha", "Beta", "UNMAPPED"))
+  }
+
+  test("multiColumnExtractor unpivots summed columns and derived formulas") {
+    val df = Seq(("g", 1.0, 10.0), ("g", 2.0, 20.0)).toDF("g", "a", "b")
+    val out = Extraction.multiColumnExtractor(
+      df, Seq("g"), Seq("a", "b"), Seq("a_plus_b" -> (col("a") + col("b"))))
+      .collect().map(r => (r.getString(1), r.getDouble(2))).toMap
+    assert(out == Map("a" -> 3.0, "b" -> 30.0, "a_plus_b" -> 33.0))
+  }
+
+  test("seriesByAxis pivots and zero-fills; seriesRatio computes 1 - subset/total") {
+    val long = Seq(
+      ("tot", "ax1", 10.0), ("tot", "ax2", 4.0), ("sub", "ax1", 2.0),
+    ).toDF("class_object", "class_name", "class_value")
+    val ratio = Extraction.seriesRatio(long, "tot", "sub").collect()
+    val byAxis = ratio.map(r => r.getString(0) ->
+      (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(byAxis("ax1") == ((10.0, 2.0, 0.8)))
+    assert(byAxis("ax2") == ((4.0, 0.0, 1.0)))
+  }
+
+  test("scatterAnalysis: perfect linear relation gives correlation 1") {
+    val df = Seq(("g", 1.0, 2.0), ("g", 2.0, 4.0), ("g", 3.0, 6.0)).toDF("g", "x", "y")
+    val r = Analysis.scatterAnalysis(df, "x", "y", Seq("g")).head()
+    assert(r.getAs[Long]("n") == 3L)
+    assert(math.abs(r.getAs[Double]("correlation") - 1.0) < 1e-12)
+    assert(r.getAs[Double]("x_mean") == 2.0 && r.getAs[Double]("y_mean") == 4.0)
+  }
+
+  test("booleanComparison counts the 2x2 agreement table") {
+    val df = Seq(("g", 1, 1), ("g", 1, 0), ("g", 0, 1), ("g", 0, 0), ("g", 1, 1))
+      .toDF("g", "a", "b")
+    val r = Analysis.booleanComparison(df, col("a") === 1, col("b") === 1, Seq("g")).head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) == ((2L, 1L, 1L, 1L)))
+  }
+
+  test("referenceStats keeps zero-fact reference rows") {
+    val ref = Seq((1, "p1"), (2, "p2")).toDF("k", "name")
+    val fact = Seq((1, 5.0), (1, 7.0)).toDF("k", "v")
+    val out = Joins.referenceStats(
+      ref, "k", Seq("name"), fact, "k",
+      Seq(count(lit(1)).as("n"), Num.dsum(col("v")).as("v_sum")))
+      .collect().map(r => (r.getInt(0), Option(r.get(2)), Option(r.get(3)))).toSeq
+    assert(out == Seq((1, Some(2L), Some(12.0)), (2, None, None)))
+  }
+
+  test("nestedSet labels a small tree with correct lft/rght intervals") {
+    val nodes = Seq(
+      ("R", None, 0L), ("A", Some("R"), 1L), ("B", Some("R"), 2L),
+      ("A1", Some("A"), 1L), ("A2", Some("A"), 2L),
+    ).toDF("node_id", "parent_id", "sort_key")
+    val out = Hierarchy.nestedSet(nodes, maxDepth = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(out("R") == ((1L, 10L)))
+    assert(out("A") == ((2L, 7L)))
+    assert(out("A1") == ((3L, 4L)))
+    assert(out("A2") == ((5L, 6L)))
+    assert(out("B") == ((8L, 9L)))
+  }
+
+  test("subtreeAggregate rolls facts up every ancestor") {
+    val nodes = Seq(
+      ("R", None, 0L), ("A", Some("R"), 1L), ("A1", Some("A"), 1L),
+    ).toDF("node_id", "parent_id", "sort_key")
+    val facts = Seq(("A1", 3.0), ("A1", 4.0), ("A", 10.0)).toDF("node", "v")
+    val out = Hierarchy.subtreeAggregate(
+      nodes, facts, "node", maxDepth = 2,
+      Seq(Num.dsum(col("v")).as("v_sum")))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out == Map("A1" -> 7.0, "A" -> 17.0, "R" -> 17.0))
+  }
+}
