@@ -50,4 +50,62 @@ object StreamOps {
     windowedAggregate(
       df, "ts", "event_type", "1 hour", "10 minutes",
       Seq(Num.dsum(col("value")).as("value_sum")))
+
+  case class SessionState(
+      start: Long, last: Long, n: Long, sum: Double)
+  case class Session(
+      user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, value_sum: Double)
+
+  /** Gap-based sessionization on an unbounded stream — the streaming
+    * twin of [[graft.operators.Events.sessionize]], via
+    * `flatMapGroupsWithState` with an event-time timeout: a session
+    * closes (and is emitted, append-mode) either when a same-user event
+    * arrives past the gap, or when the watermark passes the open
+    * session's gap deadline. State per user is one fixed-size struct —
+    * bounded memory on any stream. */
+  def sessionizeStream(
+      ds: Dataset[UserEvent], gapSeconds: Long,
+      watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    import ds.sparkSession.implicits._
+    val gapMs = gapSeconds * 1000L
+    ds.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, events: Iterator[UserEvent], state: GroupState[SessionState]) =>
+          def toSession(s: SessionState) = Session(
+            user, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last),
+            s.n, s.sum)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(toSession).iterator
+            state.remove()
+            out
+          } else {
+            // fold this micro-batch's events (in event-time order) into
+            // the open session, closing at each gap > gapSeconds
+            val sorted = events.toSeq.sortBy(_.ts.getTime)
+            var open = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              open match {
+                case Some(s) if t - s.last > gapMs =>
+                  closed += toSession(s)
+                  open = Some(SessionState(t, t, 1L, e.value))
+                case Some(s) =>
+                  open = Some(SessionState(s.start, math.max(s.last, t), s.n + 1L, s.sum + e.value))
+                case None =>
+                  open = Some(SessionState(t, t, 1L, e.value))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
 }
