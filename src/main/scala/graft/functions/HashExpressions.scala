@@ -1,0 +1,155 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native sketch expressions (SURVEY.md §4): MinHash signatures and
+  * SimHash fingerprints as fused primitive loops with `doGenCode`.
+  *
+  * The higher-order-function formulations in [[graft.operators.Dedup]]
+  * are semantically identical but evaluate one interpreted lambda per
+  * (element × hash-id) — ~6k boxed calls per document, which measured
+  * as the dominant cost of J2/J3 at sf0.1. These expressions hash each
+  * element's bytes ONCE (XXH64, seed 42 — exactly Spark's `xxhash64`)
+  * and derive the per-function family members by chaining cheap
+  * integer hashes, all inside whole-stage codegen.
+  *
+  * Hash-chain contract (asserted bit-equal to the HOF forms in
+  * `HashExpressionsSpec`): element hash `he = hashUTF8String(e, 42)`;
+  * member h = `hashInt(h, hashLong(he, 42))` — the same chain Spark's
+  * `xxhash64(he, h)` evaluates.
+  */
+abstract class TokenSketchExpression extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.catalogString}")
+  }
+}
+
+/** MinHash signature of a shingle array: `numHashes` minima. */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends TokenSketchExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val base = XXH64.hashLong(XXH64.hashUTF8String(arr.getUTF8String(i), 42L), 42L)
+      var h = 0
+      while (h < numHashes) {
+        val v = XXH64.hashInt(h, base)
+        if (v < mins(h)) mins(h) = v
+        h += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val xxh = classOf[XXH64].getName
+    nullSafeCodeGen(ctx, ev, arr => {
+      val mins = ctx.freshName("mins")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val base = ctx.freshName("base")
+      val v = ctx.freshName("v")
+      val n = ctx.freshName("n")
+      s"""
+         |final int $n = $arr.numElements();
+         |final long[] $mins = new long[$numHashes];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final long $base = $xxh.hashLong($xxh.hashUTF8String($arr.getUTF8String($i), 42L), 42L);
+         |  for (int $h = 0; $h < $numHashes; $h++) {
+         |    final long $v = $xxh.hashInt($h, $base);
+         |    if ($v < $mins[$h]) $mins[$h] = $v;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($mins);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash of a token array: per-bit ±1 parity votes, folded
+  * MSB-first ((acc<<1)|bit over ascending bit ids). */
+case class SimHash64(child: Expression) extends TokenSketchExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Long](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val base = XXH64.hashLong(XXH64.hashUTF8String(arr.getUTF8String(i), 42L), 42L)
+      var b = 0
+      while (b < 64) {
+        votes(b) += (XXH64.hashInt(b, base) & 1L) * 2L - 1L
+        b += 1
+      }
+      i += 1
+    }
+    var acc = 0L
+    var b = 0
+    while (b < 64) { acc = (acc << 1) | (if (votes(b) > 0) 1L else 0L); b += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val xxh = classOf[XXH64].getName
+    nullSafeCodeGen(ctx, ev, arr => {
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val base = ctx.freshName("base")
+      val acc = ctx.freshName("acc")
+      val n = ctx.freshName("n")
+      s"""
+         |final int $n = $arr.numElements();
+         |final long[] $votes = new long[64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final long $base = $xxh.hashLong($xxh.hashUTF8String($arr.getUTF8String($i), 42L), 42L);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    $votes[$b] += ($xxh.hashInt($b, $base) & 1L) * 2L - 1L;
+         |  }
+         |}
+         |long $acc = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  $acc = ($acc << 1) | ($votes[$b] > 0 ? 1L : 0L);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object HashFunctions {
+  /** Native MinHash signature over a shingle array column. */
+  def minhash_sig(shingles: Column, numHashes: Int): Column =
+    ColumnBridge.column(MinHashSignature(ColumnBridge.expression(shingles), numHashes))
+
+  /** Native 64-bit SimHash over a token array column. */
+  def simhash64(tokens: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+}

@@ -47,12 +47,25 @@ object Dedup {
     * form — transform over hash ids with array_min inside — re-evals
     * the whole shingle-construction expression once per hash id
     * (lambda bodies don't cache subexpressions), which measured 60×
-    * slower. */
+    * slower. Each shingle's BYTES are hashed once (`xxhash64(s)`);
+    * the per-function members chain a cheap long-hash on top
+    * (`xxhash64(hs, h)`) instead of re-hashing the string 64× —
+    * an equally uniform family, ~10× less hashing work.
+    *
+    * Default path is the native codegen'd expression
+    * ([[graft.functions.MinHashSignature]] — one fused primitive
+    * loop); `minhashSignatureHof` is the pure-functions formulation
+    * kept as the reference implementation (bit-equal, asserted in
+    * HashExpressionsSpec) for environments that must avoid custom
+    * expressions. */
   def minhashSignature(sh: Column, numHashes: Int): Column =
-    aggregate(sh, array_repeat(lit(Long.MaxValue), numHashes),
-      (acc, s) => zip_with(
+    graft.functions.HashFunctions.minhash_sig(sh, numHashes)
+
+  private[graft] def minhashSignatureHof(sh: Column, numHashes: Int): Column =
+    aggregate(transform(sh, s => xxhash64(s)), array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, hs) => zip_with(
         acc,
-        transform(sequence(lit(0), lit(numHashes - 1)), h => xxhash64(s, h)),
+        transform(sequence(lit(0), lit(numHashes - 1)), h => xxhash64(hs, h)),
         (a, b) => least(a, b)))
 
   /** J2 — MinHash + LSH candidate pairs. Signatures are split into
@@ -102,16 +115,22 @@ object Dedup {
   /** 64-bit SimHash of the token stream: bit b votes +1/−1 by the
     * parity of xxhash64(token, b); the fingerprint folds the vote
     * signs MSB-first (acc·2 + bit — avoids per-column shift limits). */
-  def simhash(text: Column): Column = {
+  def simhash(text: Column): Column =
+    graft.functions.HashFunctions.simhash64(split(text, " "))
+
+  /** Pure-functions SimHash (bit-equal reference implementation of the
+    * native [[graft.functions.SimHash64]]; see minhashSignature). */
+  private[graft] def simhashHof(text: Column): Column = {
     val toks = split(text, " ")
     // One fold over the tokens (64 parities per token, elementwise
     // vote-sum) — NOT a transform over bit ids, which would re-split
-    // the text once per bit.
-    val votes = aggregate(toks, array_repeat(lit(0L), 64),
-      (acc, t) => zip_with(
+    // the text once per bit. Token bytes hash once; per-bit parities
+    // chain a cheap long-hash (same trick as minhashSignature).
+    val votes = aggregate(transform(toks, t => xxhash64(t)), array_repeat(lit(0L), 64),
+      (acc, ht) => zip_with(
         acc,
         transform(sequence(lit(0), lit(63)), b =>
-          xxhash64(t, b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)),
+          xxhash64(ht, b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)),
         (a, v) => a + v))
     aggregate(votes, lit(0L), (acc, v) =>
       // shiftleft (not acc*2): the sign-bit step must wrap, and ANSI

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.HashFunctions
+import graft.operators.Dedup
+
+class HashExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // parquet-backed so plans run through codegen, not constant folding
+  private def docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
+
+  test("native minhash_sig is bit-equal to the HOF reference formulation") {
+    val sh = Dedup.shingles(col("text"), 3)
+    val rows = docs
+      .where(size(split(col("text"), " ")) >= 3)
+      .select(
+        HashFunctions.minhash_sig(array_distinct(sh), 64).as("native"),
+        Dedup.minhashSignatureHof(array_distinct(sh), 64).as("hof"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
+  test("native simhash64 is bit-equal to the HOF reference formulation") {
+    val rows = docs.select(
+      Dedup.simhash(col("text")).as("native"),
+      Dedup.simhashHof(col("text")).as("hof")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("minhash_sig handles empty arrays (all-MaxValue signature)") {
+    val r = docs.select(
+      HashFunctions.minhash_sig(array().cast("array<string>"), 8)).head()
+    assert(r.getSeq[Long](0).forall(_ == Long.MaxValue))
+  }
+}
