@@ -24,6 +24,8 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         spark.catalog.clearCache()
+        System.gc() // drain accumulated broadcasts/codegen garbage so
+                    // earlier queries' GC debt doesn't bill this one
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case _: Throwable => false }

@@ -32,20 +32,35 @@ abstract class TokenSketchExpression extends UnaryExpression {
   }
 }
 
-/** MinHash signature of a shingle array: `numHashes` minima. */
+/** MinHash signature of a shingle array (`array<string>`, or
+  * `array<long>` of pre-hashed shingles from [[ShingleHashes]]):
+  * `numHashes` minima. */
 case class MinHashSignature(child: Expression, numHashes: Int)
-    extends TokenSketchExpression {
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType | LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> or array<long>, got ${t.catalogString}")
+  }
+
+  private def stringElems: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == StringType
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
+    val strs = stringElems
     val mins = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     val n = arr.numElements()
     while (i < n) {
-      val base = XXH64.hashLong(XXH64.hashUTF8String(arr.getUTF8String(i), 42L), 42L)
+      val eh =
+        if (strs) XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+        else XXH64.hashLong(arr.getLong(i), 42L)
+      val base = XXH64.hashLong(eh, 42L)
       var h = 0
       while (h < numHashes) {
         val v = XXH64.hashInt(h, base)
@@ -66,12 +81,15 @@ case class MinHashSignature(child: Expression, numHashes: Int)
       val base = ctx.freshName("base")
       val v = ctx.freshName("v")
       val n = ctx.freshName("n")
+      val elemHash =
+        if (stringElems) s"$xxh.hashUTF8String($arr.getUTF8String($i), 42L)"
+        else s"$xxh.hashLong($arr.getLong($i), 42L)"
       s"""
          |final int $n = $arr.numElements();
          |final long[] $mins = new long[$numHashes];
          |java.util.Arrays.fill($mins, Long.MAX_VALUE);
          |for (int $i = 0; $i < $n; $i++) {
-         |  final long $base = $xxh.hashLong($xxh.hashUTF8String($arr.getUTF8String($i), 42L), 42L);
+         |  final long $base = $xxh.hashLong($elemHash, 42L);
          |  for (int $h = 0; $h < $numHashes; $h++) {
          |    final long $v = $xxh.hashInt($h, $base);
          |    if ($v < $mins[$h]) $mins[$h] = $v;
@@ -144,6 +162,91 @@ case class SimHash64(child: Expression) extends TokenSketchExpression {
     copy(child = newChild)
 }
 
+/** Distinct hashed word n-gram shingles of a token array, as one fused
+  * loop: token bytes hash once, shingle ids chain the n member token
+  * hashes (`chain_j = hashLong(tokHash_j, chain_{j-1})`, seed 42), the
+  * result is sorted-distinct. Replaces build-string → hash-string →
+  * array_distinct (three interpreted passes with per-shingle string
+  * allocation) in the J2/J4 front end; shingle identity differs from
+  * the string form but the SETS correspond 1:1 (collision p≈n²/2⁶⁴),
+  * which is all Jaccard/MinHash consume. */
+case class ShingleHashes(child: Expression, n: Int) extends TokenSketchExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    if (len < n) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val tokHash = new Array[Long](len)
+    var i = 0
+    while (i < len) {
+      tokHash(i) = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+      i += 1
+    }
+    val out = new Array[Long](len - n + 1)
+    i = 0
+    while (i <= len - n) {
+      var chain = 42L
+      var j = 0
+      while (j < n) { chain = XXH64.hashLong(tokHash(i + j), chain); j += 1 }
+      out(i) = chain
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var w = 0
+    i = 0
+    while (i < out.length) {
+      if (i == 0 || out(i) != out(i - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, w))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val xxh = classOf[XXH64].getName
+    val uad = "org.apache.spark.sql.catalyst.expressions.UnsafeArrayData"
+    nullSafeCodeGen(ctx, ev, arr => {
+      val len = ctx.freshName("len")
+      val th = ctx.freshName("tokHash")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val w = ctx.freshName("w")
+      val chain = ctx.freshName("chain")
+      s"""
+         |final int $len = $arr.numElements();
+         |if ($len < $n) {
+         |  ${ev.value} = $uad.fromPrimitiveArray(new long[0]);
+         |} else {
+         |  final long[] $th = new long[$len];
+         |  for (int $i = 0; $i < $len; $i++) {
+         |    $th[$i] = $xxh.hashUTF8String($arr.getUTF8String($i), 42L);
+         |  }
+         |  long[] $out = new long[$len - $n + 1];
+         |  for (int $i = 0; $i <= $len - $n; $i++) {
+         |    long $chain = 42L;
+         |    for (int $j = 0; $j < $n; $j++) {
+         |      $chain = $xxh.hashLong($th[$i + $j], $chain);
+         |    }
+         |    $out[$i] = $chain;
+         |  }
+         |  java.util.Arrays.sort($out);
+         |  int $w = 0;
+         |  for (int $i = 0; $i < $out.length; $i++) {
+         |    if ($i == 0 || $out[$i] != $out[$i - 1]) { $out[$w] = $out[$i]; $w++; }
+         |  }
+         |  ${ev.value} = $uad.fromPrimitiveArray(java.util.Arrays.copyOf($out, $w));
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
 object HashFunctions {
   /** Native MinHash signature over a shingle array column. */
   def minhash_sig(shingles: Column, numHashes: Int): Column =
@@ -152,4 +255,8 @@ object HashFunctions {
   /** Native 64-bit SimHash over a token array column. */
   def simhash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+
+  /** Native distinct hashed n-gram shingles over a token array column. */
+  def shingle_hashes(tokens: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(tokens), n))
 }

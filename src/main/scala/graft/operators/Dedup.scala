@@ -87,7 +87,9 @@ object Dedup {
       .where(size(toks) >= shingleN)
       .select(
         col(idCol).as("doc_id"),
-        minhashSignature(array_distinct(shingles(col(textCol), shingleN)), numHashes).as("sig"))
+        minhashSignature(
+          graft.functions.HashFunctions.shingle_hashes(toks, shingleN),
+          numHashes).as("sig"))
     val banded = sigDf.select(
       col("doc_id"), col("sig"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
@@ -191,7 +193,8 @@ object Dedup {
       .where(size(split(col(textCol), " ")) >= n)
       .select(
         col(idCol).as("doc_id"), col(blockCol).as("block"),
-        array_distinct(transform(shingles(col(textCol), n), sh => xxhash64(sh))).as("sh"))
+        graft.functions.HashFunctions
+          .shingle_hashes(split(col(textCol), " "), n).as("sh"))
       .withColumn("n_sh", size(col("sh")))
     val ex = s.select(
       col("doc_id"), col("block"), col("n_sh"), explode(col("sh")).as("shingle"))
