@@ -62,6 +62,45 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** K2b — IVF (inverted-file) ANN: a coarse quantizer built from
+    * deterministically sampled corpus vectors (`id % stride == 0` —
+    * no RNG, stable across runs), each corpus vector assigned to its
+    * nearest centroid cell, queries probing their `nProbe` nearest
+    * cells. The cell assignment is a broadcast argmin (corpus never
+    * shuffles until the per-vector reduce); at cluster scale the
+    * assigned corpus is written `partitionBy(cell)` once and reused
+    * across query batches. */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      centroidStride: Long, nProbe: Int): DataFrame = {
+    val cos = graft.functions.GraftFunctions.cosine_sim _
+    val centroids = corpus
+      .where(pmod(col(idCol), lit(centroidStride)) === 0)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
+    def assign(df: DataFrame, outId: String, outVec: String, probes: Int): DataFrame =
+      df.select(col(idCol).as(outId), col(vecCol).as(outVec))
+        .crossJoin(broadcast(centroids))
+        .withColumn("cdist", -cos(col(outVec), col("centroid_vec")))
+        .withColumn("crank", row_number().over(
+          Window.partitionBy(col(outId)).orderBy(col("cdist"), col("centroid_id"))))
+        .where(col("crank") <= probes)
+        .select(col(outId), col(outVec), col("centroid_id").as("cell"))
+    val cells = assign(corpus, "neighbor_id", "cv", probes = 1)
+    val probed = assign(queries, "query_id", "qv", probes = nProbe)
+    cells.join(probed, "cell")
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("neighbor_id"),
+        cos(col("qv"), col("cv")).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
   /** K2 — LSH-bucketed ANN: candidates are corpus vectors in the
     * query's bucket; exact cosine + top-k within the bucket. Recall
     * trades off against nPlanes (bucket count 2^nPlanes); multi-table

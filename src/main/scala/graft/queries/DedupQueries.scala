@@ -42,6 +42,12 @@ object DedupQueries {
         emb, emb.where(col("vec_id") < 8), "vec_id", "embedding",
         k = 10, nPlanes = 6, dim = 64)
     },
+    "q_ann_ivf" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(
+        emb, emb.where(col("vec_id") < 8), "vec_id", "embedding",
+        k = 10, centroidStride = 97, nProbe = 3)
+    },
   )
 
   /** Double-precision cosine with the exact evaluation order of

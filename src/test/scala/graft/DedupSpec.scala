@@ -84,6 +84,30 @@ class DedupSpec extends SparkSpec {
     assert(out.map(_.getInt(1)).toSeq == Seq(1, 2))
   }
 
+  test("ivfTopK recovers brute-force top-k when probing enough cells") {
+    val dim = 8
+    val vecs = (0L until 60L).map { i =>
+      (i, (0 until dim).map(d => math.sin(i * 31 + d).toFloat))
+    }.toDF("vec_id", "embedding").cache()
+    val exact = Similarity.bruteForceTopK(
+      vecs, vecs.where(col("vec_id") < 3), "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // stride 10 → 6 centroids; probing all 6 cells makes IVF exhaustive,
+    // so it must reproduce the exact top-k (rank ties broken identically)
+    val ivf = Similarity.ivfTopK(
+      vecs, vecs.where(col("vec_id") < 3), "vec_id", "embedding",
+      k = 3, centroidStride = 10, nProbe = 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(ivf == exact)
+    // narrow probing returns a per-query contiguous-ranked subset
+    val narrow = Similarity.ivfTopK(
+      vecs, vecs.where(col("vec_id") < 3), "vec_id", "embedding",
+      k = 3, centroidStride = 10, nProbe = 1).collect()
+    narrow.groupBy(_.getLong(0)).values.foreach { rows =>
+      assert(rows.map(_.getInt(1)).toSeq.sorted == (1 to rows.length).toSeq)
+    }
+  }
+
   test("lshTopK returns a subset of brute-force results for same bucket") {
     val dim = 8
     val vecs = (0L until 50L).map { i =>
