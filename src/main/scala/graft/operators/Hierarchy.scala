@@ -29,54 +29,41 @@ object Hierarchy {
   /** Nested-set labels: (node_id, parent_id, level, lft, rght), with
     * `lft` assigned in DFS preorder over siblings ordered by sort_key
     * and `rght = lft + 2·|subtree| − 1`.
+    *
+    * Closed form over the ancestor closure instead of a level-by-level
+    * top-down walk: with `presum(a)` = Σ sizes of a's preceding
+    * siblings,
+    *
+    *   lft(n) = 1 + depth(n) + 2 · Σ_{a ∈ ancestors-or-self(n)} presum(a)
+    *
+    * (each preceding subtree anywhere along the root path consumes two
+    * labels per node before DFS reaches n; each ancestor consumes its
+    * own `lft`). So after the closure (maxDepth frontier joins, shared
+    * shape with [[subtreeAggregate]]) the whole labeling is one
+    * sibling window + one groupBy — no per-level persists, no lineage
+    * growth, every shuffle partitioned by a key (never a global scan),
+    * so the same plan holds at 10⁹ nodes.
     */
   def nestedSet(nodes: DataFrame, maxDepth: Int): DataFrame = {
     val ids = nodes.select("node_id", "parent_id", "sort_key")
-
-    // Bottom-up subtree sizes: size_k(n) = 1 + Σ size_{k-1}(children);
-    // correct for all nodes once k reaches the tree height.
-    var sizes = ids.select(col("node_id")).withColumn("size", lit(1L))
-    for (_ <- 1 to maxDepth) {
-      val childSum = ids
-        .join(sizes, "node_id")
-        .filter(col("parent_id").isNotNull)
-        .groupBy(col("parent_id").as("node_id"))
-        .agg(sum("size").as("child_size"))
-      sizes = ids
-        .select("node_id")
-        .join(childSum, Seq("node_id"), "left")
-        .withColumn("size", lit(1L) + coalesce(col("child_size"), lit(0L)))
-        .select("node_id", "size")
-    }
-
-    // Top-down lft: lft(child) = lft(parent) + 1 + Σ 2·size(preceding siblings).
-    // `sized` feeds every level and each `frontier` feeds both the next
-    // level's join and the final union — persist them, or the iterative
-    // lineage re-executes the whole prefix once per branch (measured 3×
-    // on the 4-level tree; at real depth it would be exponential).
-    val sized = ids.join(sizes, "node_id").persist()
-    var frontier = sized
-      .filter(col("parent_id").isNull)
-      .withColumn("lft", lit(1L))
-      .withColumn("level", lit(0))
-    var acc = frontier
-    for (lvl <- 1 to maxDepth) {
-      val w = Window.partitionBy("parent_id").orderBy("sort_key")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val kids = sized
-        .join(
-          frontier.select(col("node_id").as("parent_id"), col("lft").as("parent_lft")),
-          "parent_id")
-        .withColumn("lft",
-          col("parent_lft") + 1 + coalesce(sum(col("size") * 2).over(w), lit(0L)))
-        .withColumn("level", lit(lvl))
-        .select("node_id", "parent_id", "sort_key", "size", "lft", "level")
-      frontier = kids.persist()
-      acc = acc.unionByName(frontier)
-    }
-    acc
-      .withColumn("rght", col("lft") + col("size") * 2 - 1)
-      .select("node_id", "parent_id", "level", "lft", "rght")
+    val closure = ancestorClosure(ids, maxDepth).persist() // reused: sizes + lft
+    // |subtree(a)| = closure rows with ancestor a (self included)
+    val sizes = closure.groupBy(col("ancestor_id").as("node_id"))
+      .agg(count(lit(1)).as("size"))
+    val w = Window.partitionBy("parent_id").orderBy("sort_key")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val presum = ids.join(sizes, "node_id")
+      .withColumn("presum", coalesce(sum("size").over(w), lit(0L)))
+      .select(col("node_id").as("ancestor_id"), col("presum"))
+    val lft = closure.join(presum, "ancestor_id")
+      .groupBy("node_id")
+      .agg(
+        (lit(1L) + max("dist") + sum("presum") * 2).as("lft"),
+        max("dist").as("level"))
+    ids.join(lft, "node_id").join(sizes, "node_id")
+      .select(
+        col("node_id"), col("parent_id"), col("level").cast("int").as("level"),
+        col("lft"), (col("lft") + col("size") * 2 - 1).as("rght"))
       .orderBy("lft")
   }
 
