@@ -124,9 +124,11 @@ object GraftFunctions {
 /** `spark.sql.extensions=graft.functions.GraftExtensions` entry point —
   * the deployment-config path to the same registrations. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    ext.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
+  }
 }

@@ -49,6 +49,22 @@ object HierarchyQueries {
         taxonomyNodes(s, dir), facts, "fact_node", maxDepth = 3,
         Seq(count(lit(1)).as("n_facts"), Num.dsum(col("c_acctbal")).as("acctbal_sum")))
     },
+    // nested-set subtree select (loaders/nested_set.py) through the
+    // custom interval-stabbing plan: label the tree, stab every node's
+    // lft against the region-level [lft, rght] intervals, count per
+    // subtree. The oracle counts subtree membership relationally —
+    // wrong labels or wrong stabbing both break the match.
+    "q_interval_join" -> { (s, dir) =>
+      // labeled tree feeds BOTH join sides — persist or the whole
+      // labeling plan executes twice (once per side)
+      val ns = Hierarchy.nestedSet(taxonomyNodes(s, dir), maxDepth = 3).persist()
+      val regions = ns.where(col("level") === 1).select(
+        col("node_id").as("anc_id"),
+        col("lft").as("anc_lft"), col("rght").as("anc_rght"))
+      graft.plans.IntervalJoin.join(ns, regions, "lft", "anc_lft", "anc_rght")
+        .groupBy("anc_id").agg(count(lit(1)).as("n_desc"))
+        .orderBy("anc_id")
+    },
   )
 
   import CoreQueries.dsum
@@ -99,6 +115,13 @@ object HierarchyQueries {
         SELECT 'C' || c_custkey, 'N' || c_nationkey, 3, CAST(lft AS BIGINT),
                CAST(lft + 1 AS BIGINT) FROM cust_lft
       ) ORDER BY lft""",
+    "q_interval_join" -> """
+      SELECT 'R' || r_regionkey AS anc_id,
+             1 + COUNT(DISTINCT n_nationkey) + COUNT(c_custkey) AS n_desc
+      FROM region
+      LEFT JOIN nation ON n_regionkey = r_regionkey
+      LEFT JOIN customer ON c_nationkey = n_nationkey
+      GROUP BY 1 ORDER BY 1""",
     "q_subtree_agg" -> s"""
       WITH RECURSIVE nodes AS (
         SELECT 'ROOT' AS node_id, CAST(NULL AS VARCHAR) AS parent_id
