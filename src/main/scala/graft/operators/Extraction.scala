@@ -48,7 +48,7 @@ object Extraction {
       .agg(
         Num.dsum(col(columns.head)).as(columns.head),
         (columns.tail.map(c => Num.dsum(col(c)).as(c)) ++
-          derived.map { case (n, e) => sum(e.cast(org.apache.spark.sql.types.DecimalType(18, 4))).cast(DoubleType).as(n) }): _*)
+          derived.map { case (n, e) => Num.dsum(e).as(n) }): _*)
     val names = columns ++ derived.map(_._1)
     val stackExpr = names.map(n => s"'$n', `$n`").mkString(", ")
     sums.selectExpr(
