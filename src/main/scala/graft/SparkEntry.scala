@@ -21,10 +21,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.all ++ HierarchyQueries.all ++ ExtractionQueries.all ++
       TextQueries.all ++ DedupQueries.all ++ EventQueries.all ++
-      GeoQueries.all ++ FormatQueries.all
+      GeoQueries.all ++ FormatQueries.all ++ EcoQueries.all
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ HierarchyQueries.oracles ++ ExtractionQueries.oracles ++
       TextQueries.oracles ++ DedupQueries.oracles ++ EventQueries.oracles ++
-      GeoQueries.oracles ++ FormatQueries.oracles
+      GeoQueries.oracles ++ FormatQueries.oracles ++ EcoQueries.oracles
 }
