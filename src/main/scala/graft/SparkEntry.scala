@@ -21,10 +21,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.all ++ HierarchyQueries.all ++ ExtractionQueries.all ++
       TextQueries.all ++ DedupQueries.all ++ EventQueries.all ++
-      GeoQueries.all ++ FormatQueries.all ++ EcoQueries.all
+      GeoQueries.all ++ FormatQueries.all ++ EcoQueries.all ++
+      ClassObjectQueries.all
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ HierarchyQueries.oracles ++ ExtractionQueries.oracles ++
       TextQueries.oracles ++ DedupQueries.oracles ++ EventQueries.oracles ++
-      GeoQueries.oracles ++ FormatQueries.oracles ++ EcoQueries.oracles
+      GeoQueries.oracles ++ FormatQueries.oracles ++ EcoQueries.oracles ++
+      ClassObjectQueries.oracles
 }
