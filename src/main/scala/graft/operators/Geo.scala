@@ -58,6 +58,43 @@ object Geo {
       .agg(count(lit(1)).as("n_points"), aggs: _*)
       .orderBy(col(zoneKey))
 
+  /** F5 — vector overlay (`transformers/geospatial/vector_overlay.py`)
+    * at cell resolution: the reference intersects/unions/differences a
+    * zone geometry with an overlay layer in shapely and reports areas +
+    * coverage. Rasterized onto a discrete grid — the representation
+    * that shards — every overlay op is a set op on cell tables, all
+    * derivable from ONE left join: |A∩B| per zone plus the overlay's
+    * global cell count give intersection, difference, union, symmetric
+    * difference and coverage % in closed form. The overlay side is
+    * deduped and the per-zone tallies are a single shuffle on zone.
+    */
+  def cellOverlay(
+      zoneCells: DataFrame,
+      zoneCol: String,
+      cellCol: String,
+      overlayCells: DataFrame,
+      overlayCellCol: String,
+      cellArea: Double): DataFrame = {
+    val ov = overlayCells.select(col(overlayCellCol).as("__ov_cell")).distinct()
+    val nOverlay = ov.agg(count(lit(1)).as("n_overlay"))
+    zoneCells
+      .join(ov, col(cellCol) === col("__ov_cell"), "left")
+      .groupBy(col(zoneCol))
+      .agg(
+        count(lit(1)).as("n_cells"),
+        count(col("__ov_cell")).as("n_intersection"))
+      .crossJoin(broadcast(nOverlay)) // 1-row dim: stays a broadcast
+      .select(
+        col(zoneCol), col("n_cells"), col("n_intersection"),
+        (col("n_cells") - col("n_intersection")).as("n_difference"),
+        (col("n_cells") + col("n_overlay") - col("n_intersection")).as("n_union"),
+        (col("n_cells") + col("n_overlay") - col("n_intersection") * 2)
+          .as("n_sym_difference"),
+        (col("n_intersection") * lit(100.0) / col("n_cells")).as("coverage_pct"),
+        (col("n_intersection") * cellArea).as("intersection_area"))
+      .orderBy(col(zoneCol))
+  }
+
   /** F4 — zonal statistics over a cell raster: zones are coarse cells
     * (factor×factor fine cells); one groupBy, no join at all. */
   def zonalStats(

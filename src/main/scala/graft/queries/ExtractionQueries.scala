@@ -78,6 +78,27 @@ object ExtractionQueries {
         "p_partkey",
         Seq(count(lit(1)).as("n_items"), Num.dsum(col("l_quantity")).as("qty_sum")))
     },
+    // Chained transform (chains/transform_chain.py): step 1 computes
+    // per-part stats (stats_loader), step 2 bins step 1's OUTPUT by
+    // brand (binned_distribution referencing "@stats") — one composed
+    // Catalyst plan, nothing materialized between steps.
+    "q_transform_chain" -> { (s, dir) =>
+      Chain.run(
+        Tables.lineitem(s, dir), Seq[(String, Chain.Step)](
+          "stats" -> { ctx =>
+            Joins.referenceStats(
+              Tables.part(s, dir), "p_partkey", Seq("p_brand"),
+              ctx("input").withColumnRenamed("l_partkey", "p_partkey"),
+              "p_partkey",
+              Seq(Num.dsum(col("l_quantity")).as("qty_sum")))
+          },
+          "binned" -> { ctx =>
+            Distributions.binnedDistribution(
+              ctx("stats"), "qty_sum",
+              bins = Seq(0, 250, 500, 750, 1000, 2000),
+              groupBy = Seq("p_brand"))
+          }))
+    },
   )
 
   import CoreQueries.{dsum, dsum2, dsumProd}
@@ -162,5 +183,36 @@ object ExtractionQueries {
                  FROM lineitem GROUP BY 1) l
       ON l.l_partkey = p.p_partkey
       ORDER BY p.p_partkey""",
+    "q_transform_chain" -> s"""
+      WITH stats AS (
+        SELECT p.p_brand, l.qty_sum
+        FROM part p
+        LEFT JOIN (SELECT l_partkey, ${dsum("l_quantity")} AS qty_sum
+                   FROM lineitem GROUP BY 1) l
+        ON l.l_partkey = p.p_partkey),
+      groups AS (SELECT DISTINCT p_brand FROM stats),
+      bins(bin, bin_label) AS (VALUES
+        (0,'0.0-250.0'),(1,'250.0-500.0'),(2,'500.0-750.0'),
+        (3,'750.0-1000.0'),(4,'1000.0-2000.0')),
+      counts AS (
+        SELECT p_brand,
+          CASE WHEN qty_sum >= 1000 AND qty_sum <= 2000 THEN 4
+               WHEN qty_sum >= 750 AND qty_sum < 1000 THEN 3
+               WHEN qty_sum >= 500 AND qty_sum < 750 THEN 2
+               WHEN qty_sum >= 250 AND qty_sum < 500 THEN 1
+               WHEN qty_sum >= 0 AND qty_sum < 250 THEN 0 END AS bin,
+          COUNT(*) AS cnt
+        FROM stats WHERE qty_sum IS NOT NULL GROUP BY 1, 2),
+      counts2 AS (SELECT * FROM counts WHERE bin IS NOT NULL),
+      totals AS (SELECT p_brand, SUM(cnt) AS total FROM counts2 GROUP BY 1)
+      SELECT g.p_brand, CAST(b.bin AS INT) AS bin, b.bin_label,
+             CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt,
+             CASE WHEN t.total > 0 THEN
+               ROUND(CAST(COALESCE(c.cnt, 0) AS DOUBLE) * 100.0 / CAST(t.total AS DOUBLE), 2)
+             ELSE 0.0 END AS pct
+      FROM groups g CROSS JOIN bins b
+      LEFT JOIN counts2 c ON c.p_brand = g.p_brand AND c.bin = b.bin
+      LEFT JOIN totals t ON t.p_brand = g.p_brand
+      ORDER BY g.p_brand, b.bin""",
   )
 }

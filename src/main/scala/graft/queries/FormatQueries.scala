@@ -34,6 +34,19 @@ object FormatQueries {
         "country" -> col("n_name"),
       )).orderBy("occurrenceID")
     },
+    // Humboldt/Event term mapping (formats/niamoto_to_humboldt_event
+    // .py): same declarative mapToSchema shape as DwC, different
+    // vocabulary — events as sampling events.
+    "q_humboldt_event" -> { (s, dir) =>
+      Formats.mapToSchema(Tables.events(s, dir), Seq(
+        "eventID" -> concat(lit("evt:"), col("event_id")),
+        "eventType" -> col("event_type"),
+        "eventDate" -> date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"),
+        "samplingProtocol" -> lit("automated sensor"),
+        "recordedBy" -> concat(lit("user:"), col("user_id")),
+        "measurementValue" -> col("value"),
+      )).orderBy("eventID")
+    },
     "q_json_api_agg" -> { (s, dir) =>
       val custWithNation = Tables.customer(s, dir)
         .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
@@ -58,5 +71,13 @@ object FormatQueries {
       JOIN supplier ON l_suppkey = s_suppkey
       JOIN nation ON s_nationkey = n_nationkey
       ORDER BY occurrenceID""",
+    "q_humboldt_event" -> """
+      SELECT 'evt:' || event_id AS eventID,
+             event_type AS eventType,
+             strftime(ts, '%Y-%m-%dT%H:%M:%S') AS eventDate,
+             'automated sensor' AS samplingProtocol,
+             'user:' || user_id AS recordedBy,
+             value AS measurementValue
+      FROM events ORDER BY eventID""",
   )
 }

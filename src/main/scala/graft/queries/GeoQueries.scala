@@ -67,6 +67,15 @@ object GeoQueries {
     "q_raster_stats" -> { (s, dir) =>
       Geo.zonalStats(eventRaster(s, dir), "cell_x", "cell_y", "value", factor = 30)
     },
+    "q_vector_overlay" -> { (s, dir) =>
+      Geo.cellOverlay(
+        Tables.customer(s, dir).select(
+          (col("c_custkey") % 5).as("zone"), col("c_custkey").as("cell")),
+        "zone", "cell",
+        Tables.supplier(s, dir).select(
+          ((col("s_suppkey") * 15) % 2000).as("ov_cell")),
+        "ov_cell", cellArea = 0.25)
+    },
   )
 
   import CoreQueries.dsum
@@ -103,5 +112,19 @@ object GeoQueries {
              ${dsum("value")} AS sum_val,
              ${dsum("value")} / COUNT(value) AS mean_val
       FROM r GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_vector_overlay" -> """
+      WITH z AS (SELECT c_custkey % 5 AS zone, c_custkey AS cell FROM customer),
+      ov AS (SELECT DISTINCT (s_suppkey * 15) % 2000 AS cell FROM supplier),
+      g AS (
+        SELECT z.zone, COUNT(*) AS n_cells, COUNT(ov.cell) AS n_intersection
+        FROM z LEFT JOIN ov ON z.cell = ov.cell GROUP BY z.zone),
+      n AS (SELECT COUNT(*) AS n_overlay FROM ov)
+      SELECT zone, n_cells, n_intersection,
+             n_cells - n_intersection AS n_difference,
+             n_cells + n_overlay - n_intersection AS n_union,
+             n_cells + n_overlay - n_intersection * 2 AS n_sym_difference,
+             n_intersection * 100.0 / n_cells AS coverage_pct,
+             n_intersection * CAST(0.25 AS DOUBLE) AS intersection_area
+      FROM g CROSS JOIN n ORDER BY zone""",
   )
 }
