@@ -55,4 +55,17 @@ object Writers {
     * equivalent of the reference's per-entity JSON detail files. */
   def jsonLines(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** Bucketed (and bucket-sorted) managed table: pre-shuffles ONCE at
+    * write time so every later equi-join/aggregation on `bucketCols`
+    * between tables bucketed the same way runs with NO exchange — the
+    * co-located-join layout for fact↔fact joins that would otherwise
+    * shuffle 100 TB per query. See BucketingSpec for the plan proof. */
+  def bucketedTable(
+      df: DataFrame, table: String, bucketCols: Seq[String], nBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
 }

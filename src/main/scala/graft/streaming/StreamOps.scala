@@ -51,6 +51,18 @@ object StreamOps {
       df, "ts", "event_type", "1 hour", "10 minutes",
       Seq(Num.dsum(col("value")).as("value_sum")))
 
+  /** Streaming exact dedup — the unbounded twin of
+    * [[graft.operators.Dedup.exact]]: duplicates of a key arriving
+    * within the watermark horizon are dropped; state for a key is
+    * evicted once the watermark passes it, so dedup state stays bounded
+    * no matter how long the stream runs (the property that makes
+    * at-least-once ingest into a 100 TB corpus idempotent). */
+  def dedupWithinWatermark(
+      df: DataFrame, keyCols: Seq[String], tsCol: String,
+      watermarkDelay: String): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   case class SessionState(
       start: Long, last: Long, n: Long, sum: Double)
   case class Session(

@@ -20,6 +20,9 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // managed tables (bucketing specs) land in /tmp, not the repo
+      .config("spark.sql.warehouse.dir",
+        s"/tmp/graft-test-warehouse-${java.util.UUID.randomUUID()}")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

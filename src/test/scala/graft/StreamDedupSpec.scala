@@ -1,0 +1,35 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.StreamOps
+
+/** Streaming exact dedup (§2 J's unbounded twin): duplicates within
+  * the watermark horizon collapse; state is watermark-bounded.
+  */
+class StreamDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("dropDuplicatesWithinWatermark collapses re-delivered keys") {
+    val input = MemoryStream[(String, Timestamp, Double)](spark)
+    val deduped = StreamOps.dedupWithinWatermark(
+      input.toDF.toDF("doc_id", "ts", "value"),
+      keyCols = Seq("doc_id"), tsCol = "ts", watermarkDelay = "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        ("a", ts("2024-01-01 10:00:00"), 1.0),
+        ("a", ts("2024-01-01 10:01:00"), 1.0), // duplicate within horizon
+        ("b", ts("2024-01-01 10:02:00"), 2.0))
+      q.processAllAvailable()
+      // re-delivery in a later micro-batch, still within the horizon
+      input.addData(("a", ts("2024-01-01 10:03:00"), 1.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("doc_id").as[String].collect()
+      assert(ids.sorted.toSeq == Seq("a", "b"))
+    } finally q.stop()
+  }
+}
