@@ -213,6 +213,56 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** J6 — near-dup CLUSTERING: connected components over candidate-pair
+    * edges (the step after J1–J5: pairwise signals → document clusters →
+    * one canonical doc kept per cluster). Iterative min-label
+    * propagation: each round every node takes the min label among
+    * itself and its neighbors; fixpoint in O(component diameter) rounds
+    * — near-dup clusters are shallow (stars around canonicals), so this
+    * converges in 2–3 rounds in practice; `maxIter` bounds pathological
+    * chains. Each round is one shuffle-join + groupBy on node id;
+    * frontier frames persist per round and release after, so lineage
+    * stays flat. Convergence is detected with a per-round scalar count
+    * (the standard Pregel-style driver check — O(1) driver data).
+    *
+    * Returns (node, component) with component = min node id reachable.
+    */
+  def connectedComponents(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val sym = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+      .persist()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("component", col("node")).persist()
+    var iter = 0
+    var changed = 1L
+    while (iter < maxIter && changed > 0) {
+      val nbrMin = sym
+        .join(labels, sym("dst") === labels("node"))
+        .groupBy(col("src").as("node"))
+        .agg(min("component").as("nbr"))
+      val next = labels
+        .join(nbrMin, Seq("node"), "left")
+        .select(
+          col("node"),
+          least(col("component"), coalesce(col("nbr"), col("component")))
+            .as("component"))
+        .persist()
+      changed = next.as("n")
+        .join(labels.select(col("node"), col("component").as("old")), "node")
+        .where(col("component") =!= col("old"))
+        .count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    sym.unpersist()
+    labels.orderBy("node")
+  }
+
   /** J5 — embedding-cosine near-duplicates over pairs blocked by
     * `blockCol` (cluster label or an ANN bucket — see
     * [[Similarity.lshBucket]] for the scale path). */

@@ -31,6 +31,29 @@ object DedupQueries {
       Dedup.embeddingNearDup(
         Tables.embeddings(s, dir), "vec_id", "embedding", "label", threshold = 0.4)
     },
+    // J6 — cluster the union of two dedup signals (exact text hash +
+    // sorted-word fingerprint) into connected components; multi-hop
+    // components arise when a doc shares text with one doc and word-set
+    // with another.
+    "q_dedup_cluster" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      def edgesByKey(keyed: DataFrame): DataFrame = {
+        val mins = keyed.groupBy("k").agg(min("doc_id").as("keep"))
+        keyed.join(mins, "k")
+          .where(col("doc_id") =!= col("keep"))
+          .select(col("doc_id").as("src"), col("keep").as("dst"))
+      }
+      val byHash = docs.select(
+        col("doc_id"), md5(col("text").cast("binary")).as("k"))
+      val byFp = docs.select(
+        col("doc_id"),
+        md5(array_join(array_sort(array_distinct(split(lower(col("text")), " "))), " ")
+          .cast("binary")).as("k"))
+      Dedup.connectedComponents(
+        edgesByKey(byHash).union(edgesByKey(byFp)), "src", "dst")
+        .select(col("node").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    },
     "q_ann_cosine" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(
@@ -62,6 +85,26 @@ object DedupQueries {
     "q_dedup_exact" -> """
       SELECT md5(text) AS text_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
       FROM documents GROUP BY 1 ORDER BY 1""",
+    "q_dedup_cluster" -> """
+      WITH RECURSIVE
+      k1 AS (SELECT doc_id, md5(text) AS k FROM documents),
+      k2 AS (SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS k
+             FROM documents),
+      e1 AS (SELECT a.doc_id AS src, m.keep AS dst
+             FROM k1 a JOIN (SELECT k, MIN(doc_id) AS keep FROM k1 GROUP BY k) m
+             ON a.k = m.k WHERE a.doc_id <> m.keep),
+      e2 AS (SELECT a.doc_id AS src, m.keep AS dst
+             FROM k2 a JOIN (SELECT k, MIN(doc_id) AS keep FROM k2 GROUP BY k) m
+             ON a.k = m.k WHERE a.doc_id <> m.keep),
+      edges AS (SELECT * FROM e1 UNION SELECT * FROM e2),
+      sym AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+      reach(node, lab) AS (
+        SELECT DISTINCT src AS node, src AS lab FROM sym
+        UNION
+        SELECT s.src, r.lab FROM sym s JOIN reach r ON s.dst = r.node)
+      SELECT node AS doc_id, MIN(lab) AS component
+      FROM reach GROUP BY node ORDER BY doc_id""",
     "q_ngram_jaccard" -> """
       WITH s AS (
         SELECT doc_id, source,

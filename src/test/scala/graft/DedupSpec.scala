@@ -124,4 +124,21 @@ class DedupSpec extends SparkSpec {
       assert(rows.map(_.getInt(1)).toSeq.sorted == (1 to rows.length).toSeq)
     }
   }
+
+  test("connectedComponents resolves multi-hop chains to the min label") {
+    // chain 1-2-3-4 (diameter 3, needs >1 propagation round) + pair 10-11
+    val edges = Seq((2L, 1L), (3L, 2L), (4L, 3L), (11L, 10L)).toDF("src", "dst")
+    val out = Dedup.connectedComponents(edges, "src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents merges components across edge sources") {
+    // two stars 1<-2, 1<-3 and 5<-6 joined by bridge 3-5 → one component
+    val edges = Seq((2L, 1L), (3L, 1L), (6L, 5L), (5L, 3L)).toDF("src", "dst")
+    val out = Dedup.connectedComponents(edges, "src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.values.toSet == Set(1L))
+    assert(out.keySet == Set(1L, 2L, 3L, 5L, 6L))
+  }
 }
