@@ -95,6 +95,33 @@ object Multimodal {
     }
   }
 
+  case class ResizedMedia(
+      media_id: Long, width: Int, height: Int, content: Array[Byte])
+
+  /** Image resize for image-typed rows — STUB decode/resample (nearest-
+    * neighbor over the flat byte payload, deterministic); the real
+    * shape is what matters: per-partition codec reuse, image-typed rows
+    * only, metadata recomputed alongside the new payload, binary in /
+    * binary out so the stage chains with [[extractFeatures]] or a sink.
+    */
+  def resize(ds: Dataset[MediaRecord], outW: Int, outH: Int): Dataset[ResizedMedia] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      val outLen = outW * outH
+      rows.collect {
+        case r if r.meta.media_type == "image" && r.content.nonEmpty =>
+          val in = r.content
+          val out = new Array[Byte](outLen)
+          var i = 0
+          while (i < outLen) {
+            out(i) = in((i.toLong * in.length / outLen).toInt)
+            i += 1
+          }
+          ResizedMedia(r.media_id, outW, outH, out)
+      }
+    }
+  }
+
   /** Wrap any table into the media schema with a deterministic fake
     * payload (bytes of a text column) — the test-corpus adapter. */
   def fakeMediaFromText(df: DataFrame, idCol: String, textCol: String): DataFrame =

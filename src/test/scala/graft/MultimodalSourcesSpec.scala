@@ -46,6 +46,22 @@ class MultimodalSourcesSpec extends SparkSpec {
     assert(Seq("image", "audio", "video").contains(r.meta.media_type))
   }
 
+  test("resize keeps image-typed rows only, at the target dimensions") {
+    import spark.implicits._
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, Multimodal.MediaMeta("image", 64, 64, 0L),
+        Array.tabulate(256)(_.toByte)),
+      Multimodal.MediaRecord(2L, Multimodal.MediaMeta("audio", 0, 0, 1000L),
+        Array.fill(64)(1.toByte)),
+    ).toDS()
+    val out = Multimodal.resize(recs, outW = 4, outH = 4).collect()
+    assert(out.length == 1)
+    assert(out.head.media_id == 1L)
+    assert(out.head.content.length == 16)
+    // nearest-neighbor stub is deterministic: element i samples i*256/16
+    assert(out.head.content(1) == 16.toByte)
+  }
+
   test("csv and jsonLines round-trip with explicit schemas") {
     val dir = Files.createTempDirectory("graft-io").toString
     val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "score")
