@@ -128,4 +128,29 @@ object Aggregations {
     df.createOrReplaceTempView(viewName)
     df.sparkSession.sql(sql)
   }
+
+  /** Single-pass sketch profile — the 100 TB companion to
+    * [[statisticalSummary]]: HyperLogLog++ distinct count (±`rsd`
+    * relative error, fixed ~kB state per group) and a t-digest-style
+    * quantile vector (`percentile_approx`, one pass, no per-group
+    * sort). Both sketches are mergeable, so partial aggregation
+    * map-side combines exactly like sum/count — a profile over 10⁸
+    * groups is still one shuffle of sketch states, never of raw rows.
+    */
+  def sketchProfile(
+      df: DataFrame,
+      field: String,
+      distinctField: String,
+      groupBy: Seq[String],
+      quantiles: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95),
+      rsd: Double = 0.05,
+      accuracy: Int = 10000): DataFrame =
+    df.groupBy(groupBy.map(col): _*)
+      .agg(
+        count(lit(1)).as("cnt"),
+        approx_count_distinct(col(distinctField), rsd).as("approx_distinct"),
+        percentile_approx(
+          col(field), array(quantiles.map(lit): _*), lit(accuracy))
+          .as("quantiles"))
+      .orderBy(groupBy.map(col): _*)
 }

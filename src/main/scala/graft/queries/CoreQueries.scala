@@ -51,6 +51,13 @@ object CoreQueries {
         Tables.events(s, dir), col("value") > 0, Seq("event_type"))
     },
     "q_database_aggregator" -> { (s, dir) => revenueByNation(s, dir) },
+    // sketch path (rows-only: HLL/t-digest internals differ per engine;
+    // error bounds are asserted against exact values in CoreOperatorsSpec)
+    "q_sketch_profile" -> { (s, dir) =>
+      Aggregations.sketchProfile(
+        Tables.lineitem(s, dir), "l_extendedprice", "l_partkey",
+        Seq("l_returnflag"))
+    },
     "q_binned_distribution" -> { (s, dir) =>
       Distributions.binnedDistribution(
         Tables.lineitem(s, dir), "l_quantity",

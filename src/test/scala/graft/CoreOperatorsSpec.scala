@@ -153,6 +153,17 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(out("B") == ((8L, 9L)))
   }
 
+  test("sketchProfile tracks exact distincts and quantiles within bounds") {
+    val df = (1 to 2000).map(i => ("g", i % 500, i.toDouble)).toDF("g", "k", "v")
+    val r = Aggregations.sketchProfile(
+      df, "v", "k", Seq("g"), quantiles = Seq(0.5)).collect().head
+    assert(r.getAs[Long]("cnt") == 2000L)
+    val approxDistinct = r.getAs[Long]("approx_distinct")
+    assert(math.abs(approxDistinct - 500L) <= 500 * 0.10) // 2×rsd guard
+    val q50 = r.getAs[Seq[Double]]("quantiles").head
+    assert(math.abs(q50 - 1000.0) <= 10.0)
+  }
+
   test("subtreeAggregate rolls facts up every ancestor") {
     val nodes = Seq(
       ("R", None, 0L), ("A", Some("R"), 1L), ("A1", Some("A"), 1L),
