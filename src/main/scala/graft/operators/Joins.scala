@@ -29,6 +29,46 @@ object Joins {
       .orderBy(groupBy.map(col): _*)
   }
 
+  /** H3 — fuzzy entity-match join (the local re-expression of the
+    * reference's taxonomy enrichment, `loaders/api_taxonomy_enricher
+    * .py`: dirty imported names resolved against an authority list; the
+    * HTTP lookup becomes a join against a local reference table in a
+    * zero-egress deployment).
+    *
+    * Blocked edit-distance join: candidates pair only within
+    * `blockOf(name)` buckets (caller picks the blocking key — a
+    * suffix/prefix, soundex, or an LSH bucket), so the candidate space
+    * is per-bucket quadratic, never corpus-quadratic — same scaling
+    * contract as the dedup suite. Within candidates, `levenshtein ≤
+    * maxDist` filters, and one bounded-heap window (`row_number ≤ 1`,
+    * planned as Partial+Final WindowGroupLimit) keeps the best match
+    * per dirty row (min distance, ties → min ref id).
+    */
+  def fuzzyMatch(
+      dirty: DataFrame, dirtyId: String, dirtyName: String,
+      ref: DataFrame, refId: String, refName: String,
+      blockOf: Column => Column, maxDist: Int): DataFrame = {
+    val d = dirty.select(
+      col(dirtyId).as("dirty_id"), col(dirtyName).as("dirty_name"),
+      blockOf(col(dirtyName)).as("block"))
+    val r = ref.select(
+      col(refId).as("ref_id"), col(refName).as("ref_name"),
+      blockOf(col(refName)).as("block"))
+    val cand = d.join(r, "block")
+      .withColumn("dist", levenshtein(col("dirty_name"), col("ref_name")))
+      .where(col("dist") <= maxDist)
+    cand
+      .withColumn("rn",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("dirty_id")
+            .orderBy(col("dist"), col("ref_id"))))
+      .where(col("rn") === 1)
+      .select(col("dirty_id"), col("dirty_name"), col("ref_id"),
+        col("ref_name"), col("dist"))
+      .orderBy("dirty_id")
+  }
+
   /** Per-reference-entity stats: aggregate the fact table by the
     * reference key, then attach reference attributes (left join keeps
     * zero-fact entities, mirroring the reference's "every taxon gets a

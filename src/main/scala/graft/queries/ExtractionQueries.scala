@@ -78,6 +78,20 @@ object ExtractionQueries {
         "p_partkey",
         Seq(count(lit(1)).as("n_items"), Num.dsum(col("l_quantity")).as("qty_sum")))
     },
+    // Fuzzy entity matching (H3): supplier names with a dropped 5th
+    // character resolved back against the clean list, blocked on the
+    // digit suffix (untouched by the mutation).
+    "q_fuzzy_match" -> { (s, dir) =>
+      val ref = Tables.supplier(s, dir)
+      val dirty = ref.select(
+        col("s_suppkey").as("dirty_key"),
+        concat(substring(col("s_name"), 1, 4), substring(col("s_name"), 6, 100))
+          .as("dirty_name"))
+      Joins.fuzzyMatch(
+        dirty, "dirty_key", "dirty_name",
+        ref, "s_suppkey", "s_name",
+        blockOf = n => substring(n, -3, 3), maxDist = 2)
+    },
     // Chained transform (chains/transform_chain.py): step 1 computes
     // per-part stats (stats_loader), step 2 bins step 1's OUTPUT by
     // brand (binned_distribution referencing "@stats") — one composed
@@ -183,6 +197,22 @@ object ExtractionQueries {
                  FROM lineitem GROUP BY 1) l
       ON l.l_partkey = p.p_partkey
       ORDER BY p.p_partkey""",
+    "q_fuzzy_match" -> """
+      WITH dirty AS (
+        SELECT s_suppkey AS dirty_id,
+               substr(s_name, 1, 4) || substr(s_name, 6) AS dirty_name
+        FROM supplier),
+      ref AS (SELECT s_suppkey AS ref_id, s_name AS ref_name FROM supplier),
+      cand AS (
+        SELECT d.dirty_id, d.dirty_name, r.ref_id, r.ref_name,
+               levenshtein(d.dirty_name, r.ref_name) AS dist
+        FROM dirty d JOIN ref r ON right(d.dirty_name, 3) = right(r.ref_name, 3)
+        WHERE levenshtein(d.dirty_name, r.ref_name) <= 2),
+      best AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY dirty_id ORDER BY dist, ref_id) AS rn
+        FROM cand)
+      SELECT dirty_id, dirty_name, ref_id, ref_name, CAST(dist AS INT) AS dist
+      FROM best WHERE rn = 1 ORDER BY dirty_id""",
     "q_transform_chain" -> s"""
       WITH stats AS (
         SELECT p.p_brand, l.qty_sum

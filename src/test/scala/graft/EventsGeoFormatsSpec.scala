@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.functions._
-import graft.operators.{Events, Formats, Geo, Num}
+import graft.operators.{Events, Formats, Geo, Joins, Num}
 
 class EventsGeoFormatsSpec extends SparkSpec {
   import spark.implicits._
@@ -90,5 +90,20 @@ class EventsGeoFormatsSpec extends SparkSpec {
     val payload = r1.getAs[String]("payload")
     assert(payload.contains("\"bal\":30.0") && payload.contains("\"bal\":20.0"))
     assert(!payload.contains("\"bal\":10.0")) // beyond top-2
+  }
+
+  test("fuzzyMatch picks the closest in-block reference, ties to min id") {
+    val ref = Seq((1L, "acacia spirorbis"), (2L, "acacia simplex"), (3L, "banyan tree"))
+      .toDF("id", "name")
+    val dirty = Seq(
+      (10L, "acacia spirorbys"), // 1 edit from #1, blocked together by prefix
+      (11L, "zzz unknown"),      // no block partner → unmatched (dropped)
+      (12L, "banyan trees"),     // 1 edit from #3... but blocked by 4-prefix "bany"
+    ).toDF("id", "name")
+    val out = Joins.fuzzyMatch(
+      dirty, "id", "name", ref, "id", "name",
+      blockOf = n => substring(n, 1, 4), maxDist = 3).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(2), r.getInt(4))).toSeq ==
+      Seq((10L, 1L, 1), (12L, 3L, 1)))
   }
 }
