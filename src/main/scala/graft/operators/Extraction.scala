@@ -56,6 +56,24 @@ object Extraction {
       .orderBy((groupBy :+ "class_name").map(col): _*)
   }
 
+  /** D6 — semi-structured attribute extraction: parse a JSON string
+    * column against an EXPLICIT schema and surface its fields as typed
+    * top-level columns (the reference imports JSON attribute blobs into
+    * typed columns during import; `from_json` is the schema-on-read
+    * form that stays a codegen'd column expression — no UDF, no
+    * inference pass, malformed rows yield nulls instead of failures).
+    */
+  def jsonAttributes(
+      df: DataFrame,
+      jsonCol: String,
+      schema: org.apache.spark.sql.types.StructType,
+      keep: Seq[String]): DataFrame =
+    df.select(
+      keep.map(col) :+ from_json(col(jsonCol), schema).as("_parsed"): _*)
+      .select(
+        keep.map(col) ++
+          schema.fieldNames.toSeq.map(f => col(s"_parsed.$f").as(f)): _*)
+
   /** Select one class_object's series from a long stats table against a
     * FIXED category list (zero-filled, stable order).
     * Reference: `transformers/class_objects/categories_extractor.py`.

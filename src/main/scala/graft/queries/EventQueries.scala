@@ -2,8 +2,9 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 import graft.Tables
-import graft.operators.{Events, Num}
+import graft.operators.{Events, Extraction, Num}
 
 /** Batch 4a: event-time operators (SURVEY.md §2 I) on `events`. */
 object EventQueries {
@@ -18,6 +19,16 @@ object EventQueries {
       Events.sessionize(
         Tables.events(s, dir), "user_id", "ts", gapSeconds = 1800L,
         Seq(Num.dsum(col("value")).as("value_sum")))
+    },
+    // D6 — schema-on-read JSON attribute extraction + aggregation
+    "q_json_extract" -> { (s, dir) =>
+      Extraction.jsonAttributes(
+        Tables.events(s, dir), "props",
+        StructType(Seq(StructField("k", IntegerType))),
+        keep = Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum("k").as("k_sum"))
+        .orderBy("event_type")
     },
   )
 
@@ -48,5 +59,9 @@ object EventQueries {
              MIN(ts) AS session_start, MAX(ts) AS session_end,
              COUNT(*) AS n_events, ${dsum("value")} AS value_sum
       FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_json_extract" -> """
+      SELECT event_type, COUNT(*) AS n_events,
+             CAST(SUM(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS k_sum
+      FROM events GROUP BY event_type ORDER BY event_type""",
   )
 }

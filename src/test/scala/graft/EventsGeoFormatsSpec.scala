@@ -92,6 +92,23 @@ class EventsGeoFormatsSpec extends SparkSpec {
     assert(!payload.contains("\"bal\":10.0")) // beyond top-2
   }
 
+  test("jsonAttributes surfaces typed fields; malformed rows yield null") {
+    import org.apache.spark.sql.types._
+    val df = Seq(
+      ("a", """{"k": 7, "tag": "x"}"""),
+      ("b", """{"k": "not-an-int"}"""),
+      ("c", "not json at all"),
+    ).toDF("id", "props")
+    val out = graft.operators.Extraction.jsonAttributes(
+      df, "props",
+      StructType(Seq(StructField("k", IntegerType), StructField("tag", StringType))),
+      keep = Seq("id")).collect()
+    val byId = out.map(r => r.getString(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(byId("a") == ((Some(7), Some("x"))))
+    assert(byId("b")._1.isEmpty) // type mismatch → null field
+    assert(byId("c") == ((None, None))) // malformed → null row
+  }
+
   test("fuzzyMatch picks the closest in-block reference, ties to min id") {
     val ref = Seq((1L, "acacia spirorbis"), (2L, "acacia simplex"), (3L, "banyan tree"))
       .toDF("id", "name")
