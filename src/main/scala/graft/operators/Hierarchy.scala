@@ -109,6 +109,23 @@ object Hierarchy {
     closure
   }
 
+  /** Materialized root→node paths (`imports/hierarchy_builder.py:178`
+    * builds `full_path` by concatenating level names with `|`): from
+    * the ancestor closure, each node's ancestors ordered root-first and
+    * joined — one groupBy, path strings built executor-side. Also
+    * returns `level` (= ancestor count − 1). */
+  def materializedPaths(nodes: DataFrame, maxDepth: Int): DataFrame =
+    ancestorClosure(nodes.select("node_id", "parent_id"), maxDepth)
+      .groupBy("node_id")
+      .agg(
+        array_join(
+          transform(
+            reverse(sort_array(collect_list(struct(col("dist"), col("ancestor_id"))))),
+            s => s.getField("ancestor_id")),
+          "|").as("full_path"),
+        max("dist").cast("int").as("level"))
+      .orderBy("full_path")
+
   /** Per-ancestor aggregation over all descendants' fact rows: the
     * nested-set loader + transformer loop collapsed into
     * closure-explode + one groupBy.

@@ -42,6 +42,9 @@ object HierarchyQueries {
     "q_nested_set" -> { (s, dir) =>
       Hierarchy.nestedSet(taxonomyNodes(s, dir), maxDepth = 3)
     },
+    "q_tree_paths" -> { (s, dir) =>
+      Hierarchy.materializedPaths(taxonomyNodes(s, dir), maxDepth = 3)
+    },
     "q_subtree_agg" -> { (s, dir) =>
       val facts = Tables.customer(s, dir).select(
         concat(lit("C"), col("c_custkey")).as("fact_node"), col("c_acctbal"))
@@ -122,6 +125,19 @@ object HierarchyQueries {
       LEFT JOIN nation ON n_regionkey = r_regionkey
       LEFT JOIN customer ON c_nationkey = n_nationkey
       GROUP BY 1 ORDER BY 1""",
+    "q_tree_paths" -> """
+      WITH RECURSIVE nodes AS (
+        SELECT 'ROOT' AS node_id, CAST(NULL AS VARCHAR) AS parent_id
+        UNION ALL SELECT 'R' || r_regionkey, 'ROOT' FROM region
+        UNION ALL SELECT 'N' || n_nationkey, 'R' || n_regionkey FROM nation
+        UNION ALL SELECT 'C' || c_custkey, 'N' || c_nationkey FROM customer),
+      paths(node_id, full_path, level) AS (
+        SELECT node_id, node_id, 0 FROM nodes WHERE parent_id IS NULL
+        UNION ALL
+        SELECT n.node_id, p.full_path || '|' || n.node_id, p.level + 1
+        FROM nodes n JOIN paths p ON n.parent_id = p.node_id)
+      SELECT node_id, full_path, CAST(level AS INT) AS level
+      FROM paths ORDER BY full_path""",
     "q_subtree_agg" -> s"""
       WITH RECURSIVE nodes AS (
         SELECT 'ROOT' AS node_id, CAST(NULL AS VARCHAR) AS parent_id

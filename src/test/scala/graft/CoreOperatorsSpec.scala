@@ -164,6 +164,18 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(math.abs(q50 - 1000.0) <= 10.0)
   }
 
+  test("materializedPaths builds root-first pipe paths with levels") {
+    val nodes = Seq(
+      ("R", None, 0L), ("A", Some("R"), 1L), ("A1", Some("A"), 1L),
+      ("B", Some("R"), 2L),
+    ).toDF("node_id", "parent_id", "sort_key")
+    val out = Hierarchy.materializedPaths(nodes, maxDepth = 2)
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(out("R") == (("R", 0)))
+    assert(out("A1") == (("R|A|A1", 2)))
+    assert(out("B") == (("R|B", 1)))
+  }
+
   test("subtreeAggregate rolls facts up every ancestor") {
     val nodes = Seq(
       ("R", None, 0L), ("A", Some("R"), 1L), ("A1", Some("A"), 1L),
