@@ -235,8 +235,9 @@ object Dedup {
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
       .persist()
-    var labels = sym.select(col("src").as("node")).distinct()
+    var cached = sym.select(col("src").as("node")).distinct()
       .withColumn("component", col("node")).persist()
+    var labels = cached
     var iter = 0
     var changed = 1L
     while (iter < maxIter && changed > 0) {
@@ -244,19 +245,19 @@ object Dedup {
         .join(labels, sym("dst") === labels("node"))
         .groupBy(col("src").as("node"))
         .agg(min("component").as("nbr"))
-      val next = labels
+      // keep the previous label alongside the new one, so the
+      // convergence check is a filter over THIS frame — no second join
+      val staged = labels
         .join(nbrMin, Seq("node"), "left")
         .select(
-          col("node"),
+          col("node"), col("component").as("prev"),
           least(col("component"), coalesce(col("nbr"), col("component")))
             .as("component"))
         .persist()
-      changed = next.as("n")
-        .join(labels.select(col("node"), col("component").as("old")), "node")
-        .where(col("component") =!= col("old"))
-        .count()
-      labels.unpersist()
-      labels = next
+      changed = staged.where(col("component") =!= col("prev")).count()
+      cached.unpersist()
+      cached = staged
+      labels = staged.select("node", "component")
       iter += 1
     }
     sym.unpersist()
