@@ -49,4 +49,43 @@ object Events {
       .agg(base.head, (base.tail ++ aggs): _*)
       .orderBy(col(userCol), col("session_seq"))
   }
+
+  /** I4 — AS-OF join: enrich each left row with the state row holding
+    * the greatest `tsCol` ≤ the left row's `tsCol` for the same key
+    * (inclusive backward as-of — DuckDB/kdb semantics). Spark has no
+    * as-of physical operator; a `<=` theta-join degenerates to
+    * per-row scans. This is the union+window formulation: tag both
+    * sides, union, one window pass per key ordered by (ts, tag) with
+    * state rows sorting first at equal ts, `last(_, ignoreNulls)`
+    * carries each state column forward, then keep only left rows.
+    * ONE shuffle on the key, in-partition sort, no probing — the
+    * shape that survives a 100 TB event stream against a wide state
+    * history.
+    *
+    * `right` must be pre-projected to (`keyCol`, `tsCol`,
+    * `stateCols…`) with state names disjoint from `left`'s columns.
+    */
+  def asofJoin(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, stateCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l2 = left.select(
+      leftCols.map(col) ++
+        stateCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) :+
+        lit(1).as("__tag"): _*)
+    val r2 = right.select(
+      leftCols.map(c =>
+        if (c == keyCol || c == tsCol) col(c)
+        else lit(null).cast(left.schema(c).dataType).as(c)) ++
+        stateCols.map(col) :+ lit(0).as("__tag"): _*)
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l2.unionByName(r2)
+      .select(
+        (leftCols.map(col) ++
+          stateCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)) :+
+          col("__tag")): _*)
+      .where(col("__tag") === 1)
+      .drop("__tag")
+  }
 }

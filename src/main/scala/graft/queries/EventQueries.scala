@@ -20,6 +20,23 @@ object EventQueries {
         Tables.events(s, dir), "user_id", "ts", gapSeconds = 1800L,
         Seq(Num.dsum(col("value")).as("value_sum")))
     },
+    // I4 — as-of join: every non-purchase event enriched with the
+    // user's most recent purchase at that moment (null before the
+    // first purchase).
+    "q_asof_join" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val left = ev.where(col("event_type") =!= "purchase")
+        .select("event_id", "user_id", "ts", "event_type", "value")
+      val states = ev.where(col("event_type") === "purchase")
+        .select(
+          col("user_id"), col("ts"),
+          // epoch micros, not a timestamp: a null TIMESTAMP round-trips
+          // as NaT, which hash/equality comparators treat as unequal
+          unix_micros(col("ts")).as("asof_us"), col("value").as("last_purchase"))
+      Events.asofJoin(left, states, "user_id", "ts",
+        Seq("asof_us", "last_purchase"))
+        .orderBy("event_id")
+    },
     // D6 — schema-on-read JSON attribute extraction + aggregation
     "q_json_extract" -> { (s, dir) =>
       Extraction.jsonAttributes(
@@ -59,6 +76,18 @@ object EventQueries {
              MIN(ts) AS session_start, MAX(ts) AS session_end,
              COUNT(*) AS n_events, ${dsum("value")} AS value_sum
       FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_asof_join" -> """
+      WITH e AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        FROM events WHERE event_type <> 'purchase'),
+      p AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS asof_us, value AS last_purchase
+        FROM events WHERE event_type = 'purchase')
+      SELECT e.event_id, e.user_id, e.ts, e.event_type, e.value,
+             p.asof_us, p.last_purchase
+      FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
+      ORDER BY e.event_id""",
     "q_json_extract" -> """
       SELECT event_type, COUNT(*) AS n_events,
              CAST(SUM(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS k_sum

@@ -92,6 +92,27 @@ class EventsGeoFormatsSpec extends SparkSpec {
     assert(!payload.contains("\"bal\":10.0")) // beyond top-2
   }
 
+  test("asofJoin picks the latest state at-or-before each event") {
+    val left = Seq(
+      (1L, ts("2024-01-01 09:00:00"), "before-any"),
+      (1L, ts("2024-01-01 10:00:00"), "at-state"), // == state ts → inclusive
+      (1L, ts("2024-01-01 11:30:00"), "between"),
+      (1L, ts("2024-01-01 13:00:00"), "after-last"),
+      (2L, ts("2024-01-01 10:00:00"), "other-user"),
+    ).toDF("user_id", "ts", "label")
+    val states = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 12:00:00"), 200.0),
+    ).toDF("user_id", "ts", "state_v")
+    val out = Events.asofJoin(left, states, "user_id", "ts", Seq("state_v"))
+      .collect().map(r => r.getAs[String]("label") -> Option(r.getAs[Any]("state_v"))).toMap
+    assert(out("before-any").isEmpty)
+    assert(out("at-state").contains(100.0))
+    assert(out("between").contains(100.0))
+    assert(out("after-last").contains(200.0))
+    assert(out("other-user").isEmpty) // states never cross users
+  }
+
   test("jsonAttributes surfaces typed fields; malformed rows yield null") {
     import org.apache.spark.sql.types._
     val df = Seq(
