@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import scala.util.Random
+import graft.operators.Hierarchy
+import graft.plans.IntervalJoin
+
+/** Randomized-structure tests for the hierarchy machinery (fixed seed —
+  * deterministic): nested-set labels on random trees must satisfy the
+  * structural invariants, not just match hand-picked examples, and the
+  * custom interval-stabbing join must agree with the equivalent
+  * BETWEEN theta-join on random points/intervals including empty and
+  * duplicated intervals.
+  */
+class HierarchyPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("nestedSet labels satisfy the structural invariants on random trees") {
+    val rnd = new Random(42)
+    for (_ <- 1 to 6) {
+      // node i's parent is a uniform pick among 0..i-1 → acyclic
+      val n = 2 + rnd.nextInt(39)
+      val nodes: Seq[(String, Option[String], Long)] =
+        ("n0", None, 0L) +: (1 until n).map { i =>
+          (s"n$i", Some(s"n${rnd.nextInt(i)}"), i.toLong)
+        }
+      val parent = nodes.map(t => t._1 -> t._2).toMap
+      val maxDepth = nodes.map { case (id, _, _) =>
+        Iterator.iterate(Option(id))(c => c.flatMap(parent(_)))
+          .takeWhile(_.isDefined).size - 1
+      }.max
+
+      val df = nodes.toDF("node_id", "parent_id", "sort_key")
+      val out = Hierarchy.nestedSet(df, maxDepth).collect()
+        .map(r => r.getString(0) ->
+          ((Option(r.getString(1)), r.getLong(3), r.getLong(4)))).toMap
+
+      // 1. labels are exactly the permutation 1..2n
+      val allLabels = out.values.flatMap { case (_, l, r) => Seq(l, r) }.toSeq.sorted
+      assert(allLabels == (1L to 2L * n), s"n=$n labels=$allLabels")
+      // 2. parent interval strictly contains every child's
+      out.foreach { case (_, (parentOpt, l, r)) =>
+        assert(l < r)
+        parentOpt.foreach { p =>
+          val (_, pl, pr) = out(p)
+          assert(pl < l && r < pr)
+        }
+      }
+      // 3. siblings ordered by sort_key have disjoint ascending intervals
+      val bySortKey = nodes.map(t => t._1 -> t._3).toMap
+      out.groupBy(_._2._1).values.foreach { sibs =>
+        sibs.toSeq.sortBy(s => bySortKey(s._1)).map(_._2)
+          .sliding(2).foreach {
+            case Seq((_, _, r1), (_, l2, _)) => assert(r1 < l2)
+            case _ => ()
+          }
+      }
+    }
+  }
+
+  test("interval-stabbing join matches the BETWEEN theta-join on random inputs") {
+    val rnd = new Random(7)
+    for (_ <- 1 to 6) {
+      val points = Seq.tabulate(1 + rnd.nextInt(60))(i =>
+        (i.toLong, rnd.nextLong() % 50))
+      val ivs = Seq.tabulate(1 + rnd.nextInt(15)) { i =>
+        val lo = rnd.nextLong() % 50
+        (i.toLong, lo, lo + rnd.nextInt(26) - 5) // negative width → empty
+      }
+      val p = points.toDF("pid", "p")
+      val iv = ivs.toDF("iid", "lo", "hi")
+      val custom = IntervalJoin.join(p, iv, "p", "lo", "hi")
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val reference = p.join(iv, col("p") >= col("lo") && col("p") <= col("hi"))
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(custom == reference, s"points=$points ivs=$ivs")
+    }
+  }
+}
