@@ -47,6 +47,23 @@ object FormatQueries {
         "measurementValue" -> col("value"),
       )).orderBy("eventID")
     },
+    // Write path behind the gate: partitioned-parquet round trip. The
+    // aggregate runs over the REREAD frame, so partition layout, type
+    // round-tripping, and partition pruning are all on the verified
+    // path (the oracle aggregates the source directly).
+    "q_write_roundtrip" -> { (s, dir) =>
+      val out = s"/tmp/graft-roundtrip-${java.lang.Math.abs(dir.hashCode)}"
+      graft.sources.Writers.partitionedParquet(
+        Tables.orders(s, dir).select(
+          col("o_orderkey"), col("o_totalprice"), col("o_orderpriority")),
+        out, Seq("o_orderpriority"))
+      graft.sources.Readers.parquet(s, out)
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          graft.operators.Num.dsum(col("o_totalprice")).as("price_sum"))
+        .orderBy("o_orderpriority")
+    },
     "q_json_api_agg" -> { (s, dir) =>
       val custWithNation = Tables.customer(s, dir)
         .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
@@ -71,6 +88,10 @@ object FormatQueries {
       JOIN supplier ON l_suppkey = s_suppkey
       JOIN nation ON s_nationkey = n_nationkey
       ORDER BY occurrenceID""",
+    "q_write_roundtrip" -> """
+      SELECT o_orderpriority, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum
+      FROM orders GROUP BY 1 ORDER BY 1""",
     "q_humboldt_event" -> """
       SELECT 'evt:' || event_id AS eventID,
              event_type AS eventType,

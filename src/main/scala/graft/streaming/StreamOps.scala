@@ -51,6 +51,26 @@ object StreamOps {
       df, "ts", "event_type", "1 hour", "10 minutes",
       Seq(Num.dsum(col("value")).as("value_sum")))
 
+  /** Stream-stream interval join: enrich an event stream with a state
+    * stream's rows whose timestamp falls within `[eventTs −
+    * boundSeconds, eventTs]` for the same key — the streaming bounded
+    * as-of shape. Both sides carry watermarks, so Spark bounds the
+    * join state buffers (each side evicts rows older than watermark +
+    * bound) — the property that keeps two unbounded 100 TB streams
+    * joinable in fixed memory. Column names must be disjoint except
+    * for the shared key. */
+  def intervalStreamJoin(
+      events: DataFrame, states: DataFrame, keyCol: String,
+      eventTsCol: String, stateTsCol: String,
+      watermarkDelay: String, boundSeconds: Long): DataFrame =
+    events.withWatermark(eventTsCol, watermarkDelay).alias("__e")
+      .join(
+        states.withWatermark(stateTsCol, watermarkDelay).alias("__s"),
+        col(s"__e.$keyCol") === col(s"__s.$keyCol") &&
+          col(stateTsCol) <= col(eventTsCol) &&
+          col(stateTsCol) >= col(eventTsCol) - expr(s"INTERVAL $boundSeconds SECONDS"))
+      .drop(col(s"__s.$keyCol"))
+
   /** Streaming exact dedup — the unbounded twin of
     * [[graft.operators.Dedup.exact]]: duplicates of a key arriving
     * within the watermark horizon are dropped; state for a key is

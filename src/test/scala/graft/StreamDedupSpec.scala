@@ -32,4 +32,27 @@ class StreamDedupSpec extends SparkSpec {
       assert(ids.sorted.toSeq == Seq("a", "b"))
     } finally q.stop()
   }
+
+  test("intervalStreamJoin enriches events with in-window state rows only") {
+    val events = MemoryStream[(Long, Timestamp, String)](spark)
+    val states = MemoryStream[(Long, Timestamp, Double)](spark)
+    val joined = StreamOps.intervalStreamJoin(
+      events.toDF.toDF("user_id", "ets", "label"),
+      states.toDF.toDF("user_id", "sts", "sval"),
+      keyCol = "user_id", eventTsCol = "ets", stateTsCol = "sts",
+      watermarkDelay = "10 minutes", boundSeconds = 3600L)
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      states.addData(
+        (1L, ts("2024-01-01 09:30:00"), 100.0), // within 1h of the event
+        (1L, ts("2024-01-01 07:00:00"), 50.0),  // too old → excluded
+        (2L, ts("2024-01-01 09:45:00"), 70.0))  // other key → excluded
+      events.addData((1L, ts("2024-01-01 10:00:00"), "evt"))
+      q.processAllAvailable()
+      val rows = spark.table("ssj_out")
+        .select("label", "sval").collect().map(r => (r.getString(0), r.getDouble(1)))
+      assert(rows.toSeq == Seq(("evt", 100.0)))
+    } finally q.stop()
+  }
 }
