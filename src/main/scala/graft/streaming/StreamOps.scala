@@ -83,6 +83,45 @@ object StreamOps {
     df.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** [[runningUserAgg]] on the Spark 4 arbitrary-state v2 API
+    * (`transformWithState` + `StatefulProcessor` + typed `ValueState`):
+    * the current recommended custom-state primitive — state is
+    * per-key, schema'd, TTL-able, and backed by the RocksDB state
+    * store (`spark.sql.streaming.stateStore.providerClass` must be the
+    * RocksDB provider), which keeps hot state off-heap and incremental
+    * snapshots cheap on unbounded streams. */
+  class RunningAggProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, UserAgg] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[UserAgg] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[UserAgg](
+        "agg", org.apache.spark.sql.Encoders.product[UserAgg],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[UserEvent],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[UserAgg] = {
+      val prev = if (state.exists()) state.get() else UserAgg(key, 0L, 0.0)
+      val next = rows.foldLeft(prev) { (a, e) =>
+        UserAgg(key, a.n_events + 1L, a.value_sum + e.value)
+      }
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def runningUserAggTws(ds: Dataset[UserEvent]): Dataset[UserAgg] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(
+        new RunningAggProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
   case class SessionState(
       start: Long, last: Long, n: Long, sum: Double)
   case class Session(

@@ -55,4 +55,32 @@ class StreamDedupSpec extends SparkSpec {
       assert(rows.toSeq == Seq(("evt", 100.0)))
     } finally q.stop()
   }
+
+  test("transformWithState keeps running per-user aggregates (RocksDB store)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[StreamOps.UserEvent](spark)
+    val q = StreamOps.runningUserAggTws(input.toDS())
+      .writeStream.format("memory").queryName("tws_out")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        StreamOps.UserEvent(1L, ts("2024-01-01 10:00:00"), 2.0),
+        StreamOps.UserEvent(1L, ts("2024-01-01 10:01:00"), 3.0))
+      q.processAllAvailable()
+      input.addData(StreamOps.UserEvent(1L, ts("2024-01-01 10:02:00"), 5.0))
+      q.processAllAvailable()
+      val last = spark.table("tws_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .maxBy(_._2)
+      assert(last == ((1L, 3L, 10.0))) // state survived across micro-batches
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
