@@ -133,6 +133,15 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents converges on a chain far deeper than the round budget") {
+    // path 0-1-2-…-120: plain min-propagation would need 120 rounds;
+    // pointer jumping must finish within the default 25
+    val edges = (1L to 120L).map(i => (i, i - 1)).toDF("src", "dst")
+    val out = Dedup.connectedComponents(edges, "src", "dst").collect()
+    assert(out.length == 121)
+    assert(out.forall(_.getLong(1) == 0L))
+  }
+
   test("connectedComponents merges components across edge sources") {
     // two stars 1<-2, 1<-3 and 5<-6 joined by bridge 3-5 → one component
     val edges = Seq((2L, 1L), (3L, 1L), (6L, 5L), (5L, 3L)).toDF("src", "dst")
