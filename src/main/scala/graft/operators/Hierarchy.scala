@@ -94,7 +94,13 @@ object Hierarchy {
       .select(col("node_id"), col("parent_id").as("ancestor_id"), lit(1).as("dist"))
     var depth = 1
     while (depth <= maxDepth) {
-      frontier = frontier.persist() // reused: union arm + next round's join
+      // The frontier is reused (union arm + next round's join), so it
+      // must be materialized either way. Shallow trees keep persist
+      // (lazy, no extra jobs); deep trees switch to localCheckpoint,
+      // which also TRUNCATES lineage — a depth-20 taxonomy otherwise
+      // drags a 20-join plan into every downstream optimization pass.
+      frontier =
+        if (maxDepth > 8) frontier.localCheckpoint() else frontier.persist()
       closure = closure.unionByName(frontier)
       frontier = frontier
         .join(
