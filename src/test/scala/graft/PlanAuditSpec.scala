@@ -53,6 +53,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(pushed.exists(_.contains("LessThan(vec_id,8)")))
   }
 
+  test("asof join is one key shuffle, not a per-row probe join") {
+    val plan = executed(SparkEntry.queries("q_asof_join")(spark, dir))
+    // union + window on user_id + presentation sort: ≤2 shuffles, and
+    // NO nested-loop/cartesian fallback anywhere
+    assert(shuffles(plan) <= 2)
+    assert(!plan.exists(_.nodeName.toLowerCase.contains("nestedloop")))
+    assert(!plan.exists(_.nodeName.toLowerCase.contains("cartesian")))
+  }
+
+  test("fuzzy match joins on the blocking key, no cartesian fallback") {
+    val plan = executed(SparkEntry.queries("q_fuzzy_match")(spark, dir))
+    assert(!plan.exists(_.nodeName.toLowerCase.contains("nestedloop")))
+    assert(!plan.exists(_.nodeName.toLowerCase.contains("cartesian")))
+  }
+
   test("aggregations keep map-side partial aggregation") {
     val plan = executed(SparkEntry.queries("q_statistical_summary")(spark, dir))
     val aggs = plan.map(_.toString).filter(_.contains("HashAggregate"))
