@@ -129,6 +129,31 @@ object Aggregations {
     df.sparkSession.sql(sql)
   }
 
+  /** Two-stage SALTED aggregation for skewed keys. Algebraic aggregates
+    * already partial-combine map-side, but non-algebraic ones
+    * (collect_list/set) ship every row of a key to ONE reducer — a
+    * single hot key (one mega-genus, one boilerplate document) stalls
+    * the stage. Salting splits each key into `salts` subgroups on a
+    * deterministic hash, pre-aggregates per (key, salt), then merges the
+    * per-salt arrays: the hot key's rows spread over `salts` reducers
+    * and only `salts` intermediate arrays meet at the final merge.
+    * `saltBy` must be a column that varies within a key (a row id).
+    * Result is sorted per group, so it is order-canonical under any
+    * partitioning.
+    */
+  def saltedCollectList(
+      df: DataFrame,
+      groupBy: Seq[String],
+      valueCol: String,
+      saltBy: Column,
+      salts: Int): DataFrame =
+    df.withColumn("__salt", pmod(xxhash64(saltBy), lit(salts)))
+      .groupBy((groupBy :+ "__salt").map(col): _*)
+      .agg(collect_list(col(valueCol)).as("__partial"))
+      .groupBy(groupBy.map(col): _*)
+      .agg(sort_array(flatten(collect_list(col("__partial")))).as(s"${valueCol}_list"))
+      .orderBy(groupBy.map(col): _*)
+
   /** Single-pass sketch profile — the 100 TB companion to
     * [[statisticalSummary]]: HyperLogLog++ distinct count (±`rsd`
     * relative error, fixed ~kB state per group) and a t-digest-style

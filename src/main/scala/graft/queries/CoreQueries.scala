@@ -51,6 +51,22 @@ object CoreQueries {
         Tables.events(s, dir), col("value") > 0, Seq("event_type"))
     },
     "q_database_aggregator" -> { (s, dir) => revenueByNation(s, dir) },
+    // skew path: salted two-stage collect; the oracle compares an
+    // order-canonical digest (sorted integer list → md5), since raw
+    // array columns don't compare portably across engines
+    "q_salted_collect" -> { (s, dir) =>
+      Aggregations.saltedCollectList(
+        Tables.lineitem(s, dir)
+          .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty"),
+            col("l_orderkey")),
+        Seq("l_returnflag"), "qty", saltBy = col("l_orderkey"), salts = 8)
+        .select(
+          col("l_returnflag"),
+          size(col("qty_list")).as("n_values"),
+          md5(concat_ws(",",
+            transform(col("qty_list"), x => x.cast("string"))).cast("binary"))
+            .as("digest"))
+    },
     // sketch path (rows-only: HLL/t-digest internals differ per engine;
     // error bounds are asserted against exact values in CoreOperatorsSpec)
     "q_sketch_profile" -> { (s, dir) =>
@@ -91,6 +107,11 @@ object CoreQueries {
     s"CAST(CAST(SUM(CAST($x AS DECIMAL(19,4)) * CAST($y AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "q_salted_collect" -> """
+      SELECT l_returnflag,
+             CAST(len(list(l_quantity)) AS INT) AS n_values,
+             md5(array_to_string(list_sort(list(CAST(l_quantity AS BIGINT))), ',')) AS digest
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_statistical_summary" -> s"""
       SELECT l_returnflag,
         MIN(l_quantity) AS min_val,

@@ -164,6 +164,20 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(math.abs(q50 - 1000.0) <= 10.0)
   }
 
+  test("saltedCollectList equals the direct collect under any salt count") {
+    val df = (1 to 500).map(i => (if (i <= 450) "hot" else "cold", i.toLong))
+      .toDF("k", "v")
+    val direct = df.groupBy("k")
+      .agg(sort_array(collect_list(col("v"))).as("v_list"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    for (salts <- Seq(1, 4, 16)) {
+      val salted = Aggregations.saltedCollectList(
+        df, Seq("k"), "v", saltBy = col("v"), salts = salts)
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      assert(salted == direct, s"salts=$salts")
+    }
+  }
+
   test("materializedPaths builds root-first pipe paths with levels") {
     val nodes = Seq(
       ("R", None, 0L), ("A", Some("R"), 1L), ("A1", Some("A"), 1L),
