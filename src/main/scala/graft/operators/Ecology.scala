@@ -205,6 +205,48 @@ object Ecology {
       .orderBy(col(zoneCol), col("size_class"))
   }
 
+  /** N6 — diversity indices (`ecological/custom_calculator.py`:
+    * `shannon_entropy`, `pielou_evenness` — the reference's core
+    * biodiversity metrics, plus richness and Simpson): per group over a
+    * category column,
+    *   richness S, total N, H = −Σ pᵢ·ln(pᵢ), J = H/ln(S),
+    *   simpson = 1 − Σ pᵢ²  (pᵢ = category share).
+    * The per-category counts collapse to ONE row per group before any
+    * floating point happens, and the Σ folds run over the
+    * category-sorted count array — a FIXED evaluation order, so the
+    * transcendental sums are reproducible under any partitioning (the
+    * same trick as the cosine fold; decimal sums can't help here
+    * because ln() output is irrational).
+    */
+  def diversityIndices(
+      cells: DataFrame,
+      groupBy: Seq[String],
+      categoryCol: String): DataFrame = {
+    val counts = cells
+      .groupBy((groupBy :+ categoryCol).map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    val grouped = counts
+      .groupBy(groupBy.map(col): _*)
+      .agg(
+        count(lit(1)).cast("int").as("richness"),
+        sum("n").as("total"),
+        // category-sorted counts → deterministic fold order
+        transform(
+          sort_array(collect_list(struct(col(categoryCol), col("n")))),
+          s => s.getField("n")).as("__counts"))
+    val p = (n: Column) => n.cast("double") / col("total").cast("double")
+    grouped.select(
+      (groupBy.map(col) :+ col("richness") :+ col("total") :+
+        (-aggregate(col("__counts"), lit(0.0),
+          (acc, n) => acc + p(n) * log(p(n)))).as("shannon") :+
+        (lit(1.0) - aggregate(col("__counts"), lit(0.0),
+          (acc, n) => acc + p(n) * p(n))).as("simpson")): _*)
+      .withColumn("pielou",
+        when(col("richness") > 1,
+          col("shannon") / log(col("richness").cast("double"))))
+      .orderBy(groupBy.map(col): _*)
+  }
+
   /** N5 — land-use breakdown (`ecological/land_use.py`): from a clipped
     * feature table `(zone, layer, category, area)`, the area per (zone,
     * layer, category) and its share of the zone's total area (a

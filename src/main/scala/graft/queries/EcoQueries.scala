@@ -105,6 +105,9 @@ object EcoQueries {
     "q_patch_sizes" -> { (s, dir) =>
       Ecology.patchSizeClasses(forestPatches(s, dir), "zone", "patch_area", sizeEdges)
     },
+    "q_diversity" -> { (s, dir) =>
+      Ecology.diversityIndices(ecoCells(s, dir), Seq("zone"), "forest_type")
+    },
     "q_land_use" -> { (s, dir) =>
       Ecology.landUse(
         landUseFeatures(s, dir),
@@ -210,6 +213,29 @@ object EcoQueries {
       SELECT g.zone, g.size_class, g.n_patches, g.class_area,
              g.class_area * 100.0 / t.zone_area AS pct_of_forest
       FROM g JOIN t ON g.zone = t.zone ORDER BY g.zone, g.size_class""",
+    "q_diversity" -> s"""
+      WITH cells AS ($cellsSql),
+      c AS (
+        SELECT zone, forest_type, COUNT(*) AS n
+        FROM cells GROUP BY zone, forest_type),
+      g AS (
+        SELECT zone, CAST(COUNT(*) AS INT) AS richness, SUM(n) AS total,
+               list(n ORDER BY forest_type) AS counts
+        FROM c GROUP BY zone)
+      SELECT zone, richness, total,
+             -list_sum(list_transform(counts,
+               x -> (CAST(x AS DOUBLE) / CAST(total AS DOUBLE))
+                    * ln(CAST(x AS DOUBLE) / CAST(total AS DOUBLE)))) AS shannon,
+             1.0 - list_sum(list_transform(counts,
+               x -> (CAST(x AS DOUBLE) / CAST(total AS DOUBLE))
+                    * (CAST(x AS DOUBLE) / CAST(total AS DOUBLE)))) AS simpson,
+             CASE WHEN richness > 1 THEN
+               -list_sum(list_transform(counts,
+                 x -> (CAST(x AS DOUBLE) / CAST(total AS DOUBLE))
+                      * ln(CAST(x AS DOUBLE) / CAST(total AS DOUBLE))))
+               / ln(CAST(richness AS DOUBLE))
+             END AS pielou
+      FROM g ORDER BY zone""",
     "q_land_use" -> s"""
       WITH f AS ($featuresSql),
       g AS (

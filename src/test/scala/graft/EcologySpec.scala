@@ -91,6 +91,28 @@ class EcologySpec extends SparkSpec {
     assert(math.abs(top.getAs[Double]("pct_of_forest") - 30.0 * 100 / 33.5) < 1e-9)
   }
 
+  test("diversityIndices computes Shannon, Pielou and Simpson per zone") {
+    // zone 1: categories a×2, b×2 → p = (0.5, 0.5)
+    //   H = ln 2, J = 1, simpson = 0.5
+    // zone 2: single category → H = 0, J undefined (null), simpson = 0
+    val cells = Seq(
+      (1, "a"), (1, "a"), (1, "b"), (1, "b"),
+      (2, "a"), (2, "a"),
+    ).toDF("zone", "cat")
+    val out = Ecology.diversityIndices(cells, Seq("zone"), "cat")
+      .collect().map(r => r.getInt(0) -> r).toMap
+    val z1 = out(1)
+    assert(z1.getAs[Int]("richness") == 2)
+    assert(z1.getAs[Long]("total") == 4L)
+    assert(math.abs(z1.getAs[Double]("shannon") - math.log(2)) < 1e-15)
+    assert(math.abs(z1.getAs[Double]("pielou") - 1.0) < 1e-15)
+    assert(z1.getAs[Double]("simpson") == 0.5)
+    val z2 = out(2)
+    assert(z2.getAs[Double]("shannon") == 0.0)
+    assert(z2.isNullAt(z2.fieldIndex("pielou")))
+    assert(z2.getAs[Double]("simpson") == 0.0)
+  }
+
   test("landUse reports category areas as share of zone total") {
     val features = Seq(
       (1, "veg", "forest", 30.0), (1, "veg", "shrub", 20.0),
