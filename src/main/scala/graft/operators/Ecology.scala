@@ -247,6 +247,27 @@ object Ecology {
       .orderBy(groupBy.map(col): _*)
   }
 
+  /** N6b — the rest of `custom_calculator.py`'s operation set as plain
+    * column expressions over array columns (`array_division`,
+    * `array_multiplication`, `normalize_array`, `weighted_sum`,
+    * `sum_array_slice`): each is a codegen'd higher-order function, no
+    * UDF, usable on any `array<double>` column. Folds are sequential →
+    * deterministic under any partitioning. */
+  object SeriesOps {
+    def divide(a: Column, b: Column): Column =
+      zip_with(a, b, (x, y) => when(y =!= 0.0, x / y))
+    def multiply(a: Column, b: Column): Column = zip_with(a, b, _ * _)
+    def normalize(a: Column): Column = {
+      val total = aggregate(a, lit(0.0), _ + _)
+      transform(a, x => when(total =!= 0.0, x / total))
+    }
+    def weightedSum(a: Column, weights: Seq[Double]): Column =
+      aggregate(
+        zip_with(a, array(weights.map(lit): _*), _ * _), lit(0.0), _ + _)
+    def sliceSum(a: Column, from: Int, len: Int): Column =
+      aggregate(slice(a, from, len), lit(0.0), _ + _)
+  }
+
   /** N5 — land-use breakdown (`ecological/land_use.py`): from a clipped
     * feature table `(zone, layer, category, area)`, the area per (zone,
     * layer, category) and its share of the zone's total area (a

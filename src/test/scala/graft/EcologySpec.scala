@@ -113,6 +113,23 @@ class EcologySpec extends SparkSpec {
     assert(z2.getAs[Double]("simpson") == 0.0)
   }
 
+  test("SeriesOps array arithmetic matches hand computation") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((Seq(2.0, 4.0, 6.0), Seq(1.0, 0.0, 3.0))).toDF("a", "b")
+    val r = df.select(
+      Ecology.SeriesOps.divide(col("a"), col("b")).as("div"),
+      Ecology.SeriesOps.multiply(col("a"), col("b")).as("mul"),
+      Ecology.SeriesOps.normalize(col("a")).as("norm"),
+      Ecology.SeriesOps.weightedSum(col("a"), Seq(0.5, 1.0, 2.0)).as("wsum"),
+      Ecology.SeriesOps.sliceSum(col("a"), 2, 2).as("ssum")).collect().head
+    assert(r.getSeq[Any](0) == Seq(2.0, null, 2.0)) // div-by-zero → null
+    assert(r.getSeq[Double](1) == Seq(2.0, 0.0, 18.0))
+    assert(r.getSeq[Double](2).map(x => math.round(x * 100) / 100.0) ==
+      Seq(0.17, 0.33, 0.5))
+    assert(r.getDouble(3) == 1.0 + 4.0 + 12.0)
+    assert(r.getDouble(4) == 10.0)
+  }
+
   test("landUse reports category areas as share of zone total") {
     val features = Seq(
       (1, "veg", "forest", 30.0), (1, "veg", "shrub", 20.0),
