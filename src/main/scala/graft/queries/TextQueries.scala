@@ -2,7 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.Tables
-import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+import graft.operators.{Chain, TextAnalysis}
 
 /** Batch 3a: text-analysis operators (SURVEY.md §2 L) on `documents`.
   * All four are single-scan column pipelines (no UDFs) — at 100 TB they
@@ -23,6 +24,43 @@ object TextQueries {
     },
     "q_fingerprint" -> { (s, dir) =>
       TextAnalysis.fingerprintClusters(Tables.documents(s, dir), "doc_id", "text")
+    },
+    // End-to-end corpus curation — the LLM-pipeline stages composed as
+    // ONE Catalyst plan via Chain: score quality → language-ID → keep
+    // good English docs → exact-dedup (keep min doc_id per text hash)
+    // → per-source yield stats. Aggregates are order-independent
+    // (counts, integer sums, min/max) so the composition stays
+    // bit-deterministic with no decimal ceremony.
+    "q_corpus_curation" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Chain.run(docs, Seq[(String, Chain.Step)](
+        "scored" -> { ctx =>
+          ctx("input").select(col("doc_id"), col("source"), col("text"))
+            .join(TextAnalysis.quality(ctx("input"), "doc_id", "text")
+              .select("doc_id", "quality_score", "n_tokens"), "doc_id")
+            .join(TextAnalysis.langId(ctx("input"), "doc_id", "text")
+              .select("doc_id", "lang_pred"), "doc_id")
+        },
+        "filtered" -> { ctx =>
+          ctx("scored").where(col("quality_score") >= 0.5 && col("lang_pred") === "en")
+        },
+        "deduped" -> { ctx =>
+          val keep = ctx("filtered")
+            .groupBy(md5(col("text").cast("binary")).as("__h"))
+            .agg(min("doc_id").as("doc_id"))
+            .select("doc_id")
+          ctx("filtered").join(keep, "doc_id")
+        },
+        "stats" -> { ctx =>
+          ctx("deduped")
+            .groupBy("source")
+            .agg(
+              count(lit(1)).as("n_docs"),
+              sum("n_tokens").as("n_tokens"),
+              min("quality_score").as("min_quality"),
+              max("quality_score").as("max_quality"))
+            .orderBy("source")
+        }))
     },
   )
 
@@ -75,6 +113,38 @@ object TextQueries {
         CAST(len(list_filter(toks, x -> regexp_matches(x, '^[a-z]+$'))) AS BIGINT) AS n_alpha_tokens,
         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens
       FROM t ORDER BY doc_id""",
+    "q_corpus_curation" -> s"""
+      WITH t AS (
+        SELECT doc_id, source, text, string_split(text, ' ') AS toks FROM documents),
+      f AS (
+        SELECT doc_id, source, text,
+          CAST(length(text) AS BIGINT) AS n_chars,
+          CAST(len(toks) AS BIGINT) AS n_tokens,
+          ${hits(TextAnalysis.stopEn)} AS n_stop,
+          ${hits(TextAnalysis.stopFr)} AS score_fr,
+          ${hits(TextAnalysis.stopDe)} AS score_de,
+          ${hits(TextAnalysis.stopEs)} AS score_es
+        FROM t),
+      scored AS (
+        SELECT doc_id, source, text, n_tokens,
+          LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+            + CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.3
+            + LEAST((CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE)) / 10.0, 1.0) * 0.3
+            AS quality_score,
+          CASE WHEN n_stop >= score_fr AND n_stop >= score_de AND n_stop >= score_es THEN 'en'
+               WHEN score_fr >= score_de AND score_fr >= score_es THEN 'fr'
+               WHEN score_de >= score_es THEN 'de'
+               ELSE 'es' END AS lang_pred
+        FROM f),
+      filtered AS (
+        SELECT * FROM scored WHERE quality_score >= 0.5 AND lang_pred = 'en'),
+      keepers AS (
+        SELECT MIN(doc_id) AS doc_id FROM filtered GROUP BY md5(text)),
+      deduped AS (
+        SELECT f.* FROM filtered f JOIN keepers k ON f.doc_id = k.doc_id)
+      SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             MIN(quality_score) AS min_quality, MAX(quality_score) AS max_quality
+      FROM deduped GROUP BY source ORDER BY source""",
     "q_fingerprint" -> """
       SELECT md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint,
              COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
