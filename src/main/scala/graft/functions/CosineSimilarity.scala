@@ -109,26 +109,46 @@ object GraftFunctions {
     ColumnBridge.column(CosineSimilarity(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
-  private val cosineInfo = (
-    FunctionIdentifier("cosine_sim"),
-    new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-    (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)): Expression)
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal INT, got $other")
+  }
 
-  /** Imperative registration: makes `cosine_sim(a, b)` usable from
-    * `spark.sql` / `expr` in an existing session. */
+  /** All native expressions, as SQL-registry entries: `cosine_sim(a,
+    * b)`, `minhash_sig(shingles, n)`, `simhash64(tokens)`,
+    * `shingle_hashes(tokens, n)` become callable from `spark.sql` /
+    * `expr`. Count arguments must be literals (they fix the generated
+    * code shape). */
+  private val registry: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (c: Seq[Expression]) => CosineSimilarity(c(0), c(1))),
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
+      (c: Seq[Expression]) => MinHashSignature(c(0), intLit(c(1), "minhash_sig"))),
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (c: Seq[Expression]) => SimHash64(c(0))),
+    (FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (c: Seq[Expression]) => ShingleHashes(c(0), intLit(c(1), "shingle_hashes"))))
+
+  /** Imperative registration: makes every graft SQL function usable
+    * from `spark.sql` / `expr` in an existing session. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      cosineInfo._1, cosineInfo._2, cosineInfo._3)
+    registry.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+
+  private[functions] def entries = registry
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` entry point —
   * the deployment-config path to the same registrations. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    GraftFunctions.entries.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
   }
 }

@@ -41,6 +41,22 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(math.abs(v - 0.96) < 1e-12)
   }
 
+  test("hash expressions are callable from spark.sql with literal counts") {
+    GraftFunctions.register(spark)
+    Seq(Tuple1("the quick brown fox jumps")).toDF("text")
+      .createOrReplaceTempView("hash_t")
+    val r = spark.sql("""
+      SELECT size(minhash_sig(shingle_hashes(split(text, ' '), 3), 16)) AS n_sig,
+             simhash64(split(text, ' ')) AS sh
+      FROM hash_t""").head
+    assert(r.getInt(0) == 16)
+    assert(r.getLong(1) != 0L)
+    // non-literal count argument fails loudly, not silently
+    val err = intercept[Exception](
+      spark.sql("SELECT minhash_sig(array('a'), CAST(rand() * 4 AS INT)) ").collect())
+    assert(err.getMessage.contains("literal INT"))
+  }
+
   test("expression participates in whole-stage codegen") {
     // a parquet-backed plan: local relations get constant-folded away
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
