@@ -27,8 +27,12 @@ object Bench {
         System.gc() // drain accumulated broadcasts/codegen garbage so
                     // earlier queries' GC debt doesn't bill this one
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-          catch { case _: Throwable => false }
+        // noop sink consumes EVERY output column: .count() would let
+        // Catalyst prune the aggregate expressions being measured
+        // (see SURVEY §7.1 measurement pitfall).
+        val ok = try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+        } catch { case _: Throwable => false }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
       val good = times.filter(_ >= 0)

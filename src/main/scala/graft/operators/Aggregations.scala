@@ -161,6 +161,10 @@ object Aggregations {
     * sort). Both sketches are mergeable, so partial aggregation
     * map-side combines exactly like sum/count — a profile over 10⁸
     * groups is still one shuffle of sketch states, never of raw rows.
+    *
+    * Output is one scalar column per requested quantile (`q25`, `q50`,
+    * ...) — downstream consumers (and the driver's row-sort compare)
+    * need orderable scalars, not an array cell.
     */
   def sketchProfile(
       df: DataFrame,
@@ -169,13 +173,20 @@ object Aggregations {
       groupBy: Seq[String],
       quantiles: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95),
       rsd: Double = 0.05,
-      accuracy: Int = 10000): DataFrame =
-    df.groupBy(groupBy.map(col): _*)
+      accuracy: Int = 10000): DataFrame = {
+    val agged = df.groupBy(groupBy.map(col): _*)
       .agg(
         count(lit(1)).as("cnt"),
         approx_count_distinct(col(distinctField), rsd).as("approx_distinct"),
         percentile_approx(
           col(field), array(quantiles.map(lit): _*), lit(accuracy))
-          .as("quantiles"))
+          .as("__quantiles"))
+    val qCols = quantiles.zipWithIndex.map { case (q, i) =>
+      element_at(col("__quantiles"), i + 1)
+        .as("q" + math.round(q * 100).toString)
+    }
+    agged
+      .select((groupBy.map(col) :+ col("cnt") :+ col("approx_distinct")) ++ qCols: _*)
       .orderBy(groupBy.map(col): _*)
+  }
 }

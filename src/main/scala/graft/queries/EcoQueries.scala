@@ -219,7 +219,8 @@ object EcoQueries {
         SELECT zone, forest_type, COUNT(*) AS n
         FROM cells GROUP BY zone, forest_type),
       g AS (
-        SELECT zone, CAST(COUNT(*) AS INT) AS richness, SUM(n) AS total,
+        SELECT zone, CAST(COUNT(*) AS INT) AS richness,
+               CAST(SUM(n) AS BIGINT) AS total,
                list(n ORDER BY forest_type) AS counts
         FROM c GROUP BY zone)
       SELECT zone, richness, total,

@@ -37,7 +37,7 @@ object MultimodalQueries {
     "q_media_features" -> """
       SELECT ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
              COUNT(*) AS n_media,
-             SUM(octet_length(CAST(text AS BLOB))) AS bytes_sum
+             CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS bytes_sum
       FROM documents GROUP BY 1 ORDER BY 1""",
   )
 }

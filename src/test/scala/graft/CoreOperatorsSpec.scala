@@ -160,7 +160,7 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(r.getAs[Long]("cnt") == 2000L)
     val approxDistinct = r.getAs[Long]("approx_distinct")
     assert(math.abs(approxDistinct - 500L) <= 500 * 0.10) // 2×rsd guard
-    val q50 = r.getAs[Seq[Double]]("quantiles").head
+    val q50 = r.getAs[Double]("q50")
     assert(math.abs(q50 - 1000.0) <= 10.0)
   }
 
