@@ -22,11 +22,11 @@ object SparkEntry {
     CoreQueries.all ++ HierarchyQueries.all ++ ExtractionQueries.all ++
       TextQueries.all ++ DedupQueries.all ++ EventQueries.all ++
       GeoQueries.all ++ FormatQueries.all ++ EcoQueries.all ++
-      ClassObjectQueries.all ++ MultimodalQueries.all
+      ClassObjectQueries.all ++ MultimodalQueries.all ++ CurationQueries.all
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ HierarchyQueries.oracles ++ ExtractionQueries.oracles ++
       TextQueries.oracles ++ DedupQueries.oracles ++ EventQueries.oracles ++
       GeoQueries.oracles ++ FormatQueries.oracles ++ EcoQueries.oracles ++
-      ClassObjectQueries.oracles ++ MultimodalQueries.oracles
+      ClassObjectQueries.oracles ++ MultimodalQueries.oracles ++ CurationQueries.oracles
 }

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for large-scale training-data pipelines:
+  * repetition-based quality signals (the Gopher filter family),
+  * deterministic stratified sampling, per-domain top-k selection and
+  * token-budget sequence packing.
+  *
+  * Scale posture: `repetitionSignals` is per-row column algebra (no
+  * shuffle — the 100 TB shape is a map-only pass over the corpus);
+  * sampling/top-k are single-window ops (one shuffle on the stratum
+  * key, bounded-heap `WindowGroupLimit` for top-k); packing is one
+  * running-sum window over (group, order).
+  */
+object Curation {
+
+  /** Max element multiplicity of an array, computed as the longest run
+    * in the sorted array — one O(L log L) per-row fold, no explode, no
+    * shuffle. (An explode→groupBy would shuffle every token in the
+    * corpus; at 100 TB that is the difference between a map-only scan
+    * and a trillion-row exchange.) */
+  private def maxMultiplicity(arr: Column): Column =
+    aggregate(
+      sort_array(arr),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("mx")),
+      (acc, w) => {
+        val run = when(w === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(w.as("prev"), run.as("run"),
+          greatest(acc.getField("mx"), run).as("mx"))
+      },
+      acc => acc.getField("mx"))
+
+  /** Gopher-style repetition signals per document (ref quality-filter
+    * analogue of `transformers/` per-entity stats; public spec: Rae et
+    * al. 2021 "Scaling Language Models" table A1): distinct-word
+    * fraction, top word / top bigram share, mean word length. All
+    * fractions are exact integer-ratio doubles → engine-portable. */
+  def repetitionSignals(df: DataFrame, idCols: Seq[String], textCol: String): DataFrame = {
+    val words = split(col(textCol), " ")
+    val n = size(words)
+    // bigram i = word[i] ++ " " ++ word[i+1]; empty below 2 words
+    val bigrams = when(n >= 2,
+      transform(slice(words, lit(1), n - 1),
+        (w, i) => concat_ws(" ", w, element_at(words, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    df.select(
+      idCols.map(col) ++ Seq(
+        n.as("n_words"),
+        (size(array_distinct(words)).cast("double") / n).as("distinct_word_frac"),
+        (maxMultiplicity(words).cast("double") / n).as("top_word_share"),
+        when(n >= 2, maxMultiplicity(bigrams).cast("double") / (n - 1))
+          .as("top_bigram_share"),
+        (aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast("double") / n)
+          .as("mean_word_len")): _*)
+      .orderBy(idCols.map(col): _*)
+  }
+
+  /** Deterministic stratified sample: within each stratum keep
+    * `ceil(frac · stratum_size)` rows ordered by `md5(id)` — a
+    * reshuffle-stable, engine-portable pseudo-random order (md5 is
+    * identical everywhere, unlike xxhash64/random()). One shuffle on
+    * the stratum key; both windows share its partitioning. */
+  def stratifiedSample(
+      df: DataFrame, strataCols: Seq[String], idCol: String, frac: Double): DataFrame = {
+    val part = Window.partitionBy(strataCols.map(col): _*)
+    val w = part.orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("rn", row_number().over(w))
+      .withColumn("__cnt", count(lit(1)).over(part))
+      .where(col("rn") <= greatest(lit(1L), ceil(col("__cnt") * lit(frac)).cast("long")))
+      .drop("__cnt")
+      .orderBy((strataCols :+ idCol).map(col): _*)
+  }
+
+  /** Top-k rows per domain by a score column (quality-ranked corpus
+    * trim). `row_number <= k` plans as Partial+Final `WindowGroupLimit`
+    * — a bounded heap BEFORE the shuffle, so only k·domains rows move. */
+  def domainTopK(
+      df: DataFrame, domainCol: String, scoreCol: String, tieCol: String,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(col(scoreCol).desc, col(tieCol))
+    df.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .orderBy(col(domainCol), col("rank"))
+  }
+
+  /** Token-budget sequence packing: stream rows per group in `orderCol`
+    * order, a row opens bin `floor(tokens_before / budget)` — the
+    * deterministic streaming pack used to batch documents into
+    * fixed-token training sequences. Returns per-(group, bin) stats.
+    * One window + one partial-agg groupBy, both on the group key. */
+  def packSequences(
+      df: DataFrame, groupCol: String, orderCol: String, sizeExpr: Column,
+      budget: Long): DataFrame = {
+    val before = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__sz", sizeExpr)
+      .withColumn("bin",
+        floor(coalesce(sum(col("__sz")).over(before), lit(0L)) / budget))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__sz")).as("tokens"))
+      .orderBy(col(groupCol), col("bin"))
+  }
+}

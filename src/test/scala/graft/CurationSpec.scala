@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Curation
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "srcA", "a a a b c"),          // top word a×3/5, top bigram "a a"×2/4
+    (2L, "srcA", "x y"),                // all distinct
+    (3L, "srcB", "q"),                  // single word → no bigrams
+  ).toDF("doc_id", "source", "text")
+
+  test("repetitionSignals computes distinct/top-word/top-bigram shares") {
+    val out = Curation.repetitionSignals(docs, Seq("doc_id"), "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Int]("n_words") == 5)
+    assert(r1.getAs[Double]("distinct_word_frac") == 3.0 / 5.0)
+    assert(r1.getAs[Double]("top_word_share") == 3.0 / 5.0)
+    assert(r1.getAs[Double]("top_bigram_share") == 2.0 / 4.0)
+    assert(r1.getAs[Double]("mean_word_len") == 1.0)
+    assert(out(2L).getAs[Double]("top_word_share") == 0.5)
+    assert(out(3L).isNullAt(out(3L).fieldIndex("top_bigram_share")))
+  }
+
+  test("stratifiedSample keeps ceil(frac*n) rows per stratum, deterministically") {
+    val df = (1L to 100L).map(i => (i, if (i <= 80) "big" else "small"))
+      .toDF("doc_id", "source")
+    val s1 = Curation.stratifiedSample(df, Seq("source"), "doc_id", 0.1)
+    val s2 = Curation.stratifiedSample(df.repartition(7), Seq("source"), "doc_id", 0.1)
+    val by = s1.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(by("big") == 8L && by("small") == 2L)
+    // same rows regardless of input partitioning
+    assert(s1.collect().map(_.getLong(0)).toSet == s2.collect().map(_.getLong(0)).toSet)
+  }
+
+  test("domainTopK returns k best rows per domain with rank") {
+    val df = Seq(("d1", 1L, 10), ("d1", 2L, 30), ("d1", 3L, 20), ("d2", 4L, 5))
+      .toDF("source", "doc_id", "score")
+    val out = Curation.domainTopK(df, "source", "score", "doc_id", k = 2)
+      .collect().map(r => (r.getString(0), r.getAs[Int]("rank")) -> r.getLong(1)).toMap
+    assert(out(("d1", 1)) == 2L && out(("d1", 2)) == 3L && out(("d2", 1)) == 4L)
+  }
+
+  test("packSequences opens a bin when the running total crosses the budget") {
+    val df = Seq(("s", 1L, 100L), ("s", 2L, 100L), ("s", 3L, 100L), ("s", 4L, 50L))
+      .toDF("source", "doc_id", "sz")
+    // before-sums: 0,100,200,300 → bins 0,0,1,1 at budget 200
+    val out = Curation.packSequences(df, "source", "doc_id", col("sz"), 200L)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(0L) == ((2L, 200L)))
+    assert(out(1L) == ((2L, 150L)))
+  }
+}
