@@ -90,27 +90,35 @@ object Dedup {
         minhashSignature(
           graft.functions.HashFunctions.shingle_hashes(toks, shingleN),
           numHashes).as("sig"))
+    // Bucket shuffle carries ONLY (band, bucket, doc_id) — never the
+    // signature. The earlier form exploded the full 64-long sig into
+    // every band (a `bands`× duplication of the corpus's signature
+    // mass through the exchange) and sort_array'd structs containing
+    // arrays; ids-only banding shrinks that shuffle ~30× and the
+    // signatures re-enter once, via the verify join below. This is the
+    // shape that survives 100 TB: exchange ∝ 16 longs/doc, not 16×64.
     val banded = sigDf.select(
-      col("doc_id"), col("sig"),
+      col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
         struct(
           b.as("band"),
           xxhash64(slice(col("sig"), b * lit(r) + lit(1), lit(r))).as("bucket")))).as("bb"))
-    val buckets = banded
+    val pairs = banded
       .groupBy(col("bb.band"), col("bb.bucket"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("members"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("members"))
       .where(size(col("members")) > 1 && size(col("members")) <= maxBucket)
-    buckets
       .select(explode(flatten(transform(col("members"), (m, i) =>
-        transform(slice(col("members"), i + lit(2), size(col("members"))), m2 =>
-          struct(
-            m.getField("doc_id").as("id_a"),
-            m2.getField("doc_id").as("id_b"),
-            (size(filter(zip_with(m.getField("sig"), m2.getField("sig"), (x, y) => x === y),
-              eq => eq)).cast(DoubleType) / lit(numHashes.toDouble)).as("est_jaccard"))))))
-        .as("p"))
-      .select(col("p.id_a"), col("p.id_b"), col("p.est_jaccard"))
-      .distinct()
+        transform(slice(col("members"), i + lit(2), size(col("members"))),
+          m2 => struct(m.as("id_a"), m2.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct() // dedup pairs BEFORE the (wider) verify join
+    pairs
+      .join(sigDf.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigDf.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .select(
+        col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          eq => eq)).cast(DoubleType) / lit(numHashes.toDouble)).as("est_jaccard"))
       .orderBy("id_a", "id_b")
   }
 
