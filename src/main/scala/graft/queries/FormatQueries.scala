@@ -64,6 +64,30 @@ object FormatQueries {
           graft.operators.Num.dsum(col("o_totalprice")).as("price_sum"))
         .orderBy("o_orderpriority")
     },
+    // Bucketed write path behind the gate: both join sides land as
+    // bucket-sorted tables on the join key, so the fact-fact join
+    // replans as a zero-exchange sort-merge over co-located buckets
+    // (plan proof in BucketingSpec) — the layout that keeps a 100 TB
+    // fact-fact join from shuffling per query. The aggregate runs over
+    // the REREAD bucketed tables; the oracle computes the same join
+    // from the raw sources.
+    "q_bucketed_join" -> { (s, dir) =>
+      val tag = java.lang.Math.abs(dir.hashCode)
+      graft.sources.Writers.bucketedExternal(
+        Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice", "l_discount"),
+        "graft_bkt_lineitem", s"/tmp/graft-bkt-li-$tag", Seq("l_orderkey"), 8)
+      graft.sources.Writers.bucketedExternal(
+        Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
+        "graft_bkt_orders", s"/tmp/graft-bkt-ord-$tag", Seq("o_orderkey"), 8)
+      s.table("graft_bkt_lineitem")
+        .join(s.table("graft_bkt_orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_items"),
+          graft.operators.Num.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"))
+        .orderBy("o_orderpriority")
+    },
     "q_json_api_agg" -> { (s, dir) =>
       val custWithNation = Tables.customer(s, dir)
         .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
@@ -92,6 +116,11 @@ object FormatQueries {
       SELECT o_orderpriority, COUNT(*) AS n_orders,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum
       FROM orders GROUP BY 1 ORDER BY 1""",
+    "q_bucketed_join" -> """
+      SELECT o_orderpriority, COUNT(*) AS n_items,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1 ORDER BY 1""",
     "q_humboldt_event" -> """
       SELECT 'evt:' || event_id AS eventID,
              event_type AS eventType,

@@ -68,4 +68,20 @@ object Writers {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+
+  /** [[bucketedTable]] with an explicit data location (external table)
+    * — lets callers keep bucket files out of the session warehouse dir
+    * (the catalog entry still carries the bucket spec downstream joins
+    * rely on). */
+  def bucketedExternal(
+      df: DataFrame, table: String, path: String,
+      bucketCols: Seq[String], nBuckets: Int): Unit = {
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .option("path", path)
+      .format("parquet")
+      .saveAsTable(table)
+  }
 }
