@@ -88,6 +88,70 @@ object Curation {
       .orderBy(col(domainCol), col("rank"))
   }
 
+  /** Word n-grams of a text column as strings (engine-portable —
+    * hashed variants live in [[graft.functions.HashFunctions]]). */
+  private def ngramsOf(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    transform(sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))
+  }
+
+  /** Corpus-level top-k n-grams by frequency. explode→partial-agg
+    * shuffle (map-side combine collapses the heavy hitters before the
+    * exchange), then `TakeOrdered` top-k — never a single-partition
+    * global window; the rank is attached after the k-row cut. */
+  def ngramTopK(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
+    val counts = df
+      .select(explode(ngramsOf(col(textCol), n)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram")).limit(k)
+    counts.withColumn("rank",
+      row_number().over(Window.orderBy(col("cnt").desc, col("ngram"))))
+  }
+
+  /** Benchmark decontamination: flag corpus docs sharing any word
+    * n-gram with a benchmark set (the standard pre-training hygiene
+    * pass). Distinct n-grams explode on both sides; the bench side
+    * (tiny) broadcasts into the join, so the corpus side is a map-only
+    * scan — no corpus shuffle until the per-doc count, which only sees
+    * MATCHING grams. */
+  def decontaminate(
+      train: DataFrame, bench: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    def grams(d: DataFrame, cols: Column*) = d
+      .where(size(split(col(textCol), " ")) >= n)
+      .select(cols :+ explode(array_distinct(ngramsOf(col(textCol), n))).as("gram"): _*)
+    val benchGrams = grams(bench).select("gram").distinct()
+    grams(train, col(idCol))
+      .join(broadcast(benchGrams), "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared_ngrams"))
+      .orderBy(col(idCol))
+  }
+
+  /** Per-document top-k terms by tf·idf. The idf factor is the
+    * RATIONAL form N/df so the score is one IEEE division of exact
+    * integers — bit-identical on any engine (ln-based idf differs in
+    * the last ulp across libm implementations and can flip ranks).
+    * Shapes: tokenize→per-doc tf (one shuffle on (doc,term)), term df
+    * (one shuffle on term), join back on term, bounded-heap
+    * `WindowGroupLimit` top-k per doc. */
+  def tfidfTopTerms(
+      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val total = df.select(countDistinct(col(idCol))).first().getLong(0)
+    val tokens = df.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+    val tf = tokens.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tokens.select(col(idCol), col("term")).distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "term")
+      .withColumn("score", (col("tf") * lit(total)).cast("double") / col("df").cast("double"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("score"), col("rank"))
+      .orderBy(col(idCol), col("rank"))
+  }
+
   /** Token-budget sequence packing: stream rows per group in `orderCol`
     * order, a row opens bin `floor(tokens_before / budget)` — the
     * deterministic streaming pack used to batch documents into

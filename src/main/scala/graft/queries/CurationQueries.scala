@@ -27,6 +27,20 @@ object CurationQueries {
         Tables.documents(s, dir), "source", "doc_id",
         size(split(col("text"), " ")).cast("long"), budget = 256L)
     },
+    "q_ngram_topk" -> { (s, dir) =>
+      Curation.ngramTopK(Tables.documents(s, dir), "text", n = 2, k = 100)
+    },
+    // decontamination: src0 docs stand in for the benchmark set
+    "q_decontaminate" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Curation.decontaminate(
+        docs.where(col("source") =!= "src0"),
+        docs.where(col("source") === "src0"),
+        "doc_id", "text", n = 5)
+    },
+    "q_tfidf_terms" -> { (s, dir) =>
+      Curation.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 3)
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -87,5 +101,37 @@ object CurationQueries {
         FROM d)
       SELECT source, bin, COUNT(*) AS n_docs, CAST(SUM(sz) AS BIGINT) AS tokens
       FROM b GROUP BY source, bin ORDER BY source, bin""",
+    "q_ngram_topk" -> """
+      WITH c AS (
+        SELECT bigram AS ngram, COUNT(*) AS cnt FROM (
+          SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+            i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS bigram
+          FROM documents WHERE len(string_split(text, ' ')) >= 2) g
+        GROUP BY 1)
+      SELECT ngram, cnt,
+             CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, ngram) AS INT) AS rank
+      FROM c ORDER BY cnt DESC, ngram LIMIT 100""",
+    "q_decontaminate" -> """
+      WITH g AS (
+        SELECT doc_id, source,
+               unnest(list_distinct(list_transform(
+                 range(1, len(string_split(text, ' ')) - 3),
+                 i -> array_to_string(string_split(text, ' ')[i:i + 4], ' ')))) AS gram
+        FROM documents WHERE len(string_split(text, ' ')) >= 5)
+      SELECT t.doc_id, COUNT(*) AS n_shared_ngrams
+      FROM (SELECT * FROM g WHERE source <> 'src0') t
+      JOIN (SELECT DISTINCT gram FROM g WHERE source = 'src0') b USING (gram)
+      GROUP BY t.doc_id ORDER BY t.doc_id""",
+    "q_tfidf_terms" -> """
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+      s AS (SELECT doc_id, term, tf, df, CAST(tf * n AS DOUBLE) / df AS score
+            FROM tf JOIN dfq USING (term) CROSS JOIN n)
+      SELECT doc_id, term, tf, df, score, CAST(rank AS INT) AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        FROM s) t
+      WHERE rank <= 3 ORDER BY doc_id, rank""",
   )
 }

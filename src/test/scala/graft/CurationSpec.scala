@@ -45,6 +45,35 @@ class CurationSpec extends SparkSpec {
     assert(out(("d1", 1)) == 2L && out(("d1", 2)) == 3L && out(("d2", 1)) == 4L)
   }
 
+  test("ngramTopK ranks corpus bigrams by frequency with deterministic ties") {
+    val df = Seq((1L, "a b a b c"), (2L, "a b x")).toDF("doc_id", "text")
+    val out = Curation.ngramTopK(df, "text", n = 2, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    // "a b"×3, then ties "b a","b c","b x" → alphabetical
+    assert(out.head == (("a b", 3L, 1)))
+    assert(out(1) == (("b a", 1L, 2)) && out(2) == (("b c", 1L, 3)))
+  }
+
+  test("decontaminate flags train docs sharing an n-gram with the benchmark") {
+    val train = Seq((1L, "p q r s t u"), (2L, "x y z w v k")).toDF("doc_id", "text")
+    val bench = Seq((9L, "a p q r s t b")).toDF("doc_id", "text")
+    val out = Curation.decontaminate(train, bench, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 shares "p q r s t" (and no other distinct 5-gram); doc 2 clean
+    assert(out == Map(1L -> 1L))
+  }
+
+  test("tfidfTopTerms scores tf*N/df and keeps k per doc") {
+    val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = Curation.tfidfTopTerms(df, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(5)) -> (r.getString(1), r.getDouble(4))).toMap
+    // doc1: a tf=2 df=1 → 4.0 ; b tf=1 df=2 → 1.0
+    assert(out((1L, 1)) == (("a", 4.0)))
+    assert(out((1L, 2)) == (("b", 1.0)))
+    // doc2: c tf=1 df=1 → 2.0 beats b → rank1 c
+    assert(out((2L, 1)) == (("c", 2.0)))
+  }
+
   test("packSequences opens a bin when the running total crosses the budget") {
     val df = Seq(("s", 1L, 100L), ("s", 2L, 100L), ("s", 3L, 100L), ("s", 4L, 50L))
       .toDF("source", "doc_id", "sz")
