@@ -40,22 +40,26 @@ object Curation {
     * fraction, top word / top bigram share, mean word length. All
     * fractions are exact integer-ratio doubles → engine-portable. */
   def repetitionSignals(df: DataFrame, idCols: Seq[String], textCol: String): DataFrame = {
-    val words = split(col(textCol), " ")
+    // Materialize the token array FIRST: lambda bodies referencing the
+    // split(...) expression re-evaluate it once per array element
+    // (lambdas don't cache subexpressions) — an O(L²) re-split per doc.
+    // Behind a bound column reference each signal is one O(L log L) pass.
+    val words = col("__words")
     val n = size(words)
-    // bigram i = word[i] ++ " " ++ word[i+1]; empty below 2 words
-    val bigrams = when(n >= 2,
-      transform(slice(words, lit(1), n - 1),
-        (w, i) => concat_ws(" ", w, element_at(words, i + 2))))
-      .otherwise(array().cast("array<string>"))
-    df.select(
-      idCols.map(col) ++ Seq(
-        n.as("n_words"),
-        (size(array_distinct(words)).cast("double") / n).as("distinct_word_frac"),
-        (maxMultiplicity(words).cast("double") / n).as("top_word_share"),
-        when(n >= 2, maxMultiplicity(bigrams).cast("double") / (n - 1))
-          .as("top_bigram_share"),
-        (aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast("double") / n)
-          .as("mean_word_len")): _*)
+    // bigram i = zip(words, words[2:]) — no per-element indexed lookup
+    val bigrams = zip_with(words, slice(words, lit(2), n - 1),
+      (a, b) => when(b.isNotNull, concat_ws(" ", a, b)))
+    df.withColumn("__words", split(col(textCol), " "))
+      .select(
+        idCols.map(col) ++ Seq(
+          n.as("n_words"),
+          (size(array_distinct(words)).cast("double") / n).as("distinct_word_frac"),
+          (maxMultiplicity(words).cast("double") / n).as("top_word_share"),
+          when(n >= 2,
+            maxMultiplicity(filter(bigrams, _.isNotNull)).cast("double") / (n - 1))
+            .as("top_bigram_share"),
+          (aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast("double") / n)
+            .as("mean_word_len")): _*)
       .orderBy(idCols.map(col): _*)
   }
 
@@ -88,13 +92,14 @@ object Curation {
       .orderBy(col(domainCol), col("rank"))
   }
 
-  /** Word n-grams of a text column as strings (engine-portable —
-    * hashed variants live in [[graft.functions.HashFunctions]]). */
-  private def ngramsOf(text: Column, n: Int): Column = {
-    val toks = split(text, " ")
+  /** Word n-grams over an ALREADY-MATERIALIZED token-array column as
+    * strings (engine-portable — hashed variants live in
+    * [[graft.functions.HashFunctions]]). `toks` must be a bound column,
+    * not a `split(...)` expression: a lambda body referencing an
+    * expression re-evaluates it per element (O(L²) re-split per doc). */
+  private def ngramsFromTokens(toks: Column, n: Int): Column =
     transform(sequence(lit(0), size(toks) - n),
       i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))
-  }
 
   /** Corpus-level top-k n-grams by frequency. explode→partial-agg
     * shuffle (map-side combine collapses the heavy hitters before the
@@ -102,7 +107,8 @@ object Curation {
     * global window; the rank is attached after the k-row cut. */
   def ngramTopK(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
     val counts = df
-      .select(explode(ngramsOf(col(textCol), n)).as("ngram"))
+      .withColumn("__toks", split(col(textCol), " "))
+      .select(explode(ngramsFromTokens(col("__toks"), n)).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("ngram")).limit(k)
     counts.withColumn("rank",
@@ -119,8 +125,9 @@ object Curation {
       train: DataFrame, bench: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     def grams(d: DataFrame, cols: Column*) = d
-      .where(size(split(col(textCol), " ")) >= n)
-      .select(cols :+ explode(array_distinct(ngramsOf(col(textCol), n))).as("gram"): _*)
+      .withColumn("__toks", split(col(textCol), " "))
+      .where(size(col("__toks")) >= n)
+      .select(cols :+ explode(array_distinct(ngramsFromTokens(col("__toks"), n))).as("gram"): _*)
     val benchGrams = grams(bench).select("gram").distinct()
     grams(train, col(idCol))
       .join(broadcast(benchGrams), "gram")

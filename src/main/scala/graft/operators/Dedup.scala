@@ -267,11 +267,14 @@ object Dedup {
           col("node"), col("component").as("prev"),
           least(col("component"), coalesce(col("nbr"), col("component")))
             .as("component"))
-        .localCheckpoint()
       // pointer jumping: component ids ARE node ids, so every label can
       // be compressed through its own label's label in one self-join —
-      // this is what turns O(diameter) rounds into O(log diameter)
-      val lookup = propagated
+      // this is what turns O(diameter) rounds into O(log diameter).
+      // The jump reads the ROUND-START labels (already checkpointed)
+      // rather than `propagated`: one half-round-stale hop compresses
+      // almost as fast, and it keeps `propagated` single-use — one
+      // eager localCheckpoint job per round instead of two.
+      val lookup = labels
         .select(col("node").as("__ln"), col("component").as("__lc"))
       // keep the round-start label as prev, so the convergence check is
       // a filter over THIS frame — no extra join

@@ -15,9 +15,12 @@ import graft.operators.Formats
   */
 object FormatQueries {
 
+  /** Every DwC term derives from lineitem + broadcast dims — joining
+    * orders would add a fact-fact shuffle that contributes no column
+    * (TPC-H FKs make it cardinality-neutral), so the scan-shaped
+    * export stays shuffle-free. */
   def occurrences(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
-      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
       .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
@@ -32,7 +35,7 @@ object FormatQueries {
         "individualCount" -> col("l_quantity").cast("int"),
         "eventDate" -> date_format(col("l_shipdate"), "yyyy-MM-dd"),
         "country" -> col("n_name"),
-      )).orderBy("occurrenceID")
+      )) // no presentation sort: a 100 TB export never global-sorts
     },
     // Humboldt/Event term mapping (formats/niamoto_to_humboldt_event
     // .py): same declarative mapToSchema shape as DwC, different
@@ -45,7 +48,7 @@ object FormatQueries {
         "samplingProtocol" -> lit("automated sensor"),
         "recordedBy" -> concat(lit("user:"), col("user_id")),
         "measurementValue" -> col("value"),
-      )).orderBy("eventID")
+      ))
     },
     // Write path behind the gate: partitioned-parquet round trip. The
     // aggregate runs over the REREAD frame, so partition layout, type
@@ -107,11 +110,9 @@ object FormatQueries {
              strftime(l_shipdate, '%Y-%m-%d') AS eventDate,
              n_name AS country
       FROM lineitem
-      JOIN orders ON l_orderkey = o_orderkey
       JOIN part ON l_partkey = p_partkey
       JOIN supplier ON l_suppkey = s_suppkey
-      JOIN nation ON s_nationkey = n_nationkey
-      ORDER BY occurrenceID""",
+      JOIN nation ON s_nationkey = n_nationkey""",
     "q_write_roundtrip" -> """
       SELECT o_orderpriority, COUNT(*) AS n_orders,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum
