@@ -132,7 +132,10 @@ object GraftFunctions {
       (c: Seq[Expression]) => SimHash64(c(0))),
     (FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
-      (c: Seq[Expression]) => ShingleHashes(c(0), intLit(c(1), "shingle_hashes"))))
+      (c: Seq[Expression]) => ShingleHashes(c(0), intLit(c(1), "shingle_hashes"))),
+    (FunctionIdentifier("max_multiplicity"),
+      new ExpressionInfo(classOf[MaxMultiplicity].getName, "max_multiplicity"),
+      (c: Seq[Expression]) => MaxMultiplicity(c(0))))
 
   /** Imperative registration: makes every graft SQL function usable
     * from `spark.sql` / `expr` in an existing session. */

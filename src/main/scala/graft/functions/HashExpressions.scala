@@ -247,6 +247,70 @@ case class ShingleHashes(child: Expression, n: Int) extends TokenSketchExpressio
     copy(child = newChild)
 }
 
+/** Max element multiplicity of a string array (the mode's count): one
+  * fused sort + run scan. Replaces the interpreted struct-state HOF
+  * fold in repetition-signal scoring (per-element InternalRow
+  * allocation, no codegen) with a primitive loop inside whole-stage
+  * codegen. Null elements are ignored. */
+case class MaxMultiplicity(child: Expression) extends TokenSketchExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "max_multiplicity"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val a = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) { a(m) = arr.getUTF8String(i); m += 1 }
+      i += 1
+    }
+    java.util.Arrays.sort(a, 0, m,
+      java.util.Comparator.naturalOrder[org.apache.spark.unsafe.types.UTF8String]())
+    var best = 0
+    var run = 0
+    i = 0
+    while (i < m) {
+      run = if (i > 0 && a(i) == a(i - 1)) run + 1 else 1
+      if (run > best) best = run
+      i += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val utf8 = "org.apache.spark.unsafe.types.UTF8String"
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val a = ctx.freshName("a")
+      val m = ctx.freshName("m")
+      val i = ctx.freshName("i")
+      val best = ctx.freshName("best")
+      val run = ctx.freshName("run")
+      s"""
+         |final int $n = $arr.numElements();
+         |final $utf8[] $a = new $utf8[$n];
+         |int $m = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$arr.isNullAt($i)) { $a[$m] = $arr.getUTF8String($i); $m++; }
+         |}
+         |java.util.Arrays.sort($a, 0, $m);
+         |int $best = 0; int $run = 0;
+         |for (int $i = 0; $i < $m; $i++) {
+         |  $run = ($i > 0 && $a[$i].equals($a[$i - 1])) ? $run + 1 : 1;
+         |  if ($run > $best) $best = $run;
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MaxMultiplicity =
+    copy(child = newChild)
+}
+
 object HashFunctions {
   /** Native MinHash signature over a shingle array column. */
   def minhash_sig(shingles: Column, numHashes: Int): Column =
@@ -259,4 +323,8 @@ object HashFunctions {
   /** Native distinct hashed n-gram shingles over a token array column. */
   def shingle_hashes(tokens: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(tokens), n))
+
+  /** Native max element multiplicity over a string array column. */
+  def max_multiplicity(arr: Column): Column =
+    ColumnBridge.column(MaxMultiplicity(ColumnBridge.expression(arr)))
 }

@@ -17,12 +17,16 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  /** Max element multiplicity of an array, computed as the longest run
-    * in the sorted array — one O(L log L) per-row fold, no explode, no
-    * shuffle. (An explode→groupBy would shuffle every token in the
-    * corpus; at 100 TB that is the difference between a map-only scan
-    * and a trillion-row exchange.) */
+  /** Max element multiplicity of an array — sort + longest-run, no
+    * explode, no shuffle. (An explode→groupBy would shuffle every token
+    * in the corpus; at 100 TB that is the difference between a map-only
+    * scan and a trillion-row exchange.) Default path is the native
+    * codegen'd [[graft.functions.MaxMultiplicity]]; the HOF fold below
+    * is the bit-equal reference implementation (CurationSpec). */
   private def maxMultiplicity(arr: Column): Column =
+    graft.functions.HashFunctions.max_multiplicity(arr)
+
+  private[graft] def maxMultiplicityHof(arr: Column): Column =
     aggregate(
       sort_array(arr),
       struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("mx")),

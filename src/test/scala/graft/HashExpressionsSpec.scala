@@ -32,6 +32,21 @@ class HashExpressionsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("native max_multiplicity equals the HOF reference formulation") {
+    val rows = docs.select(
+      HashFunctions.max_multiplicity(split(col("text"), " ")).as("native"),
+      graft.operators.Curation.maxMultiplicityHof(split(col("text"), " ")).as("hof"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    // empty + null-element edges, through the SQL registry
+    graft.functions.GraftFunctions.register(spark)
+    val er = spark.sql(
+      "SELECT max_multiplicity(CAST(array() AS array<string>)) AS e," +
+        " max_multiplicity(array('a', NULL, 'a')) AS n").head()
+    assert(er.getInt(0) == 0 && er.getInt(1) == 2)
+  }
+
   test("minhash_sig handles empty arrays (all-MaxValue signature)") {
     val r = docs.select(
       HashFunctions.minhash_sig(array().cast("array<string>"), 8)).head()
