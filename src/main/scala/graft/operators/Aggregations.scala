@@ -189,4 +189,35 @@ object Aggregations {
       .select((groupBy.map(col) :+ col("cnt") :+ col("approx_distinct")) ++ qCols: _*)
       .orderBy(groupBy.map(col): _*)
   }
+
+  /** Dataset column profile (ref: `core/imports/profiler.py:311` —
+    * per-column dtype, null_ratio, unique_ratio): ONE aggregation pass
+    * over the table, unpivoted to a row per column. `exact=true` uses
+    * `count_distinct` (Catalyst plans the multi-distinct agg as one
+    * Expand pass — fine for dimension tables); the 100 TB path is
+    * `exact=false` → HLL++ `approx_count_distinct`, which needs no
+    * Expand and keeps the profile a single map-side-combined shuffle
+    * of sketch states no matter how many columns. */
+  def tableProfile(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
+    val dtypes = df.schema.fields.map(f => f.name -> f.dataType.catalogString).toMap
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__nn_$c"),
+        (if (exact) count_distinct(col(c)) else approx_count_distinct(col(c)))
+          .as(s"__nd_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    one.select(explode(array(cols.map { c =>
+        struct(
+          lit(c).as("column_name"),
+          lit(dtypes(c)).as("dtype"),
+          col("__n").as("n_rows"),
+          (col("__n") - col(s"__nn_$c")).as("n_nulls"),
+          col(s"__nd_$c").as("n_distinct"),
+          ((col("__n") - col(s"__nn_$c")).cast("double") / col("__n")).as("null_ratio"),
+          (col(s"__nd_$c").cast("double") / col("__n")).as("unique_ratio"))
+      }: _*)).as("p"))
+      .select("p.*")
+      .orderBy("column_name")
+  }
 }

@@ -74,6 +74,12 @@ object CoreQueries {
         Tables.lineitem(s, dir), "l_extendedprice", "l_partkey",
         Seq("l_returnflag"))
     },
+    // dataset profiler (imports/profiler.py): one agg pass, row per column
+    "q_table_profile" -> { (s, dir) =>
+      Aggregations.tableProfile(
+        Tables.part(s, dir),
+        Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"))
+    },
     "q_binned_distribution" -> { (s, dir) =>
       Distributions.binnedDistribution(
         Tables.lineitem(s, dir), "l_quantity",
@@ -106,7 +112,22 @@ object CoreQueries {
   private[queries] def dsumProd(x: String, y: String) =
     s"CAST(CAST(SUM(CAST($x AS DECIMAL(19,4)) * CAST($y AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)"
 
+  private val profileCols = Seq(
+    "p_partkey" -> "bigint", "p_name" -> "string", "p_brand" -> "string",
+    "p_type" -> "string", "p_size" -> "int", "p_retailprice" -> "double")
+
   val oracles: Map[String, String] = Map(
+    "q_table_profile" -> s"""
+      WITH prof AS (
+        ${profileCols.map { case (c, t) =>
+          s"""SELECT '$c' AS column_name, '$t' AS dtype, COUNT(*) AS n_rows,
+              COUNT(*) - COUNT($c) AS n_nulls,
+              COUNT(DISTINCT $c) AS n_distinct FROM part"""
+        }.mkString(" UNION ALL ")})
+      SELECT column_name, dtype, n_rows, n_nulls, n_distinct,
+             CAST(n_nulls AS DOUBLE) / n_rows AS null_ratio,
+             CAST(n_distinct AS DOUBLE) / n_rows AS unique_ratio
+      FROM prof ORDER BY column_name""",
     "q_salted_collect" -> """
       SELECT l_returnflag,
              CAST(len(list(l_quantity)) AS INT) AS n_values,

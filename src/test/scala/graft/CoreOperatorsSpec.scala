@@ -164,6 +164,19 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(math.abs(q50 - 1000.0) <= 10.0)
   }
 
+  test("tableProfile emits one row per column with null/unique ratios") {
+    val df = Seq((1, Some("a")), (2, Some("a")), (3, None)).toDF("id", "v")
+    val out = Aggregations.tableProfile(df, Seq("id", "v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val v = out("v")
+    assert(v.getAs[Long]("n_rows") == 3L)
+    assert(v.getAs[Long]("n_nulls") == 1L)
+    assert(v.getAs[Long]("n_distinct") == 1L)
+    assert(v.getAs[Double]("null_ratio") == 1.0 / 3.0)
+    assert(out("id").getAs[Long]("n_distinct") == 3L)
+    assert(out("id").getAs[String]("dtype") == "int")
+  }
+
   test("saltedCollectList equals the direct collect under any salt count") {
     val df = (1 to 500).map(i => (if (i <= 450) "hot" else "cold", i.toLong))
       .toDF("k", "v")
