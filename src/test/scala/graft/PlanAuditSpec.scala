@@ -73,4 +73,53 @@ class PlanAuditSpec extends SparkSpec {
     val aggs = plan.map(_.toString).filter(_.contains("HashAggregate"))
     assert(aggs.exists(_.contains("partial_")))
   }
+
+  test("repetition signals are map-only: zero shuffles before the sort") {
+    val plan = executed(SparkEntry.queries("q_quality_signals")(spark, dir))
+    assert(shuffles(plan) <= 1) // presentation sort only — no token explode
+    assert(!plan.exists(_.nodeName.contains("Generate"))) // no explode at all
+  }
+
+  test("stratified sample: both windows share one stratum shuffle") {
+    val plan = executed(SparkEntry.queries("q_stratified_sample")(spark, dir))
+    // stratum-key exchange + presentation sort; the count window must
+    // NOT add a second stratum shuffle
+    assert(shuffles(plan) <= 2)
+  }
+
+  test("domain top-k plans a bounded-heap WindowGroupLimit before the shuffle") {
+    val plan = executed(SparkEntry.queries("q_domain_topk")(spark, dir))
+    assert(plan.exists(_.nodeName.contains("WindowGroupLimit")))
+  }
+
+  test("decontamination broadcasts the benchmark side") {
+    val plan = executed(SparkEntry.queries("q_decontaminate")(spark, dir))
+    assert(plan.exists(_.isInstanceOf[BroadcastHashJoinExec]))
+    assert(!plan.exists(_.nodeName.toLowerCase.contains("nestedloop")))
+  }
+
+  test("ngram top-k is TakeOrdered, not a global window over the corpus") {
+    val plan = executed(SparkEntry.queries("q_ngram_topk")(spark, dir))
+    assert(plan.exists(_.nodeName.contains("TakeOrderedAndProject")))
+  }
+
+  test("minhash banding shuffles ids only — signatures stay out of the exchange") {
+    val plan = executed(SparkEntry.queries("q_dedup_minhash")(spark, dir))
+    // bucket groupBy + pair distinct + presentation sort; the verify
+    // join must broadcast, not shuffle
+    assert(shuffles(plan) == 3)
+    // no exchange may carry signature-bearing rows: the old shape
+    // collected array<struct<doc_id, sig:array<bigint>>> through the
+    // bucket shuffle — any struct-typed shuffle attribute is a
+    // regression to that
+    val shuffleTypes = plan.collect { case s: ShuffleExchangeLike => s }
+      .flatMap(_.output.map(_.dataType.simpleString))
+    assert(!shuffleTypes.exists(_.contains("struct")))
+  }
+
+  test("table profile is one aggregation pass over the scan") {
+    val plan = executed(SparkEntry.queries("q_table_profile")(spark, dir))
+    val scans = plan.count(p => p.children.isEmpty && p.nodeName.contains("Scan"))
+    assert(scans == 1) // every per-column stat comes from a single pass
+  }
 }
