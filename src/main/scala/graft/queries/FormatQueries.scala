@@ -67,6 +67,38 @@ object FormatQueries {
           graft.operators.Num.dsum(col("o_totalprice")).as("price_sum"))
         .orderBy("o_orderpriority")
     },
+    // CSV + JSON-lines source/sink paths behind the gate: export the
+    // customer dim as a headered CSV (the DwC-archive body writer) and
+    // as JSON-lines (the API exporter), reread BOTH with explicit
+    // schemas (never inference — a full extra pass at 100 TB), join
+    // them, and aggregate; the oracle recomputes from the parquet
+    // source, so delimiter/quoting/null/type round-tripping of both
+    // formats is on the verified path.
+    "q_csv_json_roundtrip" -> { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val tag = java.lang.Math.abs(dir.hashCode)
+      val cust = Tables.customer(s, dir)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+      graft.sources.Writers.dwcArchive(cust, s"/tmp/graft-csv-$tag")
+      graft.sources.Writers.jsonLines(
+        cust.select("c_custkey", "c_acctbal"), s"/tmp/graft-jsonl-$tag")
+      val schema = StructType(Seq(
+        StructField("c_custkey", LongType), StructField("c_name", StringType),
+        StructField("c_nationkey", LongType), StructField("c_acctbal", DoubleType)))
+      val jschema = StructType(Seq(
+        StructField("c_custkey", LongType), StructField("c_acctbal", DoubleType)))
+      val fromCsv = graft.sources.Readers
+        .csv(s, s"/tmp/graft-csv-$tag", schema)
+        .select(col("c_custkey"), col("c_nationkey"))
+      val fromJson = graft.sources.Readers
+        .jsonLines(s, s"/tmp/graft-jsonl-$tag", jschema)
+      fromCsv.join(fromJson, "c_custkey")
+        .groupBy("c_nationkey")
+        .agg(
+          count(lit(1)).as("n_customers"),
+          graft.operators.Num.dsum(col("c_acctbal")).as("acctbal_sum"))
+        .orderBy("c_nationkey")
+    },
     // Bucketed write path behind the gate: both join sides land as
     // bucket-sorted tables on the join key, so the fact-fact join
     // replans as a zero-exchange sort-merge over co-located buckets
@@ -117,6 +149,10 @@ object FormatQueries {
       SELECT o_orderpriority, COUNT(*) AS n_orders,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum
       FROM orders GROUP BY 1 ORDER BY 1""",
+    "q_csv_json_roundtrip" -> """
+      SELECT c_nationkey, COUNT(*) AS n_customers,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS acctbal_sum
+      FROM customer GROUP BY 1 ORDER BY 1""",
     "q_bucketed_join" -> """
       SELECT o_orderpriority, COUNT(*) AS n_items,
              CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue

@@ -117,6 +117,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!shuffleTypes.exists(_.contains("struct")))
   }
 
+  test("partitioned-parquet layout prunes partitions for downstream readers") {
+    SparkEntry.queries("q_write_roundtrip")(spark, dir).collect() // ensure layout exists
+    val out = s"/tmp/graft-roundtrip-${java.lang.Math.abs(dir.hashCode)}"
+    val df = graft.sources.Readers.parquet(spark, out)
+      .where(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+    val scan = executed(df).map(_.toString).find(_.contains("FileScan")).get
+    assert(scan.contains("PartitionFilters") && scan.contains("1-URGENT"))
+  }
+
   test("table profile is one aggregation pass over the scan") {
     val plan = executed(SparkEntry.queries("q_table_profile")(spark, dir))
     val scans = plan.count(p => p.children.isEmpty && p.nodeName.contains("Scan"))
