@@ -65,6 +65,29 @@ object Events {
     * `right` must be pre-projected to (`keyCol`, `tsCol`,
     * `stateCols…`) with state names disjoint from `left`'s columns.
     */
+  /** Changelog → SCD-2 history: compress consecutive equal values per
+    * key, then label each surviving change with its validity interval
+    * (`valid_from` = change ts, `valid_to` = next change ts, open for
+    * the current row) — the standard warehouse shape for "what was
+    * this entity's value at time t". Both windows share one partition
+    * spec → ONE shuffle on the key regardless of history depth.
+    */
+  def scd2FromChangelog(
+      df: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
+    df
+      .withColumn("__prev", lag(col(valueCol), 1).over(w))
+      // keep the first row per key and every actual change
+      .where(col("__prev").isNull || col(valueCol) =!= col("__prev"))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(keyCols.map(col) ++
+        Seq(col(valueCol), col("valid_from"), col("valid_to"), col("is_current")): _*)
+      .orderBy((keyCols :+ "valid_from").map(col): _*)
+  }
+
   def asofJoin(
       left: DataFrame, right: DataFrame,
       keyCol: String, tsCol: String, stateCols: Seq[String]): DataFrame = {

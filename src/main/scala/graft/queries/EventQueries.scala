@@ -15,6 +15,12 @@ object EventQueries {
         Tables.events(s, dir), "ts", "day", Seq("event_type"),
         Seq(count(lit(1)).as("n_events"), Num.dsum(col("value")).as("value_sum")))
     },
+    // changelog → SCD-2 history: each user's event_type transitions
+    // compressed to change rows with validity intervals
+    "q_scd2" -> { (s, dir) =>
+      Events.scd2FromChangelog(
+        Tables.events(s, dir), Seq("user_id"), "ts", "event_type")
+    },
     "q_sessionize" -> { (s, dir) =>
       Events.sessionize(
         Tables.events(s, dir), "user_id", "ts", gapSeconds = 1800L,
@@ -52,6 +58,18 @@ object EventQueries {
   import CoreQueries.dsum
 
   val oracles: Map[String, String] = Map(
+    "q_scd2" -> """
+      WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+      w1 AS (
+        SELECT user_id, ts, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        FROM e),
+      ch AS (SELECT user_id, ts, event_type FROM w1
+             WHERE prev IS NULL OR event_type <> prev)
+      SELECT user_id, event_type, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
+      FROM ch ORDER BY user_id, valid_from""",
     "q_window_agg" -> s"""
       SELECT date_trunc('day', ts) AS window_start, event_type,
              COUNT(*) AS n_events, ${dsum("value")} AS value_sum

@@ -9,6 +9,24 @@ class EventsGeoFormatsSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("scd2FromChangelog compresses runs and labels validity intervals") {
+    val log = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "A"),
+      (1L, ts("2024-01-01 11:00:00"), "A"), // no change → compressed away
+      (1L, ts("2024-01-01 12:00:00"), "B"), // change
+      (1L, ts("2024-01-01 13:00:00"), "A"), // change back
+      (2L, ts("2024-01-01 10:30:00"), "X"),
+    ).toDF("user_id", "ts", "event_type")
+    val out = Events.scd2FromChangelog(log, Seq("user_id"), "ts", "event_type")
+      .collect()
+    assert(out.length == 4) // 3 versions for user 1, 1 for user 2
+    val u1 = out.filter(_.getLong(0) == 1L)
+    assert(u1.map(_.getString(1)).toSeq == Seq("A", "B", "A"))
+    assert(u1.head.getTimestamp(3) == ts("2024-01-01 12:00:00")) // A closed by B
+    assert(u1.last.isNullAt(3) && u1.last.getBoolean(4)) // open current row
+    assert(u1.count(_.getBoolean(4)) == 1)
+  }
+
   test("sessionize splits on gaps greater than the threshold") {
     val events = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1.0),

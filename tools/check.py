@@ -38,11 +38,14 @@ def main(sf_dir: str, out_dir: str) -> None:
         for c in spark_df.columns:
             a, b = spark_df[c], duck_df[c]
             for i, (x, y) in enumerate(zip(a, b)):
-                both_nan = (isinstance(x, float) and isinstance(y, float)
-                            and math.isnan(x) and math.isnan(y))
-                xn = x is None or (isinstance(x, float) and math.isnan(x))
-                yn = y is None or (isinstance(y, float) and math.isnan(y))
-                if both_nan or (xn and yn):
+                def isnull(v):
+                    if v is None:
+                        return True
+                    try:
+                        return bool(pd.isna(v))  # NaN, NaT, pd.NA
+                    except (TypeError, ValueError):
+                        return False  # arrays etc.
+                if isnull(x) and isnull(y):
                     continue
                 if x != y:
                     bad = (c, i, x, y); break
