@@ -190,6 +190,36 @@ object Aggregations {
       .orderBy(groupBy.map(col): _*)
   }
 
+  /** Incremental distinct-count rollup via mergeable HLL sketches
+    * (Datasketches `hll_sketch_agg` / `hll_union_agg`): build one
+    * sketch per fine-grained cell (e.g. day × key), then MERGE the
+    * stored sketches to any coarser grain without rescanning rows —
+    * the pattern that turns "distinct users this quarter over 100 TB"
+    * into a union of pre-computed kilobyte states. Register-max HLL
+    * state is order- and partition-independent, so estimates are
+    * deterministic under any shuffle.
+    *
+    * Returns the coarse rollup: per `rollupCols`, the merged estimate
+    * plus the number of fine cells merged. (The fine-grained sketch
+    * table is what a production pipeline would PERSIST; both grains
+    * come from the same single scan here.)
+    */
+  def sketchRollup(
+      df: DataFrame,
+      fineCols: Seq[String],
+      rollupCols: Seq[String],
+      distinctCol: String): DataFrame = {
+    val fine = df
+      .groupBy((fineCols ++ rollupCols).distinct.map(col): _*)
+      .agg(hll_sketch_agg(col(distinctCol)).as("sketch"))
+    fine
+      .groupBy(rollupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_cells"),
+        hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx_distinct"))
+      .orderBy(rollupCols.map(col): _*)
+  }
+
   /** Dataset column profile (ref: `core/imports/profiler.py:311` —
     * per-column dtype, null_ratio, unique_ratio): ONE aggregation pass
     * over the table, unpivoted to a row per column. `exact=true` uses

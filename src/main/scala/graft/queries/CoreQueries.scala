@@ -74,6 +74,15 @@ object CoreQueries {
         Tables.lineitem(s, dir), "l_extendedprice", "l_partkey",
         Seq("l_returnflag"))
     },
+    // mergeable-sketch rollup (rows-only: HLL estimates are
+    // deterministic but not DuckDB-reproducible; accuracy asserted vs
+    // exact counts in CoreOperatorsSpec): daily distinct-user sketches
+    // merged up to event_type
+    "q_sketch_rollup" -> { (s, dir) =>
+      Aggregations.sketchRollup(
+        Tables.events(s, dir).withColumn("day", to_date(col("ts"))),
+        fineCols = Seq("day"), rollupCols = Seq("event_type"), "user_id")
+    },
     // dataset profiler (imports/profiler.py): one agg pass, row per column
     "q_table_profile" -> { (s, dir) =>
       Aggregations.tableProfile(

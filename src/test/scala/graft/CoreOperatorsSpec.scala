@@ -164,6 +164,25 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(math.abs(q50 - 1000.0) <= 10.0)
   }
 
+  test("sketchRollup merges fine-grain sketches to accurate coarse counts") {
+    // 3 days × 2 types; users overlap across days so the merged
+    // distinct must dedupe ACROSS cells, not sum them
+    val df = (1 to 900).map { i =>
+      (s"d${i % 3}", if (i % 2 == 0) "click" else "view", (i % 150).toLong)
+    }.toDF("day", "event_type", "user_id")
+    val out = Aggregations.sketchRollup(df, Seq("day"), Seq("event_type"), "user_id")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("click")._1 == 3L) // 3 day-cells merged
+    // exact distinct users per type = 75; HLL at default lgk is ±~2%
+    assert(math.abs(out("click")._2 - 75L) <= 5)
+    assert(math.abs(out("view")._2 - 75L) <= 5)
+    // determinism under re-partitioning (register-max state)
+    val out2 = Aggregations.sketchRollup(
+      df.repartition(13), Seq("day"), Seq("event_type"), "user_id")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out2("click") == out("click")._2 && out2("view") == out("view")._2)
+  }
+
   test("tableProfile emits one row per column with null/unique ratios") {
     val df = Seq((1, Some("a")), (2, Some("a")), (3, None)).toDF("id", "v")
     val out = Aggregations.tableProfile(df, Seq("id", "v"))

@@ -16,9 +16,14 @@ class PlanAuditSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   private def executed(df: DataFrame): Seq[SparkPlan] = {
-    df.count() // finalize AQE
+    // collect() (not count()) — count() wraps the plan in a NEW query
+    // execution, leaving THIS one's AQE un-finalized (initial plan)
+    df.collect()
     def walk(p: SparkPlan): Seq[SparkPlan] = p match {
       case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      // stage boundaries report no children; descend into their plans
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q +: walk(q.plan)
       case o => o +: o.children.flatMap(walk)
     }
     walk(df.queryExecution.executedPlan)
@@ -124,6 +129,40 @@ class PlanAuditSpec extends SparkSpec {
       .where(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
     val scan = executed(df).map(_.toString).find(_.contains("FileScan")).get
     assert(scan.contains("PartitionFilters") && scan.contains("1-URGENT"))
+  }
+
+  test("AQE splits skewed join partitions at runtime (the §5 skew posture)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "40KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "20KB")
+      // one pathological key: 50k of 51k rows share k=0
+      val fact = spark.range(51000)
+        .select(when($"id" < 50000, 0L).otherwise($"id").as("k"), $"id".as("payload"))
+      val dim = spark.range(100).select($"id".as("k"), ($"id" * 2).as("attr"))
+      // no same-key agg downstream: requiring the join's hash
+      // partitioning afterwards would (correctly) veto the skew split
+      val joined = fact.join(dim, "k").select(($"payload" + $"attr").as("v"))
+      val plan = executed(joined)
+      val skewHandled = plan.exists { p =>
+        p.toString.contains("isSkewJoin=true") ||
+          (p.nodeName.contains("AQEShuffleRead") && p.toString.contains("skewed"))
+      }
+      assert(skewHandled, "expected AQE to mark the skewed join handled:\n" +
+        plan.map(_.nodeName).mkString(", "))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
   }
 
   test("table profile is one aggregation pass over the scan") {
