@@ -135,4 +135,29 @@ object Distributions {
           .otherwise(0.0))
       .orderBy((groupBy.map(col) :+ col("month")): _*)
   }
+
+  /** Per-group quantile binning (`ntile`): assign each row to one of
+    * `k` equal-frequency bins WITHIN its group and aggregate per bin —
+    * equal-width histograms ([[binnedDistribution]]) mis-bin skewed
+    * values; equal-frequency bins are the feature-engineering staple.
+    * The window partitions by the group key (parallel across groups —
+    * a GLOBAL ntile would serialize on one partition; for ungrouped
+    * data at scale use `percentile_approx` edges + binning instead).
+    * Ties break on `tieCol` so the assignment is total-order
+    * deterministic. */
+  def quantileBins(
+      df: DataFrame, groupBy: Seq[String], valueCol: String, tieCol: String,
+      k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupBy.map(col): _*)
+      .orderBy(col(valueCol), col(tieCol))
+    df.withColumn("bin", ntile(k).over(w))
+      .groupBy((groupBy :+ "bin").map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        min(valueCol).as("lo"),
+        max(valueCol).as("hi"),
+        Num.dsum(col(valueCol)).as("value_sum"))
+      .orderBy((groupBy :+ "bin").map(col): _*)
+  }
 }

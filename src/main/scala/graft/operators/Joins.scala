@@ -88,4 +88,35 @@ object Joins {
       .join(stats, Seq(refKey), "left")
       .orderBy(col(refKey))
   }
+
+  /** Snapshot reconciliation: diff two versions of a table into
+    * added / removed / changed rows (the incremental-import audit the
+    * reference runs per entity, set-at-a-time). ONE full-outer
+    * shuffle join on the key; unchanged rows are dropped before
+    * anything else touches them, so the output is proportional to the
+    * churn, not the table. Compared columns surface as
+    * `old_<c>` / `new_<c>` pairs. */
+  def snapshotDiff(
+      oldDf: DataFrame, newDf: DataFrame, keyCols: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    val o = oldDf.select((keyCols ++ compareCols).map(col): _*)
+      .withColumn("__old", lit(1))
+    val n = newDf.select(
+      keyCols.map(col) ++ compareCols.map(c => col(c).as(s"__n_$c")) :+
+        lit(1).as("__new"): _*)
+    val joined = o.join(n, keyCols, "full_outer")
+    val changed = compareCols
+      .map(c => col(c) <=> col(s"__n_$c"))
+      .reduce(_ && _)
+    joined
+      .withColumn("change_type",
+        when(col("__old").isNull, "added")
+          .when(col("__new").isNull, "removed")
+          .when(!changed, "changed"))
+      .where(col("change_type").isNotNull)
+      .select(keyCols.map(col) ++ Seq(col("change_type")) ++
+        compareCols.flatMap(c =>
+          Seq(col(c).as(s"old_$c"), col(s"__n_$c").as(s"new_$c"))): _*)
+      .orderBy(keyCols.map(col): _*)
+  }
 }

@@ -104,6 +104,28 @@ object CoreQueries {
       Distributions.timeSeriesPresence(
         Tables.events(s, dir), "ts", "value", Seq("event_type"))
     },
+    // equal-frequency quartiles of customer balance within each nation
+    "q_quantile_bins" -> { (s, dir) =>
+      Distributions.quantileBins(
+        Tables.customer(s, dir).select("c_nationkey", "c_acctbal", "c_custkey"),
+        Seq("c_nationkey"), "c_acctbal", "c_custkey", k = 4)
+    },
+    // snapshot reconciliation over two synthetic versions of orders:
+    // %97-keys appear only in new (added), %89-keys only in old
+    // (removed), %50-keys get a price bump (changed)
+    "q_snapshot_diff" -> { (s, dir) =>
+      val orders = Tables.orders(s, dir)
+      val prev = orders
+        .where(pmod(col("o_orderkey"), lit(97)) =!= 0)
+        .select("o_orderkey", "o_totalprice")
+      val next = orders
+        .where(pmod(col("o_orderkey"), lit(89)) =!= 0)
+        .select(
+          col("o_orderkey"),
+          when(pmod(col("o_orderkey"), lit(50)) === 0, col("o_totalprice") * 1.1)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      Joins.snapshotDiff(prev, next, Seq("o_orderkey"), Seq("o_totalprice"))
+    },
   )
 
   /** Exact decimal-sum expression fragments reused across oracles (must
@@ -121,11 +143,42 @@ object CoreQueries {
   private[queries] def dsumProd(x: String, y: String) =
     s"CAST(CAST(SUM(CAST($x AS DECIMAL(19,4)) * CAST($y AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)"
 
+  private val quantileBinsOracle = s"""
+      WITH t AS (
+        SELECT c_nationkey, c_acctbal,
+               NTILE(4) OVER (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal, c_custkey) AS bin
+        FROM customer)
+      SELECT c_nationkey, CAST(bin AS INT) AS bin, COUNT(*) AS n,
+             MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi,
+             ${dsum("c_acctbal")} AS value_sum
+      FROM t GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  private val snapshotDiffOracle = """
+      WITH o AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 97 <> 0),
+      n AS (SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 50 = 0 THEN o_totalprice * 1.1
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders WHERE o_orderkey % 89 <> 0)
+      SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                  WHEN n.o_orderkey IS NULL THEN 'removed'
+                  WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'changed'
+             END AS change_type,
+             o.o_totalprice AS old_o_totalprice,
+             n.o_totalprice AS new_o_totalprice
+      FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+      WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+         OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+      ORDER BY 1"""
+
   private val profileCols = Seq(
     "p_partkey" -> "bigint", "p_name" -> "string", "p_brand" -> "string",
     "p_type" -> "string", "p_size" -> "int", "p_retailprice" -> "double")
 
   val oracles: Map[String, String] = Map(
+    "q_quantile_bins" -> quantileBinsOracle,
+    "q_snapshot_diff" -> snapshotDiffOracle,
     "q_table_profile" -> s"""
       WITH prof AS (
         ${profileCols.map { case (c, t) =>

@@ -164,6 +164,22 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(math.abs(q50 - 1000.0) <= 10.0)
   }
 
+  test("quantileBins assigns deterministic equal-frequency bins per group") {
+    val df = (1 to 8).map(i => ("g", i.toDouble, i.toLong)).toDF("g", "v", "id")
+    val out = Distributions.quantileBins(df, Seq("g"), "v", "id", k = 4)
+      .collect().map(r => r.getInt(1) -> (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out.keySet == Set(1, 2, 3, 4))
+    assert(out(1) == ((2L, 1.0, 2.0)) && out(4) == ((2L, 7.0, 8.0)))
+  }
+
+  test("snapshotDiff classifies added/removed/changed and drops unchanged") {
+    val prev = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    val next = Seq((2L, 20.0), (3L, 33.0), (4L, 40.0)).toDF("k", "v")
+    val out = Joins.snapshotDiff(prev, next, Seq("k"), Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+  }
+
   test("sketchRollup merges fine-grain sketches to accurate coarse counts") {
     // 3 days × 2 types; users overlap across days so the merged
     // distinct must dedupe ACROSS cells, not sum them
