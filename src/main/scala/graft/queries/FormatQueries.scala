@@ -9,9 +9,7 @@ import graft.operators.Formats
   * occurrence mapping treats lineitem lines as "occurrences" with
   * part = taxon, supplier = recorder, nation = locality — same
   * declarative rename/constant/derived mapping shape as the
-  * reference's exporter. q_json_api_agg has no SQL oracle (JSON
-  * serialization differs across engines) → rows-only check +
-  * FormatsSpec unit test.
+  * reference's exporter.
   */
 object FormatQueries {
 
@@ -149,6 +147,29 @@ object FormatQueries {
       SELECT o_orderpriority, COUNT(*) AS n_orders,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum
       FROM orders GROUP BY 1 ORDER BY 1""",
+    // payload rebuilt by string concatenation: Spark's to_json and
+    // DuckDB's double→varchar both emit shortest-roundtrip decimals,
+    // and the corpus strings contain no JSON-escapable characters, so
+    // the bytes match exactly (verified; ties impossible — custkey is
+    // unique within a nation)
+    "q_json_api_agg" -> """
+      WITH j AS (SELECT n_nationkey, n_name, c_acctbal, c_custkey, c_name
+                 FROM customer JOIN nation ON c_nationkey = n_nationkey),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY n_nationkey
+                    ORDER BY c_acctbal DESC, c_custkey DESC, c_name DESC) AS rn,
+               COUNT(*) OVER (PARTITION BY n_nationkey) AS cnt
+        FROM j)
+      SELECT n_nationkey, n_name, CAST(MAX(cnt) AS BIGINT) AS n_details,
+        '{"n_nationkey":' || n_nationkey || ',"n_name":"' || n_name ||
+        '","top_details":[' ||
+        string_agg('{"c_acctbal":' || CAST(c_acctbal AS VARCHAR) ||
+                   ',"c_custkey":' || c_custkey ||
+                   ',"c_name":"' || c_name || '"}', ',' ORDER BY rn) ||
+        ']}' AS payload
+      FROM ranked WHERE rn <= 5
+      GROUP BY n_nationkey, n_name
+      ORDER BY n_nationkey, n_name""",
     "q_csv_json_roundtrip" -> """
       SELECT c_nationkey, COUNT(*) AS n_customers,
              CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS acctbal_sum
