@@ -145,6 +145,36 @@ object Distributions {
     * data at scale use `percentile_approx` edges + binning instead).
     * Ties break on `tieCol` so the assignment is total-order
     * deterministic. */
+  /** GLOBAL equal-frequency binning without a one-partition window:
+    * compute the k−1 quantile edges in one aggregate (exact
+    * `percentile` for oracle-verified runs; `percentile_approx` is the
+    * 100 TB path — same plan shape, sketch-mergeable state), broadcast
+    * the single edge row back over the scan, and bin each value by
+    * counting edges strictly below it. Two passes over the data, zero
+    * global sorts. With dyadic probabilities (quartiles/eighths) and
+    * integral values the interpolated edges are exact in IEEE double
+    * on every engine, so the binning is portable. */
+  def globalQuantileBins(
+      df: DataFrame, valueCol: String, k: Int,
+      exact: Boolean = false): DataFrame = {
+    val probs = (1 until k).map(i => lit(i.toDouble / k))
+    val v = col(valueCol).cast(DoubleType)
+    val edgeAgg =
+      if (exact) percentile(v, array(probs: _*))
+      else percentile_approx(v, array(probs: _*), lit(10000))
+    val edges = df.agg(edgeAgg.as("__edges"))
+    df.crossJoin(broadcast(edges))
+      .withColumn("bin",
+        size(filter(col("__edges"), e => v > e)))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n"),
+        min(valueCol).as("lo"),
+        max(valueCol).as("hi"),
+        Num.dsum(col(valueCol)).as("value_sum"))
+      .orderBy("bin")
+  }
+
   def quantileBins(
       df: DataFrame, groupBy: Seq[String], valueCol: String, tieCol: String,
       k: Int): DataFrame = {

@@ -110,6 +110,13 @@ object CoreQueries {
         Tables.customer(s, dir).select("c_nationkey", "c_acctbal", "c_custkey"),
         Seq("c_nationkey"), "c_acctbal", "c_custkey", k = 4)
     },
+    // global quartile binning of lineitem quantity (exact edges for the
+    // oracle; the operator's default is the percentile_approx scale path)
+    "q_global_bins" -> { (s, dir) =>
+      Distributions.globalQuantileBins(
+        Tables.lineitem(s, dir).select("l_quantity"), "l_quantity", k = 4,
+        exact = true)
+    },
     // snapshot reconciliation over two synthetic versions of orders:
     // %97-keys appear only in new (added), %89-keys only in old
     // (removed), %50-keys get a price bump (changed)
@@ -178,6 +185,15 @@ object CoreQueries {
 
   val oracles: Map[String, String] = Map(
     "q_quantile_bins" -> quantileBinsOracle,
+    "q_global_bins" -> s"""
+      WITH e AS (
+        SELECT quantile_cont(CAST(l_quantity AS DOUBLE), [0.25, 0.5, 0.75]) AS edges
+        FROM lineitem)
+      SELECT CAST(len(list_filter(e.edges, x -> l.l_quantity > x)) AS INT) AS bin,
+             COUNT(*) AS n, MIN(l_quantity) AS lo, MAX(l_quantity) AS hi,
+             ${dsum("l_quantity")} AS value_sum
+      FROM lineitem l CROSS JOIN e
+      GROUP BY 1 ORDER BY 1""",
     "q_snapshot_diff" -> snapshotDiffOracle,
     "q_table_profile" -> s"""
       WITH prof AS (

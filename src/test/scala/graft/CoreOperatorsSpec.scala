@@ -172,6 +172,18 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(out(1) == ((2L, 1.0, 2.0)) && out(4) == ((2L, 7.0, 8.0)))
   }
 
+  test("globalQuantileBins bins by quantile edges without a global window") {
+    val df = (1 to 100).map(i => Tuple1(i.toDouble)).toDF("v")
+    val out = Distributions.globalQuantileBins(df, "v", k = 4, exact = true)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // edges at 25.75/50.5/75.25 → bins of 25,25,25,25
+    assert(out == Map(0 -> 25L, 1 -> 25L, 2 -> 25L, 3 -> 25L))
+    // approx path keeps the same shape and lands within sketch error
+    val approx = Distributions.globalQuantileBins(df, "v", k = 4)
+      .collect().map(r => r.getLong(1))
+    assert(approx.sum == 100L && approx.forall(n => n >= 20 && n <= 30))
+  }
+
   test("snapshotDiff classifies added/removed/changed and drops unchanged") {
     val prev = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
     val next = Seq((2L, 20.0), (3L, 33.0), (4L, 40.0)).toDF("k", "v")
