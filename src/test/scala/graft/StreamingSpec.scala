@@ -51,6 +51,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join reduces to the batch as-of result") {
+    import org.apache.spark.sql.functions._
+    val states = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 10.0),
+      (1L, ts("2024-01-01 10:30:00"), 30.0),
+      (2L, ts("2024-01-01 10:10:00"), 99.0))
+    val events = Seq(
+      (1L, ts("2024-01-01 10:15:00"), "a"), // after state 10.0
+      (1L, ts("2024-01-01 10:45:00"), "b"), // after 30.0 (both in bound)
+      (2L, ts("2024-01-01 10:20:00"), "c"))
+    val sIn = MemoryStream[(Long, Timestamp, Double)](spark)
+    val eIn = MemoryStream[(Long, Timestamp, String)](spark)
+    val joined = StreamOps.intervalStreamJoin(
+      eIn.toDF.toDF("user_id", "ets", "etype"),
+      sIn.toDF.toDF("user_id", "sts", "sval"),
+      "user_id", "ets", "sts", "10 seconds", boundSeconds = 3600L)
+    val q = joined.writeStream.format("memory").queryName("asof_parity")
+      .outputMode("append").start()
+    try {
+      sIn.addData(states: _*)
+      eIn.addData(events: _*)
+      q.processAllAvailable()
+      // reduce the bounded interval matches to the LATEST state ≤ event
+      val streaming = spark.table("asof_parity")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id", "ets").orderBy(col("sts").desc)))
+        .where(col("rn") === 1)
+        .select("user_id", "ets", "sval")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1)) -> r.getDouble(2)).toMap
+      val batch = graft.operators.Events.asofJoin(
+          events.toDF("user_id", "ts", "etype"),
+          states.toDF("user_id", "ts", "sval"),
+          "user_id", "ts", Seq("sval"))
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1)) -> r.getDouble(3)).toMap
+      assert(streaming == batch)
+      assert(batch((1L, ts("2024-01-01 10:45:00"))) == 30.0)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-user aggregates across batches") {
     val input = MemoryStream[UserEvent](spark)
     val q = StreamOps.runningUserAgg(input.toDS())
