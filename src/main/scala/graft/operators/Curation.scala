@@ -163,6 +163,33 @@ object Curation {
       .orderBy(col(idCol), col("rank"))
   }
 
+  /** Fixed-size token chunking with overlap — the context-window prep
+    * step before packing/tokenization: chunk i covers tokens
+    * `[i·stride, i·stride + chunkSize)` with `stride = chunkSize −
+    * overlap`; every doc yields ≥ 1 chunk. Map-only (one explode per
+    * doc, no shuffle) — output rows ∝ corpus tokens / stride. */
+  def chunkDocuments(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    val toks = col("__toks")
+    val n = size(toks)
+    // integer ceil((n - overlap) / stride), min 1 — DIV keeps it exact
+    val nChunks = expr(
+      s"CAST((GREATEST(size(__toks) - $overlap, 1) + ${stride - 1}) DIV $stride AS INT)")
+    df.withColumn("__toks", split(col(textCol), " "))
+      .select(col(idCol), toks, n.as("__n"),
+        posexplode(sequence(lit(0), nChunks - 1)))
+      .select(
+        col(idCol),
+        col("pos").as("chunk_idx"),
+        concat_ws(" ", slice(toks, col("pos") * stride + 1, lit(chunkSize)))
+          .as("chunk_text"),
+        least(lit(chunkSize), col("__n") - col("pos") * stride).as("n_chunk_tokens"))
+      .orderBy(col(idCol), col("chunk_idx"))
+  }
+
   /** Token-budget sequence packing: stream rows per group in `orderCol`
     * order, a row opens bin `floor(tokens_before / budget)` — the
     * deterministic streaming pack used to batch documents into

@@ -41,6 +41,11 @@ object CurationQueries {
     "q_tfidf_terms" -> { (s, dir) =>
       Curation.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 3)
     },
+    // context-window chunking: 32-token chunks, 8-token overlap
+    "q_chunk_docs" -> { (s, dir) =>
+      Curation.chunkDocuments(
+        Tables.documents(s, dir), "doc_id", "text", chunkSize = 32, overlap = 8)
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -133,5 +138,14 @@ object CurationQueries {
         SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
         FROM s) t
       WHERE rank <= 3 ORDER BY doc_id, rank""",
+    "q_chunk_docs" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      c AS (SELECT doc_id, toks, len(toks) AS n,
+              unnest(range(0, (GREATEST(len(toks) - 8, 1) + 23) // 24)) AS i
+            FROM t)
+      SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+             array_to_string(toks[i * 24 + 1 : i * 24 + 32], ' ') AS chunk_text,
+             CAST(LEAST(32, n - i * 24) AS INT) AS n_chunk_tokens
+      FROM c ORDER BY doc_id, chunk_idx""",
   )
 }

@@ -74,6 +74,19 @@ class CurationSpec extends SparkSpec {
     assert(out((2L, 1)) == (("c", 2.0)))
   }
 
+  test("chunkDocuments windows tokens with overlap and covers every token") {
+    val df = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, "a b"))
+      .toDF("doc_id", "text")
+    val out = Curation.chunkDocuments(df, "doc_id", "text", chunkSize = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getInt(3))).toMap
+    // stride 3: starts 0,3,6 cover t1..t10 (ceil((10-1)/3)=3 chunks)
+    assert(out((1L, 0)) == (("t1 t2 t3 t4", 4)))
+    assert(out((1L, 1)) == (("t4 t5 t6 t7", 4)))
+    assert(out((1L, 2)) == (("t7 t8 t9 t10", 4)))
+    assert(out((2L, 0)) == (("a b", 2))) // short doc → one partial chunk
+    assert(out.size == 4)
+  }
+
   test("packSequences opens a bin when the running total crosses the budget") {
     val df = Seq(("s", 1L, 100L), ("s", 2L, 100L), ("s", 3L, 100L), ("s", 4L, 50L))
       .toDF("source", "doc_id", "sz")
