@@ -37,20 +37,24 @@ object DedupQueries {
     // with another.
     "q_dedup_cluster" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      def edgesByKey(keyed: DataFrame): DataFrame = {
-        val mins = keyed.groupBy("k").agg(min("doc_id").as("keep"))
-        keyed.join(mins, "k")
-          .where(col("doc_id") =!= col("keep"))
-          .select(col("doc_id").as("src"), col("keep").as("dst"))
-      }
-      val byHash = docs.select(
-        col("doc_id"), md5(col("text").cast("binary")).as("k"))
-      val byFp = docs.select(
+      // both dedup keys emit from ONE scan as (kind, key) rows, so the
+      // edge build is one groupBy + one join instead of two of each —
+      // at corpus scale that halves the pre-clustering shuffle count
+      val keyed = docs.select(
         col("doc_id"),
-        md5(array_join(array_sort(array_distinct(split(lower(col("text")), " "))), " ")
-          .cast("binary")).as("k"))
-      Dedup.connectedComponents(
-        edgesByKey(byHash).union(edgesByKey(byFp)), "src", "dst")
+        explode(array(
+          struct(lit("hash").as("kind"),
+            md5(col("text").cast("binary")).as("k")),
+          struct(lit("fp").as("kind"),
+            md5(array_join(
+              array_sort(array_distinct(split(lower(col("text")), " "))), " ")
+              .cast("binary")).as("k")))).as("kk"))
+        .select(col("doc_id"), col("kk.kind").as("kind"), col("kk.k").as("k"))
+      val mins = keyed.groupBy("kind", "k").agg(min("doc_id").as("keep"))
+      val edges = keyed.join(mins, Seq("kind", "k"))
+        .where(col("doc_id") =!= col("keep"))
+        .select(col("doc_id").as("src"), col("keep").as("dst"))
+      Dedup.connectedComponents(edges, "src", "dst")
         .select(col("node").as("doc_id"), col("component"))
         .orderBy("doc_id")
     },
