@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Driver-run benchmark: one JSON line, per-query seconds.
+/** Driver-run benchmark: JSON result line(s), per-query seconds.
   *
   * Each query is timed over two runs and the MIN is reported: run 1 in
   * a fresh JVM measures mostly JIT/codegen compilation (Spark compiles
@@ -9,6 +9,12 @@ import org.apache.spark.sql.SparkSession
   * once, not per query. Caches are cleared between queries so iterative
   * operators (hierarchy labeling persists its frontiers) don't leak
   * memory pressure into later timings.
+  *
+  * Output: TWO lines of identical schema. Line 1 carries every query's
+  * timing; line 2 is capped to fit (with sbt's trailing "[success]"
+  * line) inside a 2000-char log tail, keeping only the slowest queries.
+  * A tail-window harvester sees an intact line 2; a full-stdout parser
+  * can take either.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -38,10 +44,25 @@ object Bench {
       val good = times.filter(_ >= 0)
       name -> (if (good.nonEmpty) good.min else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String = f"$v%.2f"
+    def line(qs: Seq[(String, Double)], total: Double): String = {
+      val m = qs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$m,"sf":"$sfDir"}"""
+    }
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(line(results, total))
+    // Compact line: slowest-first, stop before the line would push the
+    // tail window past 2000 chars once sbt's success line is appended.
+    val budget = 1600
+    val bySlow = results.sortBy(-_._2)
+    var kept = Vector.empty[(String, Double)]
+    var used = 90 // prefix/suffix overhead
+    bySlow.foreach { case (k, v) =>
+      val cost = k.length + 10
+      if (used + cost <= budget) { kept :+= ((k, v)); used += cost }
+    }
+    println(line(kept.sortBy(_._1), total))
     spark.stop()
   }
 }
