@@ -66,10 +66,17 @@ object Similarity {
     * deterministically sampled corpus vectors (`id % stride == 0` —
     * no RNG, stable across runs), each corpus vector assigned to its
     * nearest centroid cell, queries probing their `nProbe` nearest
-    * cells. The cell assignment is a broadcast argmin (corpus never
-    * shuffles until the per-vector reduce); at cluster scale the
-    * assigned corpus is written `partitionBy(cell)` once and reused
-    * across query batches. */
+    * cells.
+    *
+    * The corpus-side cell assignment is a per-row FOLD over a
+    * broadcast array of all centroids — argmin by (distance,
+    * centroid_id) — so the corpus never exchanges at all: no
+    * crossJoin row expansion, no window, no groupBy. At cluster
+    * scale the assigned corpus is written `partitionBy(cell)` once
+    * and reused across query batches; the query side (small by
+    * contract) keeps the rank window over its broadcast expansion
+    * because it needs the nProbe nearest cells, not just the
+    * nearest. */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
@@ -78,17 +85,38 @@ object Similarity {
     val centroids = corpus
       .where(pmod(col(idCol), lit(centroidStride)) === 0)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
-    def assign(df: DataFrame, outId: String, outVec: String, probes: Int): DataFrame =
-      df.select(col(idCol).as(outId), col(vecCol).as(outVec))
-        .crossJoin(broadcast(centroids))
-        .withColumn("cdist", -cos(col(outVec), col("centroid_vec")))
-        .withColumn("crank", row_number().over(
-          Window.partitionBy(col(outId)).orderBy(col("cdist"), col("centroid_id"))))
-        .where(col("crank") <= probes)
-        .select(col(outId), col(outVec), col("centroid_id").as("cell"))
-    val cells = assign(corpus, "neighbor_id", "cv", probes = 1)
-    val probed = assign(queries, "query_id", "qv", probes = nProbe)
-    cells.join(probed, "cell")
+    // 1-row dim (all centroids as one sorted array) — stays a broadcast
+    val centArr = centroids.agg(sort_array(
+      collect_list(struct(col("centroid_id"), col("centroid_vec")))).as("cents"))
+    // lexicographic running argmin over (cdist, centroid_id); the array
+    // is sorted by centroid_id, so strict-< keeps the lowest id on ties —
+    // identical ordering to ROW_NUMBER() OVER (ORDER BY cdist, centroid_id)
+    def nearestCell(vec: Column): Column =
+      aggregate(
+        col("cents"),
+        struct(
+          lit(Double.PositiveInfinity).as("cdist"),
+          lit(null).cast("long").as("cell")),
+        (acc, c) => {
+          val d = -cos(vec, c.getField("centroid_vec"))
+          when(d < acc.getField("cdist"),
+            struct(d.as("cdist"),
+              c.getField("centroid_id").cast("long").as("cell")))
+            .otherwise(acc)
+        }).getField("cell")
+    val cells = corpus.crossJoin(broadcast(centArr))
+      .select(
+        col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        nearestCell(col(vecCol)).as("cell"))
+    val probed = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cdist", -cos(col("qv"), col("centroid_vec")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cdist"), col("centroid_id"))))
+      .where(col("crank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("centroid_id").cast("long").as("cell"))
+    cells.join(broadcast(probed), "cell")
       .where(col("neighbor_id") =!= col("query_id"))
       .select(
         col("query_id"), col("neighbor_id"),
