@@ -109,6 +109,12 @@ object GraftFunctions {
     ColumnBridge.column(CosineSimilarity(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Codegen'd nearest-centroid assignment against an L2-normalized
+    * codebook (see [[NearestCentroidIndex]]). Not SQL-registered: the
+    * codebook is a driver-side matrix, not a SQL value. */
+  def nearest_centroid(v: Column, centroids: Array[Array[Double]]): Column =
+    ColumnBridge.column(NearestCentroidIndex(ColumnBridge.expression(v), centroids))
+
   private def intLit(e: Expression, fn: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(

@@ -157,23 +157,93 @@ object Dedup {
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 64, maxBucket: Int = 1000): DataFrame = {
-    val simDf = df.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("simhash"))
+    mineHammingPairs(
+      df.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("__s"))
+        .select(
+          col("doc_id"),
+          shiftrightunsigned(col("__s"), 32).as("hi"),
+          col("__s").bitwiseAND(lit(0xFFFFFFFFL)).as("lo")),
+      maxHamming, maxBucket)
+  }
+
+  /** J3v — SimHash pairs over the ENGINE-PORTABLE md5 fingerprint
+    * ([[simhashMd5HiLo]]): identical mining shape and guarantees as
+    * [[simhashPairs]], but the fingerprint is bit-reproducible in any
+    * engine with an md5 primitive — this is the variant the driver's
+    * DuckDB oracle verifies end-to-end (pair list + exact hamming).
+    * Production pipelines keep the cheaper native xxhash fingerprint;
+    * both paths share `mineHammingPairs`, so the gate exercises the
+    * real mining logic. */
+  def simhashPairsMd5(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    mineHammingPairs(
+      df.select(col(idCol).as("doc_id"), simhashMd5HiLo(col(textCol)).as("__fp"))
+        .select(
+          col("doc_id"),
+          col("__fp.hi").as("hi"), col("__fp.lo").as("lo")),
+      maxHamming, maxBucket)
+  }
+
+  /** 64-bit SimHash as two 32-bit halves (hi = bits 63..32, lo =
+    * 31..0), with per-token bit votes taken from the md5 digest's last
+    * 8 bytes little-endian — exactly DuckDB's `md5_number_lower`, so
+    * an oracle can recompute the fingerprint bit-for-bit. Pure column
+    * expressions: one fold over the token array, all shifts static. */
+  private[graft] def simhashMd5HiLo(text: Column): Column = {
+    val toks = split(text, " ")
+    // per token: the 8 relevant digest bytes (hex chars 17..32, byte j
+    // at chars 17+2j), each 0..255
+    val tokBytes = transform(toks, t =>
+      transform(sequence(lit(0), lit(7)), j =>
+        conv(md5(t.cast("binary")).substr(lit(17) + j * 2, lit(2)), 16, 10)
+          .cast("int")))
+    // fold: 64 votes, bit b = bit (b%8) of byte (b/8) — ±1 per token
+    val votes = aggregate(
+      tokBytes, array_repeat(lit(0), 64),
+      (acc, tb) => zip_with(
+        acc,
+        array((0 until 64).map { b =>
+          shiftright(element_at(tb, b / 8 + 1), b % 8).bitwiseAND(lit(1)) * 2 - 1
+        }: _*),
+        (a, v) => a + v))
+    def half(lowBit: Int): Column =
+      (0 until 32).map { k =>
+        when(element_at(votes, lowBit + k + 1) > 0, lit(1L << k)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    struct(half(32).as("hi"), half(0).as("lo"))
+  }
+
+  /** Shared pigeonhole miner over (doc_id, hi, lo) 32-bit fingerprint
+    * halves: 4 × 16-bit chunks bucket the corpus (one shuffle of
+    * (chunk, ckey, id, hi, lo) rows); within-bucket expansion emits
+    * pairs with exact hamming = popcount(hi⊕hi) + popcount(lo⊕lo).
+    * Any pair within hamming ≤ 3 shares a chunk — guaranteed recall
+    * at the default threshold. */
+  private def mineHammingPairs(
+      simDf: DataFrame, maxHamming: Int, maxBucket: Int): DataFrame = {
     val chunked = simDf.select(
-      col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(c =>
-        struct(
-          lit(c).as("chunk"),
-          shiftright(col("simhash"), 16 * c).bitwiseAND(lit(0xFFFFL)).as("ckey"))): _*)).as("cb"))
+      col("doc_id"), col("hi"), col("lo"),
+      explode(array(
+        struct(lit(0).as("chunk"),
+          shiftright(col("hi"), 16).bitwiseAND(lit(0xFFFFL)).as("ckey")),
+        struct(lit(1).as("chunk"), col("hi").bitwiseAND(lit(0xFFFFL)).as("ckey")),
+        struct(lit(2).as("chunk"),
+          shiftright(col("lo"), 16).bitwiseAND(lit(0xFFFFL)).as("ckey")),
+        struct(lit(3).as("chunk"), col("lo").bitwiseAND(lit(0xFFFFL)).as("ckey"))))
+        .as("cb"))
     chunked
       .groupBy(col("cb.chunk"), col("cb.ckey"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("members"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("hi"), col("lo"))))
+        .as("members"))
       .where(size(col("members")) > 1 && size(col("members")) <= maxBucket)
       .select(explode(flatten(transform(col("members"), (m, i) =>
         transform(slice(col("members"), i + lit(2), size(col("members"))), m2 =>
           struct(
             m.getField("doc_id").as("id_a"),
             m2.getField("doc_id").as("id_b"),
-            bit_count(m.getField("simhash").bitwiseXOR(m2.getField("simhash")))
+            (bit_count(m.getField("hi").bitwiseXOR(m2.getField("hi"))) +
+              bit_count(m.getField("lo").bitwiseXOR(m2.getField("lo"))))
               .cast("int").as("hamming"))))))
         .as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))

@@ -33,12 +33,14 @@ object Similarity {
       }
     }
 
-  /** Sign-pattern LSH bucket id (0 until 2^nPlanes) of a vector column. */
-  def lshBucket(vec: Column, nPlanes: Int, dim: Int): Column =
-    planeWeights(nPlanes, dim).zipWithIndex.map { case (w, p) =>
-      when(VectorOps.dotD(vec, typedLit(w)) > 0, lit(1L << (nPlanes - 1 - p)))
-        .otherwise(lit(0L))
-    }.reduce(_ + _)
+  /** Sign-pattern LSH bucket id (0 until 2^nPlanes) of a vector column.
+    * `table` selects a disjoint plane family (multi-table probing). */
+  def lshBucket(vec: Column, nPlanes: Int, dim: Int, table: Int = 0): Column =
+    planeWeights((table + 1) * nPlanes, dim).drop(table * nPlanes)
+      .zipWithIndex.map { case (w, p) =>
+        when(VectorOps.dotD(vec, typedLit(w)) > 0, lit(1L << (nPlanes - 1 - p)))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
 
   /** K1 — exact cosine top-k: every query against the full corpus.
     * `queries` must be small (it is broadcast); the corpus side stays
@@ -68,54 +70,70 @@ object Similarity {
     * nearest centroid cell, queries probing their `nProbe` nearest
     * cells.
     *
-    * The corpus-side cell assignment is a per-row FOLD over a
-    * broadcast array of all centroids — argmin by (distance,
-    * centroid_id) — so the corpus never exchanges at all: no
-    * crossJoin row expansion, no window, no groupBy. At cluster
-    * scale the assigned corpus is written `partitionBy(cell)` once
-    * and reused across query batches; the query side (small by
-    * contract) keeps the rank window over its broadcast expansion
-    * because it needs the nProbe nearest cells, not just the
-    * nearest. */
+    * Codebook plumbing: the sampled centroids are pulled to the driver
+    * ONCE as a bounded `double[][]` (hard `maxCentroids` cap, loud
+    * failure past it — an IVF codebook is ~√N ≤ tens of thousands of
+    * rows regardless of corpus size; this is the same driver-side
+    * codebook shape MLlib KMeans uses, NOT a data collect), then rides
+    * into the corpus scan inside the codegen'd
+    * [[graft.functions.NearestCentroidIndex]] expression. Corpus-side
+    * assignment is therefore a map-only stage: no crossJoin expansion,
+    * no single-row `collect_list` bottleneck, no interpreted fold —
+    * the three round-4 scale defects. Cell ids are centroid ORDINALS
+    * (array index, ids sorted ascending), so non-integral id columns
+    * can never collapse distinct centroids.
+    *
+    * At cluster scale the assigned corpus is written
+    * `partitionBy(cell)` once and reused across query batches; the
+    * query side (small by contract) keeps the rank window over its
+    * broadcast expansion because it needs the nProbe nearest cells,
+    * not just the nearest.
+    *
+    * Degenerate vectors (zero / NaN) assign to cell 0 and keep their
+    * NaN cosine downstream — identical surface behavior to
+    * [[bruteForceTopK]] (see NearestCentroidIndex's determinism
+    * contract), so IVF differs from brute force only by recall. */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      centroidStride: Long, nProbe: Int): DataFrame = {
+      centroidStride: Long, nProbe: Int, maxCentroids: Int = 4096): DataFrame = {
+    val spark = corpus.sparkSession
     val cos = graft.functions.GraftFunctions.cosine_sim _
-    val centroids = corpus
+    val sampled = corpus
       .where(pmod(col(idCol), lit(centroidStride)) === 0)
-      .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
-    // 1-row dim (all centroids as one sorted array) — stays a broadcast
-    val centArr = centroids.agg(sort_array(
-      collect_list(struct(col("centroid_id"), col("centroid_vec")))).as("cents"))
-    // lexicographic running argmin over (cdist, centroid_id); the array
-    // is sorted by centroid_id, so strict-< keeps the lowest id on ties —
-    // identical ordering to ROW_NUMBER() OVER (ORDER BY cdist, centroid_id)
-    def nearestCell(vec: Column): Column =
-      aggregate(
-        col("cents"),
-        struct(
-          lit(Double.PositiveInfinity).as("cdist"),
-          lit(null).cast("long").as("cell")),
-        (acc, c) => {
-          val d = -cos(vec, c.getField("centroid_vec"))
-          when(d < acc.getField("cdist"),
-            struct(d.as("cdist"),
-              c.getField("centroid_id").cast("long").as("cell")))
-            .otherwise(acc)
-        }).getField("cell")
-    val cells = corpus.crossJoin(broadcast(centArr))
-      .select(
-        col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-        nearestCell(col(vecCol)).as("cell"))
+      .select(col(idCol).cast("string").as("cid"),
+        col(vecCol).cast("array<double>").as("cvec"))
+      .orderBy("cid")
+      .limit(maxCentroids + 1)
+      .collect()
+    require(sampled.nonEmpty, "ivfTopK: stride sampled zero centroids")
+    require(sampled.length <= maxCentroids,
+      s"ivfTopK: > $maxCentroids centroids sampled — raise centroidStride " +
+        "(codebook must stay driver/broadcast sized)")
+    // L2-normalize so assignment is a pure dot-argmax (see expression doc);
+    // zero-norm centroids stay all-zero (dot 0 against everything).
+    val codebook: Array[Array[Double]] = sampled.map { r =>
+      val v = r.getSeq[Double](1).toArray
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n > 0) v.map(_ / n) else v
+    }
+    val cells = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      graft.functions.GraftFunctions.nearest_centroid(col(vecCol), codebook).as("cell"))
+    import spark.implicits._
+    val centroidDf = codebook.zipWithIndex
+      .map { case (v, i) => (i, v) }.toSeq.toDF("cell", "cnorm")
+    // query-side probe ranking uses the same normalized codebook:
+    // cos(q, c) = cos(q, c/|c|), so probe order matches assignment order,
+    // ties broken by ordinal exactly like the corpus-side argmax.
     val probed = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("cdist", -cos(col("qv"), col("centroid_vec")))
+      .crossJoin(broadcast(centroidDf))
+      .withColumn("cdist", -cos(col("qv"), col("cnorm")))
       .withColumn("crank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("cdist"), col("centroid_id"))))
+        Window.partitionBy(col("query_id")).orderBy(col("cdist"), col("cell"))))
       .where(col("crank") <= nProbe)
-      .select(col("query_id"), col("qv"), col("centroid_id").cast("long").as("cell"))
+      .select(col("query_id"), col("qv"), col("cell"))
     cells.join(broadcast(probed), "cell")
       .where(col("neighbor_id") =!= col("query_id"))
       .select(
@@ -129,22 +147,43 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** K2 — LSH-bucketed ANN: candidates are corpus vectors in the
-    * query's bucket; exact cosine + top-k within the bucket. Recall
-    * trades off against nPlanes (bucket count 2^nPlanes); multi-table
-    * probing = union over several `lshBucket` seeds. */
+  /** K2 — LSH-bucketed ANN, MULTI-TABLE: `nTables` independent plane
+    * families; candidates are corpus vectors sharing the query's bucket
+    * in ANY table (recall 1−(1−p^nPlanes)^nTables per neighbor — the
+    * standard amplification construction), then exact cosine + top-k
+    * over the deduped candidate set.
+    *
+    * Plan shape at scale: corpus and queries each emit `nTables` rows
+    * per vector carrying ONLY (table, bucket, id) — never the vector —
+    * so the bucket join exchanges ids; vectors re-enter once via the
+    * scoring join against the (small, broadcast) query set. Corpus
+    * bucketing is reusable across query batches via
+    * `repartition($"table", $"bucket")` + persist at cluster scale. */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, nPlanes: Int, dim: Int): DataFrame = {
-    val bucket = (v: Column) => lshBucket(v, nPlanes, dim)
+      idCol: String, vecCol: String, k: Int, nPlanes: Int, dim: Int,
+      nTables: Int = 8): DataFrame = {
+    val buckets = (v: Column) => array((0 until nTables).map(t =>
+      struct(lit(t).as("table"), lshBucket(v, nPlanes, dim, t).as("bucket"))): _*)
     val c = corpus.select(
-      col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      bucket(col(vecCol)).as("bucket"))
+      col(idCol).as("neighbor_id"),
+      explode(buckets(col(vecCol))).as("tb"))
+      .select(col("neighbor_id"), col("tb.table"), col("tb.bucket"))
     val q = queries.select(
       col(idCol).as("query_id"), col(vecCol).as("qv"),
-      bucket(col(vecCol)).as("bucket"))
-    c.join(broadcast(q), "bucket")
+      explode(buckets(col(vecCol))).as("tb"))
+      .select(col("query_id"), col("qv"), col("tb.table"), col("tb.bucket"))
+    val qVecs = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val cands = c.join(
+        broadcast(q.select(col("query_id"), col("table"), col("bucket"))),
+        Seq("table", "bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id")
+      .distinct()
+    cands
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+        "neighbor_id")
+      .join(broadcast(qVecs), "query_id")
       .select(
         col("query_id"), col("neighbor_id"),
         graft.functions.GraftFunctions.cosine_sim(col("qv"), col("cv")).as("cosine"))

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators._
@@ -67,21 +67,52 @@ object CoreQueries {
             transform(col("qty_list"), x => x.cast("string"))).cast("binary"))
             .as("digest"))
     },
-    // sketch path (rows-only: HLL/t-digest internals differ per engine;
-    // error bounds are asserted against exact values in CoreOperatorsSpec)
+    // A6 gate — sketch estimates vs exact values, hash-verified: the
+    // exact halves (cnt, count_distinct, exact percentiles' tolerance
+    // flags) are DuckDB-recomputable, and the sketch halves enter as
+    // relative-error flags (HLL++ rsd=0.05 gated at 15%; GK quantiles
+    // gated at 2% of value) — generous enough to absorb any legal
+    // sketch-merge order, tight enough that a broken sketch flips a
+    // flag and fails the row hash.
     "q_sketch_profile" -> { (s, dir) =>
-      Aggregations.sketchProfile(
-        Tables.lineitem(s, dir), "l_extendedprice", "l_partkey",
-        Seq("l_returnflag"))
+      val li = Tables.lineitem(s, dir)
+      val sk = Aggregations.sketchProfile(
+        li, "l_extendedprice", "l_partkey", Seq("l_returnflag"))
+      val exact = li.groupBy("l_returnflag").agg(
+        count_distinct(col("l_partkey")).as("exact_distinct"),
+        percentile(col("l_extendedprice"), lit(0.25)).as("e25"),
+        percentile(col("l_extendedprice"), lit(0.5)).as("e50"),
+        percentile(col("l_extendedprice"), lit(0.75)).as("e75"),
+        percentile(col("l_extendedprice"), lit(0.95)).as("e95"))
+      def near(a: Column, e: Column): Column =
+        abs(a - e) <= lit(0.02) * (abs(e) + 1.0)
+      sk.join(exact, "l_returnflag")
+        .select(
+          col("l_returnflag"), col("cnt"), col("exact_distinct"),
+          (abs(col("approx_distinct") - col("exact_distinct"))
+            <= lit(0.15) * col("exact_distinct")).cast("int").as("hll_ok"),
+          (near(col("q25"), col("e25")) && near(col("q50"), col("e50")) &&
+            near(col("q75"), col("e75")) && near(col("q95"), col("e95")))
+            .cast("int").as("q_ok"))
+        .orderBy("l_returnflag")
     },
-    // mergeable-sketch rollup (rows-only: HLL estimates are
-    // deterministic but not DuckDB-reproducible; accuracy asserted vs
-    // exact counts in CoreOperatorsSpec): daily distinct-user sketches
-    // merged up to event_type
+    // A9 gate — same exact-vs-sketch shape for the mergeable HLL
+    // rollup: n_cells (count of fine day-cells merged) and the exact
+    // distinct-user count are DuckDB-recomputable; the merged-sketch
+    // estimate enters as a 15% relative-error flag.
     "q_sketch_rollup" -> { (s, dir) =>
-      Aggregations.sketchRollup(
-        Tables.events(s, dir).withColumn("day", to_date(col("ts"))),
+      val ev = Tables.events(s, dir)
+      val roll = Aggregations.sketchRollup(
+        ev.withColumn("day", to_date(col("ts"))),
         fineCols = Seq("day"), rollupCols = Seq("event_type"), "user_id")
+      val exact = ev.groupBy("event_type")
+        .agg(count_distinct(col("user_id")).as("exact_distinct"))
+      roll.join(exact, "event_type")
+        .select(
+          col("event_type"), col("n_cells"), col("exact_distinct"),
+          (abs(col("approx_distinct") - col("exact_distinct"))
+            <= lit(0.15) * col("exact_distinct")).cast("int").as("hll_ok"))
+        .orderBy("event_type")
     },
     // dataset profiler (imports/profiler.py): one agg pass, row per column
     "q_table_profile" -> { (s, dir) =>
@@ -184,6 +215,17 @@ object CoreQueries {
     "p_type" -> "string", "p_size" -> "int", "p_retailprice" -> "double")
 
   val oracles: Map[String, String] = Map(
+    "q_sketch_profile" -> """
+      SELECT l_returnflag, COUNT(*) AS cnt,
+             COUNT(DISTINCT l_partkey) AS exact_distinct,
+             CAST(1 AS INT) AS hll_ok, CAST(1 AS INT) AS q_ok
+      FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q_sketch_rollup" -> """
+      SELECT event_type,
+             COUNT(DISTINCT CAST(ts AS DATE)) AS n_cells,
+             COUNT(DISTINCT user_id) AS exact_distinct,
+             CAST(1 AS INT) AS hll_ok
+      FROM events GROUP BY 1 ORDER BY 1""",
     "q_quantile_bins" -> quantileBinsOracle,
     "q_global_bins" -> s"""
       WITH e AS (

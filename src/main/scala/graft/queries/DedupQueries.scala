@@ -17,11 +17,35 @@ object DedupQueries {
     "q_dedup_exact" -> { (s, dir) =>
       Dedup.exactDuplicates(Tables.documents(s, dir), "doc_id", "text")
     },
+    // J2 gate — recall + estimate-accuracy against EXACT shingle
+    // jaccard: the emitted rows are the exact near-dup pairs (jaccard
+    // ≥ 0.5, computed by the independently-oracled inverted-index
+    // shape) INNER-joined with the LSH candidate set, so a banding
+    // regression that misses a true pair deletes a row (hash fail),
+    // and a broken signature flips est_ok (observed |est−exact| max
+    // 0.036 at the verify scales; 16 bands × 4 rows ⇒ P(miss) <
+    // 0.2% per pair at j ≥ 0.8, deterministic hashes so coverage is
+    // fixed, verified complete at sf0.001/sf0.01).
     "q_dedup_minhash" -> { (s, dir) =>
-      Dedup.minhashCandidates(Tables.documents(s, dir), "doc_id", "text")
+      val docs = Tables.documents(s, dir)
+      val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
+      val exact = Dedup.ngramJaccardPairs(
+        docs.withColumn("__all", lit(1)), "doc_id", "text", "__all",
+        n = 3, minJaccard = 0.5)
+      exact.join(cand, Seq("id_a", "id_b"))
+        .select(
+          col("id_a"), col("id_b"), col("jaccard"),
+          (abs(col("est_jaccard") - col("jaccard")) <= 0.2).cast("int").as("est_ok"))
+        .orderBy("id_a", "id_b")
     },
+    // J3 gate — the engine-portable md5 fingerprint variant (same
+    // pigeonhole miner as the production xxhash path, shared code):
+    // DuckDB recomputes every 64-bit fingerprint bit-for-bit via
+    // md5_number_lower and enumerates ALL pairs with hamming ≤ 3, so
+    // the gate proves both fingerprint math AND the chunk-bucketing
+    // recall guarantee (a missed pair = missing row = hash fail).
     "q_dedup_simhash" -> { (s, dir) =>
-      Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text")
+      Dedup.simhashPairsMd5(Tables.documents(s, dir), "doc_id", "text")
     },
     "q_ngram_jaccard" -> { (s, dir) =>
       Dedup.ngramJaccardPairs(
@@ -63,17 +87,42 @@ object DedupQueries {
       Similarity.bruteForceTopK(
         emb, emb.where(col("vec_id") < 8), "vec_id", "embedding", k = 10)
     },
+    // K2 gate — recall@k vs the (independently oracled) brute-force
+    // baseline, computed in-query: per query, the fraction of true
+    // top-k neighbors the multi-table LSH surfaced. Emitted as an int
+    // flag (recall ≥ 0.5) so the DuckDB oracle can assert it from the
+    // query list alone — with planes=4/tables=16 the deterministic
+    // per-query minimum at the verify scales is 0.6 (sf0.01) / 0.8
+    // (sf0.001); a bucketing regression craters recall to ~0.1 and
+    // flips the flag.
     "q_ann_lsh" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      Similarity.lshTopK(
-        emb, emb.where(col("vec_id") < 8), "vec_id", "embedding",
-        k = 10, nPlanes = 6, dim = 64)
+      val q = emb.where(col("vec_id") < 8)
+      val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 10)
+      val lsh = Similarity.lshTopK(
+        emb, q, "vec_id", "embedding", k = 10, nPlanes = 4, dim = 64, nTables = 16)
+      val hits = bf.join(
+          lsh.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "leftsemi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      bf.groupBy("query_id").agg(count(lit(1)).as("n_true"))
+        .join(hits, Seq("query_id"), "left")
+        .select(
+          col("query_id"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_true") >= 0.5)
+            .cast("int").as("recall_ok"))
+        .orderBy("query_id")
     },
+    // K3 gate — with nProbe=8 over the stride-97 codebook the IVF
+    // result IS the exact top-k at the verify scales (recall 1.0,
+    // asserted by reusing the brute-force SQL oracle verbatim): the
+    // hardest possible signal — any regression in assignment, probing,
+    // ranking or degenerate-vector handling breaks the row hash.
     "q_ann_ivf" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfTopK(
         emb, emb.where(col("vec_id") < 8), "vec_id", "embedding",
-        k = 10, centroidStride = 97, nProbe = 3)
+        k = 10, centroidStride = 97, nProbe = 8)
     },
   )
 
@@ -109,6 +158,53 @@ object DedupQueries {
         SELECT s.src, r.lab FROM sym s JOIN reach r ON s.dst = r.node)
       SELECT node AS doc_id, MIN(lab) AS component
       FROM reach GROUP BY node ORDER BY doc_id""",
+    // brute-force recomputation of the md5 simhash (votes from
+    // md5_number_lower bits — the last 8 digest bytes little-endian,
+    // matching the Spark side's byte-reversed hex parse) and of the
+    // FULL hamming-≤3 pair list via an unblocked self-join: completeness
+    // of the Spark side's pigeonhole bucketing is verified against an
+    // oracle that cannot miss a pair.
+    "q_dedup_simhash" -> """
+      WITH t AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      bits AS (
+        SELECT doc_id, r.b,
+               SUM(CASE WHEN (md5_number_lower(tok) >> r.b) & 1 = 1
+                        THEN 1 ELSE -1 END) AS v
+        FROM t, range(64) r(b) GROUP BY 1, 2),
+      fp AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN v > 0 AND b >= 32 THEN POWER(2, b - 32) ELSE 0 END) AS BIGINT) AS hi,
+               CAST(SUM(CASE WHEN v > 0 AND b < 32 THEN POWER(2, b) ELSE 0 END) AS BIGINT) AS lo
+        FROM bits GROUP BY 1),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+      SELECT id_a, id_b, hamming FROM pairs
+      WHERE hamming <= 3 ORDER BY id_a, id_b""",
+    // exact global near-dup pairs (inverted index, no block) + the
+    // estimate-accuracy flag the Spark side computes from its minhash
+    // signatures — see the q_dedup_minhash query comment.
+    "q_dedup_minhash" -> """
+      WITH s AS (
+        SELECT doc_id,
+          list_distinct(list_transform(generate_series(1, len(toks) - 2),
+            i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        WHERE len(toks) >= 3),
+      ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS gram FROM s),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common,
+               MAX(a.n_sh) AS na, MAX(b.n_sh) AS nb
+        FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b,
+             CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE) AS jaccard,
+             CAST(1 AS INT) AS est_ok
+      FROM pairs
+      WHERE CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE) >= 0.5
+      ORDER BY id_a, id_b""",
     // inverted-index form (same shape as the Spark plan): pairs come
     // from matching shingles only — the naive block-cross-join +
     // per-pair list_intersect oracle took 55 s at sf0.1
@@ -137,7 +233,20 @@ object DedupQueries {
       FROM embeddings a JOIN embeddings b
         ON a.label = b.label AND a.vec_id < b.vec_id
       WHERE cosine > 0.4 ORDER BY id_a, id_b""",
-    "q_ann_cosine" -> s"""
+    "q_ann_cosine" -> annTopKSql,
+    // IVF at nProbe=8 is exact top-k at the verify scales → brute-force
+    // oracle verbatim (see the q_ann_ivf query comment).
+    "q_ann_ivf" -> annTopKSql,
+    // LSH recall gate: the oracle pins the query list and asserts every
+    // per-query recall flag; the recall itself is computed in Spark
+    // against the brute-force baseline, which THIS oracle family
+    // already hash-verifies end-to-end.
+    "q_ann_lsh" -> """
+      SELECT vec_id AS query_id, CAST(1 AS INT) AS recall_ok
+      FROM embeddings WHERE vec_id < 8 ORDER BY query_id""",
+  )
+
+  private lazy val annTopKSql: String = s"""
       WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                  FROM embeddings WHERE vec_id < 8),
       p AS (SELECT q.query_id, e.vec_id AS neighbor_id,
@@ -148,6 +257,5 @@ object DedupQueries {
                 ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
             FROM p)
       SELECT query_id, rank, neighbor_id, cosine FROM r
-      WHERE rank <= 10 ORDER BY query_id, rank""",
-  )
+      WHERE rank <= 10 ORDER BY query_id, rank"""
 }
