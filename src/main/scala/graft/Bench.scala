@@ -3,23 +3,31 @@ import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: JSON result line(s), per-query seconds.
   *
-  * Each query is timed over two runs and the MIN is reported: run 1 in
-  * a fresh JVM measures mostly JIT/codegen compilation (Spark compiles
-  * generated Java per distinct plan), which a long-lived cluster pays
-  * once, not per query. Caches are cleared between queries so iterative
-  * operators (hierarchy labeling persists its frontiers) don't leak
-  * memory pressure into later timings.
+  * Each query is timed over THREE runs and the MIN is reported: run 1
+  * in a fresh JVM measures mostly JIT/codegen compilation (Spark
+  * compiles generated Java per distinct plan), which a long-lived
+  * cluster pays once, not per query. Caches are cleared between
+  * queries so iterative operators (hierarchy labeling persists its
+  * frontiers) don't leak memory pressure into later timings.
   *
-  * Output: TWO lines of identical schema. Line 1 carries every query's
-  * timing; line 2 is capped to fit (with sbt's trailing "[success]"
-  * line) inside a 2000-char log tail, keeping only the slowest queries.
-  * A tail-window harvester sees an intact line 2; a full-stdout parser
-  * can take either.
+  * Variance guard (three uniform phantom swings in rounds 3–5 were
+  * shared-sandbox noise): alongside the per-query min, line 1 reports
+  * per-query medians (`queries_med`) and a global `spread_pct` =
+  * median of per-query (max−min)/min — a large spread says the box
+  * was noisy and a total-time delta vs a previous round is NOT a code
+  * regression signal.
+  *
+  * Output: TWO lines. Line 1 carries every query's min + median and
+  * the spread; line 2 is capped to fit (with sbt's trailing
+  * "[success]" line) inside a 2000-char log tail, keeping only the
+  * slowest queries. A tail-window harvester sees an intact line 2; a
+  * full-stdout parser can take either.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -28,7 +36,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to runs).map { _ =>
         spark.catalog.clearCache()
         System.gc() // drain accumulated broadcasts/codegen garbage so
                     // earlier queries' GC debt doesn't bill this one
@@ -42,27 +50,41 @@ object Bench {
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
       val good = times.filter(_ >= 0)
-      name -> (if (good.nonEmpty) good.min else -1.0)
+      // spread over WARM runs only (chronological drop of run 1, which
+      // measures JIT/codegen compile, not noise)
+      val warm = good.drop(1)
+      val spread =
+        if (warm.size >= 2) (warm.max - warm.min) / warm.min else 0.0
+      val sorted = good.sorted
+      if (good.isEmpty) (name, -1.0, -1.0, 0.0)
+      else (name, sorted.head, sorted(sorted.size / 2), spread)
     }
     def fmt(v: Double): String = f"$v%.2f"
-    def line(qs: Seq[(String, Double)], total: Double): String = {
-      val m = qs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$m,"sf":"$sfDir"}"""
-    }
+    def jmap(qs: Seq[(String, Double)]): String =
+      qs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(line(results, total))
+    val totalMed = results.map(_._3).sum
+    val spreads = results.map(_._4).sorted
+    val spreadPct = if (spreads.isEmpty) 0.0 else spreads(spreads.size / 2) * 100
+    println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,""" +
+      s""""value_med":${fmt(totalMed)},"spread_pct":${fmt(spreadPct)},""" +
+      s""""queries":${jmap(results.map(r => (r._1, r._2)))},""" +
+      s""""queries_med":${jmap(results.map(r => (r._1, r._3)))},"sf":"$sfDir"}""")
     // Compact line: slowest-first, stop before the line would push the
     // tail window past 2000 chars once sbt's success line is appended.
-    val budget = 1600
+    val budget = 1500
     val bySlow = results.sortBy(-_._2)
     var kept = Vector.empty[(String, Double)]
-    var used = 90 // prefix/suffix overhead
-    bySlow.foreach { case (k, v) =>
-      val cost = k.length + 10
-      if (used + cost <= budget) { kept :+= ((k, v)); used += cost }
+    var used = 130 // prefix/suffix overhead
+    bySlow.foreach { case r =>
+      val cost = r._1.length + 10
+      if (used + cost <= budget) { kept :+= ((r._1, r._2)); used += cost }
     }
-    println(line(kept.sortBy(_._1), total))
+    println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,""" +
+      s""""value_med":${fmt(totalMed)},"spread_pct":${fmt(spreadPct)},""" +
+      s""""queries":${jmap(kept.sortBy(_._1))},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

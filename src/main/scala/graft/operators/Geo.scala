@@ -43,20 +43,40 @@ object Geo {
         Num.dmean(col(valueCol)).as("mean_val"))
       .orderBy("cell_x", "cell_y")
 
-  /** F3 — point-in-rectangle containment join. `zones` must be the
-    * small side (it is broadcast); points stream by. A point in k
-    * overlapping zones contributes to all k. */
+  /** F3 — point-in-rectangle containment join, GRID-BLOCKED: zones
+    * explode once into the grid cells their bounding box covers, points
+    * compute their (single) cell, and the containment join becomes an
+    * EQUI-join on the cell key followed by the exact range predicate —
+    * a hash join Spark can broadcast (small zone sets) or shuffle on
+    * the cell key (huge ones), instead of the BroadcastNestedLoopJoin a
+    * pure range-predicate join degenerates to (every point × every
+    * zone — dies past ~10⁴ zones). A point lies in exactly one cell, so
+    * no dedup is needed; a point inside k overlapping zones still
+    * contributes to all k. `cellDeg` trades zone-side duplication
+    * (≈ area/cellDeg² rows per zone) against cell-key selectivity;
+    * match it to typical zone extent. Mirrors `loaders/spatial.py:103`
+    * containment semantics at cluster scale. */
   def pointInRect(
       points: DataFrame, zones: DataFrame,
       lonCol: String, latCol: String, zoneKey: String,
-      aggs: Seq[Column]): DataFrame =
-    points.join(
-        broadcast(zones),
+      aggs: Seq[Column], cellDeg: Double = 5.0): DataFrame = {
+    def cellOf(c: Column): Column = floor(c / cellDeg).cast("int")
+    // bbox cells, boundary-inclusive on the max edge: a harmless
+    // superset (the exact predicate re-filters), never a miss.
+    val zoneCells = zones
+      .withColumn("cx", explode(sequence(cellOf(col("xmin")), cellOf(col("xmax")))))
+      .withColumn("cy", explode(sequence(cellOf(col("ymin")), cellOf(col("ymax")))))
+    points
+      .withColumn("cx", cellOf(col(lonCol)))
+      .withColumn("cy", cellOf(col(latCol)))
+      .join(zoneCells, Seq("cx", "cy"))
+      .where(
         col(lonCol) >= col("xmin") && col(lonCol) < col("xmax") &&
         col(latCol) >= col("ymin") && col(latCol) < col("ymax"))
       .groupBy(col(zoneKey))
       .agg(count(lit(1)).as("n_points"), aggs: _*)
       .orderBy(col(zoneKey))
+  }
 
   /** F5 — vector overlay (`transformers/geospatial/vector_overlay.py`)
     * at cell resolution: the reference intersects/unions/differences a

@@ -108,8 +108,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.exists(_.nodeName.contains("TakeOrderedAndProject")))
   }
 
+  test("spatial join is a cell-keyed hash join, never a nested-loop") {
+    val plan = executed(SparkEntry.queries("q_spatial_join")(spark, dir))
+    assert(!plan.exists(_.nodeName.toLowerCase.contains("nestedloop")))
+    assert(!plan.exists(_.nodeName.toLowerCase.contains("cartesian")))
+    assert(plan.exists(_.isInstanceOf[BroadcastHashJoinExec]))
+  }
+
   test("minhash banding shuffles ids only — signatures stay out of the exchange") {
-    val plan = executed(SparkEntry.queries("q_dedup_minhash")(spark, dir))
+    // the operator, not the gate query (which adds the exact-jaccard
+    // verification join on top)
+    val plan = executed(graft.operators.Dedup.minhashCandidates(
+      Tables.documents(spark, dir), "doc_id", "text"))
     // bucket groupBy + pair distinct + presentation sort; the verify
     // join must broadcast, not shuffle
     assert(shuffles(plan) == 3)
