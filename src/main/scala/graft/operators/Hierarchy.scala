@@ -38,15 +38,15 @@ object Hierarchy {
     *
     * (each preceding subtree anywhere along the root path consumes two
     * labels per node before DFS reaches n; each ancestor consumes its
-    * own `lft`). So after the closure (maxDepth frontier joins, shared
-    * shape with [[subtreeAggregate]]) the whole labeling is one
-    * sibling window + one groupBy — no per-level persists, no lineage
-    * growth, every shuffle partitioned by a key (never a global scan),
-    * so the same plan holds at 10⁹ nodes.
+    * own `lft`). So after the closure (convergence-driven frontier
+    * joins, shared shape with [[subtreeAggregate]]) the whole labeling
+    * is one sibling window + one groupBy — no per-level persists, no
+    * lineage growth, every shuffle partitioned by a key (never a
+    * global scan), so the same plan holds at 10⁹ nodes.
     */
-  def nestedSet(nodes: DataFrame, maxDepth: Int): DataFrame = {
+  def nestedSet(nodes: DataFrame): DataFrame = {
     val ids = nodes.select("node_id", "parent_id", "sort_key")
-    val closure = ancestorClosure(ids, maxDepth).persist() // reused: sizes + lft
+    val closure = ancestorClosure(ids).persist() // reused: sizes + lft
     // |subtree(a)| = closure rows with ancestor a (self included)
     val sizes = closure.groupBy(col("ancestor_id").as("node_id"))
       .agg(count(lit(1)).as("size"))
@@ -81,26 +81,33 @@ object Hierarchy {
       .orderBy((col("gid") +: levels.map(c => col(c).asc_nulls_first)): _*)
 
   /** Ancestor closure of an adjacency list: one row per (node,
-    * ancestor) pair incl. self. Built by `maxDepth` self-joins —
-    * each a shuffle on parent_id, broadcast-able when the upper
-    * levels are small.
+    * ancestor) pair incl. self. CONVERGENCE-DRIVEN: frontier joins
+    * repeat until the frontier empties, so arbitrary-depth trees close
+    * exactly (niamoto's `adjacency_list.py` walks unbounded depth —
+    * a fixed depth parameter silently truncated ancestors when guessed
+    * low). Each round is a shuffle on parent_id (broadcast-able when
+    * the upper levels are small), materialized via `localCheckpoint`
+    * (truncates lineage — a depth-20 taxonomy otherwise drags a
+    * 20-join plan into every downstream optimization pass) and
+    * followed by an O(1)-driver count that doubles as the convergence
+    * check. `maxIter` is a CYCLE guard, not a truncation bound: a
+    * frontier still alive after `maxIter` rounds (a parent loop keeps
+    * it non-empty forever) fails loudly instead of looping or
+    * returning a wrong closure.
     */
-  def ancestorClosure(nodes: DataFrame, maxDepth: Int): DataFrame = {
+  def ancestorClosure(nodes: DataFrame, maxIter: Int = 64): DataFrame = {
     val edges = nodes.select("node_id", "parent_id")
     var closure = edges.select(
       col("node_id"), col("node_id").as("ancestor_id"), lit(0).as("dist"))
     var frontier = edges
       .filter(col("parent_id").isNotNull)
       .select(col("node_id"), col("parent_id").as("ancestor_id"), lit(1).as("dist"))
+      .localCheckpoint()
     var depth = 1
-    while (depth <= maxDepth) {
-      // The frontier is reused (union arm + next round's join), so it
-      // must be materialized either way. Shallow trees keep persist
-      // (lazy, no extra jobs); deep trees switch to localCheckpoint,
-      // which also TRUNCATES lineage — a depth-20 taxonomy otherwise
-      // drags a 20-join plan into every downstream optimization pass.
-      frontier =
-        if (maxDepth > 8) frontier.localCheckpoint() else frontier.persist()
+    while (frontier.count() > 0) {
+      require(depth <= maxIter,
+        s"ancestorClosure: frontier still non-empty after $maxIter rounds — " +
+          "parent cycle, or a genuinely deeper tree (raise maxIter)")
       closure = closure.unionByName(frontier)
       frontier = frontier
         .join(
@@ -110,6 +117,7 @@ object Hierarchy {
         .filter(col("next_ancestor").isNotNull)
         .select(col("node_id"), col("next_ancestor").as("ancestor_id"),
           (col("dist") + 1).as("dist"))
+        .localCheckpoint()
       depth += 1
     }
     closure
@@ -120,8 +128,8 @@ object Hierarchy {
     * the ancestor closure, each node's ancestors ordered root-first and
     * joined — one groupBy, path strings built executor-side. Also
     * returns `level` (= ancestor count − 1). */
-  def materializedPaths(nodes: DataFrame, maxDepth: Int): DataFrame =
-    ancestorClosure(nodes.select("node_id", "parent_id"), maxDepth)
+  def materializedPaths(nodes: DataFrame): DataFrame =
+    ancestorClosure(nodes.select("node_id", "parent_id"))
       .groupBy("node_id")
       .agg(
         array_join(
@@ -140,9 +148,8 @@ object Hierarchy {
       nodes: DataFrame,
       facts: DataFrame,
       factNodeCol: String,
-      maxDepth: Int,
       aggs: Seq[Column]): DataFrame = {
-    val closure = ancestorClosure(nodes, maxDepth)
+    val closure = ancestorClosure(nodes)
     facts
       .join(closure, facts(factNodeCol) === closure("node_id"))
       .groupBy(col("ancestor_id"))

@@ -40,16 +40,16 @@ object HierarchyQueries {
         Seq(count(lit(1)).as("n_customers"), Num.dsum(col("c_acctbal")).as("acctbal_sum")))
     },
     "q_nested_set" -> { (s, dir) =>
-      Hierarchy.nestedSet(taxonomyNodes(s, dir), maxDepth = 3)
+      Hierarchy.nestedSet(taxonomyNodes(s, dir))
     },
     "q_tree_paths" -> { (s, dir) =>
-      Hierarchy.materializedPaths(taxonomyNodes(s, dir), maxDepth = 3)
+      Hierarchy.materializedPaths(taxonomyNodes(s, dir))
     },
     "q_subtree_agg" -> { (s, dir) =>
       val facts = Tables.customer(s, dir).select(
         concat(lit("C"), col("c_custkey")).as("fact_node"), col("c_acctbal"))
       Hierarchy.subtreeAggregate(
-        taxonomyNodes(s, dir), facts, "fact_node", maxDepth = 3,
+        taxonomyNodes(s, dir), facts, "fact_node",
         Seq(count(lit(1)).as("n_facts"), Num.dsum(col("c_acctbal")).as("acctbal_sum")))
     },
     // nested-set subtree select (loaders/nested_set.py) through the
@@ -60,7 +60,7 @@ object HierarchyQueries {
     "q_interval_join" -> { (s, dir) =>
       // labeled tree feeds BOTH join sides — persist or the whole
       // labeling plan executes twice (once per side)
-      val ns = Hierarchy.nestedSet(taxonomyNodes(s, dir), maxDepth = 3).persist()
+      val ns = Hierarchy.nestedSet(taxonomyNodes(s, dir)).persist()
       val regions = ns.where(col("level") === 1).select(
         col("node_id").as("anc_id"),
         col("lft").as("anc_lft"), col("rght").as("anc_rght"))

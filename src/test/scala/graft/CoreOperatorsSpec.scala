@@ -144,7 +144,7 @@ class CoreOperatorsSpec extends SparkSpec {
       ("R", None, 0L), ("A", Some("R"), 1L), ("B", Some("R"), 2L),
       ("A1", Some("A"), 1L), ("A2", Some("A"), 2L),
     ).toDF("node_id", "parent_id", "sort_key")
-    val out = Hierarchy.nestedSet(nodes, maxDepth = 2)
+    val out = Hierarchy.nestedSet(nodes)
       .collect().map(r => r.getString(0) -> (r.getLong(3), r.getLong(4))).toMap
     assert(out("R") == ((1L, 10L)))
     assert(out("A") == ((2L, 7L)))
@@ -243,7 +243,7 @@ class CoreOperatorsSpec extends SparkSpec {
       ("R", None, 0L), ("A", Some("R"), 1L), ("A1", Some("A"), 1L),
       ("B", Some("R"), 2L),
     ).toDF("node_id", "parent_id", "sort_key")
-    val out = Hierarchy.materializedPaths(nodes, maxDepth = 2)
+    val out = Hierarchy.materializedPaths(nodes)
       .collect().map(r => r.getString(0) -> ((r.getString(1), r.getInt(2)))).toMap
     assert(out("R") == (("R", 0)))
     assert(out("A1") == (("R|A|A1", 2)))
@@ -256,7 +256,7 @@ class CoreOperatorsSpec extends SparkSpec {
     ).toDF("node_id", "parent_id", "sort_key")
     val facts = Seq(("A1", 3.0), ("A1", 4.0), ("A", 10.0)).toDF("node", "v")
     val out = Hierarchy.subtreeAggregate(
-      nodes, facts, "node", maxDepth = 2,
+      nodes, facts, "node",
       Seq(Num.dsum(col("v")).as("v_sum")))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(out == Map("A1" -> 7.0, "A" -> 17.0, "R" -> 17.0))

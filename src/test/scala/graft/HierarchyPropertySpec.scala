@@ -24,14 +24,8 @@ class HierarchyPropertySpec extends SparkSpec {
         ("n0", None, 0L) +: (1 until n).map { i =>
           (s"n$i", Some(s"n${rnd.nextInt(i)}"), i.toLong)
         }
-      val parent = nodes.map(t => t._1 -> t._2).toMap
-      val maxDepth = nodes.map { case (id, _, _) =>
-        Iterator.iterate(Option(id))(c => c.flatMap(parent(_)))
-          .takeWhile(_.isDefined).size - 1
-      }.max
-
       val df = nodes.toDF("node_id", "parent_id", "sort_key")
-      val out = Hierarchy.nestedSet(df, maxDepth).collect()
+      val out = Hierarchy.nestedSet(df).collect()
         .map(r => r.getString(0) ->
           ((Option(r.getString(1)), r.getLong(3), r.getLong(4)))).toMap
 
@@ -56,6 +50,27 @@ class HierarchyPropertySpec extends SparkSpec {
           }
       }
     }
+  }
+
+  test("ancestorClosure converges on a deep chain with no depth parameter") {
+    val n = 20
+    val nodes: Seq[(String, Option[String], Long)] =
+      ("n0", None, 0L) +: (1 until n).map(i =>
+        (s"n$i", Some(s"n${i - 1}"), i.toLong))
+    val cl = Hierarchy.ancestorClosure(nodes.toDF("node_id", "parent_id", "sort_key"))
+    // chain of n: node i has i+1 ancestors-or-self → Σ = n(n+1)/2
+    assert(cl.count() == n * (n + 1) / 2)
+    assert(cl.agg(max("dist")).head.getInt(0) == n - 1)
+  }
+
+  test("ancestorClosure fails loudly on a parent cycle instead of looping") {
+    val nodes: Seq[(String, Option[String], Long)] = Seq(
+      ("a", Some("b"), 0L), ("b", Some("c"), 1L), ("c", Some("a"), 2L))
+    val e = intercept[IllegalArgumentException] {
+      Hierarchy.ancestorClosure(
+        nodes.toDF("node_id", "parent_id", "sort_key"), maxIter = 5)
+    }
+    assert(e.getMessage.contains("cycle"))
   }
 
   test("interval-stabbing join matches the BETWEEN theta-join on random inputs") {

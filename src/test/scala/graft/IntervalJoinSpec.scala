@@ -54,7 +54,7 @@ class IntervalJoinSpec extends SparkSpec {
       ("root", null, 0L), ("a", "root", 1L), ("b", "root", 2L),
       ("a1", "a", 1L), ("a2", "a", 2L), ("b1", "b", 1L),
     ).toDF("node_id", "parent_id", "sort_key")
-    val ns = Hierarchy.nestedSet(nodes, maxDepth = 2).cache()
+    val ns = Hierarchy.nestedSet(nodes).cache()
     val anc = ns.where(col("node_id") === "a").select(
       col("node_id").as("anc"), col("lft").as("alft"), col("rght").as("arght"))
     val sub = IntervalJoin.join(ns, anc, "lft", "alft", "arght")
