@@ -22,6 +22,22 @@ object Formats {
   def mapToSchema(df: DataFrame, mapping: Seq[(String, Column)]): DataFrame =
     df.select(mapping.map { case (name, c) => c.as(name) }: _*)
 
+  /** G7 — export index (`exporters/index_generator.py` writes the
+    * per-entity index JSON next to the detail files): one index row
+    * per detail document — entity keys, record count, and the relative
+    * detail-file path the detail writer uses. The index is derived
+    * from the detail frame itself (one narrow projection, no rescan of
+    * the source), so it can never disagree with what was exported. */
+  def exportIndex(
+      details: DataFrame, entityKeys: Seq[String], nDetailsCol: String,
+      pathPrefix: String): DataFrame =
+    details.select(
+      entityKeys.map(col) ++ Seq(
+        col(nDetailsCol).as("n_records"),
+        concat(lit(pathPrefix), lit("/"),
+          concat_ws("_", entityKeys.map(col): _*), lit(".json")).as("detail_path")): _*)
+      .orderBy(entityKeys.map(col): _*)
+
   /** G2 — per-entity nested JSON detail records: group `detail` rows
     * by `entityKeys`, order each entity's details by `sortKey`
     * descending, keep `topN`, emit one JSON document per entity.

@@ -115,6 +115,57 @@ object Geo {
       .orderBy(col(zoneCol))
   }
 
+  /** P4 — polygon PRE-RASTERIZATION: arbitrary polygons (one row per
+    * polygon, ring vertices as parallel `xs`/`ys` arrays) → the grid
+    * cells whose CENTER lies inside, by the even-odd ray-cast rule.
+    * This is the bridge to niamoto's real shapes (`shape_processor.py`,
+    * `vector_overlay.py` run shapely ops; `loaders/spatial.py:103`
+    * selects by point-in-shape containment): rasterize each polygon
+    * ONCE — a map-side explode of bbox candidate cells + a per-cell
+    * fold over the edge list, no shuffle at all — and every downstream
+    * containment join (F3 [[pointInRect]], F5 [[cellOverlay]]) becomes
+    * an equi-join on the cell key. No geometry library enters the hot
+    * path: the geometry cost is paid once per polygon × bbox-cell,
+    * distributed, and the output is the representation that shards.
+    *
+    * The crossing test
+    * `(yi > py) ≠ (yj > py) ∧ px < (xj−xi)·(py−yi)/(yj−yi) + xi`
+    * is evaluated in fixed double-precision order, so any engine
+    * replaying the same expression (the DuckDB oracle does) lands on
+    * bit-identical booleans. Cells whose center falls exactly on an
+    * edge follow that shared IEEE arithmetic — consistent, if
+    * arbitrary, on degenerate inputs.
+    */
+  def rasterizePolygons(
+      polys: DataFrame, polyKey: String, xsCol: String, ysCol: String,
+      cellDeg: Double): DataFrame = {
+    val xs = col(xsCol); val ys = col(ysCol)
+    def cellOf(c: Column): Column = floor(c / cellDeg).cast("int")
+    val n = size(xs)
+    val px = (col("cell_x") + 0.5) * cellDeg
+    val py = (col("cell_y") + 0.5) * cellDeg
+    val crossings = aggregate(
+      sequence(lit(0), n - 1), lit(0),
+      (acc, i) => {
+        val xi = element_at(xs, i + 1)
+        val yi = element_at(ys, i + 1)
+        val xj = element_at(xs, pmod(i + 1, n) + 1)
+        val yj = element_at(ys, pmod(i + 1, n) + 1)
+        acc + when(
+          ((yi > py) =!= (yj > py)) &&
+            (px < (xj - xi) * (py - yi) / (yj - yi) + xi),
+          1).otherwise(0)
+      })
+    polys
+      .withColumn("cell_x",
+        explode(sequence(cellOf(array_min(xs)), cellOf(array_max(xs)))))
+      .withColumn("cell_y",
+        explode(sequence(cellOf(array_min(ys)), cellOf(array_max(ys)))))
+      .where(pmod(crossings, lit(2)) === 1)
+      .select(col(polyKey), col("cell_x"), col("cell_y"))
+      .orderBy(polyKey, "cell_x", "cell_y")
+  }
+
   /** F4 — zonal statistics over a cell raster: zones are coarse cells
     * (factor×factor fine cells); one groupBy, no join at all. */
   def zonalStats(

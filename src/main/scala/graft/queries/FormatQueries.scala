@@ -25,15 +25,8 @@ object FormatQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dwc_mapping" -> { (s, dir) =>
-      Formats.mapToSchema(occurrences(s, dir), Seq(
-        "occurrenceID" -> concat_ws(":", lit("urn"), col("l_orderkey"), col("l_linenumber")),
-        "basisOfRecord" -> lit("HumanObservation"),
-        "scientificName" -> col("p_name"),
-        "recordedBy" -> col("s_name"),
-        "individualCount" -> col("l_quantity").cast("int"),
-        "eventDate" -> date_format(col("l_shipdate"), "yyyy-MM-dd"),
-        "country" -> col("n_name"),
-      )) // no presentation sort: a 100 TB export never global-sorts
+      // no presentation sort: a 100 TB export never global-sorts
+      SparkEntryLocal.dwcMapping(s, dir)
     },
     // Humboldt/Event term mapping (formats/niamoto_to_humboldt_event
     // .py): same declarative mapToSchema shape as DwC, different
@@ -128,7 +121,68 @@ object FormatQueries {
         custWithNation, Seq("n_nationkey", "n_name"),
         struct(col("c_acctbal"), col("c_custkey"), col("c_name")), topN = 5)
     },
+    // G6 — FULL DwC archive behind the gate: write the occurrence
+    // mapping as occurrence CSV + meta.xml + archive.zip, then read it
+    // back THROUGH the descriptor (Readers.dwcArchive resolves the
+    // CSV locations from meta.xml) and aggregate; the oracle recomputes
+    // from the raw tables, so body write, descriptor correctness and
+    // type round-tripping are all on the verified path.
+    "q_dwc_archive" -> { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val tag = java.lang.Math.abs(dir.hashCode)
+      val occ = SparkEntryLocal.dwcMapping(s, dir)
+      graft.sources.Writers.dwcArchiveFull(occ, s"/tmp/graft-dwca-$tag")
+      val schema = StructType(Seq(
+        StructField("occurrenceID", StringType), StructField("basisOfRecord", StringType),
+        StructField("scientificName", StringType), StructField("recordedBy", StringType),
+        StructField("individualCount", IntegerType), StructField("eventDate", StringType),
+        StructField("country", StringType)))
+      graft.sources.Readers.dwcArchive(s, s"/tmp/graft-dwca-$tag", schema)
+        .groupBy("country")
+        .agg(
+          count(lit(1)).as("n_occurrences"),
+          count_distinct(col("occurrenceID")).as("n_ids"),
+          sum(col("individualCount")).as("ind_sum"),
+          min(col("eventDate")).as("first_date"),
+          max(col("eventDate")).as("last_date"))
+        .orderBy("country")
+    },
+    // G7 — export index behind the gate: detail records → index rows →
+    // JSON-lines write → schema'd reread (the verified-write-path
+    // pattern of G3/G5); the oracle recomputes counts and paths from
+    // the raw tables.
+    "q_export_index" -> { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val tag = java.lang.Math.abs(dir.hashCode)
+      val custWithNation = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      val details = Formats.jsonDetailRecords(
+        custWithNation, Seq("n_nationkey", "n_name"),
+        struct(col("c_acctbal"), col("c_custkey"), col("c_name")), topN = 5)
+      val idx = Formats.exportIndex(
+        details, Seq("n_nationkey", "n_name"), "n_details", "details")
+      graft.sources.Writers.jsonLines(idx, s"/tmp/graft-idx-$tag")
+      val schema = StructType(Seq(
+        StructField("n_nationkey", LongType), StructField("n_name", StringType),
+        StructField("n_records", LongType), StructField("detail_path", StringType)))
+      graft.sources.Readers.jsonLines(s, s"/tmp/graft-idx-$tag", schema)
+        .orderBy("n_nationkey")
+    },
   )
+
+  /** The DwC term mapping shared by q_dwc_mapping and q_dwc_archive. */
+  private object SparkEntryLocal {
+    def dwcMapping(s: SparkSession, dir: String): DataFrame =
+      Formats.mapToSchema(occurrences(s, dir), Seq(
+        "occurrenceID" -> concat_ws(":", lit("urn"), col("l_orderkey"), col("l_linenumber")),
+        "basisOfRecord" -> lit("HumanObservation"),
+        "scientificName" -> col("p_name"),
+        "recordedBy" -> col("s_name"),
+        "individualCount" -> col("l_quantity").cast("int"),
+        "eventDate" -> date_format(col("l_shipdate"), "yyyy-MM-dd"),
+        "country" -> col("n_name"),
+      ))
+  }
 
   val oracles: Map[String, String] = Map(
     "q_dwc_mapping" -> """
@@ -179,6 +233,22 @@ object FormatQueries {
              CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY 1 ORDER BY 1""",
+    "q_dwc_archive" -> """
+      SELECT n_name AS country, COUNT(*) AS n_occurrences,
+             COUNT(DISTINCT concat_ws(':', 'urn', l_orderkey, l_linenumber)) AS n_ids,
+             CAST(SUM(CAST(l_quantity AS INT)) AS BIGINT) AS ind_sum,
+             MIN(strftime(l_shipdate, '%Y-%m-%d')) AS first_date,
+             MAX(strftime(l_shipdate, '%Y-%m-%d')) AS last_date
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY 1 ORDER BY 1""",
+    "q_export_index" -> """
+      SELECT n_nationkey, n_name, COUNT(*) AS n_records,
+             'details/' || n_nationkey || '_' || n_name || '.json' AS detail_path
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2 ORDER BY 1""",
     "q_humboldt_event" -> """
       SELECT 'evt:' || event_id AS eventID,
              event_type AS eventType,

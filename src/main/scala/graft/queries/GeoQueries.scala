@@ -76,7 +76,30 @@ object GeoQueries {
           ((col("s_suppkey") * 15) % 2000).as("ov_cell")),
         "ov_cell", cellArea = 0.25)
     },
+    // P4 — polygon scanline rasterization on three fixed rings (a
+    // triangle, a quad, a non-convex pentagon; vertices off the .5 cell
+    // centers so no ray grazes a vertex). The oracle replays the exact
+    // even-odd crossing arithmetic in SQL, so every covered cell must
+    // match bit-for-bit.
+    "q_polygon_raster" -> { (s, dir) =>
+      import s.implicits._
+      val polys = testPolygons.toDF("poly_id", "xs", "ys")
+      Geo.rasterizePolygons(polys, "poly_id", "xs", "ys", cellDeg = 1.0)
+    },
   )
+
+  /** Fixed test rings shared verbatim by the Spark query and the SQL
+    * oracle (generated from THIS data — no transcription drift). */
+  private val testPolygons: Seq[(Long, Seq[Double], Seq[Double])] = Seq(
+    (1L, Seq(0.3, 10.7, 5.1), Seq(0.2, 1.3, 9.8)),
+    (2L, Seq(-8.6, -1.2, -0.7, -7.9), Seq(-7.4, -8.1, -0.9, -1.6)),
+    (3L, Seq(20.2, 28.9, 24.5, 22.1, 20.9), Seq(5.1, 5.7, 12.4, 8.3, 11.2)))
+
+  private def polygonValuesSql: String =
+    testPolygons.map { case (id, xs, ys) =>
+      s"(CAST($id AS BIGINT), CAST(${xs.mkString("[", ",", "]")} AS DOUBLE[]), " +
+        s"CAST(${ys.mkString("[", ",", "]")} AS DOUBLE[]))"
+    }.mkString(", ")
 
   import CoreQueries.dsum
 
@@ -112,6 +135,38 @@ object GeoQueries {
              ${dsum("value")} AS sum_val,
              ${dsum("value")} / COUNT(value) AS mean_val
       FROM r GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_polygon_raster" -> s"""
+      WITH polys(poly_id, xs, ys) AS (VALUES $polygonValuesSql),
+      p1 AS (
+        SELECT poly_id, xs, ys,
+               unnest(generate_series(CAST(FLOOR(list_min(xs) / 1.0) AS BIGINT),
+                                      CAST(FLOOR(list_max(xs) / 1.0) AS BIGINT))) AS cxb
+        FROM polys),
+      p2 AS (
+        SELECT poly_id, xs, ys, cxb,
+               unnest(generate_series(CAST(FLOOR(list_min(ys) / 1.0) AS BIGINT),
+                                      CAST(FLOOR(list_max(ys) / 1.0) AS BIGINT))) AS cyb
+        FROM p1),
+      cand AS (
+        SELECT poly_id, xs, ys, len(xs) AS n,
+               CAST(cxb AS INT) AS cell_x, CAST(cyb AS INT) AS cell_y,
+               (CAST(cxb AS INT) + 0.5) * 1.0 AS px,
+               (CAST(cyb AS INT) + 0.5) * 1.0 AS py
+        FROM p2),
+      edges AS (
+        SELECT *, unnest(generate_series(0, n - 1)) AS i FROM cand),
+      crossings AS (
+        SELECT poly_id, cell_x, cell_y,
+          SUM(CASE WHEN ((ys[i + 1] > py) <> (ys[((i + 1) % n) + 1] > py))
+                AND (px < (xs[((i + 1) % n) + 1] - xs[i + 1])
+                          * (py - ys[i + 1])
+                          / (ys[((i + 1) % n) + 1] - ys[i + 1])
+                        + xs[i + 1])
+              THEN 1 ELSE 0 END) AS c
+        FROM edges
+        GROUP BY 1, 2, 3)
+      SELECT poly_id, cell_x, cell_y FROM crossings
+      WHERE c % 2 = 1 ORDER BY 1, 2, 3""",
     "q_vector_overlay" -> """
       WITH z AS (SELECT c_custkey % 5 AS zone, c_custkey AS cell FROM customer),
       ov AS (SELECT DISTINCT (s_suppkey * 15) % 2000 AS cell FROM supplier),

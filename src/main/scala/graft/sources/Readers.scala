@@ -29,6 +29,26 @@ object Readers {
 
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** G6 read side — consume a Darwin-Core archive THROUGH its
+    * descriptor: parse `meta.xml` for the core data-file locations and
+    * read exactly those (schema still explicit — the descriptor names
+    * terms, the caller declares types). A wrong descriptor therefore
+    * reads nothing/garbage and fails the gate, which is the point. */
+  def dwcArchive(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta.xml")
+    val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(metaPath)
+    val meta = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val locations = "<location>([^<]+)</location>".r
+      .findAllMatchIn(meta).map(_.group(1)).toSeq
+    require(locations.nonEmpty, s"dwcArchive: no <location> entries in $metaPath")
+    spark.read
+      .schema(schema)
+      .option("header", "true")
+      .option("mode", "FAILFAST")
+      .csv(locations.map(l => s"$path/$l"): _*)
+  }
 }
 
 /** Sink helpers: every writer is a plain DataFrame write so it scales
@@ -68,6 +88,62 @@ object Writers {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+
+  /** G6 — FULL Darwin-Core archive (`exporters/dwc_archive_exporter
+    * .py` emits occurrence CSV + `meta.xml` + zip): the occurrence
+    * body is a distributed headered-CSV write (scales with partitions);
+    * the `meta.xml` descriptor (core rowType, one `<location>` per CSV
+    * part, one `<field>` per column in DataFrame order) and the
+    * `archive.zip` packaging are driver-side — O(descriptor + stream
+    * copy), never O(rows in memory), via the Hadoop FS API so the same
+    * code lands on HDFS/S3. */
+  def dwcArchiveFull(
+      df: DataFrame, path: String,
+      rowType: String = "http://rs.tdwg.org/dwc/terms/Occurrence",
+      termNs: String = "http://rs.tdwg.org/dwc/terms/"): Unit = {
+    import org.apache.hadoop.fs.Path
+    dwcArchive(df, s"$path/occurrence")
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val parts = fs.listStatus(new Path(s"$path/occurrence"))
+      .map(_.getPath).filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".csv"))
+      .sortBy(_.getName)
+    val fields = df.schema.fieldNames
+    val meta =
+      s"""<archive xmlns="http://rs.tdwg.org/dwc/text/">
+         |  <core encoding="UTF-8" fieldsTerminatedBy="," linesTerminatedBy="\\n"
+         |        fieldsEnclosedBy="&quot;" ignoreHeaderLines="1" rowType="$rowType">
+         |    <files>
+         |${parts.map(p => s"      <location>occurrence/${p.getName}</location>").mkString("\n")}
+         |    </files>
+         |    <id index="0"/>
+         |${fields.zipWithIndex.map { case (f, i) =>
+             s"""      <field index="$i" term="$termNs$f"/>""" }.mkString("\n")}
+         |  </core>
+         |</archive>
+         |""".stripMargin
+    val metaOut = fs.create(new Path(s"$path/meta.xml"), true)
+    try metaOut.write(meta.getBytes("UTF-8")) finally metaOut.close()
+    // zip: meta.xml + every part, streamed through a bounded buffer
+    val zipOut = new java.util.zip.ZipOutputStream(
+      fs.create(new Path(s"$path/archive.zip"), true))
+    try {
+      zipOut.putNextEntry(new java.util.zip.ZipEntry("meta.xml"))
+      zipOut.write(meta.getBytes("UTF-8"))
+      zipOut.closeEntry()
+      val buf = new Array[Byte](64 * 1024)
+      parts.foreach { p =>
+        zipOut.putNextEntry(new java.util.zip.ZipEntry(s"occurrence/${p.getName}"))
+        val in = fs.open(p)
+        try {
+          var n = in.read(buf)
+          while (n >= 0) { if (n > 0) zipOut.write(buf, 0, n); n = in.read(buf) }
+        } finally in.close()
+        zipOut.closeEntry()
+      }
+    } finally zipOut.close()
+  }
 
   /** [[bucketedTable]] with an explicit data location (external table)
     * — lets callers keep bucket files out of the session warehouse dir

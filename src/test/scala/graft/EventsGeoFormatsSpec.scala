@@ -162,4 +162,35 @@ class EventsGeoFormatsSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(2), r.getInt(4))).toSeq ==
       Seq((10L, 1L, 1), (12L, 3L, 1)))
   }
+
+  test("rasterizePolygons covers exactly the interior cells of a square") {
+    val square = Seq((1L, Seq(0.0, 10.0, 10.0, 0.0), Seq(0.0, 0.0, 10.0, 10.0)))
+      .toDF("poly_id", "xs", "ys")
+    val cells = graft.operators.Geo.rasterizePolygons(square, "poly_id", "xs", "ys", 1.0)
+      .collect().map(r => (r.getInt(1), r.getInt(2))).toSet
+    assert(cells == (for (x <- 0 until 10; y <- 0 until 10) yield (x, y)).toSet)
+  }
+
+  test("rasterizePolygons matches a reference even-odd test on a concave ring") {
+    val xs = Seq(20.2, 28.9, 24.5, 22.1, 20.9)
+    val ys = Seq(5.1, 5.7, 12.4, 8.3, 11.2)
+    val df = Seq((7L, xs, ys)).toDF("poly_id", "xs", "ys")
+    val got = graft.operators.Geo.rasterizePolygons(df, "poly_id", "xs", "ys", 1.0)
+      .collect().map(r => (r.getInt(1), r.getInt(2))).toSet
+    def inside(px: Double, py: Double): Boolean = {
+      val n = xs.size
+      var c = 0
+      for (i <- 0 until n) {
+        val (xi, yi) = (xs(i), ys(i)); val (xj, yj) = (xs((i + 1) % n), ys((i + 1) % n))
+        if (((yi > py) != (yj > py)) && (px < (xj - xi) * (py - yi) / (yj - yi) + xi)) c += 1
+      }
+      c % 2 == 1
+    }
+    val want = (for {
+      x <- math.floor(xs.min).toInt to math.floor(xs.max).toInt
+      y <- math.floor(ys.min).toInt to math.floor(ys.max).toInt
+      if inside(x + 0.5, y + 0.5)
+    } yield (x, y)).toSet
+    assert(got == want && got.nonEmpty)
+  }
 }
