@@ -76,35 +76,48 @@ object Dedup {
     * bucket, so skewy mega-buckets are capped at `maxBucket` (dropping
     * a bucket of identical boilerplate docs is the standard move at
     * corpus scale — they are caught by exact dedup first). */
-  def minhashCandidates(
+  /** (doc_id, sig) minhash-signature frame — shared by the batch
+    * candidate miner and the streaming bucket processor. */
+  private[graft] def signatureFrame(
       df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      maxBucket: Int = 1000): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
+      shingleN: Int, numHashes: Int): DataFrame = {
     val toks = split(col(textCol), " ")
-    val sigDf = df
-      .where(size(toks) >= shingleN)
+    df.where(size(toks) >= shingleN)
       .select(
         col(idCol).as("doc_id"),
         minhashSignature(
           graft.functions.HashFunctions.shingle_hashes(toks, shingleN),
           numHashes).as("sig"))
-    // Bucket shuffle carries ONLY (band, bucket, doc_id) — never the
-    // signature. The earlier form exploded the full 64-long sig into
-    // every band (a `bands`× duplication of the corpus's signature
-    // mass through the exchange) and sort_array'd structs containing
-    // arrays; ids-only banding shrinks that shuffle ~30× and the
-    // signatures re-enter once, via the verify join below. This is the
-    // shape that survives 100 TB: exchange ∝ 16 longs/doc, not 16×64.
-    val banded = sigDf.select(
-      col("doc_id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        struct(
-          b.as("band"),
-          xxhash64(slice(col("sig"), b * lit(r) + lit(1), lit(r))).as("bucket")))).as("bb"))
-    val pairs = banded
-      .groupBy(col("bb.band"), col("bb.bucket"))
+  }
+
+  /** Banded (doc_id, band, bucket) rows from a signature frame.
+    * The exchange carries ONLY these three columns — never the
+    * signature. The earlier form exploded the full 64-long sig into
+    * every band (a `bands`× duplication of the corpus's signature
+    * mass through the exchange) and sort_array'd structs containing
+    * arrays; ids-only banding shrinks that shuffle ~30× and the
+    * signatures re-enter once via a verify join. This is the shape
+    * that survives 100 TB: exchange ∝ 16 longs/doc, not 16×64. */
+  private[graft] def bandedBuckets(
+      sigDf: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    sigDf.select(
+        col("doc_id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          struct(
+            b.as("band"),
+            xxhash64(slice(col("sig"), b * lit(r) + lit(1), lit(r))).as("bucket")))).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  def minhashCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      maxBucket: Int = 1000): DataFrame = {
+    val sigDf = signatureFrame(df, idCol, textCol, shingleN, numHashes)
+    val pairs = bandedBuckets(sigDf, numHashes, bands)
+      .groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(col("doc_id"))).as("members"))
       .where(size(col("members")) > 1 && size(col("members")) <= maxBucket)
       .select(explode(flatten(transform(col("members"), (m, i) =>

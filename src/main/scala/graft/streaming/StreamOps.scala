@@ -122,6 +122,79 @@ object StreamOps {
         org.apache.spark.sql.streaming.OutputMode.Update())
   }
 
+  case class MinhashCandidate(id_a: Long, id_b: Long, band: Int)
+
+  /** Per-(band, bucket) membership state for the streaming minhash
+    * dedup: each arriving doc pairs with every member already in its
+    * bucket, then joins the bucket. `maxBucket` caps both state and
+    * emission per bucket (the batch miner DROPS over-cap buckets
+    * outright; a stream cannot retract emitted pairs, so it stops
+    * pairing instead — boilerplate mega-buckets go quiet either way).
+    * Re-delivered ids are ignored (idempotent under at-least-once). */
+  class MinhashBucketProcessor(maxBucket: Int, ttl: Option[java.time.Duration])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        (Int, Long), (Int, Long, Long), MinhashCandidate] {
+    @transient private var members: org.apache.spark.sql.streaming.ListState[Long] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      members = getHandle.getListState[Long](
+        "members", org.apache.spark.sql.Encoders.scalaLong,
+        ttl.map(d => new org.apache.spark.sql.streaming.TTLConfig(d))
+          .getOrElse(org.apache.spark.sql.streaming.TTLConfig.NONE))
+
+    override def handleInputRows(
+        key: (Int, Long), rows: Iterator[(Int, Long, Long)],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[MinhashCandidate] = {
+      val current = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val it = members.get()
+      while (it.hasNext) current += it.next()
+      val out = Seq.newBuilder[MinhashCandidate]
+      rows.foreach { case (band, _, id) =>
+        if (!current.contains(id) && current.size < maxBucket) {
+          current.foreach { m =>
+            out += MinhashCandidate(math.min(m, id), math.max(m, id), band)
+          }
+          current += id
+          members.appendValue(id)
+        }
+      }
+      out.result().iterator
+    }
+  }
+
+  /** J8 — streaming MinHash-bucket near-dup candidates: the unbounded
+    * twin of [[graft.operators.Dedup.minhashCandidates]], sharing its
+    * signature + banding expressions verbatim (so stream and batch
+    * bucket identically, by construction). Candidate pairs surface the
+    * moment the second member of a bucket arrives; with `ttl` set,
+    * bucket membership expires after the horizon, so state stays
+    * bounded on an unbounded corpus ingest (the batch pass over the
+    * full corpus remains the completeness backstop, exactly as in
+    * production dedup pipelines). Emitted pairs may repeat across
+    * bands/batches — consumers `dropDuplicates(id_a, id_b)` or feed
+    * [[graft.operators.Dedup.connectedComponents]], which is
+    * idempotent to duplicate edges. */
+  def minhashCandidateStream(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      maxBucket: Int = 1000,
+      ttl: Option[java.time.Duration] = None): Dataset[MinhashCandidate] = {
+    import df.sparkSession.implicits._
+    val banded = graft.operators.Dedup.bandedBuckets(
+      graft.operators.Dedup.signatureFrame(df, idCol, textCol, shingleN, numHashes),
+      numHashes, bands)
+    banded.select(col("band"), col("bucket"), col("doc_id"))
+      .as[(Int, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .transformWithState(
+        new MinhashBucketProcessor(maxBucket, ttl),
+        if (ttl.isDefined) org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+        else org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   case class SessionState(
       start: Long, last: Long, n: Long, sum: Double)
   case class Session(

@@ -56,6 +56,40 @@ class StreamDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming minhash-bucket dedup matches batch candidates across micro-batches") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val batchPairs = graft.operators.Dedup
+      .minhashCandidates(Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", "text")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchPairs.nonEmpty)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamOps.minhashCandidateStream(
+        input.toDF.toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("mh_out")
+      .outputMode("append").start()
+    try {
+      val (first, second) = docs.splitAt(docs.length / 2)
+      input.addData(first.toSeq)
+      q.processAllAvailable()
+      input.addData(second.toSeq) // cross-batch pairs need surviving state
+      q.processAllAvailable()
+      val streamPairs = spark.table("mh_out")
+        .select("id_a", "id_b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamPairs == batchPairs)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState keeps running per-user aggregates (RocksDB store)") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
