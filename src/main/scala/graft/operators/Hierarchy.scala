@@ -50,6 +50,16 @@ object Hierarchy {
     // |subtree(a)| = closure rows with ancestor a (self included)
     val sizes = closure.groupBy(col("ancestor_id").as("node_id"))
       .agg(count(lit(1)).as("size"))
+    // Hot-partition bound: this window partitions by parent_id, so a
+    // node with f children puts f (node_id, size, sort_key) rows on one
+    // reducer — 3 longs/row, a sequential in-partition scan, spillable
+    // by WindowExec: fine to f ≈ 10⁷ (hundreds of MB). Taxonomies never
+    // get near that (genus fan-out ≤ 10⁴); for a synthetic tree that
+    // does, swap in a two-pass presum — bucket siblings by sort_key
+    // range, aggregate per-bucket size sums, prefix the (small) bucket
+    // totals, then window within buckets — same result, fan-out/bucket
+    // rows per partition. Not the default because the extra shuffle
+    // costs more than it saves on every real hierarchy.
     val w = Window.partitionBy("parent_id").orderBy("sort_key")
       .rowsBetween(Window.unboundedPreceding, -1)
     val presum = ids.join(sizes, "node_id")
