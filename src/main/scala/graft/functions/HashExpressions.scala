@@ -162,6 +162,66 @@ case class SimHash64(child: Expression) extends TokenSketchExpression {
     copy(child = newChild)
 }
 
+/** Shared md5-simhash kernel (ThreadLocal digest — MessageDigest is
+  * not thread-safe and instantiation per token would dominate).
+  * Bit b of the result = sign of the per-token ±1 votes taken from bit
+  * b of the md5 digest's last 8 bytes little-endian — exactly DuckDB's
+  * `md5_number_lower`, which is the whole point: any engine with an
+  * md5 primitive can replay the fingerprint bit-for-bit (the J3
+  * oracle does). Called from both interpreted eval and generated code
+  * (Scala object = static forwarder on the class). */
+object Md5SimHashUtil {
+  private val md = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  def simhash64(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val m = md.get()
+      m.reset()
+      val digest = m.digest(arr.getUTF8String(i).getBytes)
+      var j = 0
+      while (j < 8) {
+        val dj = digest(8 + j)
+        var k = 0
+        while (k < 8) {
+          votes(8 * j + k) += ((dj >> k) & 1) * 2 - 1
+          k += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    var acc = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) acc |= 1L << b; b += 1 }
+    acc
+  }
+}
+
+/** Engine-portable 64-bit SimHash over md5 token hashes (see
+  * [[Md5SimHashUtil]]): packed fingerprint with bit b = vote sign of
+  * md5_number_lower bit b. The xxhash [[SimHash64]] stays the
+  * production default (~3× cheaper); this variant exists so a
+  * cross-engine oracle can recompute fingerprints exactly. */
+case class SimHashMd5(child: Expression) extends TokenSketchExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_md5"
+
+  override def nullSafeEval(input: Any): Any =
+    Md5SimHashUtil.simhash64(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.Md5SimHashUtil.simhash64($arr);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashMd5 =
+    copy(child = newChild)
+}
+
 /** Distinct hashed word n-gram shingles of a token array, as one fused
   * loop: token bytes hash once, shingle ids chain the n member token
   * hashes (`chain_j = hashLong(tokHash_j, chain_{j-1})`, seed 42), the
@@ -319,6 +379,10 @@ object HashFunctions {
   /** Native 64-bit SimHash over a token array column. */
   def simhash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+
+  /** Native md5-based (engine-portable) 64-bit SimHash. */
+  def simhash_md5(tokens: Column): Column =
+    ColumnBridge.column(SimHashMd5(ColumnBridge.expression(tokens)))
 
   /** Native distinct hashed n-gram shingles over a token array column. */
   def shingle_hashes(tokens: Column, n: Int): Column =

@@ -191,26 +191,30 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     mineHammingPairs(
-      df.select(col(idCol).as("doc_id"), simhashMd5HiLo(col(textCol)).as("__fp"))
+      df.select(
+          col(idCol).as("doc_id"),
+          graft.functions.HashFunctions.simhash_md5(split(col(textCol), " ")).as("__s"))
         .select(
           col("doc_id"),
-          col("__fp.hi").as("hi"), col("__fp.lo").as("lo")),
+          shiftrightunsigned(col("__s"), 32).as("hi"),
+          col("__s").bitwiseAND(lit(0xFFFFFFFFL)).as("lo")),
       maxHamming, maxBucket)
   }
 
-  /** 64-bit SimHash as two 32-bit halves (hi = bits 63..32, lo =
-    * 31..0), with per-token bit votes taken from the md5 digest's last
-    * 8 bytes little-endian — exactly DuckDB's `md5_number_lower`, so
-    * an oracle can recompute the fingerprint bit-for-bit. Pure column
-    * expressions: one fold over the token array, all shifts static. */
+  /** Pure-functions md5 SimHash as two 32-bit halves (hi = bits
+    * 63..32, lo = 31..0) — the reference implementation of the native
+    * [[graft.functions.SimHashMd5]] (bit-equal, asserted in
+    * HashExpressionsSpec), kept for environments that must avoid
+    * custom expressions. One fold over the token array, one md5 per
+    * token, all shifts static. */
   private[graft] def simhashMd5HiLo(text: Column): Column = {
     val toks = split(text, " ")
-    // per token: the 8 relevant digest bytes (hex chars 17..32, byte j
-    // at chars 17+2j), each 0..255
-    val tokBytes = transform(toks, t =>
+    // one md5 per token (hex chars 17..32 = digest bytes 8..15); the
+    // byte split reads the hex STRING so the digest is never recomputed
+    val hexes = transform(toks, t => substring(md5(t.cast("binary")), 17, 16))
+    val tokBytes = transform(hexes, h =>
       transform(sequence(lit(0), lit(7)), j =>
-        conv(md5(t.cast("binary")).substr(lit(17) + j * 2, lit(2)), 16, 10)
-          .cast("int")))
+        conv(h.substr(j * 2 + lit(1), lit(2)), 16, 10).cast("int")))
     // fold: 64 votes, bit b = bit (b%8) of byte (b/8) — ±1 per token
     val votes = aggregate(
       tokBytes, array_repeat(lit(0), 64),

@@ -32,6 +32,19 @@ class HashExpressionsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("native simhash_md5 is bit-equal to the HOF hi/lo reference formulation") {
+    val rows = docs.select(
+      HashFunctions.simhash_md5(split(col("text"), " ")).as("native"),
+      Dedup.simhashMd5HiLo(col("text")).as("hof")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val native = r.getLong(0)
+      val hof = r.getStruct(1)
+      assert((native >>> 32) == hof.getLong(0), "hi half")
+      assert((native & 0xFFFFFFFFL) == hof.getLong(1), "lo half")
+    }
+  }
+
   test("native max_multiplicity equals the HOF reference formulation") {
     val rows = docs.select(
       HashFunctions.max_multiplicity(split(col("text"), " ")).as("native"),
