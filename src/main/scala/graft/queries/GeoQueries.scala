@@ -86,6 +86,17 @@ object GeoQueries {
       val polys = testPolygons.toDF("poly_id", "xs", "ys")
       Geo.rasterizePolygons(polys, "poly_id", "xs", "ys", cellDeg = 1.0)
     },
+    // P5 — exact point-in-polygon containment join: bbox-cell-blocked
+    // hash join + exact even-odd predicate on the point coordinates;
+    // the oracle replays the identical crossing arithmetic per
+    // (point, polygon) pair, so membership AND aggregates must match.
+    "q_polygon_join" -> { (s, dir) =>
+      import s.implicits._
+      val polys = testPolygons.toDF("poly_id", "xs", "ys")
+      Geo.pointInPolygon(
+        customerPoints(s, dir), polys, "lon", "lat", "poly_id", "xs", "ys",
+        Seq(Num.dsum(col("c_acctbal")).as("acctbal_sum")))
+    },
   )
 
   /** Fixed test rings shared verbatim by the Spark query and the SQL
@@ -167,6 +178,29 @@ object GeoQueries {
         GROUP BY 1, 2, 3)
       SELECT poly_id, cell_x, cell_y FROM crossings
       WHERE c % 2 = 1 ORDER BY 1, 2, 3""",
+    "q_polygon_join" -> s"""
+      WITH p AS ($pointsSql),
+      polys(poly_id, xs, ys) AS (VALUES $polygonValuesSql),
+      pairs AS (
+        SELECT p.c_custkey, p.c_acctbal, p.lon AS px, p.lat AS py,
+               polys.poly_id, polys.xs, polys.ys, len(polys.xs) AS n
+        FROM p, polys
+        WHERE p.lon BETWEEN list_min(polys.xs) AND list_max(polys.xs)
+          AND p.lat BETWEEN list_min(polys.ys) AND list_max(polys.ys)),
+      edges AS (
+        SELECT *, unnest(generate_series(0, n - 1)) AS i FROM pairs),
+      cr AS (
+        SELECT poly_id, c_custkey, c_acctbal,
+          SUM(CASE WHEN ((ys[i + 1] > py) <> (ys[((i + 1) % n) + 1] > py))
+                AND (px < (xs[((i + 1) % n) + 1] - xs[i + 1])
+                          * (py - ys[i + 1])
+                          / (ys[((i + 1) % n) + 1] - ys[i + 1])
+                        + xs[i + 1])
+              THEN 1 ELSE 0 END) AS c
+        FROM edges GROUP BY 1, 2, 3)
+      SELECT poly_id, COUNT(*) AS n_points, ${dsum("c_acctbal")} AS acctbal_sum
+      FROM cr WHERE c % 2 = 1
+      GROUP BY 1 ORDER BY 1""",
     "q_vector_overlay" -> """
       WITH z AS (SELECT c_custkey % 5 AS zone, c_custkey AS cell FROM customer),
       ov AS (SELECT DISTINCT (s_suppkey * 15) % 2000 AS cell FROM supplier),

@@ -115,6 +115,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.exists(_.isInstanceOf[BroadcastHashJoinExec]))
   }
 
+  test("polygon containment join is also cell-blocked — no nested-loop") {
+    val plan = executed(SparkEntry.queries("q_polygon_join")(spark, dir))
+    assert(!plan.exists(_.nodeName.toLowerCase.contains("nestedloop")))
+    assert(!plan.exists(_.nodeName.toLowerCase.contains("cartesian")))
+  }
+
   test("minhash banding shuffles ids only — signatures stay out of the exchange") {
     // the operator, not the gate query (which adds the exact-jaccard
     // verification join on top)
