@@ -44,27 +44,13 @@ object Hierarchy {
     * lineage growth, every shuffle partitioned by a key (never a
     * global scan), so the same plan holds at 10⁹ nodes.
     */
-  def nestedSet(nodes: DataFrame): DataFrame = {
+  def nestedSet(nodes: DataFrame, siblingBucketWidth: Long = 0L): DataFrame = {
     val ids = nodes.select("node_id", "parent_id", "sort_key")
     val closure = ancestorClosure(ids).persist() // reused: sizes + lft
     // |subtree(a)| = closure rows with ancestor a (self included)
     val sizes = closure.groupBy(col("ancestor_id").as("node_id"))
       .agg(count(lit(1)).as("size"))
-    // Hot-partition bound: this window partitions by parent_id, so a
-    // node with f children puts f (node_id, size, sort_key) rows on one
-    // reducer — 3 longs/row, a sequential in-partition scan, spillable
-    // by WindowExec: fine to f ≈ 10⁷ (hundreds of MB). Taxonomies never
-    // get near that (genus fan-out ≤ 10⁴); for a synthetic tree that
-    // does, swap in a two-pass presum — bucket siblings by sort_key
-    // range, aggregate per-bucket size sums, prefix the (small) bucket
-    // totals, then window within buckets — same result, fan-out/bucket
-    // rows per partition. Not the default because the extra shuffle
-    // costs more than it saves on every real hierarchy.
-    val w = Window.partitionBy("parent_id").orderBy("sort_key")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val presum = ids.join(sizes, "node_id")
-      .withColumn("presum", coalesce(sum("size").over(w), lit(0L)))
-      .select(col("node_id").as("ancestor_id"), col("presum"))
+    val presum = siblingPresum(ids, sizes, siblingBucketWidth)
     val lft = closure.join(presum, "ancestor_id")
       .groupBy("node_id")
       .agg(
@@ -75,6 +61,62 @@ object Hierarchy {
         col("node_id"), col("parent_id"), col("level").cast("int").as("level"),
         col("lft"), (col("lft") + col("size") * 2 - 1).as("rght"))
       .orderBy("lft")
+  }
+
+  /** Σ sizes of each node's preceding siblings (same parent, smaller
+    * `sort_key`).
+    *
+    * Default (`bucketWidth = 0`) is ONE window partitioned by
+    * `parent_id`: a node with f children puts f (node_id, size,
+    * sort_key) rows on one reducer — 3 longs/row, a sequential
+    * in-partition scan, spillable by WindowExec: fine to f ≈ 10⁷
+    * (hundreds of MB). Taxonomies never get near that (genus fan-out
+    * ≤ 10⁴), and the single window costs one shuffle.
+    *
+    * For pathological fan-out (a synthetic flat tree with 10⁸ siblings)
+    * pass `bucketWidth > 0`: the TWO-PASS SALTED presum. Siblings split
+    * into order-preserving `sort_key`-range buckets of at most
+    * `bucketWidth` dense keys each; per-(parent, bucket) sums prefix
+    * at bucket grain (rows per parent = fan-out / bucketWidth), then a
+    * window WITHIN each (parent, bucket) finishes the presum — the
+    * hottest partition shrinks from f rows to ~bucketWidth rows. All
+    * integer sums ⇒ bit-equal to the default path
+    * (HierarchyPropertySpec asserts equality on random trees). Not the
+    * default because the two extra shuffles cost more than they save
+    * on every real hierarchy. */
+  private def siblingPresum(
+      ids: DataFrame, sizes: DataFrame, bucketWidth: Long): DataFrame = {
+    val sized = ids.join(sizes, "node_id")
+    if (bucketWidth <= 0L) {
+      val w = Window.partitionBy("parent_id").orderBy("sort_key")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      sized
+        .withColumn("presum", coalesce(sum("size").over(w), lit(0L)))
+        .select(col("node_id").as("ancestor_id"), col("presum"))
+    } else {
+      // floor-division bucket (exact for negative keys too: pmod is the
+      // non-negative remainder, so (k − pmod) is an exact multiple)
+      val bucket = ((col("sort_key") - pmod(col("sort_key"), lit(bucketWidth)))
+        / bucketWidth).cast("long")
+      // null-safe parent key: the root's parent_id is null, and a plain
+      // equi-join on parent_id would silently drop its presum row
+      val pkey = struct(
+        col("parent_id").isNull.as("isroot"),
+        coalesce(col("parent_id"), lit("")).as("p"))
+      val withB = sized.withColumn("__bucket", bucket).withColumn("__pk", pkey)
+      val wb = Window.partitionBy("__pk").orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bucketPrefix = withB
+        .groupBy("__pk", "__bucket").agg(sum("size").as("__bsum"))
+        .withColumn("__before", coalesce(sum("__bsum").over(wb), lit(0L)))
+        .drop("__bsum")
+      val win = Window.partitionBy("__pk", "__bucket").orderBy("sort_key")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      withB.join(bucketPrefix, Seq("__pk", "__bucket"))
+        .withColumn("presum",
+          col("__before") + coalesce(sum("size").over(win), lit(0L)))
+        .select(col("node_id").as("ancestor_id"), col("presum"))
+    }
   }
 
   /** Aggregate a fact table at EVERY level of a dimension hierarchy in

@@ -52,6 +52,26 @@ class HierarchyPropertySpec extends SparkSpec {
     }
   }
 
+  test("salted two-pass sibling presum is bit-equal to the single-window path") {
+    val rnd = new Random(11)
+    for (trial <- 1 to 4) {
+      val n = 2 + rnd.nextInt(59)
+      // sparse, occasionally negative sort keys exercise the
+      // floor-division bucketing across bucket boundaries
+      val nodes: Seq[(String, Option[String], Long)] =
+        ("n0", None, -7L) +: (1 until n).map { i =>
+          (s"n$i", Some(s"n${rnd.nextInt(i)}"), i.toLong * 3 - 40)
+        }
+      val df = nodes.toDF("node_id", "parent_id", "sort_key")
+      def labels(width: Long) =
+        Hierarchy.nestedSet(df, siblingBucketWidth = width).collect()
+          .map(r => (r.getString(0), r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+      val default = labels(0L)
+      for (width <- Seq(1L, 4L, 1000L))
+        assert(labels(width) == default, s"trial=$trial width=$width")
+    }
+  }
+
   test("ancestorClosure converges on a deep chain with no depth parameter") {
     val n = 20
     val nodes: Seq[(String, Option[String], Long)] =
