@@ -115,6 +115,12 @@ object GraftFunctions {
   def nearest_centroid(v: Column, centroids: Array[Array[Double]]): Column =
     ColumnBridge.column(NearestCentroidIndex(ColumnBridge.expression(v), centroids))
 
+  /** Codegen'd multi-table LSH sign-pattern buckets against a
+    * driver-side plane matrix (see [[SignBuckets]]). Not
+    * SQL-registered for the same reason as `nearest_centroid`. */
+  def sign_buckets(v: Column, planes: Array[Array[Double]], nPlanes: Int): Column =
+    ColumnBridge.column(SignBuckets(ColumnBridge.expression(v), planes, nPlanes))
+
   private def intLit(e: Expression, fn: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(

@@ -158,21 +158,28 @@ object Similarity {
     * so the bucket join exchanges ids; vectors re-enter once via the
     * scoring join against the (small, broadcast) query set. Corpus
     * bucketing is reusable across query batches via
-    * `repartition($"table", $"bucket")` + persist at cluster scale. */
+    * `repartition($"table", $"bucket")` + persist at cluster scale.
+    *
+    * Bucketing is the native codegen'd
+    * [[graft.functions.SignBuckets]] — all nTables·nPlanes hyperplane
+    * dots fused into one primitive loop per vector (the composed
+    * [[lshBucket]] column form is CodegenFallback: 64 interpreted
+    * folds/vector at the default config; SimilarityGateSpec asserts
+    * the two paths bit-equal). */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nPlanes: Int, dim: Int,
       nTables: Int = 8): DataFrame = {
-    val buckets = (v: Column) => array((0 until nTables).map(t =>
-      struct(lit(t).as("table"), lshBucket(v, nPlanes, dim, t).as("bucket"))): _*)
+    val planes: Array[Array[Double]] =
+      planeWeights(nTables * nPlanes, dim).map(_.toArray).toArray
+    val sb = (v: Column) =>
+      graft.functions.GraftFunctions.sign_buckets(v, planes, nPlanes)
     val c = corpus.select(
       col(idCol).as("neighbor_id"),
-      explode(buckets(col(vecCol))).as("tb"))
-      .select(col("neighbor_id"), col("tb.table"), col("tb.bucket"))
+      posexplode(sb(col(vecCol))).as(Seq("table", "bucket")))
     val q = queries.select(
       col(idCol).as("query_id"), col(vecCol).as("qv"),
-      explode(buckets(col(vecCol))).as("tb"))
-      .select(col("query_id"), col("qv"), col("tb.table"), col("tb.bucket"))
+      posexplode(sb(col(vecCol))).as(Seq("table", "bucket")))
     val qVecs = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val cands = c.join(
         broadcast(q.select(col("query_id"), col("table"), col("bucket"))),

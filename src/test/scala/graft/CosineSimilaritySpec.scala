@@ -57,6 +57,28 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(err.getMessage.contains("literal INT"))
   }
 
+  test("sign_buckets is bit-equal to the composed lshBucket column form") {
+    import graft.operators.Similarity
+    val nPlanes = 4; val nTables = 6; val dim = 64
+    val planes = Similarity.planeWeights(nTables * nPlanes, dim).map(_.toArray).toArray
+    val df = vecs.select(col("a").as("v"))
+    val native = df.select(
+      GraftFunctions.sign_buckets(col("v"), planes, nPlanes).as("bs"))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    val composed = df.select(array((0 until nTables).map(t =>
+      Similarity.lshBucket(col("v"), nPlanes, dim, t)): _*).as("bs"))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    assert(native.toSeq == composed.toSeq)
+    // degenerate inputs: zero vector → bucket 0 everywhere; null → null
+    val edge = Seq(
+      Some((0 until dim).map(_ => 0.0f)), Option.empty[Seq[Float]])
+      .toDF("v")
+      .select(GraftFunctions.sign_buckets(col("v"), planes, nPlanes).as("bs"))
+      .collect()
+    assert(edge(0).getSeq[Long](0).forall(_ == 0L))
+    assert(edge(1).isNullAt(0))
+  }
+
   test("expression participates in whole-stage codegen") {
     // a parquet-backed plan: local relations get constant-folded away
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
