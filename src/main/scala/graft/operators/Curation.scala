@@ -67,6 +67,38 @@ object Curation {
       .orderBy(idCols.map(col): _*)
   }
 
+  /** Cumulative-weight hex thresholds for [[assignSplits]]: the first
+    * 8 md5 hex digits are uniform over [0, 2³²), so split i owns the
+    * lexicographic range [t_{i−1}, t_i) of `%08x`-formatted
+    * `floor(cum_i · 2³²)`. Exposed so a gate oracle can embed the SAME
+    * literals (threshold derivation must never fork between engines). */
+  private[graft] def splitThresholds(weights: Seq[Double]): Seq[String] = {
+    require(weights.forall(_ > 0), "assignSplits: weights must be > 0")
+    require(math.abs(weights.sum - 1.0) < 1e-9,
+      s"assignSplits: weights must sum to 1, got ${weights.sum}")
+    weights.scanLeft(0.0)(_ + _).tail.init
+      .map(c => f"${(c * 4294967296.0).toLong}%08x")
+  }
+
+  /** Deterministic train/val/test corpus split: rows assign to the
+    * named splits by the first 8 hex digits of `md5(id)` against the
+    * cumulative-weight thresholds — reshuffle-stable, engine-portable
+    * (md5 hex is identical everywhere; `rand(seed)` is not: it is
+    * partition-dependent, so a repartition would silently reassign
+    * rows). Map-only: one codegen'd projection over the corpus, zero
+    * shuffle — the 100 TB shape for the split step of a training-data
+    * pipeline. */
+  def assignSplits(
+      df: DataFrame, idCol: String, splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.size >= 2, "assignSplits: need at least 2 splits")
+    val thresholds = splitThresholds(splits.map(_._2))
+    val h = substring(md5(col(idCol).cast("string")), 1, 8)
+    var assigned = when(h < thresholds.head, lit(splits.head._1))
+    for (((name, _), th) <- splits.tail.init.zip(thresholds.tail))
+      assigned = assigned.when(h < th, lit(name))
+    df.withColumn("split", assigned.otherwise(lit(splits.last._1)))
+  }
+
   /** Deterministic stratified sample: within each stratum keep
     * `ceil(frac · stratum_size)` rows ordered by `md5(id)` — a
     * reshuffle-stable, engine-portable pseudo-random order (md5 is

@@ -46,7 +46,21 @@ object CurationQueries {
       Curation.chunkDocuments(
         Tables.documents(s, dir), "doc_id", "text", chunkSize = 32, overlap = 8)
     },
+    // Q9 — deterministic hash-split; row-level gate (doc_id, split):
+    // the oracle recomputes the identical md5-prefix CASE, so any
+    // threshold or hashing drift flips row hashes.
+    "q_corpus_split" -> { (s, dir) =>
+      Curation.assignSplits(
+          Tables.documents(s, dir).select("doc_id", "n_chars"), "doc_id", corpusSplits)
+        .select("doc_id", "split", "n_chars")
+        .orderBy("doc_id")
+    },
   )
+
+  /** 80/10/10 — shared by the query and its oracle so the thresholds
+    * can never fork. */
+  private val corpusSplits =
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
   val oracles: Map[String, String] = Map(
     // max word multiplicity via token unnest + group; Spark computes the
@@ -147,5 +161,19 @@ object CurationQueries {
              array_to_string(toks[i * 24 + 1 : i * 24 + 32], ' ') AS chunk_text,
              CAST(LEAST(32, n - i * 24) AS INT) AS n_chunk_tokens
       FROM c ORDER BY doc_id, chunk_idx""",
+    "q_corpus_split" -> s"""
+      SELECT doc_id, $splitCaseSql AS split, n_chars
+      FROM documents ORDER BY doc_id""",
   )
+
+  /** The oracle's CASE over the SAME `%08x` thresholds the operator
+    * derives (md5 hex is lowercase in both engines, so the lexicographic
+    * range comparison is engine-portable). */
+  private def splitCaseSql: String = {
+    val th = Curation.splitThresholds(corpusSplits.map(_._2))
+    val whens = corpusSplits.init.zip(th).map { case ((nm, _), t) =>
+      s"WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$t' THEN '$nm'"
+    }.mkString(" ")
+    s"CASE $whens ELSE '${corpusSplits.last._1}' END"
+  }
 }

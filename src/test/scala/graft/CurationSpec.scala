@@ -96,4 +96,25 @@ class CurationSpec extends SparkSpec {
     assert(out(0L) == ((2L, 200L)))
     assert(out(1L) == ((2L, 150L)))
   }
+
+  test("assignSplits is exhaustive, repartition-stable and near the weights") {
+    val df = spark.range(0, 5000).toDF("doc_id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Curation.assignSplits(df, "doc_id", splits)
+    val counts = out.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 5000L)
+    assert(counts.keySet == Set("train", "val", "test"))
+    // md5 prefix is uniform: binomial 3-sigma bands at n=5000
+    assert(math.abs(counts("train") - 4000L) < 3 * math.sqrt(5000 * 0.8 * 0.2))
+    assert(math.abs(counts("val") - 500L) < 3 * math.sqrt(5000 * 0.1 * 0.9))
+    // the assignment is a pure row function: repartitioning cannot move rows
+    val a = out.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    val b = Curation.assignSplits(df.repartition(13), "doc_id", splits)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(a.sameElements(b))
+    // invalid weights fail loudly
+    intercept[IllegalArgumentException](
+      Curation.assignSplits(df, "doc_id", Seq("a" -> 0.5, "b" -> 0.4)))
+  }
 }
