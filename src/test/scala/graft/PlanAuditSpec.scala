@@ -121,6 +121,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.exists(_.nodeName.toLowerCase.contains("cartesian")))
   }
 
+  test("lsh bucketing runs inside whole-stage codegen — no fallback regression") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, dir)
+    val lsh = graft.operators.Similarity.lshTopK(
+      emb, emb.where(col("vec_id") < 4), "vec_id", "embedding",
+      k = 5, nPlanes = 4, dim = 64, nTables = 4)
+    val plan = executed(lsh)
+    // the sign_buckets projection over the corpus scan must sit in a
+    // WholeStageCodegen region (the composed aggregate()-fold form was
+    // CodegenFallback: 64 interpreted lambda folds per vector)
+    val scanStages = plan.map(_.toString).filter(s =>
+      s.contains("sign_buckets") && s.contains("embeddings.parquet"))
+    assert(scanStages.nonEmpty)
+    assert(scanStages.exists(_.contains("*(")),
+      "sign_buckets fell out of whole-stage codegen")
+    assert(!plan.exists(_.nodeName.toLowerCase.contains("nestedloop")))
+  }
+
   test("minhash banding shuffles ids only — signatures stay out of the exchange") {
     // the operator, not the gate query (which adds the exact-jaccard
     // verification join on top)
