@@ -193,4 +193,42 @@ class EventsGeoFormatsSpec extends SparkSpec {
     } yield (x, y)).toSet
     assert(got == want && got.nonEmpty)
   }
+
+  test("pointInPolygon matches brute-force containment on random polygons") {
+    // the cell blocking must never drop a true containment (a contained
+    // point is inside the bbox, and bbox cells cover the bbox), and the
+    // joined ray cast must agree with an independent reference loop
+    val rnd = new scala.util.Random(23)
+    val polys = (0 until 5).map { p =>
+      val cx = rnd.nextDouble() * 40; val cy = rnd.nextDouble() * 40
+      val k = 4 + rnd.nextInt(5)
+      // star-shaped around (cx, cy) → simple (non-self-intersecting)
+      val verts = (0 until k).map { i =>
+        val ang = 2 * math.Pi * i / k + rnd.nextDouble() * 0.5
+        val rad = 2 + rnd.nextDouble() * 9
+        (cx + rad * math.cos(ang), cy + rad * math.sin(ang))
+      }
+      (p.toLong, verts.map(_._1), verts.map(_._2))
+    }
+    val points = (0 until 400).map(i =>
+      (i.toLong, rnd.nextDouble() * 50, rnd.nextDouble() * 50))
+    def inside(px: Double, py: Double, xs: Seq[Double], ys: Seq[Double]): Boolean = {
+      var c = 0
+      for (i <- xs.indices) {
+        val (xi, yi) = (xs(i), ys(i))
+        val (xj, yj) = (xs((i + 1) % xs.size), ys((i + 1) % xs.size))
+        if (((yi > py) != (yj > py)) && (px < (xj - xi) * (py - yi) / (yj - yi) + xi)) c += 1
+      }
+      c % 2 == 1
+    }
+    val want = polys.map { case (pid, xs, ys) =>
+      pid -> points.count { case (_, px, py) => inside(px, py, xs, ys) }.toLong
+    }.filter(_._2 > 0L).toMap
+    val got = graft.operators.Geo.pointInPolygon(
+        points.toDF("pt_id", "lon", "lat"), polys.toDF("poly_id", "xs", "ys"),
+        "lon", "lat", "poly_id", "xs", "ys", aggs = Seq(max(col("pt_id")).as("max_pt")),
+        cellDeg = 5.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want && want.nonEmpty)
+  }
 }
