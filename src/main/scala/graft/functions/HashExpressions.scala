@@ -391,4 +391,10 @@ object HashFunctions {
   /** Native max element multiplicity over a string array column. */
   def max_multiplicity(arr: Column): Column =
     ColumnBridge.column(MaxMultiplicity(ColumnBridge.expression(arr)))
+
+  /** Mergeable Misra-Gries heavy-hitters aggregate over a string-array
+    * column (see [[HeavyHitters]]). */
+  def heavy_hitters(arr: Column, capacity: Int): Column =
+    ColumnBridge.column(
+      HeavyHitters(ColumnBridge.expression(arr), capacity).toAggregateExpression())
 }

@@ -151,6 +151,30 @@ object Curation {
       row_number().over(Window.orderBy(col("cnt").desc, col("ngram"))))
   }
 
+  /** Q10 — corpus top-k n-grams via the mergeable Misra-Gries sketch
+    * ([[graft.functions.HeavyHitters]]): per-row n-gram arrays fold
+    * into fixed-`capacity` counter maps (map-only over the corpus, no
+    * token explode), one ≤capacity sketch per partition merges
+    * associatively, and the final array unpacks to (ngram, est, rank).
+    * The 100 TB twin of [[ngramTopK]]: the exact path's exchange is
+    * vocabulary-sized; this one's is `capacity` rows total.
+    * MG guarantee: `true − N/capacity ≤ est ≤ true`, every term with
+    * `true > N/capacity` present; estimates are EXACT whenever the
+    * distinct-term count stays ≤ capacity. */
+  def ngramTopKSketch(
+      df: DataFrame, textCol: String, n: Int, k: Int, capacity: Int): DataFrame = {
+    val sketch = df
+      .withColumn("__toks", split(col(textCol), " "))
+      .where(size(col("__toks")) >= n)
+      .agg(graft.functions.HashFunctions.heavy_hitters(
+        ngramsFromTokens(col("__toks"), n), capacity).as("sk"))
+      .select(explode(slice(col("sk"), 1, k)).as("e"))
+    sketch.select(
+      col("e.term").as("ngram"), col("e.est").as("cnt"),
+      row_number().over(
+        Window.orderBy(col("e.est").desc, col("e.term"))).as("rank"))
+  }
+
   /** Benchmark decontamination: flag corpus docs sharing any word
     * n-gram with a benchmark set (the standard pre-training hygiene
     * pass). Distinct n-grams explode on both sides; the bench side

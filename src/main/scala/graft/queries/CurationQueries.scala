@@ -30,6 +30,15 @@ object CurationQueries {
     "q_ngram_topk" -> { (s, dir) =>
       Curation.ngramTopK(Tables.documents(s, dir), "text", n = 2, k = 100)
     },
+    // Q10 gate — the MG sketch against the EXACT top-k oracle
+    // verbatim (K3's "exact at verify scales" pattern): the corpus
+    // vocabulary (~930 distinct bigrams) stays below capacity 4096, so
+    // no decrement ever fires and every estimate is provably exact —
+    // any sketch/merge regression breaks the row hash.
+    "q_ngram_sketch_topk" -> { (s, dir) =>
+      Curation.ngramTopKSketch(
+        Tables.documents(s, dir), "text", n = 2, k = 100, capacity = 4096)
+    },
     // decontamination: src0 docs stand in for the benchmark set
     "q_decontaminate" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
@@ -121,6 +130,17 @@ object CurationQueries {
       SELECT source, bin, COUNT(*) AS n_docs, CAST(SUM(sz) AS BIGINT) AS tokens
       FROM b GROUP BY source, bin ORDER BY source, bin""",
     "q_ngram_topk" -> """
+      WITH c AS (
+        SELECT bigram AS ngram, COUNT(*) AS cnt FROM (
+          SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+            i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS bigram
+          FROM documents WHERE len(string_split(text, ' ')) >= 2) g
+        GROUP BY 1)
+      SELECT ngram, cnt,
+             CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, ngram) AS INT) AS rank
+      FROM c ORDER BY cnt DESC, ngram LIMIT 100""",
+    // identical SQL to q_ngram_topk: below capacity the sketch IS exact
+    "q_ngram_sketch_topk" -> """
       WITH c AS (
         SELECT bigram AS ngram, COUNT(*) AS cnt FROM (
           SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),

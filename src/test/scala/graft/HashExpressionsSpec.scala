@@ -65,4 +65,46 @@ class HashExpressionsSpec extends SparkSpec {
       HashFunctions.minhash_sig(array().cast("array<string>"), 8)).head()
     assert(r.getSeq[Long](0).forall(_ == Long.MaxValue))
   }
+
+  test("heavy_hitters is exact below capacity and matches groupBy counts") {
+    val rows = (0 until 300).map { i =>
+      Tuple1(Seq(s"t${i % 23}", s"t${i % 7}", "common"))
+    }
+    val df = rows.toDF("toks").repartition(9)
+    val sketch = df.agg(HashFunctions.heavy_hitters(col("toks"), 64).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.term"), col("e.est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = df.select(explode(col("toks")).as("t"))
+      .groupBy("t").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sketch == exact)
+  }
+
+  test("heavy_hitters keeps true heavy hitters under forced eviction") {
+    // one heavy term (400 of N=600) vs 200 singleton noise terms, far
+    // over capacity 16; repartition forces partial-sketch merges.
+    // MG bound: est in [true - N/capacity, true] and any term with
+    // true > N/capacity must be present.
+    val rows =
+      (0 until 400).map(_ => Tuple1(Seq("hh"))) ++
+        (0 until 200).map(i => Tuple1(Seq(s"noise$i")))
+    val df = rows.toDF("toks").repartition(7)
+    val out = df.agg(HashFunctions.heavy_hitters(col("toks"), 16).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.term"), col("e.est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.size <= 16)
+    assert(out.contains("hh"), s"heavy hitter evicted: $out")
+    assert(out("hh") <= 400L && out("hh") >= 400L - 600L / 16 - 1)
+  }
+
+  test("ngramTopKSketch agrees with the exact ngramTopK below capacity") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val sk = graft.operators.Curation.ngramTopKSketch(d, "text", 2, 50, 4096)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    val ex = graft.operators.Curation.ngramTopK(d, "text", 2, 50)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(sk == ex)
+  }
 }
