@@ -121,6 +121,13 @@ object GraftFunctions {
   def sign_buckets(v: Column, planes: Array[Array[Double]], nPlanes: Int): Column =
     ColumnBridge.column(SignBuckets(ColumnBridge.expression(v), planes, nPlanes))
 
+  /** Codegen'd even-odd ray-cast crossing count (see
+    * [[RayCastCrossings]]). */
+  def ray_cast_crossings(px: Column, py: Column, xs: Column, ys: Column): Column =
+    ColumnBridge.column(RayCastCrossings(
+      ColumnBridge.expression(px), ColumnBridge.expression(py),
+      ColumnBridge.expression(xs), ColumnBridge.expression(ys)))
+
   private def intLit(e: Expression, fn: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(

@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native even-odd ray-cast crossing count for point-in-polygon tests
+  * (SURVEY.md §2 P4/P5): the number of polygon edges a rightward ray
+  * from (px, py) crosses, over a vertex ring given as parallel
+  * `array<double>` columns. Odd count = inside.
+  *
+  * Why an expression: the composed column form — a
+  * `functions.aggregate` fold over `sequence(0, n−1)` with
+  * `element_at` lookups — is CodegenFallback, so in P5's
+  * candidate-pair hot path every (point, polygon-bbox-cell) pair pays
+  * an interpreted lambda per edge plus a materialized index array.
+  * Here the whole ring test is one fused primitive double loop inside
+  * whole-stage codegen, reading both vertex arrays in place.
+  *
+  * Bit-parity contract with the HOF form (kept in
+  * `operators.Geo.rayCastCrossingsHof`, equality spec-asserted, and
+  * replayed verbatim by the DuckDB gate oracles): edges are walked in
+  * vertex order with the closing edge (n−1 → 0) last, and the crossing
+  * predicate evaluates `(yi > py) ≠ (yj > py) ∧ px <
+  * (xj−xi)·(py−yi)/(yj−yi) + xi` with exactly that IEEE operation
+  * order, so the booleans — and therefore the counts — are
+  * bit-identical across the three implementations. Degenerate edges
+  * (yi = yj) fail the first conjunct before the division, identically
+  * everywhere. A ring shorter than the other array contributes only
+  * `min(|xs|, |ys|)` vertices (the HOF form indexes both arrays to
+  * `size(xs)`; callers pass equal-length rings — enforced by the
+  * operators' schema contract).
+  */
+case class RayCastCrossings(
+    px: Expression, py: Expression, xs: Expression, ys: Expression)
+  extends QuaternaryExpression {
+
+  override def first: Expression = px
+  override def second: Expression = py
+  override def third: Expression = xs
+  override def fourth: Expression = ys
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "ray_cast_crossings"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (px.dataType, py.dataType, xs.dataType, ys.dataType) match {
+      case (DoubleType, DoubleType,
+          ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (double, double, array<double>, array<double>), got $other")
+    }
+
+  override def nullSafeEval(pxv: Any, pyv: Any, xsv: Any, ysv: Any): Any = {
+    val x0 = pxv.asInstanceOf[Double]
+    val y0 = pyv.asInstanceOf[Double]
+    val xa = xsv.asInstanceOf[ArrayData]
+    val ya = ysv.asInstanceOf[ArrayData]
+    val n = math.min(xa.numElements(), ya.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      val j = if (i + 1 == n) 0 else i + 1
+      val xi = xa.getDouble(i); val yi = ya.getDouble(i)
+      val xj = xa.getDouble(j); val yj = ya.getDouble(j)
+      if (((yi > y0) != (yj > y0)) && (x0 < (xj - xi) * (y0 - yi) / (yj - yi) + xi)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (pxv, pyv, xsv, ysv) => {
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
+      val xj = ctx.freshName("xj"); val yj = ctx.freshName("yj")
+      s"""
+         |final int $n = java.lang.Math.min($xsv.numElements(), $ysv.numElements());
+         |int $c = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final int $j = ($i + 1 == $n) ? 0 : $i + 1;
+         |  final double $xi = $xsv.getDouble($i);
+         |  final double $yi = $ysv.getDouble($i);
+         |  final double $xj = $xsv.getDouble($j);
+         |  final double $yj = $ysv.getDouble($j);
+         |  if ((($yi > $pyv) != ($yj > $pyv)) &&
+         |      ($pxv < ($xj - $xi) * ($pyv - $yi) / ($yj - $yi) + $xi)) $c++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): RayCastCrossings =
+    RayCastCrossings(newFirst, newSecond, newThird, newFourth)
+}

@@ -136,15 +136,16 @@ object Geo {
     * edge follow that shared IEEE arithmetic — consistent, if
     * arbitrary, on degenerate inputs.
     */
-  def rasterizePolygons(
-      polys: DataFrame, polyKey: String, xsCol: String, ysCol: String,
-      cellDeg: Double): DataFrame = {
-    val xs = col(xsCol); val ys = col(ysCol)
-    def cellOf(c: Column): Column = floor(c / cellDeg).cast("int")
+  /** The ray-cast crossing count as a composed column fold — the
+    * bit-equal REFERENCE implementation of the native codegen'd
+    * [[graft.functions.RayCastCrossings]] (equality asserted in
+    * EventsGeoFormatsSpec). The HOF `aggregate` is CodegenFallback —
+    * an interpreted lambda per edge per candidate pair — which is why
+    * the operators below default to the native expression. */
+  private[graft] def rayCastCrossingsHof(
+      px: Column, py: Column, xs: Column, ys: Column): Column = {
     val n = size(xs)
-    val px = (col("cell_x") + 0.5) * cellDeg
-    val py = (col("cell_y") + 0.5) * cellDeg
-    val crossings = aggregate(
+    aggregate(
       sequence(lit(0), n - 1), lit(0),
       (acc, i) => {
         val xi = element_at(xs, i + 1)
@@ -156,6 +157,22 @@ object Geo {
             (px < (xj - xi) * (py - yi) / (yj - yi) + xi),
           1).otherwise(0)
       })
+  }
+
+  private def rayCastCrossings(
+      px: Column, py: Column, xs: Column, ys: Column): Column =
+    graft.functions.GraftFunctions.ray_cast_crossings(
+      px.cast("double"), py.cast("double"),
+      xs.cast("array<double>"), ys.cast("array<double>"))
+
+  def rasterizePolygons(
+      polys: DataFrame, polyKey: String, xsCol: String, ysCol: String,
+      cellDeg: Double): DataFrame = {
+    val xs = col(xsCol); val ys = col(ysCol)
+    def cellOf(c: Column): Column = floor(c / cellDeg).cast("int")
+    val px = (col("cell_x") + 0.5) * cellDeg
+    val py = (col("cell_y") + 0.5) * cellDeg
+    val crossings = rayCastCrossings(px, py, xs, ys)
     polys
       .withColumn("cell_x",
         explode(sequence(cellOf(array_min(xs)), cellOf(array_max(xs)))))
@@ -189,19 +206,7 @@ object Geo {
       .withColumn("cx", explode(sequence(cellOf(array_min(xs)), cellOf(array_max(xs)))))
       .withColumn("cy", explode(sequence(cellOf(array_min(ys)), cellOf(array_max(ys)))))
     val px = col(lonCol); val py = col(latCol)
-    val n = size(xs)
-    val crossings = aggregate(
-      sequence(lit(0), n - 1), lit(0),
-      (acc, i) => {
-        val xi = element_at(xs, i + 1)
-        val yi = element_at(ys, i + 1)
-        val xj = element_at(xs, pmod(i + 1, n) + 1)
-        val yj = element_at(ys, pmod(i + 1, n) + 1)
-        acc + when(
-          ((yi > py) =!= (yj > py)) &&
-            (px < (xj - xi) * (py - yi) / (yj - yi) + xi),
-          1).otherwise(0)
-      })
+    val crossings = rayCastCrossings(px, py, xs, ys)
     points
       .withColumn("cx", cellOf(px))
       .withColumn("cy", cellOf(py))

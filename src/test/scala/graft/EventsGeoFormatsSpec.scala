@@ -194,6 +194,29 @@ class EventsGeoFormatsSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("native ray_cast_crossings is bit-equal to the HOF fold") {
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 200).map { i =>
+      val k = 3 + rnd.nextInt(8)
+      (i.toLong,
+        rnd.nextDouble() * 20, rnd.nextDouble() * 20,
+        Seq.fill(k)(rnd.nextDouble() * 20), Seq.fill(k)(rnd.nextDouble() * 20))
+    }
+    val df = rows.toDF("id", "px", "py", "xs", "ys")
+    val out = df.select(
+      graft.functions.GraftFunctions.ray_cast_crossings(
+        col("px"), col("py"), col("xs"), col("ys")).as("native"),
+      graft.operators.Geo.rayCastCrossingsHof(
+        col("px"), col("py"), col("xs"), col("ys")).as("hof")).collect()
+    out.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    // null polygon → null, not a crash
+    val nul = Seq((1.0, 1.0, Option.empty[Seq[Double]], Option(Seq(1.0))))
+      .toDF("px", "py", "xs", "ys")
+      .select(graft.functions.GraftFunctions.ray_cast_crossings(
+        col("px"), col("py"), col("xs"), col("ys"))).collect()
+    assert(nul(0).isNullAt(0))
+  }
+
   test("pointInPolygon matches brute-force containment on random polygons") {
     // the cell blocking must never drop a true containment (a contained
     // point is inside the bbox, and bbox cells cover the bbox), and the
