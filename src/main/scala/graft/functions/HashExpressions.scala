@@ -397,4 +397,9 @@ object HashFunctions {
   def heavy_hitters(arr: Column, capacity: Int): Column =
     ColumnBridge.column(
       HeavyHitters(ColumnBridge.expression(arr), capacity).toAggregateExpression())
+
+  /** All Gopher-repetition integer counts of a token array in one
+    * compiled pass (see [[RepetitionStats]]). */
+  def repetition_stats(arr: Column): Column =
+    ColumnBridge.column(RepetitionStats(ColumnBridge.expression(arr)))
 }

@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** All Gopher-repetition integer counts of a token array in ONE
+  * compiled pass (SURVEY.md §2 Q1): word count, distinct-word count,
+  * max word multiplicity, max bigram multiplicity, and character sum —
+  * the integer numerators/denominators
+  * [[graft.operators.Curation.repetitionSignals]] turns into its
+  * exact-ratio fractions.
+  *
+  * Why an expression: the composed form needed four higher-order
+  * functions per document (`zip_with` bigrams, `filter`, `aggregate`
+  * char-sum — all CodegenFallback: one interpreted lambda invocation
+  * per token) plus two sort-based multiplicity passes. Here the whole
+  * signal set is a single O(L) hash-count pass per row, invoked as one
+  * compiled static call inside whole-stage codegen.
+  *
+  * Parity contract (CurationSpec asserts equality with the composed
+  * column algebra): multiplicities count occurrences exactly like
+  * sort+longest-run; bigrams are adjacent pairs joined by one space
+  * (`concat_ws(" ", w_i, w_{i+1})`); `char_sum` counts CHARACTERS
+  * (`length()` semantics, not bytes). `top_bigram` is 0 when the array
+  * has fewer than two tokens (the operator maps that to null share).
+  */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "repetition_stats"
+  override def dataType: DataType = RepetitionStats.schema
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    RepetitionStats.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.RepetitionStats.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+}
+
+object RepetitionStats {
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("top_word", IntegerType, nullable = false),
+    StructField("top_bigram", IntegerType, nullable = false),
+    StructField("char_sum", LongType, nullable = false)))
+
+  /** One hash-count pass; called from generated code (static helper —
+    * the standard pattern for keeping non-trivial per-row logic inside
+    * a whole-stage-codegen pipeline without emitting it inline). */
+  def compute(arr: ArrayData): InternalRow = {
+    val n = arr.numElements()
+    val words = new java.util.HashMap[UTF8String, Integer]()
+    val bigrams = new java.util.HashMap[UTF8String, Integer]()
+    val space = UTF8String.fromString(" ")
+    var charSum = 0L
+    var topWord = 0
+    var topBigram = 0
+    var prev: UTF8String = null
+    var i = 0
+    while (i < n) {
+      val w = arr.getUTF8String(i)
+      charSum += w.numChars()
+      val wc = words.merge(w, 1, (a, b) => a + b)
+      if (wc > topWord) topWord = wc
+      if (prev != null) {
+        val bg = UTF8String.concat(prev, space, w)
+        val bc = bigrams.merge(bg, 1, (a, b) => a + b)
+        if (bc > topBigram) topBigram = bc
+      }
+      prev = w
+      i += 1
+    }
+    InternalRow(n, words.size, topWord, topBigram, charSum)
+  }
+}

@@ -42,8 +42,35 @@ object Curation {
     * analogue of `transformers/` per-entity stats; public spec: Rae et
     * al. 2021 "Scaling Language Models" table A1): distinct-word
     * fraction, top word / top bigram share, mean word length. All
-    * fractions are exact integer-ratio doubles → engine-portable. */
+    * fractions are exact integer-ratio doubles → engine-portable.
+    *
+    * All five integer counts come from ONE compiled pass
+    * ([[graft.functions.RepetitionStats]]); the previous composed form
+    * needed four CodegenFallback higher-order functions per document
+    * (an interpreted lambda per token) plus two sort-based
+    * multiplicity passes. [[repetitionSignalsHof]] keeps that column
+    * algebra as the bit-equal reference (CurationSpec). */
   def repetitionSignals(df: DataFrame, idCols: Seq[String], textCol: String): DataFrame = {
+    val st = col("__st")
+    val n = st.getField("n_words")
+    df.withColumn("__st",
+        graft.functions.HashFunctions.repetition_stats(split(col(textCol), " ")))
+      .select(
+        idCols.map(col) ++ Seq(
+          n.as("n_words"),
+          (st.getField("n_distinct").cast("double") / n).as("distinct_word_frac"),
+          (st.getField("top_word").cast("double") / n).as("top_word_share"),
+          when(n >= 2, st.getField("top_bigram").cast("double") / (n - 1))
+            .as("top_bigram_share"),
+          (st.getField("char_sum").cast("double") / n).as("mean_word_len")): _*)
+      .orderBy(idCols.map(col): _*)
+  }
+
+  /** The composed column-algebra form of [[repetitionSignals]] — the
+    * bit-equal reference implementation (HOF folds + sort-based
+    * multiplicities), kept for the parity spec. */
+  private[graft] def repetitionSignalsHof(
+      df: DataFrame, idCols: Seq[String], textCol: String): DataFrame = {
     // Materialize the token array FIRST: lambda bodies referencing the
     // split(...) expression re-evaluate it once per array element
     // (lambdas don't cache subexpressions) — an O(L²) re-split per doc.

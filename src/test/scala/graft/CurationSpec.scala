@@ -117,4 +117,27 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Curation.assignSplits(df, "doc_id", Seq("a" -> 0.5, "b" -> 0.4)))
   }
+
+  test("repetitionSignals native stats are bit-equal to the HOF column algebra") {
+    val edge = Seq((100L, "solo"), (101L, "a a a a"), (102L, "x y x y x"))
+      .toDF("doc_id", "text")
+    for (d <- Seq(Tables.documents(spark, "/root/testdata/sf0.001"), edge)) {
+      val native = Curation.repetitionSignals(d, Seq("doc_id"), "text").collect()
+      val hof = Curation.repetitionSignalsHof(d, Seq("doc_id"), "text").collect()
+      assert(native.length == hof.length)
+      native.zip(hof).foreach { case (a, b) =>
+        assert(a.getLong(0) == b.getLong(0) || a.get(0) == b.get(0))
+        for (i <- 1 until a.length) {
+          val (x, y) = (a.get(i), b.get(i))
+          (x, y) match {
+            case (null, null) => ()
+            case (dx: Double, dy: Double) =>
+              assert(java.lang.Double.doubleToLongBits(dx) ==
+                java.lang.Double.doubleToLongBits(dy), s"col $i: $dx vs $dy")
+            case _ => assert(x == y, s"col $i: $x vs $y")
+          }
+        }
+      }
+    }
+  }
 }
