@@ -402,4 +402,9 @@ object HashFunctions {
     * compiled pass (see [[RepetitionStats]]). */
   def repetition_stats(arr: Column): Column =
     ColumnBridge.column(RepetitionStats(ColumnBridge.expression(arr)))
+
+  /** Native space-joined word n-grams over a token array (see
+    * [[StringNgrams]]). */
+  def string_ngrams(arr: Column, n: Int): Column =
+    ColumnBridge.column(StringNgrams(ColumnBridge.expression(arr), n))
 }

@@ -155,12 +155,22 @@ object Curation {
       .orderBy(col(domainCol), col("rank"))
   }
 
-  /** Word n-grams over an ALREADY-MATERIALIZED token-array column as
-    * strings (engine-portable — hashed variants live in
-    * [[graft.functions.HashFunctions]]). `toks` must be a bound column,
-    * not a `split(...)` expression: a lambda body referencing an
-    * expression re-evaluates it per element (O(L²) re-split per doc). */
+  /** Word n-grams over a token-array column as strings
+    * (engine-portable — hashed variants live in
+    * [[graft.functions.HashFunctions]]). Default path is the native
+    * codegen'd [[graft.functions.StringNgrams]] (one compiled pass,
+    * total on short inputs); the HOF below is the bit-equal reference
+    * for ≥ n tokens (CurationSpec). */
   private def ngramsFromTokens(toks: Column, n: Int): Column =
+    graft.functions.HashFunctions.string_ngrams(toks, n)
+
+  /** The composed reference form: a CodegenFallback lambda per gram,
+    * each slicing a window copy; `toks` must be a bound column, not a
+    * `split(...)` expression — a lambda body referencing an expression
+    * re-evaluates it per element (O(L²) re-split per doc). Partial on
+    * short inputs (`sequence(0, negative)` descends into a slice(0)
+    * error), so callers pre-filter `size >= n`. */
+  private[graft] def ngramsFromTokensHof(toks: Column, n: Int): Column =
     transform(sequence(lit(0), size(toks) - n),
       i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))
 

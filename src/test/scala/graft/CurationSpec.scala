@@ -140,4 +140,19 @@ class CurationSpec extends SparkSpec {
       }
     }
   }
+
+  test("native string_ngrams is bit-equal to the HOF form and total on short docs") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("__toks", split(col("text"), " "))
+      .where(size(col("__toks")) >= 3)
+    val rows = d.select(
+      graft.functions.HashFunctions.string_ngrams(col("__toks"), 3).as("native"),
+      Curation.ngramsFromTokensHof(col("__toks"), 3).as("hof")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+    // short input: native yields an empty array instead of erroring
+    val short = Seq(Tuple1(Seq("only", "two"))).toDF("toks")
+      .select(graft.functions.HashFunctions.string_ngrams(col("toks"), 3)).head
+    assert(short.getSeq[String](0).isEmpty)
+  }
 }
