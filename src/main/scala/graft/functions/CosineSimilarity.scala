@@ -157,7 +157,20 @@ object GraftFunctions {
       (c: Seq[Expression]) => ShingleHashes(c(0), intLit(c(1), "shingle_hashes"))),
     (FunctionIdentifier("max_multiplicity"),
       new ExpressionInfo(classOf[MaxMultiplicity].getName, "max_multiplicity"),
-      (c: Seq[Expression]) => MaxMultiplicity(c(0))))
+      (c: Seq[Expression]) => MaxMultiplicity(c(0))),
+    (FunctionIdentifier("repetition_stats"),
+      new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
+      (c: Seq[Expression]) => RepetitionStats(c(0))),
+    (FunctionIdentifier("string_ngrams"),
+      new ExpressionInfo(classOf[StringNgrams].getName, "string_ngrams"),
+      (c: Seq[Expression]) => StringNgrams(c(0), intLit(c(1), "string_ngrams"))),
+    (FunctionIdentifier("ray_cast_crossings"),
+      new ExpressionInfo(classOf[RayCastCrossings].getName, "ray_cast_crossings"),
+      (c: Seq[Expression]) => RayCastCrossings(c(0), c(1), c(2), c(3))),
+    (FunctionIdentifier("heavy_hitters"),
+      new ExpressionInfo(classOf[HeavyHitters].getName, "heavy_hitters"),
+      (c: Seq[Expression]) =>
+        HeavyHitters(c(0), intLit(c(1), "heavy_hitters")).toAggregateExpression()))
 
   /** Imperative registration: makes every graft SQL function usable
     * from `spark.sql` / `expr` in an existing session. */

@@ -57,6 +57,23 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(err.getMessage.contains("literal INT"))
   }
 
+  test("round-6 expressions are callable from spark.sql") {
+    GraftFunctions.register(spark)
+    Seq(Tuple1("a b a b a")).toDF("text").createOrReplaceTempView("r6_t")
+    val r = spark.sql("""
+      SELECT repetition_stats(split(text, ' ')) AS st,
+             string_ngrams(split(text, ' '), 2) AS bg,
+             ray_cast_crossings(0.5D, 0.5D, array(0D, 1D, 1D, 0D), array(0D, 0D, 1D, 1D)) AS rc
+      FROM r6_t""").head
+    assert(r.getStruct(0).getInt(0) == 5)    // n_words
+    assert(r.getStruct(0).getInt(2) == 3)    // top word 'a' x3
+    assert(r.getSeq[String](1) == Seq("a b", "b a", "a b", "b a"))
+    assert(r.getInt(2) % 2 == 1)             // center of unit square: inside
+    val hh = spark.sql("""
+      SELECT heavy_hitters(split(text, ' '), 8) AS sk FROM r6_t""").head
+    assert(hh.getSeq[org.apache.spark.sql.Row](0).head.getString(0) == "a")
+  }
+
   test("sign_buckets is bit-equal to the composed lshBucket column form") {
     import graft.operators.Similarity
     val nPlanes = 4; val nTables = 6; val dim = 64
