@@ -58,6 +58,24 @@ object FormatQueries {
           graft.operators.Num.dsum(col("o_totalprice")).as("price_sum"))
         .orderBy("o_orderpriority")
     },
+    // G8 — the same verified write→reread→aggregate path on ORC (the
+    // other built-in columnar format): partition layout, type fidelity
+    // and decimal-exact sums must survive the round trip byte-for-byte
+    // (oracle computes the identical aggregate from the source table).
+    "q_orc_roundtrip" -> { (s, dir) =>
+      val out = s"/tmp/graft-orcrt-${java.lang.Math.abs(dir.hashCode)}"
+      graft.sources.Writers.partitionedOrc(
+        Tables.orders(s, dir).select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderpriority")),
+        out, Seq("o_orderpriority"))
+      graft.sources.Readers.orc(s, out)
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          graft.operators.Num.dsum(col("o_totalprice")).as("price_sum"))
+        .orderBy("o_orderpriority", "o_orderstatus")
+    },
     // CSV + JSON-lines source/sink paths behind the gate: export the
     // customer dim as a headered CSV (the DwC-archive body writer) and
     // as JSON-lines (the API exporter), reread BOTH with explicit
@@ -201,6 +219,10 @@ object FormatQueries {
       SELECT o_orderpriority, COUNT(*) AS n_orders,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum
       FROM orders GROUP BY 1 ORDER BY 1""",
+    "q_orc_roundtrip" -> """
+      SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum
+      FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
     // payload rebuilt by string concatenation: Spark's to_json and
     // DuckDB's double→varchar both emit shortest-roundtrip decimals,
     // and the corpus strings contain no JSON-escapable characters, so

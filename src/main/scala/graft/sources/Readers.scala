@@ -30,6 +30,12 @@ object Readers {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** ORC read — same partition-discovery/pruning semantics as parquet
+    * (ORC is the other built-in columnar format; G8 proves the
+    * write→reread→aggregate path on it). */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** G6 read side — consume a Darwin-Core archive THROUGH its
     * descriptor: parse `meta.xml` for the core data-file locations and
     * read exactly those (schema still explicit — the descriptor names
@@ -61,6 +67,12 @@ object Writers {
     * every downstream reader. */
   def partitionedParquet(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Hive-style partitioned ORC — identical layout contract to
+    * [[partitionedParquet]] on Spark's other built-in columnar
+    * format. */
+  def partitionedOrc(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).orc(path)
 
   /** Darwin-Core archive body: headered CSV (the reference's DwC
     * exporter writes occurrence.csv + meta.xml; the data file is the
