@@ -117,4 +117,43 @@ class StreamDedupSpec extends SparkSpec {
       }
     }
   }
+
+  test("file-source ingest: CSV files stream through the batch dedup op") {
+    // the production ingest shape — readStream over a landing directory
+    // with an EXPLICIT schema (inference needs a full pre-pass and is
+    // disabled for file streams anyway), driving the same operator the
+    // MemoryStream specs exercise
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-csv").toFile
+    val schema = StructType(Seq(
+      StructField("doc_id", StringType), StructField("ts", TimestampType),
+      StructField("value", DoubleType)))
+    def land(name: String, rows: Seq[String]): Unit = {
+      val f = new java.io.File(dir, name)
+      val w = new java.io.PrintWriter(f)
+      try rows.foreach(w.println) finally w.close()
+    }
+    land("batch1.csv", Seq(
+      "a,2024-01-01 10:00:00,1.0",
+      "a,2024-01-01 10:01:00,1.0",
+      "b,2024-01-01 10:02:00,2.0"))
+    val stream = spark.readStream.schema(schema).csv(dir.getAbsolutePath)
+    val deduped = StreamOps.dedupWithinWatermark(
+      stream, keyCols = Seq("doc_id"), tsCol = "ts", watermarkDelay = "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("file_dedup_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // a second file lands later — discovered incrementally, not rescanned
+      land("batch2.csv", Seq(
+        "a,2024-01-01 10:03:00,1.0",
+        "c,2024-01-01 10:04:00,3.0"))
+      q.processAllAvailable()
+      val ids = spark.table("file_dedup_out").select("doc_id").as[String].collect()
+      assert(ids.sorted.toSeq == Seq("a", "b", "c"))
+    } finally {
+      q.stop()
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
 }
