@@ -140,6 +140,10 @@ object Writers {
     // zip: meta.xml + every part, streamed through a bounded buffer
     val zipOut = new java.util.zip.ZipOutputStream(
       fs.create(new Path(s"$path/archive.zip"), true))
+    // fastest DEFLATE level: the zip is a packaging container, not the
+    // storage format (the CSV parts beside it stay the queryable copy),
+    // and the driver-side stream copy is the serial tail of the export
+    zipOut.setLevel(java.util.zip.Deflater.BEST_SPEED)
     try {
       zipOut.putNextEntry(new java.util.zip.ZipEntry("meta.xml"))
       zipOut.write(meta.getBytes("UTF-8"))
