@@ -113,16 +113,25 @@ object DedupQueries {
             .cast("int").as("recall_ok"))
         .orderBy("query_id")
     },
-    // K3 gate — with nProbe=8 over the stride-97 codebook the IVF
-    // result IS the exact top-k at the verify scales (recall 1.0,
+    // K3 gate — the IVF result IS the exact top-k (recall 1.0,
     // asserted by reusing the brute-force SQL oracle verbatim): the
     // hardest possible signal — any regression in assignment, probing,
     // ranking or degenerate-vector handling breaks the row hash.
+    // SCALE-PROOF by construction, not by tuning: the stride is
+    // derived from max(vec_id) so the codebook never exceeds nProbe
+    // cells, making the probe exhaustive — every corpus vector is in
+    // some probed cell, so the candidate set equals the full corpus at
+    // ANY verify scale (stride 97 at sf0.01 was exact only because 11
+    // cells < 8 probes held at that one scale). The production-shaped
+    // config (√N-sized codebook, partial probing) is exercised by
+    // SimilaritySpec's recall assertions instead.
     "q_ann_ivf" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
+      val maxId = emb.agg(max(col("vec_id"))).head.getLong(0)
+      val nProbe = 8
       Similarity.ivfTopK(
         emb, emb.where(col("vec_id") < 8), "vec_id", "embedding",
-        k = 10, centroidStride = 97, nProbe = 8)
+        k = 10, centroidStride = maxId / nProbe + 1, nProbe = nProbe)
     },
   )
 
