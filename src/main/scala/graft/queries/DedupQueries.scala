@@ -25,7 +25,8 @@ object DedupQueries {
     // and a broken signature flips est_ok (observed |est−exact| max
     // 0.036 at the verify scales; 16 bands × 4 rows ⇒ P(miss) <
     // 0.2% per pair at j ≥ 0.8, deterministic hashes so coverage is
-    // fixed, verified complete at sf0.001/sf0.01).
+    // fixed, verified complete at sf0.001/sf0.01/sf0.1 — 256/256
+    // exact pairs surfaced at the largest scale).
     "q_dedup_minhash" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
