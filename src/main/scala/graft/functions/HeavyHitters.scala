@@ -125,16 +125,19 @@ case class HeavyHitters(
   }
 
   override def eval(buf: java.util.HashMap[String, Long]): Any = {
-    val entries = new Array[(String, Long)](buf.size)
+    // Tie-break on UTF8String (UTF-8 byte order) — Java String `<` is
+    // UTF-16 code-unit order and diverges from Spark's / the oracle's
+    // binary collation on supplementary-plane characters.
+    val entries = new Array[(UTF8String, Long)](buf.size)
     var i = 0
     val it = buf.entrySet().iterator()
-    while (it.hasNext) { val e = it.next(); entries(i) = (e.getKey, e.getValue); i += 1 }
+    while (it.hasNext) {
+      val e = it.next(); entries(i) = (UTF8String.fromString(e.getKey), e.getValue); i += 1
+    }
     scala.util.Sorting.stableSort(
-      entries, (x: (String, Long), y: (String, Long)) =>
-        x._2 > y._2 || (x._2 == y._2 && x._1 < y._1))
-    new GenericArrayData(entries.map { case (t, c) =>
-      InternalRow(UTF8String.fromString(t), c)
-    })
+      entries, (x: (UTF8String, Long), y: (UTF8String, Long)) =>
+        x._2 > y._2 || (x._2 == y._2 && x._1.compareTo(y._1) < 0))
+    new GenericArrayData(entries.map { case (t, c) => InternalRow(t, c) })
   }
 
   override def serialize(buf: java.util.HashMap[String, Long]): Array[Byte] = {

@@ -13,7 +13,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * max word multiplicity, max bigram multiplicity, and character sum —
   * the integer numerators/denominators
   * [[graft.operators.Curation.repetitionSignals]] turns into its
-  * exact-ratio fractions.
+  * exact-ratio fractions. Null array elements are skipped exactly as a
+  * composed `filter(x -> x IS NOT NULL)` pre-step would remove them
+  * (neighbors of a removed null become bigram-adjacent) — the
+  * expression is SQL-registered, so user arrays may carry nulls.
   *
   * Why an expression: the composed form needed four higher-order
   * functions per document (`zip_with` bigrams, `filter`, `aggregate`
@@ -72,20 +75,25 @@ object RepetitionStats {
     var topWord = 0
     var topBigram = 0
     var prev: UTF8String = null
+    var nWords = 0
     var i = 0
     while (i < n) {
-      val w = arr.getUTF8String(i)
-      charSum += w.numChars()
-      val wc = words.merge(w, 1, (a, b) => a + b)
-      if (wc > topWord) topWord = wc
-      if (prev != null) {
-        val bg = UTF8String.concat(prev, space, w)
-        val bc = bigrams.merge(bg, 1, (a, b) => a + b)
-        if (bc > topBigram) topBigram = bc
-      }
-      prev = w
+      if (!arr.isNullAt(i)) {
+        val w = arr.getUTF8String(i)
+        nWords += 1
+        charSum += w.numChars()
+        val wc = words.merge(w, 1, (a, b) => a + b)
+        if (wc > topWord) topWord = wc
+        if (prev != null) {
+          val bg = UTF8String.concat(prev, space, w)
+          val bc = bigrams.merge(bg, 1, (a, b) => a + b)
+          if (bc > topBigram) topBigram = bc
+        }
+        prev = w
+      } // null element: skipped like filter(); prev survives, so the
+        // neighbors of a removed null pair up, same as the filtered array
       i += 1
     }
-    InternalRow(n, words.size, topWord, topBigram, charSum)
+    InternalRow(nWords, words.size, topWord, topBigram, charSum)
   }
 }

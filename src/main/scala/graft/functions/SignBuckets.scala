@@ -26,8 +26,11 @@ import org.apache.spark.sql.types._
   * bucket(t) = Σ_p (dot(v, plane) > 0 ? 1L << (nPlanes−1−p) : 0) with
   * dots accumulated in double in element order — identical IEEE
   * arithmetic, so buckets are bit-equal. NaN elements poison a dot to
-  * NaN, `NaN > 0` is false in both paths; zero/short vectors land in
-  * bucket 0 of every table in both paths.
+  * NaN, `NaN > 0` is false in both paths; vectors whose length differs
+  * from the plane dimension (including empty) land in bucket 0 of
+  * every table in both paths — the HOF `zip_with` null-pads the
+  * shorter side, nulling the whole dot, and this expression mirrors
+  * that by treating any length-mismatched dot as 0.
   */
 case class SignBuckets(child: Expression, planes: Array[Array[Double]], nPlanes: Int)
     extends UnaryExpression {
@@ -61,12 +64,13 @@ case class SignBuckets(child: Expression, planes: Array[Array[Double]], nPlanes:
       var p = 0
       while (p < nPlanes) {
         val w = planes(t * nPlanes + p)
-        val m = math.min(n, w.length)
         var dot = 0.0
-        var i = 0
-        while (i < m) {
-          dot += (if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)) * w(i)
-          i += 1
+        if (n == w.length) { // mismatch → dot 0 (HOF zip_with null→0 parity)
+          var i = 0
+          while (i < n) {
+            dot += (if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)) * w(i)
+            i += 1
+          }
         }
         if (dot > 0) bucket += 1L << (nPlanes - 1 - p)
         p += 1
@@ -86,7 +90,6 @@ case class SignBuckets(child: Expression, planes: Array[Array[Double]], nPlanes:
       val t = ctx.freshName("t")
       val p = ctx.freshName("p")
       val w = ctx.freshName("w")
-      val m = ctx.freshName("m")
       val dot = ctx.freshName("dot")
       val bucket = ctx.freshName("bucket")
       val i = ctx.freshName("i")
@@ -97,10 +100,11 @@ case class SignBuckets(child: Expression, planes: Array[Array[Double]], nPlanes:
          |  long $bucket = 0L;
          |  for (int $p = 0; $p < $nPlanes; $p++) {
          |    final double[] $w = $mat[$t * $nPlanes + $p];
-         |    final int $m = java.lang.Math.min($n, $w.length);
          |    double $dot = 0.0;
-         |    for (int $i = 0; $i < $m; $i++) {
-         |      $dot += ((double) $a.$get($i)) * $w[$i];
+         |    if ($n == $w.length) {
+         |      for (int $i = 0; $i < $n; $i++) {
+         |        $dot += ((double) $a.$get($i)) * $w[$i];
+         |      }
          |    }
          |    if ($dot > 0) $bucket += 1L << (${nPlanes} - 1 - $p);
          |  }

@@ -96,6 +96,50 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(edge(1).isNullAt(0))
   }
 
+  test("sign_buckets length-mismatched vectors land in bucket 0, like the HOF path") {
+    import graft.operators.Similarity
+    val nPlanes = 4; val nTables = 3; val dim = 8
+    val planes = Similarity.planeWeights(nTables * nPlanes, dim).map(_.toArray).toArray
+    val df = Seq(
+      Seq(1.0f, 2.0f, 3.0f),             // short, nonzero: 0 < n < dim
+      (0 until dim + 2).map(_.toFloat),  // long: n > dim
+      (0 until dim).map(_ => 1.0f),      // exact length: real buckets
+    ).toDF("v")
+    val native = df.select(
+      GraftFunctions.sign_buckets(col("v"), planes, nPlanes)).collect()
+      .map(_.getSeq[Long](0).toSeq)
+    val composed = df.select(array((0 until nTables).map(t =>
+      Similarity.lshBucket(col("v"), nPlanes, dim, t)): _*)).collect()
+      .map(_.getSeq[Long](0).toSeq)
+    assert(native(0).forall(_ == 0L) && native(1).forall(_ == 0L))
+    assert(native.toSeq == composed.toSeq)
+  }
+
+  test("repetition_stats skips null elements with filter() adjacency semantics") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("""
+      SELECT repetition_stats(array('a', CAST(NULL AS STRING), 'b', 'a', 'b')) AS st""").head
+    val st = r.getStruct(0)
+    // filtered array is [a, b, a, b]: 4 words, 2 distinct, top word 2,
+    // bigrams [a b, b a, a b] → top bigram 2 (null's neighbors pair up)
+    assert(st.getInt(0) == 4 && st.getInt(1) == 2)
+    assert(st.getInt(2) == 2 && st.getInt(3) == 2)
+    assert(st.getLong(4) == 4L)
+  }
+
+  test("heavy_hitters tie-break uses UTF-8 byte order like Spark's sort") {
+    GraftFunctions.register(spark)
+    // U+FF41 (UTF-16 0xFF41; UTF-8 EF BD 81) vs U+1F600 (UTF-16 leads
+    // 0xD83D; UTF-8 F0 9F 98 80): UTF-16 code-unit order puts the emoji
+    // first, UTF-8 byte order puts U+FF41 first. Spark/DuckDB sort by
+    // UTF-8 bytes, so the sketch must too.
+    val bmp = "ａ"; val supp = new String(Character.toChars(0x1F600))
+    Seq(Seq(bmp, supp)).toDF("terms").createOrReplaceTempView("hh_tie_t")
+    val sk = spark.sql("SELECT heavy_hitters(terms, 8) AS sk FROM hh_tie_t").head
+      .getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+    assert(sk == Seq(bmp, supp))
+  }
+
   test("expression participates in whole-stage codegen") {
     // a parquet-backed plan: local relations get constant-folded away
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
