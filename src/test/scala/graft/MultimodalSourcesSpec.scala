@@ -12,22 +12,52 @@ class MultimodalSourcesSpec extends SparkSpec {
 
   private def mediaDs = {
     val recs = Seq(
-      MediaRecord(1L, MediaMeta("image", 64, 64, 0L), "imagebytes".getBytes),
+      MediaRecord(1L, MediaMeta("image", 8, 8, 0L),
+        Multimodal.Encode.png(8, 8, Multimodal.Synth.imagePixels(1L))),
       MediaRecord(2L, MediaMeta("video", 64, 64, 4000L), ("f" * 100).getBytes),
-      MediaRecord(3L, MediaMeta("audio", 0, 0, 2000L), "audiobytes".getBytes),
+      MediaRecord(3L, MediaMeta("audio", 0, 0, 2000L),
+        Multimodal.Encode.wavPcm16(Multimodal.Synth.audioSamples(3L), 8000)),
     )
     spark.createDataset(recs)
   }
 
-  test("extractFeatures is deterministic, drops content, keeps metadata") {
+  test("extractFeatures decodes real PNG/WAV payloads, drops content, keeps metadata") {
     val out = Multimodal.extractFeatures(mediaDs).collect().sortBy(_.media_id)
     assert(out.map(_.media_id).toSeq == Seq(1L, 2L, 3L))
-    assert(out.forall(_.features.length == 8))
-    assert(out(0).n_bytes == 10L && out(0).media_type == "image")
+    assert(out.forall(_.features.length >= 8))
+    // image: decoded pixel sums must equal the generator formula exactly
+    val expectedPx = (0 until 192).map(k => (1L * 7 + k * 13) % 256).sum
+    assert(out(0).media_type == "image" && out(0).n_units == 64L)
+    assert(out(0).unit_sum == expectedPx)
+    assert(out(0).features(3) == 8f && out(0).features(4) == 8f) // decoded dims
+    // audio: signed sample sum through the RIFF walk, fixed 172-byte WAV
+    val expectedAu = (0 until 64).map(j => ((3L * 11 + j * 17) % 4096) - 2048).sum
+    assert(out(2).media_type == "audio" && out(2).n_units == 64L)
+    assert(out(2).unit_sum == expectedAu && out(2).n_bytes == 172L)
     // deterministic: second run bit-identical
     val again = Multimodal.extractFeatures(mediaDs).collect().sortBy(_.media_id)
     assert(out.map(_.checksum).toSeq == again.map(_.checksum).toSeq)
     assert(out(0).features.toSeq == again(0).features.toSeq)
+  }
+
+  test("syntheticMedia round-trips the Synth formulas through real containers") {
+    val docs = Seq((0L, "img doc"), (1L, "audio doc"), (2L, "video doc"))
+      .toDF("doc_id", "text")
+    val feats = Multimodal.extractFeatures(
+      Multimodal.syntheticMedia(docs, "doc_id", "text")).collect().sortBy(_.media_id)
+    assert(feats.map(_.media_type).toSeq == Seq("image", "audio", "video"))
+    assert(feats(0).unit_sum == (0 until 192).map(k => (0L * 7 + k * 13) % 256).sum)
+    assert(feats(1).unit_sum == (0 until 64).map(j => ((1L * 11 + j * 17) % 4096) - 2048).sum)
+    assert(feats(2).n_units == 0L && feats(2).n_bytes == "video doc".length)
+  }
+
+  test("image decode failure is loud, not a silent zero") {
+    val bad = spark.createDataset(Seq(
+      MediaRecord(9L, MediaMeta("image", 8, 8, 0L), "notanimage".getBytes)))
+    val err = intercept[org.apache.spark.SparkException](
+      Multimodal.extractFeatures(bad).collect())
+    assert(err.getMessage.contains("image decode failed") ||
+      Option(err.getCause).exists(_.getMessage.contains("image decode failed")))
   }
 
   test("frameSample emits k evenly spaced frames for video rows only") {
@@ -46,20 +76,27 @@ class MultimodalSourcesSpec extends SparkSpec {
     assert(Seq("image", "audio", "video").contains(r.meta.media_type))
   }
 
-  test("resize keeps image-typed rows only, at the target dimensions") {
+  test("resize decodes, resamples and re-encodes image-typed rows only") {
     import spark.implicits._
+    val pixels = Multimodal.Synth.imagePixels(5L)
     val recs = Seq(
-      Multimodal.MediaRecord(1L, Multimodal.MediaMeta("image", 64, 64, 0L),
-        Array.tabulate(256)(_.toByte)),
+      Multimodal.MediaRecord(1L, Multimodal.MediaMeta("image", 8, 8, 0L),
+        Multimodal.Encode.png(8, 8, pixels)),
       Multimodal.MediaRecord(2L, Multimodal.MediaMeta("audio", 0, 0, 1000L),
-        Array.fill(64)(1.toByte)),
+        Multimodal.Encode.wavPcm16(Multimodal.Synth.audioSamples(2L), 8000)),
     ).toDS()
     val out = Multimodal.resize(recs, outW = 4, outH = 4).collect()
-    assert(out.length == 1)
-    assert(out.head.media_id == 1L)
-    assert(out.head.content.length == 16)
-    // nearest-neighbor stub is deterministic: element i samples i*256/16
-    assert(out.head.content(1) == 16.toByte)
+    assert(out.length == 1 && out.head.media_id == 1L)
+    assert(out.head.width == 4 && out.head.height == 4)
+    // output is itself a decodable PNG whose pixels are the
+    // nearest-neighbor samples of the source: out(x,y) = in(2x, 2y)
+    val codec = new Multimodal.JvmMediaCodec
+    val (n, sum, _) = codec.decodeImage(out.head.content)
+    val expected = (for (y <- 0 until 4; x <- 0 until 4) yield {
+      val p = pixels(2 * y * 8 + 2 * x)
+      ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+    }).map(_.toLong).sum
+    assert(n == 16L && sum == expected)
   }
 
   test("csv and jsonLines round-trip with explicit schemas") {
