@@ -128,6 +128,14 @@ object GraftFunctions {
       ColumnBridge.expression(px), ColumnBridge.expression(py),
       ColumnBridge.expression(xs), ColumnBridge.expression(ys)))
 
+  /** Codegen'd multi-ring even-odd crossing total (see
+    * [[RingCrossings]]) — polygons with holes / multipolygons as one
+    * ring-set test. */
+  def ring_crossings(px: Column, py: Column, xss: Column, yss: Column): Column =
+    ColumnBridge.column(RingCrossings(
+      ColumnBridge.expression(px), ColumnBridge.expression(py),
+      ColumnBridge.expression(xss), ColumnBridge.expression(yss)))
+
   private def intLit(e: Expression, fn: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
@@ -167,6 +175,9 @@ object GraftFunctions {
     (FunctionIdentifier("ray_cast_crossings"),
       new ExpressionInfo(classOf[RayCastCrossings].getName, "ray_cast_crossings"),
       (c: Seq[Expression]) => RayCastCrossings(c(0), c(1), c(2), c(3))),
+    (FunctionIdentifier("ring_crossings"),
+      new ExpressionInfo(classOf[RingCrossings].getName, "ring_crossings"),
+      (c: Seq[Expression]) => RingCrossings(c(0), c(1), c(2), c(3))),
     (FunctionIdentifier("heavy_hitters"),
       new ExpressionInfo(classOf[HeavyHitters].getName, "heavy_hitters"),
       (c: Seq[Expression]) =>

@@ -217,6 +217,78 @@ object Geo {
       .orderBy(col(polyKey))
   }
 
+  /** Collapse ring ROWS (one per outer ring / hole / multipolygon
+    * part, as [[graft.sources.GeoJson.featureRings]] emits) to one row
+    * per feature: the ring-array pair the [[graft.functions
+    * .RingCrossings]] test consumes, plus the feature's overall bbox.
+    * One tiny shuffle on the feature key — polygons are the dim side;
+    * ring counts per feature are bounded (communes have tens of rings,
+    * not millions), so the collected arrays stay small. The two
+    * collect_lists fill from the same aggregation iterator, keeping
+    * xs/ys ring order aligned (and the crossing TOTAL is
+    * order-independent anyway). */
+  private def ringSetPerFeature(
+      rings: DataFrame, key: String, xsCol: String, ysCol: String): DataFrame =
+    rings.groupBy(col(key))
+      .agg(
+        collect_list(col(xsCol).cast("array<double>")).as("xss"),
+        collect_list(col(ysCol).cast("array<double>")).as("yss"),
+        min(array_min(col(xsCol))).as("xmin"), max(array_max(col(xsCol))).as("xmax"),
+        min(array_min(col(ysCol))).as("ymin"), max(array_max(col(ysCol))).as("ymax"))
+
+  /** P6 — ring-SET rasterization: polygons with holes and
+    * multipolygons, input as one row per ring. Same plan shape as
+    * [[rasterizePolygons]] — map-side bbox-cell explode + a fused
+    * codegen'd crossing test per cell, no shuffle past the one tiny
+    * feature-level ring collection — but the even-odd test totals
+    * crossings over ALL of a feature's rings, so holes punch out and
+    * disjoint parts union, with no outer/hole casework. */
+  def rasterizeRingSet(
+      rings: DataFrame, featureKey: String, xsCol: String, ysCol: String,
+      cellDeg: Double): DataFrame = {
+    def cellOf(c: Column): Column = floor(c / cellDeg).cast("int")
+    val px = (col("cell_x") + 0.5) * cellDeg
+    val py = (col("cell_y") + 0.5) * cellDeg
+    ringSetPerFeature(rings, featureKey, xsCol, ysCol)
+      .withColumn("cell_x",
+        explode(sequence(cellOf(col("xmin")), cellOf(col("xmax")))))
+      .withColumn("cell_y",
+        explode(sequence(cellOf(col("ymin")), cellOf(col("ymax")))))
+      .where(pmod(
+        graft.functions.GraftFunctions.ring_crossings(px, py, col("xss"), col("yss")),
+        lit(2)) === 1)
+      .select(col(featureKey), col("cell_x"), col("cell_y"))
+      .orderBy(featureKey, "cell_x", "cell_y")
+  }
+
+  /** P6 — point-in-RING-SET containment join: [[pointInPolygon]] with
+    * hole/multipolygon semantics. Candidates come from the same grid
+    * equi-join blocking (feature bbox cells × point cells — a hash
+    * join at any feature count, never a nested loop), then the exact
+    * multi-ring even-odd test on the point's own coordinates decides.
+    * Points never shuffle; the ring-set dim broadcasts. */
+  def pointInRingSet(
+      points: DataFrame, rings: DataFrame,
+      lonCol: String, latCol: String, featureKey: String,
+      xsCol: String, ysCol: String,
+      aggs: Seq[Column], cellDeg: Double = 5.0): DataFrame = {
+    def cellOf(c: Column): Column = floor(c / cellDeg).cast("int")
+    val featureCells = ringSetPerFeature(rings, featureKey, xsCol, ysCol)
+      .withColumn("cx", explode(sequence(cellOf(col("xmin")), cellOf(col("xmax")))))
+      .withColumn("cy", explode(sequence(cellOf(col("ymin")), cellOf(col("ymax")))))
+    val px = col(lonCol); val py = col(latCol)
+    points
+      .withColumn("cx", cellOf(px))
+      .withColumn("cy", cellOf(py))
+      .join(featureCells, Seq("cx", "cy"))
+      .where(pmod(
+        graft.functions.GraftFunctions.ring_crossings(px, py, col("xss"), col("yss")),
+        lit(2)) === 1)
+      .groupBy(col(featureKey))
+      .agg(count(lit(1)).as("n_points"), aggs: _*)
+      .orderBy(col(featureKey))
+  }
+
   /** F4 — zonal statistics over a cell raster: zones are coarse cells
     * (factor×factor fine cells); one groupBy, no join at all. */
   def zonalStats(

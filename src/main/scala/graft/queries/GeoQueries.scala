@@ -97,6 +97,24 @@ object GeoQueries {
         customerPoints(s, dir), polys, "lon", "lat", "poly_id", "xs", "ys",
         Seq(Num.dsum(col("c_acctbal")).as("acctbal_sum")))
     },
+    // P6 — GeoJSON ingestion end-to-end: parse a FeatureCollection
+    // literal (Polygon-with-hole + MultiPolygon, closed rings) into
+    // ring rows, rasterize the ring sets AND containment-join the
+    // customer points, all under multi-ring even-odd semantics. The
+    // oracle starts from the OPEN ring vertex lists the parser must
+    // produce and replays the identical crossing arithmetic, so a
+    // parsing or hole-handling defect breaks the hash.
+    "q_geojson_rings" -> { (s, dir) =>
+      import s.implicits._
+      val rings = graft.sources.GeoJson.featureRings(
+        Seq(geoJsonDoc).toDF("doc"), "doc", "name")
+      val cells = Geo.rasterizeRingSet(rings, "feature_key", "xs", "ys", cellDeg = 1.0)
+        .groupBy("feature_key").agg(count(lit(1)).as("n_cells"))
+      val pts = Geo.pointInRingSet(
+        customerPoints(s, dir), rings, "lon", "lat", "feature_key", "xs", "ys",
+        Seq(Num.dsum(col("c_acctbal")).as("acctbal_sum")))
+      cells.join(pts, Seq("feature_key"), "left").orderBy("feature_key")
+    },
   )
 
   /** Fixed test rings shared verbatim by the Spark query and the SQL
@@ -105,6 +123,47 @@ object GeoQueries {
     (1L, Seq(0.3, 10.7, 5.1), Seq(0.2, 1.3, 9.8)),
     (2L, Seq(-8.6, -1.2, -0.7, -7.9), Seq(-7.4, -8.1, -0.9, -1.6)),
     (3L, Seq(20.2, 28.9, 24.5, 22.1, 20.9), Seq(5.1, 5.7, 12.4, 8.3, 11.2)))
+
+  /** P6 fixture: feature name → polygons → OPEN rings (outer first,
+    * then holes). zoneA is a quad with a rectangular hole; zoneB is a
+    * two-part multipolygon. BOTH the GeoJSON literal the query parses
+    * and the oracle's VALUES rows are generated from THIS data, so a
+    * parser regression (wrong ring, kept closing vertex, dropped hole)
+    * shifts coordinates and breaks the hash. */
+  private val geoFeatures: Seq[(String, Seq[Seq[(Seq[Double], Seq[Double])]])] = Seq(
+    ("zoneA", Seq(Seq(
+      (Seq(0.3, 30.7, 28.1, 2.2), Seq(0.2, 1.3, 24.8, 22.9)),
+      (Seq(8.2, 18.6, 17.1, 9.4), Seq(6.3, 7.1, 16.8, 15.2))))),
+    ("zoneB", Seq(
+      Seq((Seq(-60.6, -35.2, -50.7), Seq(-40.4, -38.1, -10.9))),
+      Seq((Seq(-150.6, -120.2, -125.7, -145.9), Seq(30.4, 32.1, 58.9, 55.6))))))
+
+  /** The FeatureCollection document: rings CLOSED per the GeoJSON spec
+    * (first vertex repeated last — the parser must drop it), single
+    * polygons as `Polygon`, multi-part as `MultiPolygon` (the parser
+    * must handle both coordinate depths). */
+  private[queries] def geoJsonDoc: String = {
+    def ringJson(xs: Seq[Double], ys: Seq[Double]): String =
+      ((xs :+ xs.head) zip (ys :+ ys.head))
+        .map { case (x, y) => s"[$x,$y]" }.mkString("[", ",", "]")
+    val feats = geoFeatures.map { case (name, polys) =>
+      val ringsJson = polys.map(_.map { case (xs, ys) => ringJson(xs, ys) }
+        .mkString("[", ",", "]"))
+      val geom =
+        if (polys.size == 1) s"""{"type":"Polygon","coordinates":${ringsJson.head}}"""
+        else s"""{"type":"MultiPolygon","coordinates":${ringsJson.mkString("[", ",", "]")}}"""
+      s"""{"type":"Feature","properties":{"name":"$name"},"geometry":$geom}"""
+    }
+    s"""{"type":"FeatureCollection","features":${feats.mkString("[", ",", "]")}}"""
+  }
+
+  private def ringValuesSql: String =
+    geoFeatures.flatMap { case (name, polys) =>
+      polys.flatten.map { case (xs, ys) =>
+        s"(CAST('$name' AS VARCHAR), CAST(${xs.mkString("[", ",", "]")} AS DOUBLE[]), " +
+          s"CAST(${ys.mkString("[", ",", "]")} AS DOUBLE[]))"
+      }
+    }.mkString(", ")
 
   private def polygonValuesSql: String =
     testPolygons.map { case (id, xs, ys) =>
@@ -201,6 +260,64 @@ object GeoQueries {
       SELECT poly_id, COUNT(*) AS n_points, ${dsum("c_acctbal")} AS acctbal_sum
       FROM cr WHERE c % 2 = 1
       GROUP BY 1 ORDER BY 1""",
+    "q_geojson_rings" -> s"""
+      WITH rings(fname, xs, ys) AS (VALUES $ringValuesSql),
+      bbox AS (
+        SELECT fname, MIN(list_min(xs)) AS x0, MAX(list_max(xs)) AS x1,
+               MIN(list_min(ys)) AS y0, MAX(list_max(ys)) AS y1
+        FROM rings GROUP BY 1),
+      b1 AS (
+        SELECT fname, y0, y1,
+               unnest(generate_series(CAST(FLOOR(x0 / 1.0) AS BIGINT),
+                                      CAST(FLOOR(x1 / 1.0) AS BIGINT))) AS cxb
+        FROM bbox),
+      b2 AS (
+        SELECT fname, cxb,
+               unnest(generate_series(CAST(FLOOR(y0 / 1.0) AS BIGINT),
+                                      CAST(FLOOR(y1 / 1.0) AS BIGINT))) AS cyb
+        FROM b1),
+      cand AS (
+        SELECT b2.fname, CAST(cxb AS INT) AS cell_x, CAST(cyb AS INT) AS cell_y,
+               (CAST(cxb AS INT) + 0.5) * 1.0 AS px,
+               (CAST(cyb AS INT) + 0.5) * 1.0 AS py,
+               r.xs, r.ys, len(r.xs) AS n
+        FROM b2 JOIN rings r ON r.fname = b2.fname),
+      edges AS (SELECT *, unnest(generate_series(0, n - 1)) AS i FROM cand),
+      cr AS (
+        SELECT fname, cell_x, cell_y,
+          SUM(CASE WHEN ((ys[i + 1] > py) <> (ys[((i + 1) % n) + 1] > py))
+                AND (px < (xs[((i + 1) % n) + 1] - xs[i + 1])
+                          * (py - ys[i + 1])
+                          / (ys[((i + 1) % n) + 1] - ys[i + 1])
+                        + xs[i + 1])
+              THEN 1 ELSE 0 END) AS c
+        FROM edges GROUP BY 1, 2, 3),
+      cellagg AS (SELECT fname, COUNT(*) AS n_cells FROM cr WHERE c % 2 = 1 GROUP BY 1),
+      p AS ($pointsSql),
+      pcand AS (
+        SELECT p.c_custkey, p.c_acctbal, p.lon AS px, p.lat AS py,
+               r.fname, r.xs, r.ys, len(r.xs) AS n
+        FROM p
+        JOIN bbox ON p.lon BETWEEN bbox.x0 AND bbox.x1
+                 AND p.lat BETWEEN bbox.y0 AND bbox.y1
+        JOIN rings r ON r.fname = bbox.fname),
+      pedges AS (SELECT *, unnest(generate_series(0, n - 1)) AS i FROM pcand),
+      pcr AS (
+        SELECT fname, c_custkey, c_acctbal,
+          SUM(CASE WHEN ((ys[i + 1] > py) <> (ys[((i + 1) % n) + 1] > py))
+                AND (px < (xs[((i + 1) % n) + 1] - xs[i + 1])
+                          * (py - ys[i + 1])
+                          / (ys[((i + 1) % n) + 1] - ys[i + 1])
+                        + xs[i + 1])
+              THEN 1 ELSE 0 END) AS c
+        FROM pedges GROUP BY 1, 2, 3),
+      pagg AS (
+        SELECT fname, COUNT(*) AS n_points, ${dsum("c_acctbal")} AS acctbal_sum
+        FROM pcr WHERE c % 2 = 1 GROUP BY 1)
+      SELECT cellagg.fname AS feature_key, cellagg.n_cells,
+             pagg.n_points, pagg.acctbal_sum
+      FROM cellagg LEFT JOIN pagg ON pagg.fname = cellagg.fname
+      ORDER BY 1""",
     "q_vector_overlay" -> """
       WITH z AS (SELECT c_custkey % 5 AS zone, c_custkey AS cell FROM customer),
       ov AS (SELECT DISTINCT (s_suppkey * 15) % 2000 AS cell FROM supplier),

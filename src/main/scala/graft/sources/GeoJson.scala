@@ -1,0 +1,104 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** GeoJSON Polygon/MultiPolygon ingestion (SURVEY.md §2 P6; ref:
+  * `imports/` + `loaders/spatial.py` load real shapes and
+  * `shape_processor.py` parses their geometry): a FeatureCollection
+  * document → one row per vertex RING, the representation
+  * [[graft.operators.Geo.rasterizeRingSet]] /
+  * [[graft.operators.Geo.pointInRingSet]] consume. Holes and
+  * multipolygon parts come out as additional ring rows of the same
+  * feature — the even-odd rule downstream needs no outer/hole
+  * distinction.
+  *
+  * Parsing is pure column algebra (`from_json` + higher-order array
+  * ops), fully distributed — no driver-side JSON walk, no geometry
+  * library. GeoJSON's one schema wrinkle — `coordinates` nests 3 deep
+  * for Polygon and 4 deep for MultiPolygon — is handled by parsing the
+  * document twice with both depths (PERMISSIVE mode nulls the
+  * mismatched parse) and selecting by `geometry.type` per feature.
+  * GeoJSON rings are closed (first vertex repeated last); the closing
+  * vertex is dropped, since the ray-cast walks rings cyclically.
+  *
+  * Output: `feature_idx int, feature_key string, poly_idx int,
+  * ring_idx int, is_hole boolean, xs array<double>, ys array<double>`.
+  */
+object GeoJson {
+
+  private val polygonCoords: DataType =
+    ArrayType(ArrayType(ArrayType(DoubleType)))          // rings → points → [x, y, …]
+  private val multiPolygonCoords: DataType = ArrayType(polygonCoords)
+
+  private def docSchema(coords: DataType): StructType = StructType(Seq(
+    StructField("type", StringType),
+    StructField("features", ArrayType(StructType(Seq(
+      StructField("properties", MapType(StringType, StringType)),
+      StructField("geometry", StructType(Seq(
+        StructField("type", StringType),
+        StructField("coordinates", coords))))))))))
+
+  /** Parse a FeatureCollection JSON string column into ring rows.
+    * `keyProperty` names the feature property used as `feature_key`
+    * (falls back to the feature index when absent). Geometry types
+    * other than Polygon/MultiPolygon fail loudly. A malformed document
+    * parses to zero rows (PERMISSIVE `from_json`) — callers needing a
+    * hard ingest gate assert on the row count. */
+  def featureRings(df: DataFrame, jsonCol: String, keyProperty: String): DataFrame = {
+    val parsed = df.select(
+      from_json(col(jsonCol), docSchema(polygonCoords)).getField("features").as("pf"),
+      from_json(col(jsonCol), docSchema(multiPolygonCoords)).getField("features").as("mf"))
+
+    val feats = parsed
+      .select(posexplode(col("pf")).as(Seq("feature_idx", "feat")), col("mf"))
+      .select(
+        col("feature_idx").cast("int").as("feature_idx"),
+        coalesce(
+          col("feat.properties").getItem(keyProperty),
+          col("feature_idx").cast("string")).as("feature_key"),
+        col("feat.geometry.type").as("gtype"),
+        col("feat.geometry.coordinates").as("pcoords"),
+        element_at(col("mf"), col("feature_idx") + 1)
+          .getField("geometry").getField("coordinates").as("mcoords"))
+
+    // normalize both types to MultiPolygon depth, loud on anything else
+    val polys = feats.withColumn("polys",
+      when(col("gtype") === "Polygon", array(col("pcoords")))
+        .when(col("gtype") === "MultiPolygon", col("mcoords"))
+        .otherwise(raise_error(concat(
+          lit("geojson: unsupported geometry type "), col("gtype")))))
+
+    polys
+      .select(col("feature_idx"), col("feature_key"),
+        posexplode(col("polys")).as(Seq("poly_idx", "rings")))
+      .select(col("feature_idx"), col("feature_key"),
+        col("poly_idx").cast("int").as("poly_idx"),
+        posexplode(col("rings")).as(Seq("ring_idx", "pts")))
+      .withColumn("pts", dropClosing(col("pts")))
+      .select(
+        col("feature_idx"), col("feature_key"),
+        col("poly_idx"),
+        col("ring_idx").cast("int").as("ring_idx"),
+        (col("ring_idx") > 0).as("is_hole"),
+        transform(col("pts"), p => element_at(p, 1)).as("xs"),
+        transform(col("pts"), p => element_at(p, 2)).as("ys"))
+  }
+
+  /** GeoJSON closes rings by repeating the first vertex; our ring
+    * contract is open (the ray-cast adds the closing edge itself).
+    * Closedness is decided on the whole VERTEX (array equality), never
+    * per coordinate, and dropping only when first = last also accepts
+    * already-open input. */
+  private def dropClosing(pts: Column): Column =
+    when(size(pts) > 1 && element_at(pts, 1) === element_at(pts, -1),
+      slice(pts, lit(1), size(pts) - 1)).otherwise(pts)
+
+  /** File reader: each file is one FeatureCollection document
+    * (`wholetext`), parsed distributed — one task per file, so a
+    * directory of regional extracts parallelizes naturally. */
+  def read(spark: SparkSession, path: String, keyProperty: String): DataFrame =
+    featureRings(
+      spark.read.option("wholetext", "true").text(path), "value", keyProperty)
+}

@@ -254,4 +254,106 @@ class EventsGeoFormatsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == want && want.nonEmpty)
   }
+
+  // a Polygon with a hole plus a two-part MultiPolygon, rings CLOSED
+  // per the GeoJSON spec
+  private val geoJsonFixture = """{"type":"FeatureCollection","features":[
+    {"type":"Feature","properties":{"name":"withHole"},"geometry":{"type":"Polygon",
+     "coordinates":[[[0.0,0.0],[10.0,0.0],[10.0,10.0],[0.0,10.0],[0.0,0.0]],
+                    [[3.0,3.0],[7.0,3.0],[7.0,7.0],[3.0,7.0],[3.0,3.0]]]}},
+    {"type":"Feature","properties":{"name":"twoParts"},"geometry":{"type":"MultiPolygon",
+     "coordinates":[[[[20.0,0.0],[26.0,0.0],[26.0,6.0],[20.0,6.0],[20.0,0.0]]],
+                    [[[30.0,0.0],[34.0,0.0],[34.0,4.0],[30.0,4.0],[30.0,0.0]]]]}}]}"""
+    .replaceAll("\n\\s*", "")
+
+  test("GeoJson.featureRings parses both depths, drops closing vertices, flags holes") {
+    val rings = graft.sources.GeoJson.featureRings(
+      Seq(geoJsonFixture).toDF("doc"), "doc", "name")
+      .collect().map(r => (r.getString(1), r.getInt(2), r.getInt(3), r.getBoolean(4),
+        r.getSeq[Double](5), r.getSeq[Double](6)))
+    assert(rings.length == 4)
+    val byKey = rings.groupBy(_._1)
+    // Polygon: one poly, outer + hole; closing vertex gone (4 verts, not 5)
+    val hole = byKey("withHole").sortBy(_._3)
+    assert(hole.map(t => (t._2, t._3, t._4)).toSeq == Seq((0, 0, false), (0, 1, true)))
+    assert(hole(0)._5 == Seq(0.0, 10.0, 10.0, 0.0) && hole(0)._6 == Seq(0.0, 0.0, 10.0, 10.0))
+    assert(hole(1)._5 == Seq(3.0, 7.0, 7.0, 3.0))
+    // MultiPolygon: two polys, each a single outer ring
+    val parts = byKey("twoParts").sortBy(_._2)
+    assert(parts.map(t => (t._2, t._3, t._4)).toSeq == Seq((0, 0, false), (1, 0, false)))
+    assert(parts(1)._5 == Seq(30.0, 34.0, 34.0, 30.0))
+  }
+
+  test("GeoJson.read parses a FeatureCollection file distributed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-geojson")
+    java.nio.file.Files.write(dir.resolve("zones.geojson"), geoJsonFixture.getBytes("UTF-8"))
+    val rings = graft.sources.GeoJson.read(spark, dir.toString, "name")
+    assert(rings.count() == 4)
+    assert(rings.select("feature_key").distinct().collect().map(_.getString(0)).sorted
+      .toSeq == Seq("twoParts", "withHole"))
+  }
+
+  test("unsupported geometry types fail loudly") {
+    val doc = """{"type":"FeatureCollection","features":[{"type":"Feature",
+      "properties":{"name":"pt"},"geometry":{"type":"Point","coordinates":[1.0,2.0]}}]}"""
+      .replaceAll("\n\\s*", "")
+    val err = intercept[Exception](graft.sources.GeoJson.featureRings(
+      Seq(doc).toDF("doc"), "doc", "name").collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(err).exists(_.contains("unsupported geometry type")))
+  }
+
+  test("ring_crossings equals the per-ring ray_cast sum") {
+    val rnd = new scala.util.Random(53)
+    val rows = (0 until 100).map { i =>
+      val nRings = 1 + rnd.nextInt(3)
+      val rings = Seq.fill(nRings) {
+        val k = 3 + rnd.nextInt(6)
+        (Seq.fill(k)(rnd.nextDouble() * 20), Seq.fill(k)(rnd.nextDouble() * 20))
+      }
+      (rnd.nextDouble() * 20, rnd.nextDouble() * 20, rings.map(_._1), rings.map(_._2))
+    }
+    val df = rows.toDF("px", "py", "xss", "yss")
+    val out = df.select(
+      graft.functions.GraftFunctions.ring_crossings(
+        col("px"), col("py"), col("xss"), col("yss")).as("multi"),
+      aggregate(sequence(lit(0), size(col("xss")) - 1), lit(0), (acc, i) =>
+        acc + graft.functions.GraftFunctions.ray_cast_crossings(
+          col("px"), col("py"),
+          element_at(col("xss"), i + 1), element_at(col("yss"), i + 1))).as("summed"))
+      .collect()
+    out.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
+  test("rasterizeRingSet: holes punch out, multipolygon parts union") {
+    val rings = graft.sources.GeoJson.featureRings(
+      Seq(geoJsonFixture).toDF("doc"), "doc", "name")
+    val cells = graft.operators.Geo.rasterizeRingSet(rings, "feature_key", "xs", "ys", 1.0)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    val byKey = cells.groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    val outer = (for (x <- 0 until 10; y <- 0 until 10) yield (x, y)).toSet
+    val holeCells = (for (x <- 3 until 7; y <- 3 until 7) yield (x, y)).toSet
+    assert(byKey("withHole") == outer -- holeCells)
+    val partA = (for (x <- 20 until 26; y <- 0 until 6) yield (x, y)).toSet
+    val partB = (for (x <- 30 until 34; y <- 0 until 4) yield (x, y)).toSet
+    assert(byKey("twoParts") == partA ++ partB)
+  }
+
+  test("pointInRingSet excludes hole interiors and unions parts") {
+    val rings = graft.sources.GeoJson.featureRings(
+      Seq(geoJsonFixture).toDF("doc"), "doc", "name")
+    val points = Seq(
+      (1L, 1.2, 1.2),   // withHole: inside outer, outside hole
+      (2L, 5.0, 5.0),   // withHole: inside the hole → excluded
+      (3L, 21.3, 1.1),  // twoParts part 1
+      (4L, 33.2, 3.3),  // twoParts part 2
+      (5L, 28.0, 2.0),  // between the parts → excluded
+    ).toDF("pt_id", "lon", "lat")
+    val got = graft.operators.Geo.pointInRingSet(
+        points, rings, "lon", "lat", "feature_key", "xs", "ys",
+        aggs = Seq(collect_set(col("pt_id")).as("pts")))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](2).toSet).toMap
+    assert(got == Map("withHole" -> Set(1L), "twoParts" -> Set(3L, 4L)))
+  }
 }
