@@ -88,31 +88,20 @@ object DedupQueries {
       Similarity.bruteForceTopK(
         emb, emb.where(col("vec_id") < 8), "vec_id", "embedding", k = 10)
     },
-    // K2 gate — recall@k vs the (independently oracled) brute-force
-    // baseline, computed in-query: per query, the fraction of true
-    // top-k neighbors the multi-table LSH surfaced. Emitted as an int
-    // flag (recall ≥ 0.5) so the DuckDB oracle can assert it from the
-    // query list alone — with planes=4/tables=16 the deterministic
-    // per-query minimum at the verify scales is 0.6 (sf0.01) / 0.8
-    // (sf0.001); a bucketing regression craters recall to ~0.1 and
-    // flips the flag.
+    // K2 gate — VERBATIM: the multi-table LSH top-k result itself is
+    // hash-compared against a DuckDB oracle that replays the ENTIRE
+    // pipeline — sign-pattern bucketing against the same plane matrix
+    // (emitted as literals from planeWeights, the single shared
+    // constant), any-table candidate union, exact cosine, rank — with
+    // identical IEEE arithmetic. The round-6 recall-flag gate was
+    // self-referential (DuckDB pinned `1`); now a defect anywhere in
+    // SignBuckets, the bucket join or the ranking changes rows.
+    // Recall vs brute force stays spec-asserted (DedupSpec).
     "q_ann_lsh" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val q = emb.where(col("vec_id") < 8)
-      val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 10)
-      val lsh = Similarity.lshTopK(
-        emb, q, "vec_id", "embedding", k = 10, nPlanes = 4, dim = 64, nTables = 16)
-      val hits = bf.join(
-          lsh.select(col("query_id"), col("neighbor_id")),
-          Seq("query_id", "neighbor_id"), "leftsemi")
-        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
-      bf.groupBy("query_id").agg(count(lit(1)).as("n_true"))
-        .join(hits, Seq("query_id"), "left")
-        .select(
-          col("query_id"),
-          (coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_true") >= 0.5)
-            .cast("int").as("recall_ok"))
-        .orderBy("query_id")
+      Similarity.lshTopK(
+        emb, emb.where(col("vec_id") < 8), "vec_id", "embedding",
+        k = 10, nPlanes = 4, dim = 64, nTables = 16)
     },
     // K3 gate — the IVF result IS the exact top-k (recall 1.0,
     // asserted by reusing the brute-force SQL oracle verbatim): the
@@ -133,6 +122,21 @@ object DedupQueries {
       Similarity.ivfTopK(
         emb, emb.where(col("vec_id") < 8), "vec_id", "embedding",
         k = 10, centroidStride = maxId / nProbe + 1, nProbe = nProbe)
+    },
+    // K3b gate — SUB-EXHAUSTIVE probing behind the driver gate (the
+    // round-6 exhaustive-by-construction entry above proves exactness;
+    // this one puts the PARTIAL-probe code path itself under hash
+    // verification): stride 16 gives ≥ 32 cells at every verify scale
+    // while nProbe stays 4, and the DuckDB oracle replays the whole
+    // production pipeline — stride sampling, string-ordinal codebook,
+    // L2 normalization, argmax-dot assignment (ties → lowest ordinal),
+    // nProbe nearest-cell selection, exact cosine rank — with
+    // identical IEEE arithmetic, so any probing defect changes rows.
+    "q_ann_ivf_probe" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(
+        emb, emb.where(col("vec_id") < 8), "vec_id", "embedding",
+        k = 10, centroidStride = 16, nProbe = 4)
     },
   )
 
@@ -247,14 +251,100 @@ object DedupQueries {
     // IVF at nProbe=8 is exact top-k at the verify scales → brute-force
     // oracle verbatim (see the q_ann_ivf query comment).
     "q_ann_ivf" -> annTopKSql,
-    // LSH recall gate: the oracle pins the query list and asserts every
-    // per-query recall flag; the recall itself is computed in Spark
-    // against the brute-force baseline, which THIS oracle family
-    // already hash-verifies end-to-end.
-    "q_ann_lsh" -> """
-      SELECT vec_id AS query_id, CAST(1 AS INT) AS recall_ok
-      FROM embeddings WHERE vec_id < 8 ORDER BY query_id""",
+    // Full LSH replay: same plane matrix (literals from planeWeights —
+    // the one shared constant), same sequential-fold dots, same
+    // bucket-bit sums, same candidate union + cosine rank. The Spark
+    // result is hash-compared verbatim. NaN embeddings would order
+    // differently (DuckDB sorts NaN high, IEEE says NaN > 0 is false);
+    // the corpus has none and SignBuckets' NaN contract is spec-held.
+    "q_ann_lsh" -> s"""
+      WITH planes(t, bit, w) AS (VALUES $lshPlanesValuesSql),
+      b AS (
+        SELECT e.vec_id, pl.t,
+               SUM(CASE WHEN list_sum(list_transform(list_zip(e.embedding, pl.w),
+                     p -> CAST(p[1] AS DOUBLE) * p[2])) > 0
+                   THEN pl.bit ELSE 0 END) AS bucket
+        FROM embeddings e CROSS JOIN planes pl
+        GROUP BY 1, 2),
+      cand AS (
+        SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+        FROM b qb JOIN b cb ON qb.t = cb.t AND qb.bucket = cb.bucket
+        WHERE qb.vec_id < 8 AND cb.vec_id <> qb.vec_id),
+      scored AS (
+        SELECT c.query_id, c.neighbor_id,
+               ${cosSql("qe.embedding", "ne.embedding")} AS cosine
+        FROM cand c
+        JOIN embeddings qe ON qe.vec_id = c.query_id
+        JOIN embeddings ne ON ne.vec_id = c.neighbor_id),
+      r AS (
+        SELECT query_id, neighbor_id, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+        FROM scored)
+      SELECT query_id, rank, neighbor_id, cosine FROM r
+      WHERE rank <= 10 ORDER BY query_id, rank""",
+    // Full sub-exhaustive IVF replay (see the q_ann_ivf_probe query
+    // comment): stride sampling + CAST-to-VARCHAR codebook order +
+    // ordinal cells + L2 normalization + argmax-dot assignment with
+    // lowest-ordinal ties + nProbe nearest cells by (−cos, cell) +
+    // exact cosine rank, all in the same IEEE operation order.
+    "q_ann_ivf_probe" -> s"""
+      WITH cb1 AS (
+        SELECT CAST(vec_id AS VARCHAR) AS cid, embedding,
+               SQRT(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings WHERE vec_id % 16 = 0),
+      cbn AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY cid) - 1 AS INT) AS cell,
+               CASE WHEN nrm > 0
+                    THEN list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm)
+                    ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS cnorm
+        FROM cb1),
+      q AS (SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id < 8),
+      probe AS (
+        SELECT query_id, qv, cell FROM (
+          SELECT q.query_id, q.qv, c.cell,
+                 ROW_NUMBER() OVER (PARTITION BY q.query_id
+                   ORDER BY -(${cosSql("q.qv", "c.cnorm")}), c.cell) AS crank
+          FROM q CROSS JOIN cbn c)
+        WHERE crank <= 4),
+      assign AS (
+        SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.cell,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_sum(list_transform(list_zip(e.embedding, c.cnorm),
+                     p -> CAST(p[1] AS DOUBLE) * p[2])) DESC, c.cell) AS r
+          FROM embeddings e CROSS JOIN cbn c)
+        WHERE r = 1),
+      scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               ${cosSql("p.qv", "e.embedding")} AS cosine
+        FROM probe p
+        JOIN assign a ON a.cell = p.cell
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        WHERE a.vec_id <> p.query_id),
+      r AS (
+        SELECT query_id, neighbor_id, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+        FROM scored)
+      SELECT query_id, rank, neighbor_id, cosine FROM r
+      WHERE rank <= 10 ORDER BY query_id, rank""",
   )
+
+  /** The K2 plane matrix as SQL VALUES rows `(table, bit, weights)` —
+    * generated from [[Similarity.planeWeights]] at oracle-build time,
+    * so Spark and DuckDB consume the one constant from the one code
+    * path (no transcription). `bit` is the bucket contribution of a
+    * positive dot: 1 << (nPlanes − 1 − p). */
+  private def lshPlanesValuesSql: String = {
+    val nPlanes = 4; val nTables = 16; val dim = 64
+    Similarity.planeWeights(nTables * nPlanes, dim).zipWithIndex.map { case (w, idx) =>
+      val t = idx / nPlanes; val p = idx % nPlanes
+      s"($t, ${1L << (nPlanes - 1 - p)}, CAST(${w.mkString("[", ",", "]")} AS DOUBLE[]))"
+    }.mkString(", ")
+  }
 
   private lazy val annTopKSql: String = s"""
       WITH q AS (SELECT vec_id AS query_id, embedding AS qv

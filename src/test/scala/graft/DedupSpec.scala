@@ -125,6 +125,57 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("production LSH config keeps recall@10 >= 0.5 on the real corpus") {
+    // the driver gate is now a verbatim replay (it catches implementation
+    // drift); THIS holds the algorithmic recall floor the round-6 gate
+    // asserted, against the independently-verified brute-force baseline
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.where(col("vec_id") < 8)
+    val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 10)
+    val lsh = Similarity.lshTopK(
+      emb, q, "vec_id", "embedding", k = 10, nPlanes = 4, dim = 64, nTables = 16)
+    val hits = bf.join(lsh.select("query_id", "neighbor_id"),
+      Seq("query_id", "neighbor_id"), "leftsemi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    val recalls = bf.groupBy("query_id").agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("query_id"), "left")
+      .select(coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_true"))
+      .collect().map(_.getDouble(0))
+    assert(recalls.length == 8 && recalls.forall(_ >= 0.5))
+  }
+
+  test("gated sub-exhaustive IVF config beats the random-subset recall baseline") {
+    // On the near-uniform synthetic corpus, probing nProbe of nCells
+    // cells examines ~nProbe/nCells of the corpus, so a BROKEN probe
+    // (effectively random candidates) recalls ≈ that fraction. The
+    // q_ann_ivf_probe config (stride 16 → 32 cells, nProbe 4 = 12.5%)
+    // must do strictly better on average, improve when widened, and
+    // never miss a query entirely. (The driver gate hash-verifies the
+    // exact result; this holds the algorithmic floor.)
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val nCells = emb.where(pmod(col("vec_id"), lit(16)) === 0).count()
+    assert(nCells > 4, s"probe config not sub-exhaustive: $nCells cells")
+    val q = emb.where(col("vec_id") < 8)
+    val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 10)
+    def meanRecall(nProbe: Int): (Double, Array[Double]) = {
+      val ivf = Similarity.ivfTopK(
+        emb, q, "vec_id", "embedding", k = 10, centroidStride = 16, nProbe = nProbe)
+      val hits = bf.join(ivf.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "leftsemi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      val recalls = bf.groupBy("query_id").agg(count(lit(1)).as("n_true"))
+        .join(hits, Seq("query_id"), "left")
+        .select(coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_true"))
+        .collect().map(_.getDouble(0))
+      (recalls.sum / recalls.length, recalls)
+    }
+    val (mean4, recalls4) = meanRecall(4)
+    assert(recalls4.length == 8 && recalls4.forall(_ > 0.0))
+    assert(mean4 > 4.0 / nCells, s"mean recall $mean4 no better than random subset")
+    val (mean16, _) = meanRecall(16)
+    assert(mean16 >= mean4, s"widening the probe lowered recall: $mean4 -> $mean16")
+  }
+
   test("connectedComponents resolves multi-hop chains to the min label") {
     // chain 1-2-3-4 (diameter 3, needs >1 propagation round) + pair 10-11
     val edges = Seq((2L, 1L), (3L, 2L), (4L, 3L), (11L, 10L)).toDF("src", "dst")
