@@ -140,7 +140,7 @@ object FormatQueries {
         struct(col("c_acctbal"), col("c_custkey"), col("c_name")), topN = 5)
     },
     // G6 — FULL DwC archive behind the gate: write the occurrence
-    // mapping as occurrence CSV + meta.xml + archive.zip, then read it
+    // mapping as occurrence CSV + meta.xml + per-part zips, then read it
     // back THROUGH the descriptor (Readers.dwcArchive resolves the
     // CSV locations from meta.xml) and aggregate; the oracle recomputes
     // from the raw tables, so body write, descriptor correctness and

@@ -101,18 +101,38 @@ object Writers {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Zip packaging policy for [[dwcArchiveFull]]. The CSV parts beside
+    * the zips are always the queryable copy; zips are transport
+    * packaging only. */
+  sealed trait ZipMode
+  object ZipMode {
+    /** No zip artifacts at all. */
+    case object Skip extends ZipMode
+    /** One zip PER CSV PART, created by DISTRIBUTED executor tasks —
+      * the 100 TB path: the packaging cost parallelizes with the part
+      * count and the driver never streams a data byte. (DwC-A
+      * consumers accept multi-file archives; meta.xml lists every
+      * part.) */
+    case object PerPart extends ZipMode
+    /** The single `archive.zip` convenience for SMALL exports: a
+      * driver-side stream copy of every CSV byte — a serial tail by
+      * construction (one zip = one stream), so never the default. */
+    case object SingleFile extends ZipMode
+  }
+
   /** G6 — FULL Darwin-Core archive (`exporters/dwc_archive_exporter
     * .py` emits occurrence CSV + `meta.xml` + zip): the occurrence
     * body is a distributed headered-CSV write (scales with partitions);
     * the `meta.xml` descriptor (core rowType, one `<location>` per CSV
-    * part, one `<field>` per column in DataFrame order) and the
-    * `archive.zip` packaging are driver-side — O(descriptor + stream
-    * copy), never O(rows in memory), via the Hadoop FS API so the same
-    * code lands on HDFS/S3. */
+    * part, one `<field>` per column in DataFrame order) is driver-side
+    * — O(descriptor), never O(rows) — via the Hadoop FS API so the
+    * same code lands on HDFS/S3. Zip packaging follows `zipMode`
+    * (default [[ZipMode.PerPart]]: distributed, no serial tail). */
   def dwcArchiveFull(
       df: DataFrame, path: String,
       rowType: String = "http://rs.tdwg.org/dwc/terms/Occurrence",
-      termNs: String = "http://rs.tdwg.org/dwc/terms/"): Unit = {
+      termNs: String = "http://rs.tdwg.org/dwc/terms/",
+      zipMode: ZipMode = ZipMode.PerPart): Unit = {
     import org.apache.hadoop.fs.Path
     dwcArchive(df, s"$path/occurrence")
     val conf = df.sparkSession.sessionState.newHadoopConf()
@@ -137,28 +157,61 @@ object Writers {
          |""".stripMargin
     val metaOut = fs.create(new Path(s"$path/meta.xml"), true)
     try metaOut.write(meta.getBytes("UTF-8")) finally metaOut.close()
-    // zip: meta.xml + every part, streamed through a bounded buffer
-    val zipOut = new java.util.zip.ZipOutputStream(
-      fs.create(new Path(s"$path/archive.zip"), true))
-    // fastest DEFLATE level: the zip is a packaging container, not the
-    // storage format (the CSV parts beside it stay the queryable copy),
-    // and the driver-side stream copy is the serial tail of the export
-    zipOut.setLevel(java.util.zip.Deflater.BEST_SPEED)
-    try {
-      zipOut.putNextEntry(new java.util.zip.ZipEntry("meta.xml"))
-      zipOut.write(meta.getBytes("UTF-8"))
-      zipOut.closeEntry()
-      val buf = new Array[Byte](64 * 1024)
-      parts.foreach { p =>
-        zipOut.putNextEntry(new java.util.zip.ZipEntry(s"occurrence/${p.getName}"))
-        val in = fs.open(p)
+    zipMode match {
+      case ZipMode.Skip => ()
+      case ZipMode.PerPart =>
+        // distributed packaging: one task per part, each zipping only
+        // its own file — wall-clock scales down with the part count and
+        // zero data bytes pass through the driver. meta.xml travels in
+        // every zip so each is independently consumable.
+        val metaBytes = meta.getBytes("UTF-8")
+        val partPaths = parts.map(_.toUri.toString)
+        df.sparkSession.sparkContext
+          .parallelize(partPaths, math.max(partPaths.length, 1))
+          .foreach { partUri =>
+            val p = new Path(new java.net.URI(partUri))
+            // executor-side FS from the classpath config — the standard
+            // deployment carries core-site/hdfs-site on every node
+            val pfs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            val zo = new java.util.zip.ZipOutputStream(
+              pfs.create(new Path(p.getParent, p.getName + ".zip"), true))
+            zo.setLevel(java.util.zip.Deflater.BEST_SPEED)
+            try {
+              zo.putNextEntry(new java.util.zip.ZipEntry("meta.xml"))
+              zo.write(metaBytes)
+              zo.closeEntry()
+              zo.putNextEntry(new java.util.zip.ZipEntry(s"occurrence/${p.getName}"))
+              val in = pfs.open(p)
+              val buf = new Array[Byte](64 * 1024)
+              try {
+                var n = in.read(buf)
+                while (n >= 0) { if (n > 0) zo.write(buf, 0, n); n = in.read(buf) }
+              } finally in.close()
+              zo.closeEntry()
+            } finally zo.close()
+          }
+      case ZipMode.SingleFile =>
+        // meta.xml + every part through ONE driver-side stream: fine
+        // for the small-export convenience case only (see ZipMode doc)
+        val zipOut = new java.util.zip.ZipOutputStream(
+          fs.create(new Path(s"$path/archive.zip"), true))
+        zipOut.setLevel(java.util.zip.Deflater.BEST_SPEED)
         try {
-          var n = in.read(buf)
-          while (n >= 0) { if (n > 0) zipOut.write(buf, 0, n); n = in.read(buf) }
-        } finally in.close()
-        zipOut.closeEntry()
-      }
-    } finally zipOut.close()
+          zipOut.putNextEntry(new java.util.zip.ZipEntry("meta.xml"))
+          zipOut.write(meta.getBytes("UTF-8"))
+          zipOut.closeEntry()
+          val buf = new Array[Byte](64 * 1024)
+          parts.foreach { p =>
+            zipOut.putNextEntry(new java.util.zip.ZipEntry(s"occurrence/${p.getName}"))
+            val in = fs.open(p)
+            try {
+              var n = in.read(buf)
+              while (n >= 0) { if (n > 0) zipOut.write(buf, 0, n); n = in.read(buf) }
+            } finally in.close()
+            zipOut.closeEntry()
+          }
+        } finally zipOut.close()
+    }
   }
 
   /** [[bucketedTable]] with an explicit data location (external table)

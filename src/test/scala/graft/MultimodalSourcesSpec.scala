@@ -99,6 +99,38 @@ class MultimodalSourcesSpec extends SparkSpec {
     assert(n == 16L && sum == expected)
   }
 
+  test("dwcArchiveFull packaging: per-part zips are distributed and self-contained") {
+    val dir = Files.createTempDirectory("graft-dwca").toString
+    val df = (1L to 40L).map(i => (i, s"name$i")).toDF("id", "name").repartition(4)
+    Writers.dwcArchiveFull(df, s"$dir/per-part")
+    val occ = new java.io.File(s"$dir/per-part/occurrence")
+    val parts = occ.listFiles().filter(f =>
+      f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
+    assert(parts.nonEmpty)
+    // every CSV part has a sibling zip holding meta.xml + the part bytes
+    parts.foreach { p =>
+      val zf = new java.util.zip.ZipFile(new java.io.File(occ, p.getName + ".zip"))
+      try {
+        val names = scala.jdk.CollectionConverters
+          .EnumerationHasAsScala(zf.entries()).asScala.map(_.getName).toSet
+        assert(names == Set("meta.xml", s"occurrence/${p.getName}"))
+        val entry = zf.getEntry(s"occurrence/${p.getName}")
+        val zipped = zf.getInputStream(entry).readAllBytes()
+        assert(zipped.toSeq == Files.readAllBytes(p.toPath).toSeq)
+      } finally zf.close()
+    }
+    assert(!new java.io.File(s"$dir/per-part/archive.zip").exists())
+    // opt-in single-file mode still produces the one-stream archive.zip
+    Writers.dwcArchiveFull(df, s"$dir/single",
+      zipMode = Writers.ZipMode.SingleFile)
+    assert(new java.io.File(s"$dir/single/archive.zip").exists())
+    // and Skip produces no zip artifacts at all
+    Writers.dwcArchiveFull(df, s"$dir/none", zipMode = Writers.ZipMode.Skip)
+    assert(!new java.io.File(s"$dir/none").listFiles().exists(_.getName.endsWith(".zip")))
+    assert(new java.io.File(s"$dir/none/occurrence").listFiles()
+      .exists(_.getName.endsWith(".csv.zip")) == false)
+  }
+
   test("csv and jsonLines round-trip with explicit schemas") {
     val dir = Files.createTempDirectory("graft-io").toString
     val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "score")
