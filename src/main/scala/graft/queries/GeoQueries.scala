@@ -104,6 +104,37 @@ object GeoQueries {
     // oracle starts from the OPEN ring vertex lists the parser must
     // produce and replays the identical crossing arithmetic, so a
     // parsing or hole-handling defect breaks the hash.
+    // F4b — raster ingestion from an ACTUAL GeoTIFF file: the query
+    // writes a deterministic float32 raster (formula values, strip
+    // layout, ModelPixelScale/Tiepoint), imports it through the
+    // windowed per-strip distributed reader, and aggregates per zone
+    // with cell-center world coordinates on the verified path; the
+    // oracle regenerates the raster from the same formula in SQL, so a
+    // defect in strip windowing, float decode or the geo transform
+    // breaks the hash. (GeoTiffSpec additionally proves the writer
+    // against the JDK's independent TIFF parser.)
+    "q_geotiff_import" -> { (s, dir) =>
+      val W = 60; val H = 40
+      val values = Array.tabulate(W * H)(k => (((k % W) * 7 + (k / W) * 13) % 1000).toFloat)
+      val bytes = graft.sources.GeoTiff.write(
+        values, W, H, rowsPerStrip = 8,
+        scaleX = 0.5, scaleY = 0.25, originX = 100.0, originY = -20.0)
+      val tmp = java.nio.file.Paths.get(
+        s"/tmp/graft-geotiff-${java.lang.Math.abs(dir.hashCode)}")
+      java.nio.file.Files.createDirectories(tmp)
+      val f = tmp.resolve("raster.tif")
+      java.nio.file.Files.write(f, bytes)
+      graft.sources.GeoTiff.cells(s, f.toString)
+        .groupBy(
+          floor(col("cell_x") / 30).cast("int").as("zone_x"),
+          floor(col("cell_y") / 20).cast("int").as("zone_y"))
+        .agg(
+          count(lit(1)).as("n_cells"),
+          Num.dsum(col("value")).as("value_sum"),
+          min(col("lon")).as("lon_min"), max(col("lon")).as("lon_max"),
+          min(col("lat")).as("lat_min"), max(col("lat")).as("lat_max"))
+        .orderBy("zone_x", "zone_y")
+    },
     "q_geojson_rings" -> { (s, dir) =>
       import s.implicits._
       val rings = graft.sources.GeoJson.featureRings(
@@ -260,6 +291,23 @@ object GeoQueries {
       SELECT poly_id, COUNT(*) AS n_points, ${dsum("c_acctbal")} AS acctbal_sum
       FROM cr WHERE c % 2 = 1
       GROUP BY 1 ORDER BY 1""",
+    // regenerate the raster from the shared formula: PNG-style
+    // losslessness holds trivially (uncompressed float32 + integer
+    // values < 2^24), so decoded cells must equal the formula exactly
+    "q_geotiff_import" -> s"""
+      WITH g AS (
+        SELECT x.range AS cx, y.range AS cy,
+               CAST((x.range * 7 + y.range * 13) % 1000 AS DOUBLE) AS value,
+               100.0 + (x.range + 0.5) * 0.5 AS lon,
+               -20.0 - (y.range + 0.5) * 0.25 AS lat
+        FROM range(60) x, range(40) y)
+      SELECT CAST(FLOOR(cx / 30) AS INT) AS zone_x,
+             CAST(FLOOR(cy / 20) AS INT) AS zone_y,
+             COUNT(*) AS n_cells,
+             ${dsum("value")} AS value_sum,
+             MIN(lon) AS lon_min, MAX(lon) AS lon_max,
+             MIN(lat) AS lat_min, MAX(lat) AS lat_max
+      FROM g GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_geojson_rings" -> s"""
       WITH rings(fname, xs, ys) AS (VALUES $ringValuesSql),
       bbox AS (
