@@ -204,4 +204,50 @@ class PlanAuditSpec extends SparkSpec {
     val scans = plan.count(p => p.children.isEmpty && p.nodeName.contains("Scan"))
     assert(scans == 1) // every per-column stat comes from a single pass
   }
+
+  test("geojson ring-set containment stays a cell-blocked broadcast hash join") {
+    val plan = executed(SparkEntry.queries("q_geojson_rings")(spark, dir))
+    assert(!plan.exists(_.nodeName.toLowerCase.contains("nestedloop")))
+    assert(!plan.exists(_.nodeName.toLowerCase.contains("cartesian")))
+    // the ring-set dim (a handful of features) must broadcast — the
+    // point side never shuffles for the join
+    assert(plan.exists(_.isInstanceOf[BroadcastHashJoinExec]))
+    // the multi-ring crossing test runs inside whole-stage codegen
+    val crossing = plan.map(_.toString).filter(_.contains("ring_crossings"))
+    assert(crossing.nonEmpty && crossing.exists(_.contains("*(")),
+      "ring_crossings fell out of whole-stage codegen")
+  }
+
+  test("geotiff import keeps map-side partial aggregation over the strip tasks") {
+    val plan = executed(SparkEntry.queries("q_geotiff_import")(spark, dir))
+    // per-strip decode feeds a partial HashAggregate before the zone
+    // exchange — the shape that holds when strips number in the millions
+    val aggs = plan.map(_.toString).filter(_.contains("HashAggregate"))
+    assert(aggs.exists(_.contains("partial_")))
+    assert(shuffles(plan) <= 2) // zone exchange + presentation sort
+  }
+
+  test("sub-exhaustive ivf keeps map-only assignment and a broadcast probe join") {
+    val plan = executed(SparkEntry.queries("q_ann_ivf_probe")(spark, dir))
+    // the ONLY permissible nested loop is the probe stage's
+    // queries × codebook broadcast expansion (both sides bounded: the
+    // query set by contract, the codebook by the hard maxCentroids
+    // cap) — it must be the BROADCAST variant, and nothing
+    // corpus-sized may flow through one
+    val loops = plan.filter(_.nodeName.toLowerCase.contains("nestedloop"))
+    assert(loops.forall(_.nodeName.contains("BroadcastNestedLoop")))
+    // every scan under a nested loop must carry the query-slice pushed
+    // filter — the full corpus never feeds one
+    assert(loops.forall(_.toString.contains("LessThan(vec_id,8)")),
+      "corpus-sized input reached a nested loop")
+    assert(!plan.exists(_.nodeName.toLowerCase.contains("cartesianproduct")))
+    // corpus-side cell assignment is the codegen'd expression over the
+    // scan — no crossJoin expansion of corpus × centroids
+    val assign = plan.map(_.toString).filter(s =>
+      s.contains("nearest_centroid") && s.contains("embeddings.parquet"))
+    assert(assign.nonEmpty && assign.exists(_.contains("*(")),
+      "nearest_centroid fell out of whole-stage codegen")
+    // the probed query set joins the assigned corpus via broadcast
+    assert(plan.exists(_.isInstanceOf[BroadcastHashJoinExec]))
+  }
 }
