@@ -146,6 +146,29 @@ object GeoQueries {
         Seq(Num.dsum(col("c_acctbal")).as("acctbal_sum")))
       cells.join(pts, Seq("feature_key"), "left").orderBy("feature_key")
     },
+    // P6b — GeoJSON EXPORT round trip on the verified path (the
+    // reference ships GeoJSON layers for its site maps): parse the
+    // literal → write newline-delimited Features (distributed) → read
+    // back through readSeq → ring inventory + rasterization of the
+    // REREAD rings. The oracle computes the same from the open ring
+    // lists, so a writer defect (lost hole, unclosed ring, wrong
+    // geometry type, float drift in to_json) changes counts or cells.
+    "q_geojson_roundtrip" -> { (s, dir) =>
+      import s.implicits._
+      val rings = graft.sources.GeoJson.featureRings(
+        Seq(geoJsonDoc).toDF("doc"), "doc", "name")
+      val out = s"/tmp/graft-geojson-${java.lang.Math.abs(dir.hashCode)}/layer"
+      graft.sources.GeoJson.writeFeatures(
+        rings, out, "feature_key", "poly_idx", "ring_idx", "xs", "ys")
+      val back = graft.sources.GeoJson.readSeq(s, out, "name")
+      val inv = back.groupBy("feature_key").agg(
+        count(lit(1)).as("n_rings"),
+        sum(size(col("xs"))).as("n_vertices"),
+        sum(col("is_hole").cast("long")).as("n_holes"))
+      val cells = Geo.rasterizeRingSet(back, "feature_key", "xs", "ys", cellDeg = 1.0)
+        .groupBy("feature_key").agg(count(lit(1)).as("n_cells"))
+      inv.join(cells, Seq("feature_key")).orderBy("feature_key")
+    },
   )
 
   /** Fixed test rings shared verbatim by the Spark query and the SQL
@@ -194,6 +217,17 @@ object GeoQueries {
         s"(CAST('$name' AS VARCHAR), CAST(${xs.mkString("[", ",", "]")} AS DOUBLE[]), " +
           s"CAST(${ys.mkString("[", ",", "]")} AS DOUBLE[]))"
       }
+    }.mkString(", ")
+
+  /** [[ringValuesSql]] plus the hole flag (ring index > 0 within its
+    * polygon) — the roundtrip oracle's inventory columns. */
+  private def ringFlaggedValuesSql: String =
+    geoFeatures.flatMap { case (name, polys) =>
+      polys.flatMap(_.zipWithIndex.map { case ((xs, ys), ringIdx) =>
+        s"(CAST('$name' AS VARCHAR), ${if (ringIdx > 0) 1 else 0}, " +
+          s"CAST(${xs.mkString("[", ",", "]")} AS DOUBLE[]), " +
+          s"CAST(${ys.mkString("[", ",", "]")} AS DOUBLE[]))"
+      })
     }.mkString(", ")
 
   private def polygonValuesSql: String =
@@ -365,6 +399,51 @@ object GeoQueries {
       SELECT cellagg.fname AS feature_key, cellagg.n_cells,
              pagg.n_points, pagg.acctbal_sum
       FROM cellagg LEFT JOIN pagg ON pagg.fname = cellagg.fname
+      ORDER BY 1""",
+    // ring inventory + the same crossing-replay cell count as
+    // q_geojson_rings, over the VALUES rings the round trip must
+    // reproduce exactly
+    "q_geojson_roundtrip" -> s"""
+      WITH rings(fname, is_hole, xs, ys) AS (VALUES $ringFlaggedValuesSql),
+      inv AS (
+        SELECT fname, COUNT(*) AS n_rings,
+               CAST(SUM(len(xs)) AS BIGINT) AS n_vertices,
+               CAST(SUM(is_hole) AS BIGINT) AS n_holes
+        FROM rings GROUP BY 1),
+      bbox AS (
+        SELECT fname, MIN(list_min(xs)) AS x0, MAX(list_max(xs)) AS x1,
+               MIN(list_min(ys)) AS y0, MAX(list_max(ys)) AS y1
+        FROM rings GROUP BY 1),
+      b1 AS (
+        SELECT fname, y0, y1,
+               unnest(generate_series(CAST(FLOOR(x0 / 1.0) AS BIGINT),
+                                      CAST(FLOOR(x1 / 1.0) AS BIGINT))) AS cxb
+        FROM bbox),
+      b2 AS (
+        SELECT fname, cxb,
+               unnest(generate_series(CAST(FLOOR(y0 / 1.0) AS BIGINT),
+                                      CAST(FLOOR(y1 / 1.0) AS BIGINT))) AS cyb
+        FROM b1),
+      cand AS (
+        SELECT b2.fname, CAST(cxb AS INT) AS cell_x, CAST(cyb AS INT) AS cell_y,
+               (CAST(cxb AS INT) + 0.5) * 1.0 AS px,
+               (CAST(cyb AS INT) + 0.5) * 1.0 AS py,
+               r.xs, r.ys, len(r.xs) AS n
+        FROM b2 JOIN rings r ON r.fname = b2.fname),
+      edges AS (SELECT *, unnest(generate_series(0, n - 1)) AS i FROM cand),
+      cr AS (
+        SELECT fname, cell_x, cell_y,
+          SUM(CASE WHEN ((ys[i + 1] > py) <> (ys[((i + 1) % n) + 1] > py))
+                AND (px < (xs[((i + 1) % n) + 1] - xs[i + 1])
+                          * (py - ys[i + 1])
+                          / (ys[((i + 1) % n) + 1] - ys[i + 1])
+                        + xs[i + 1])
+              THEN 1 ELSE 0 END) AS c
+        FROM edges GROUP BY 1, 2, 3),
+      cellagg AS (SELECT fname, COUNT(*) AS n_cells FROM cr WHERE c % 2 = 1 GROUP BY 1)
+      SELECT inv.fname AS feature_key, inv.n_rings, inv.n_vertices,
+             inv.n_holes, cellagg.n_cells
+      FROM inv JOIN cellagg ON cellagg.fname = inv.fname
       ORDER BY 1""",
     "q_vector_overlay" -> """
       WITH z AS (SELECT c_custkey % 5 AS zone, c_custkey AS cell FROM customer),

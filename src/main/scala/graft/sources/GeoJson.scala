@@ -101,4 +101,58 @@ object GeoJson {
   def read(spark: SparkSession, path: String, keyProperty: String): DataFrame =
     featureRings(
       spark.read.option("wholetext", "true").text(path), "value", keyProperty)
+
+  /** Newline-delimited GeoJSON reader (one Feature per line — the
+    * public GeoJSONL/geojsonseq convention, and what [[writeFeatures]]
+    * emits): line-splittable, so a huge layer reads with normal file
+    * parallelism instead of one-document-one-task. Each line wraps
+    * into a single-feature collection and rides the same parser. */
+  def readSeq(spark: SparkSession, path: String, keyProperty: String): DataFrame = {
+    val lines = spark.read.text(path)
+      .where(length(trim(col("value"))) > 0)
+      .select(concat(
+        lit("""{"type":"FeatureCollection","features":["""),
+        col("value"), lit("]}")).as("doc"))
+    featureRings(lines, "doc", keyProperty)
+  }
+
+  /** GeoJSON export (ref: the reference ships GeoJSON layers for its
+    * site maps): ring rows → one Feature per `keyCol` value, written
+    * as newline-delimited GeoJSON. Fully distributed: rings collapse
+    * to features with one dim-sized shuffle, each feature renders its
+    * JSON independently (rings closed per the spec, Polygon vs
+    * MultiPolygon chosen by part count), and the write is a plain
+    * text sink. Round-trips through [[readSeq]] exactly. */
+  def writeFeatures(
+      rings: DataFrame, path: String,
+      keyCol: String, polyIdxCol: String, ringIdxCol: String,
+      xsCol: String, ysCol: String): Unit = {
+    // ring → closed [[x,y],...] point list (re-append the first vertex)
+    val pts = zip_with(
+      col(xsCol).cast("array<double>"), col(ysCol).cast("array<double>"),
+      (x, y) => array(x, y))
+    val closed = concat(pts, slice(pts, 1, 1))
+    val polys = rings
+      .select(col(keyCol).as("k"), col(polyIdxCol).as("pi"),
+        col(ringIdxCol).as("ri"), closed.as("pts"))
+      .groupBy(col("k"), col("pi"))
+      .agg(sort_array(collect_list(struct(col("ri"), col("pts")))).as("rs"))
+      .select(col("k"), col("pi"),
+        transform(col("rs"), r => r.getField("pts")).as("rings"))
+    val features = polys
+      .groupBy(col("k"))
+      .agg(sort_array(collect_list(struct(col("pi"), col("rings")))).as("ps"))
+      .select(col("k"), transform(col("ps"), p => p.getField("rings")).as("polys"))
+      .select(concat(
+        lit("""{"type":"Feature","properties":"""),
+        to_json(map(lit("name"), col("k"))), // to_json: correct string escaping
+        lit(""","geometry":{"type":"""),
+        when(size(col("polys")) === 1,
+          concat(lit(""""Polygon","coordinates":"""),
+            to_json(element_at(col("polys"), 1))))
+          .otherwise(concat(lit(""""MultiPolygon","coordinates":"""),
+            to_json(col("polys")))),
+        lit("}}")).as("value"))
+    features.write.mode(org.apache.spark.sql.SaveMode.Overwrite).text(path)
+  }
 }

@@ -340,6 +340,23 @@ class EventsGeoFormatsSpec extends SparkSpec {
     assert(byKey("twoParts") == partA ++ partB)
   }
 
+  test("GeoJSON export round-trips ring rows exactly through readSeq") {
+    val rings = graft.sources.GeoJson.featureRings(
+      Seq(geoJsonFixture).toDF("doc"), "doc", "name")
+    val dir = java.nio.file.Files.createTempDirectory("graft-geojson-out").toString
+    graft.sources.GeoJson.writeFeatures(
+      rings, s"$dir/layer", "feature_key", "poly_idx", "ring_idx", "xs", "ys")
+    val back = graft.sources.GeoJson.readSeq(spark, s"$dir/layer", "name")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("feature_key", "poly_idx", "ring_idx", "is_hole", "xs", "ys")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getBoolean(3),
+        r.getSeq[Double](4).toSeq, r.getSeq[Double](5).toSeq)).toSet
+    assert(key(back) == key(rings))
+    // the emitted lines are real GeoJSON Features (spot parse one)
+    val line = spark.read.text(s"$dir/layer").head.getString(0)
+    assert(line.startsWith("""{"type":"Feature"""") && line.contains(""""coordinates":"""))
+  }
+
   test("pointInRingSet excludes hole interiors and unions parts") {
     val rings = graft.sources.GeoJson.featureRings(
       Seq(geoJsonFixture).toDF("doc"), "doc", "name")
