@@ -121,6 +121,17 @@ object GraftFunctions {
   def sign_buckets(v: Column, planes: Array[Array[Double]], nPlanes: Int): Column =
     ColumnBridge.column(SignBuckets(ColumnBridge.expression(v), planes, nPlanes))
 
+  /** Codegen'd product-quantization encode against a driver-side
+    * codebook (see [[PqEncode]]). Not SQL-registered for the same
+    * reason as `nearest_centroid`. */
+  def pq_encode(v: Column, codebook: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqEncode(ColumnBridge.expression(v), codebook))
+
+  /** Codegen'd asymmetric-distance PQ scoring (see [[PqAdcScore]]). */
+  def pq_adc_score(codes: Column, dtab: Column): Column =
+    ColumnBridge.column(PqAdcScore(
+      ColumnBridge.expression(codes), ColumnBridge.expression(dtab)))
+
   /** Codegen'd even-odd ray-cast crossing count (see
     * [[RayCastCrossings]]). */
   def ray_cast_crossings(px: Column, py: Column, xs: Column, ys: Column): Column =

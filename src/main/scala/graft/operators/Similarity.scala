@@ -147,6 +147,83 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** K4 — product-quantization ANN (Jégou et al. 2011): compress the
+    * corpus to `m` small code indices per vector (64 floats → m ints
+    * against a ≤`maxCentroids`-per-subspace codebook) and search in
+    * the COMPRESSED domain by asymmetric distance — per query one
+    * m×k distance table, then every candidate scores with m array
+    * lookups instead of a d-dim dot. This is the representation that
+    * makes brute-force scans affordable at 10⁹+ vectors: the codes
+    * table is ~8–16 bytes/vector, small enough to keep hot.
+    *
+    * Scale shape: the codebook is the same deterministic stride-sample
+    * as [[ivfTopK]] (driver-bounded, loud cap — the no-RNG analogue of
+    * PQ's kmeans training; quality costs recall, never correctness,
+    * and the gate replays THIS algorithm verbatim); corpus encoding is
+    * a map-only codegen'd [[graft.functions.PqEncode]] stage (encode
+    * ONCE, reuse across query batches); per-query distance tables are
+    * built on the (small, broadcast) query side; scoring is the
+    * codegen'd [[graft.functions.PqAdcScore]] inside the fused
+    * candidate stage — the corpus never exchanges anything but its
+    * id+codes.
+    *
+    * Exactness property (PqSpec): with `centroidStride = 1` every
+    * subvector is its own centroid, quantization error is zero and
+    * the ADC top-k equals the exact squared-L2 ranking.
+    *
+    * `dim` must divide into `m` equal subspaces (enforced). Returns
+    * (query_id, rank, neighbor_id, adc_dist) — rank by ascending
+    * approximate squared distance, ties on neighbor_id. */
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, m: Int,
+      centroidStride: Long, maxCentroids: Int = 256): DataFrame = {
+    val sampled = corpus
+      .where(pmod(col(idCol), lit(centroidStride)) === 0)
+      .select(col(idCol).cast("string").as("cid"),
+        col(vecCol).cast("array<double>").as("cvec"))
+      .orderBy("cid")
+      .limit(maxCentroids + 1)
+      .collect()
+    require(sampled.nonEmpty, "pqTopK: stride sampled zero centroids")
+    require(sampled.length <= maxCentroids,
+      s"pqTopK: > $maxCentroids centroids sampled — raise centroidStride")
+    val dim = sampled.head.getSeq[Double](1).length
+    require(dim % m == 0, s"pqTopK: dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    // codebook[j][c] = subvector j of sampled vector c
+    val codebook: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      sampled.map(_.getSeq[Double](1).slice(j * dsub, (j + 1) * dsub).toArray)
+    }
+    val codes = corpus.select(
+      col(idCol).as("neighbor_id"),
+      graft.functions.GraftFunctions.pq_encode(col(vecCol), codebook).as("codes"))
+    // per-query distance table: interpreted HOF fold, but over the
+    // SMALL query side only (the corpus-side hot path stays codegen'd)
+    val cbLit = typedLit(codebook.map(_.map(_.toSeq).toSeq).toSeq)
+    val qv = col(vecCol).cast("array<double>")
+    val dtab = transform(cbLit, (subCents, j) =>
+      transform(subCents, cent =>
+        aggregate(sequence(lit(0), lit(dsub - 1)), lit(0.0), (acc, i) => {
+          val x = element_at(qv, j * dsub + i + 1)
+          val c = element_at(cent, i + 1)
+          acc + (x - c) * (x - c)
+        })))
+    val q = queries.select(col(idCol).as("query_id"), dtab.as("dtab"))
+    codes.crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("neighbor_id"),
+        graft.functions.GraftFunctions.pq_adc_score(col("codes"), col("dtab"))
+          .as("adc_dist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adc_dist"), col("neighbor_id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_dist"))
+      .orderBy("query_id", "rank")
+  }
+
   /** K2 — LSH-bucketed ANN, MULTI-TABLE: `nTables` independent plane
     * families; candidates are corpus vectors sharing the query's bucket
     * in ANY table (recall 1−(1−p^nPlanes)^nTables per neighbor — the

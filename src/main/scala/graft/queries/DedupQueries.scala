@@ -138,6 +138,20 @@ object DedupQueries {
         emb, emb.where(col("vec_id") < 8), "vec_id", "embedding",
         k = 10, centroidStride = 16, nProbe = 4)
     },
+    // K4 gate — product-quantization ANN, VERBATIM: the DuckDB oracle
+    // replays the whole compressed-domain pipeline — stride-sampled
+    // subspace codebook, argmin-L2 encode (ties → lowest ordinal),
+    // per-query distance tables, ordered ADC sums — with identical
+    // IEEE arithmetic, so a defect in encode, table build or scoring
+    // changes rows. The stride-1 exactness property (ADC == exact
+    // squared-L2 ranking when quantization error is zero) is
+    // spec-held in PqSpec.
+    "q_ann_pq" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.pqTopK(
+        emb, emb.where(col("vec_id") < 8), "vec_id", "embedding",
+        k = 10, m = 8, centroidStride = 16)
+    },
   )
 
   /** Double-precision cosine with the exact evaluation order of
@@ -283,6 +297,7 @@ object DedupQueries {
         FROM scored)
       SELECT query_id, rank, neighbor_id, cosine FROM r
       WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q_ann_pq" -> annPqSql,
     // Full sub-exhaustive IVF replay (see the q_ann_ivf_probe query
     // comment): stride sampling + CAST-to-VARCHAR codebook order +
     // ordinal cells + L2 normalization + argmax-dot assignment with
@@ -332,6 +347,54 @@ object DedupQueries {
       SELECT query_id, rank, neighbor_id, cosine FROM r
       WHERE rank <= 10 ORDER BY query_id, rank""",
   )
+
+  /** Full PQ replay (see the q_ann_pq query comment): m=8 subspaces of
+    * dsub=8 over the 64-dim embeddings, stride-16 codebook in
+    * CAST-to-VARCHAR order, per-(vec, subspace) argmin-L2 encode,
+    * per-query distance tables, ADC score as the SUBSPACE-ORDERED
+    * list_sum (sequential fold — an unordered SUM() would round
+    * differently). */
+  private lazy val annPqSql: String = s"""
+      WITH cb AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY CAST(vec_id AS VARCHAR)) - 1 AS INT) AS cidx,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+        FROM embeddings WHERE vec_id % 16 = 0),
+      subs AS (SELECT CAST(s.range AS INT) AS sub FROM range(8) s),
+      cents AS (
+        SELECT subs.sub, cb.cidx,
+               cb.cvec[subs.sub * 8 + 1 : subs.sub * 8 + 8] AS csub
+        FROM cb, subs),
+      enc AS (
+        SELECT vec_id, sub, cidx FROM (
+          SELECT e.vec_id, c.sub, c.cidx,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id, c.sub ORDER BY
+              list_sum(list_transform(
+                list_zip(e.embedding[c.sub * 8 + 1 : c.sub * 8 + 8], c.csub),
+                p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2]))) ASC,
+              c.cidx ASC) AS r
+          FROM embeddings e, cents c)
+        WHERE r = 1),
+      q AS (SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id < 8),
+      dt AS (
+        SELECT q.query_id, c.sub, c.cidx,
+          list_sum(list_transform(
+            list_zip(q.qv[c.sub * 8 + 1 : c.sub * 8 + 8], c.csub),
+            p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2]))) AS d
+        FROM q, cents c),
+      sc AS (
+        SELECT dt.query_id, enc.vec_id AS neighbor_id,
+               list_sum(list(dt.d ORDER BY dt.sub)) AS adc_dist
+        FROM enc JOIN dt ON dt.sub = enc.sub AND dt.cidx = enc.cidx
+        WHERE enc.vec_id <> dt.query_id
+        GROUP BY 1, 2),
+      r AS (
+        SELECT query_id, neighbor_id, adc_dist,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY adc_dist, neighbor_id) AS INT) AS rank
+        FROM sc)
+      SELECT query_id, rank, neighbor_id, adc_dist FROM r
+      WHERE rank <= 10 ORDER BY query_id, rank"""
 
   /** The K2 plane matrix as SQL VALUES rows `(table, bit, weights)` —
     * generated from [[Similarity.planeWeights]] at oracle-build time,
