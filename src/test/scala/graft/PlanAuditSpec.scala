@@ -205,6 +205,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans == 1) // every per-column stat comes from a single pass
   }
 
+  test("pq search encodes in codegen and streams only id+codes through the scan join") {
+    val plan = executed(SparkEntry.queries("q_ann_pq")(spark, dir))
+    // corpus-side encode is the codegen'd expression over the scan
+    val enc = plan.map(_.toString).filter(s =>
+      s.contains("pq_encode") && s.contains("embeddings.parquet"))
+    assert(enc.nonEmpty && enc.exists(_.contains("*(")),
+      "pq_encode fell out of whole-stage codegen")
+    // the ADC scan join IS a broadcast nested loop by design (compressed-
+    // domain brute force) — but its broadcast side must be the bounded
+    // query slice, and the streamed side must carry codes, never the
+    // raw embedding vectors
+    val loops = plan.filter(_.nodeName.toLowerCase.contains("nestedloop"))
+    assert(loops.forall(_.nodeName.contains("BroadcastNestedLoop")))
+    loops.foreach { l =>
+      assert(l.toString.contains("LessThan(vec_id,8)"),
+        "pq ADC join broadcast side is not the bounded query slice")
+      val streamed = l.children.filterNot(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.BroadcastExchangeLike])
+      streamed.foreach(c => assert(
+        !c.output.exists(_.name == "embedding"),
+        "raw embeddings leaked past the encode stage into the scan join"))
+    }
+  }
+
   test("geojson ring-set containment stays a cell-blocked broadcast hash join") {
     val plan = executed(SparkEntry.queries("q_geojson_rings")(spark, dir))
     assert(!plan.exists(_.nodeName.toLowerCase.contains("nestedloop")))
