@@ -224,6 +224,95 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** K5 — IVF-PQ: the canonical billion-scale ANN architecture
+    * (coarse cells prune the corpus, PQ codes score the survivors in
+    * the compressed domain — FAISS's IndexIVFPQ shape, from the same
+    * Jégou et al. 2011 construction as [[pqTopK]]). One corpus pass
+    * emits (id, cell, codes) — BOTH the codegen'd
+    * [[graft.functions.NearestCentroidIndex]] assignment and the
+    * codegen'd [[graft.functions.PqEncode]] in a single map-only
+    * projection; queries rank their `nProbe` nearest cells and carry
+    * their ADC distance table; candidates come from a broadcast hash
+    * join on the cell key (NOT a corpus-wide scan — that is the IVF
+    * pruning), and each scores with m array lookups. Exchange: the
+    * corpus moves id+cell+codes once; vectors never leave the scan.
+    *
+    * Both codebooks are the deterministic stride samples of the
+    * component operators (driver-bounded, loud caps); quality costs
+    * recall only, and the gate replays this exact algorithm. Returns
+    * (query_id, rank, neighbor_id, adc_dist). */
+  def ivfPqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, m: Int,
+      cellStride: Long, pqStride: Long, nProbe: Int,
+      maxCentroids: Int = 4096): DataFrame = {
+    val spark = corpus.sparkSession
+    val cos = graft.functions.GraftFunctions.cosine_sim _
+    def sample(stride: Long): Array[org.apache.spark.sql.Row] = {
+      val s = corpus
+        .where(pmod(col(idCol), lit(stride)) === 0)
+        .select(col(idCol).cast("string").as("cid"),
+          col(vecCol).cast("array<double>").as("cvec"))
+        .orderBy("cid")
+        .limit(maxCentroids + 1)
+        .collect()
+      require(s.nonEmpty, "ivfPqTopK: stride sampled zero centroids")
+      require(s.length <= maxCentroids,
+        s"ivfPqTopK: > $maxCentroids centroids sampled — raise the stride")
+      s
+    }
+    val cellSample = sample(cellStride)
+    val cellBook: Array[Array[Double]] = cellSample.map { r =>
+      val v = r.getSeq[Double](1).toArray
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n > 0) v.map(_ / n) else v
+    }
+    val pqSample = sample(pqStride)
+    val dim = pqSample.head.getSeq[Double](1).length
+    require(dim % m == 0, s"ivfPqTopK: dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val pqBook: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      pqSample.map(_.getSeq[Double](1).slice(j * dsub, (j + 1) * dsub).toArray)
+    }
+    // ONE corpus pass: cell + codes, both codegen'd, map-only
+    val indexed = corpus.select(
+      col(idCol).as("neighbor_id"),
+      graft.functions.GraftFunctions.nearest_centroid(col(vecCol), cellBook).as("cell"),
+      graft.functions.GraftFunctions.pq_encode(col(vecCol), pqBook).as("codes"))
+    import spark.implicits._
+    val centroidDf = cellBook.zipWithIndex
+      .map { case (v, i) => (i, v) }.toSeq.toDF("cell", "cnorm")
+    val qv = col(vecCol).cast("array<double>")
+    val cbLit = typedLit(pqBook.map(_.map(_.toSeq).toSeq).toSeq)
+    val dtab = transform(cbLit, (subCents, j) =>
+      transform(subCents, cent =>
+        aggregate(sequence(lit(0), lit(dsub - 1)), lit(0.0), (acc, i) => {
+          val x = element_at(qv, j * dsub + i + 1)
+          val c = element_at(cent, i + 1)
+          acc + (x - c) * (x - c)
+        })))
+    val probed = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv0"), dtab.as("dtab"))
+      .crossJoin(broadcast(centroidDf))
+      .withColumn("cdist", -cos(col("qv0"), col("cnorm")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cdist"), col("cell"))))
+      .where(col("crank") <= nProbe)
+      .select(col("query_id"), col("dtab"), col("cell"))
+    indexed.join(broadcast(probed), "cell")
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("neighbor_id"),
+        graft.functions.GraftFunctions.pq_adc_score(col("codes"), col("dtab"))
+          .as("adc_dist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adc_dist"), col("neighbor_id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_dist"))
+      .orderBy("query_id", "rank")
+  }
+
   /** K2 — LSH-bucketed ANN, MULTI-TABLE: `nTables` independent plane
     * families; candidates are corpus vectors sharing the query's bucket
     * in ANY table (recall 1−(1−p^nPlanes)^nTables per neighbor — the

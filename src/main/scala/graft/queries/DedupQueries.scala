@@ -152,6 +152,19 @@ object DedupQueries {
         emb, emb.where(col("vec_id") < 8), "vec_id", "embedding",
         k = 10, m = 8, centroidStride = 16)
     },
+    // K5 gate — IVF-PQ composition, VERBATIM: cells prune (stride-16
+    // coarse codebook, nProbe 4 — a strict subset at every verify
+    // scale), PQ codes score the survivors. The oracle stitches the
+    // q_ann_ivf_probe replay (assignment + probing) to the q_ann_pq
+    // replay (encode + ordered ADC sums), restricted to probed
+    // (query, cell) pairs — the full production pipeline under one
+    // hash gate.
+    "q_ann_ivfpq" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfPqTopK(
+        emb, emb.where(col("vec_id") < 8), "vec_id", "embedding",
+        k = 10, m = 8, cellStride = 16, pqStride = 16, nProbe = 4)
+    },
   )
 
   /** Double-precision cosine with the exact evaluation order of
@@ -298,6 +311,7 @@ object DedupQueries {
       SELECT query_id, rank, neighbor_id, cosine FROM r
       WHERE rank <= 10 ORDER BY query_id, rank""",
     "q_ann_pq" -> annPqSql,
+    "q_ann_ivfpq" -> annIvfPqSql,
     // Full sub-exhaustive IVF replay (see the q_ann_ivf_probe query
     // comment): stride sampling + CAST-to-VARCHAR codebook order +
     // ordinal cells + L2 normalization + argmax-dot assignment with
@@ -387,6 +401,86 @@ object DedupQueries {
                list_sum(list(dt.d ORDER BY dt.sub)) AS adc_dist
         FROM enc JOIN dt ON dt.sub = enc.sub AND dt.cidx = enc.cidx
         WHERE enc.vec_id <> dt.query_id
+        GROUP BY 1, 2),
+      r AS (
+        SELECT query_id, neighbor_id, adc_dist,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY adc_dist, neighbor_id) AS INT) AS rank
+        FROM sc)
+      SELECT query_id, rank, neighbor_id, adc_dist FROM r
+      WHERE rank <= 10 ORDER BY query_id, rank"""
+
+  /** IVF-PQ replay: the q_ann_ivf_probe CTEs (normalized cell
+    * codebook, argmax-dot assignment, nProbe nearest cells) feeding
+    * the q_ann_pq CTEs (subspace codebook, argmin-L2 encode, ordered
+    * ADC sums), joined on the probed (query, cell) pairs. Both
+    * codebooks happen to share stride 16 here, but stay separate CTEs
+    * — the operators sample independently. */
+  private lazy val annIvfPqSql: String = s"""
+      WITH cellcb1 AS (
+        SELECT CAST(vec_id AS VARCHAR) AS cid, embedding,
+               SQRT(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings WHERE vec_id % 16 = 0),
+      cellcb AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY cid) - 1 AS INT) AS cell,
+               CASE WHEN nrm > 0
+                    THEN list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm)
+                    ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS cnorm
+        FROM cellcb1),
+      q AS (SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id < 8),
+      probe AS (
+        SELECT query_id, qv, cell FROM (
+          SELECT q.query_id, q.qv, c.cell,
+                 ROW_NUMBER() OVER (PARTITION BY q.query_id
+                   ORDER BY -(${cosSql("q.qv", "c.cnorm")}), c.cell) AS crank
+          FROM q CROSS JOIN cellcb c)
+        WHERE crank <= 4),
+      assign AS (
+        SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.cell,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_sum(list_transform(list_zip(e.embedding, c.cnorm),
+                     p -> CAST(p[1] AS DOUBLE) * p[2])) DESC, c.cell) AS r
+          FROM embeddings e CROSS JOIN cellcb c)
+        WHERE r = 1),
+      pqcb AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY CAST(vec_id AS VARCHAR)) - 1 AS INT) AS cidx,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+        FROM embeddings WHERE vec_id % 16 = 0),
+      subs AS (SELECT CAST(s.range AS INT) AS sub FROM range(8) s),
+      cents AS (
+        SELECT subs.sub, pqcb.cidx,
+               pqcb.cvec[subs.sub * 8 + 1 : subs.sub * 8 + 8] AS csub
+        FROM pqcb, subs),
+      enc AS (
+        SELECT vec_id, sub, cidx FROM (
+          SELECT e.vec_id, c.sub, c.cidx,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id, c.sub ORDER BY
+              list_sum(list_transform(
+                list_zip(e.embedding[c.sub * 8 + 1 : c.sub * 8 + 8], c.csub),
+                p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2]))) ASC,
+              c.cidx ASC) AS r
+          FROM embeddings e, cents c)
+        WHERE r = 1),
+      dt AS (
+        SELECT q.query_id, c.sub, c.cidx,
+          list_sum(list_transform(
+            list_zip(q.qv[c.sub * 8 + 1 : c.sub * 8 + 8], c.csub),
+            p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2]))) AS d
+        FROM q, cents c),
+      cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM probe p JOIN assign a ON a.cell = p.cell
+        WHERE a.vec_id <> p.query_id),
+      sc AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               list_sum(list(dt.d ORDER BY dt.sub)) AS adc_dist
+        FROM cand
+        JOIN enc ON enc.vec_id = cand.neighbor_id
+        JOIN dt ON dt.query_id = cand.query_id
+                AND dt.sub = enc.sub AND dt.cidx = enc.cidx
         GROUP BY 1, 2),
       r AS (
         SELECT query_id, neighbor_id, adc_dist,

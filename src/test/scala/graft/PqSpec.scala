@@ -66,6 +66,40 @@ class PqSpec extends SparkSpec {
     assert(sampled > 1) // the coarse config is a genuine quantizer here
   }
 
+  test("ivfPqTopK output is the PQ ranking restricted to probed cells") {
+    // with nProbe covering every cell, IVF-PQ degenerates to plain PQ
+    // (same codebook strides) — the composition adds pruning, never a
+    // different score
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.where(col("vec_id") < 4)
+    val nCells = emb.where(pmod(col("vec_id"), lit(16)) === 0).count().toInt
+    val full = Similarity.ivfPqTopK(
+      emb, q, "vec_id", "embedding", k = 10, m = 8,
+      cellStride = 16, pqStride = 16, nProbe = nCells)
+      .collect().map(_.toSeq)
+    val pq = Similarity.pqTopK(
+      emb, q, "vec_id", "embedding", k = 10, m = 8, centroidStride = 16,
+      maxCentroids = 4096)
+      .collect().map(_.toSeq)
+    assert(full.toSeq == pq.toSeq)
+    // partial probing returns a contiguous-ranked per-query subset
+    val pruned = Similarity.ivfPqTopK(
+      emb, q, "vec_id", "embedding", k = 10, m = 8,
+      cellStride = 16, pqStride = 16, nProbe = 2).collect()
+    pruned.groupBy(_.getLong(0)).values.foreach { rows =>
+      assert(rows.map(_.getInt(1)).toSeq.sorted == (1 to rows.length).toSeq)
+    }
+    // and every pruned result row appears in the unpruned candidate
+    // scoring with the same distance
+    val fullDist = Similarity.ivfPqTopK(
+      emb, q, "vec_id", "embedding", k = 1000, m = 8,
+      cellStride = 16, pqStride = 16, nProbe = nCells)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    pruned.foreach { r =>
+      assert(fullDist((r.getLong(0), r.getLong(2))) == r.getDouble(3))
+    }
+  }
+
   test("indivisible subspace layout and oversized codebooks fail loudly") {
     val df = vecs(30, 10)
     val e1 = intercept[IllegalArgumentException](Similarity.pqTopK(
