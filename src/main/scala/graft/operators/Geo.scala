@@ -267,11 +267,17 @@ object Geo {
     * join at any feature count, never a nested loop), then the exact
     * multi-ring even-odd test on the point's own coordinates decides.
     * Points never shuffle; the ring-set dim broadcasts. */
-  def pointInRingSet(
+  /** The containment-tagging stage of [[pointInRingSet]], exposed so
+    * the STREAMING twin ([[graft.streaming.StreamOps.geoTagStream]])
+    * shares it verbatim: every operation is stateless per point row
+    * (cell key, broadcast dim join, exact ring test), which is
+    * exactly what a stream-static join needs. Emits the point rows
+    * (minus blocking keys) with their containing `featureKey`; a
+    * point inside k overlapping features emits k rows. */
+  private[graft] def tagPointsInRingSet(
       points: DataFrame, rings: DataFrame,
       lonCol: String, latCol: String, featureKey: String,
-      xsCol: String, ysCol: String,
-      aggs: Seq[Column], cellDeg: Double = 5.0): DataFrame = {
+      xsCol: String, ysCol: String, cellDeg: Double): DataFrame = {
     def cellOf(c: Column): Column = floor(c / cellDeg).cast("int")
     val featureCells = ringSetPerFeature(rings, featureKey, xsCol, ysCol)
       .withColumn("cx", explode(sequence(cellOf(col("xmin")), cellOf(col("xmax")))))
@@ -280,14 +286,22 @@ object Geo {
     points
       .withColumn("cx", cellOf(px))
       .withColumn("cy", cellOf(py))
-      .join(featureCells, Seq("cx", "cy"))
+      .join(broadcast(featureCells), Seq("cx", "cy"))
       .where(pmod(
         graft.functions.GraftFunctions.ring_crossings(px, py, col("xss"), col("yss")),
         lit(2)) === 1)
+      .drop("cx", "cy", "xss", "yss", "xmin", "xmax", "ymin", "ymax")
+  }
+
+  def pointInRingSet(
+      points: DataFrame, rings: DataFrame,
+      lonCol: String, latCol: String, featureKey: String,
+      xsCol: String, ysCol: String,
+      aggs: Seq[Column], cellDeg: Double = 5.0): DataFrame =
+    tagPointsInRingSet(points, rings, lonCol, latCol, featureKey, xsCol, ysCol, cellDeg)
       .groupBy(col(featureKey))
       .agg(count(lit(1)).as("n_points"), aggs: _*)
       .orderBy(col(featureKey))
-  }
 
   /** F4 — zonal statistics over a cell raster: zones are coarse cells
     * (factor×factor fine cells); one groupBy, no join at all. */

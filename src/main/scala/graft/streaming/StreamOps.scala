@@ -13,6 +13,21 @@ import graft.operators.Num
   */
 object StreamOps {
 
+  /** Streaming point-in-ring-set tagging (geofence enrichment): each
+    * streaming point row joins the STATIC ring-set dimension through
+    * the same cell blocking + exact multi-ring even-odd test as the
+    * batch [[graft.operators.Geo.pointInRingSet]] — shared code, so
+    * stream and batch agree row-for-row (StreamingSpec parity). Every
+    * step is stateless per row (cell key, broadcast stream-static
+    * join, codegen'd crossing test): append-mode, no watermark, no
+    * state store — the shape that holds at any stream rate. */
+  def geoTagStream(
+      points: DataFrame, rings: DataFrame,
+      lonCol: String, latCol: String, featureKey: String,
+      xsCol: String, ysCol: String, cellDeg: Double = 5.0): DataFrame =
+    graft.operators.Geo.tagPointsInRingSet(
+      points, rings, lonCol, latCol, featureKey, xsCol, ysCol, cellDeg)
+
   /** Watermarked tumbling-window aggregation: late events beyond
     * `watermarkDur` are dropped and window state is bounded — the
     * property that keeps an unbounded 100 TB/day stream in fixed

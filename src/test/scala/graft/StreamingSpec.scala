@@ -111,4 +111,46 @@ class StreamingSpec extends SparkSpec {
       assert(last == Set((1L, 2L, 3.0), (2L, 1L, 5.0)))
     } finally q.stop()
   }
+
+  test("streaming geofence tagging matches the batch ring containment row-for-row") {
+    // a Polygon with a hole + a two-part MultiPolygon as the static
+    // ring-set dim; the stream-static join is stateless append-mode
+    val doc = """{"type":"FeatureCollection","features":[
+      {"type":"Feature","properties":{"name":"withHole"},"geometry":{"type":"Polygon",
+       "coordinates":[[[0.0,0.0],[10.0,0.0],[10.0,10.0],[0.0,10.0],[0.0,0.0]],
+                      [[3.0,3.0],[7.0,3.0],[7.0,7.0],[3.0,7.0],[3.0,3.0]]]}},
+      {"type":"Feature","properties":{"name":"twoParts"},"geometry":{"type":"MultiPolygon",
+       "coordinates":[[[[20.0,0.0],[26.0,0.0],[26.0,6.0],[20.0,6.0],[20.0,0.0]]],
+                      [[[30.0,0.0],[34.0,0.0],[34.0,4.0],[30.0,4.0],[30.0,0.0]]]]}}]}"""
+      .replaceAll("\n\\s*", "")
+    val rings = graft.sources.GeoJson.featureRings(
+      Seq(doc).toDF("doc"), "doc", "name").cache()
+    val pts = Seq(
+      (1L, 1.2, 1.2),   // withHole interior
+      (2L, 5.0, 5.0),   // inside the hole → no tag
+      (3L, 21.3, 1.1),  // twoParts part 1
+      (4L, 33.2, 3.3),  // twoParts part 2
+      (5L, 50.0, 50.0)) // nowhere
+    val input = MemoryStream[(Long, Double, Double)](spark)
+    val tagged = StreamOps.geoTagStream(
+      input.toDF.toDF("pt_id", "lon", "lat"), rings,
+      "lon", "lat", "feature_key", "xs", "ys")
+    val q = tagged.writeStream.format("memory").queryName("geo_tags")
+      .outputMode("append").start()
+    try {
+      input.addData(pts.take(2): _*)
+      q.processAllAvailable()
+      input.addData(pts.drop(2): _*) // second micro-batch: same dim
+      q.processAllAvailable()
+      val got = spark.table("geo_tags").select("pt_id", "feature_key")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val batch = graft.operators.Geo.tagPointsInRingSet(
+        pts.toDF("pt_id", "lon", "lat"), rings,
+        "lon", "lat", "feature_key", "xs", "ys", cellDeg = 5.0)
+        .select("pt_id", "feature_key")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == batch)
+      assert(got == Set((1L, "withHole"), (3L, "twoParts"), (4L, "twoParts")))
+    } finally q.stop()
+  }
 }
