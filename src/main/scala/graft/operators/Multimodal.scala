@@ -13,12 +13,15 @@ import org.apache.spark.sql.types._
   * opaque `binary` columns with a typed metadata struct, processed by
   * partition-batched typed transforms.
   *
-  * The image and audio paths are REAL pure-JVM codecs — PNG/BMP via
-  * `javax.imageio.ImageIO`, WAV PCM via `javax.sound.sampled` — so
-  * decode genuinely parses the container format (zlib inflate, IDAT
-  * reassembly, RIFF chunk walk) before any pixel/sample is summed.
-  * Only video decode remains a stub (no pure-JVM video codec exists);
-  * it is labeled below. The Spark shape is what a production pipeline
+  * All three modality paths are REAL pure-JVM codecs — images as
+  * PNG/BMP via `javax.imageio.ImageIO`, audio as WAV PCM via
+  * `javax.sound.sampled`, video as APNG via the [[Apng]] chunk walk +
+  * per-frame ImageIO decode — so decode genuinely parses the
+  * container formats (zlib inflate, IDAT reassembly, RIFF chunk walk,
+  * acTL/fcTL/fdAT sequencing) before any pixel/sample is summed.
+  * Containers that need native decoders (H.264/MP3/…) are out of
+  * scope for this environment; they would plug in behind the same
+  * codec dispatch. The Spark shape is what a production pipeline
   * needs:
   *
   *  - schema: `media_id bigint, meta struct<media_type,width,height,
@@ -52,18 +55,166 @@ object Multimodal {
       StructField("duration_ms", LongType))), nullable = false),
     StructField("content", BinaryType, nullable = false)))
 
+  /** APNG (Animated PNG — the public animated-image format, PNG
+    * Third Edition §4.12) container support, full-frame profile:
+    * every frame covers the whole canvas (fcTL dims = IHDR dims,
+    * blend SOURCE). This is the pure-JVM "video" path: the container
+    * walk (chunk framing, CRCs, acTL/fcTL/fdAT sequence) is real
+    * format parsing, and each extracted frame is a standalone PNG
+    * decoded by `ImageIO` — no native codec anywhere. Containers
+    * needing native decoders (H.264 etc.) are out of scope for this
+    * environment; their rows would plug in behind the same
+    * [[JvmMediaCodec.decode]] dispatch. */
+  object Apng {
+    private val Sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    private def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + data.length)
+      out.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+
+    /** (type, data) chunks of a PNG byte stream, signature checked. */
+    private[Multimodal] def chunks(png: Array[Byte]): Seq[(String, Array[Byte])] = {
+      require(png.length >= 8 && png.take(8).sameElements(Sig),
+        "apng: not a PNG signature")
+      val out = Seq.newBuilder[(String, Array[Byte])]
+      var p = 8
+      while (p + 8 <= png.length) {
+        val bb = java.nio.ByteBuffer.wrap(png, p, 8)
+        val len = bb.getInt
+        val typ = new String(png, p + 4, 4, "US-ASCII")
+        require(p + 12 + len <= png.length, s"apng: truncated $typ chunk")
+        out += typ -> java.util.Arrays.copyOfRange(png, p + 8, p + 8 + len)
+        p += 12 + len
+      }
+      out.result()
+    }
+
+    /** Assemble an APNG from per-frame still PNGs (all same dims —
+      * the full-frame profile this codec reads back). */
+    def assemble(framePngs: Seq[Array[Byte]], delayNumMs: Int): Array[Byte] = {
+      require(framePngs.nonEmpty, "apng: no frames")
+      val parsed = framePngs.map(chunks)
+      val ihdr = parsed.head.find(_._1 == "IHDR").get._2
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(Sig)
+      bos.write(chunk("IHDR", ihdr))
+      val acTL = java.nio.ByteBuffer.allocate(8)
+        .putInt(framePngs.length).putInt(0).array() // loop forever
+      bos.write(chunk("acTL", acTL))
+      var seq = 0
+      parsed.zipWithIndex.foreach { case (frame, i) =>
+        require(frame.find(_._1 == "IHDR").get._2.sameElements(ihdr),
+          "apng: frames must share dims (full-frame profile)")
+        val w = java.nio.ByteBuffer.wrap(ihdr, 0, 4).getInt
+        val h = java.nio.ByteBuffer.wrap(ihdr, 4, 4).getInt
+        val fcTL = java.nio.ByteBuffer.allocate(26)
+          .putInt(seq).putInt(w).putInt(h).putInt(0).putInt(0)
+          .putShort(delayNumMs.toShort).putShort(1000)
+          .put(0.toByte).put(0.toByte) // dispose NONE, blend SOURCE
+          .array()
+        bos.write(chunk("fcTL", fcTL)); seq += 1
+        frame.filter(_._1 == "IDAT").foreach { case (_, data) =>
+          if (i == 0) bos.write(chunk("IDAT", data))
+          else {
+            val fdat = java.nio.ByteBuffer.allocate(4 + data.length)
+              .putInt(seq).put(data).array()
+            bos.write(chunk("fdAT", fdat)); seq += 1
+          }
+        }
+      }
+      bos.write(chunk("IEND", Array.emptyByteArray))
+      bos.toByteArray
+    }
+
+    /** Split an APNG back into standalone per-frame PNGs (the chunk
+      * walk this codec's "video decode" is built on). Loud on
+      * non-APNG input or frames outside the full-frame profile. */
+    def frames(apng: Array[Byte]): Seq[Array[Byte]] = {
+      val cs = chunks(apng)
+      val ihdr = cs.find(_._1 == "IHDR")
+        .getOrElse(throw new IllegalArgumentException("apng: missing IHDR"))._2
+      require(cs.exists(_._1 == "acTL"), "apng: not animated (no acTL)")
+      val out = Seq.newBuilder[Array[Byte]]
+      var cur: Option[java.io.ByteArrayOutputStream] = None
+      def close(): Unit = cur.foreach { b =>
+        b.write(chunk("IEND", Array.emptyByteArray)); out += b.toByteArray
+      }
+      cs.foreach {
+        case ("fcTL", data) =>
+          val w = java.nio.ByteBuffer.wrap(data, 4, 4).getInt
+          val h = java.nio.ByteBuffer.wrap(data, 8, 4).getInt
+          require(w == java.nio.ByteBuffer.wrap(ihdr, 0, 4).getInt &&
+            h == java.nio.ByteBuffer.wrap(ihdr, 4, 4).getInt,
+            "apng: sub-canvas frames unsupported (full-frame profile)")
+          close()
+          val b = new java.io.ByteArrayOutputStream()
+          b.write(Sig); b.write(chunk("IHDR", ihdr))
+          cur = Some(b)
+        case ("IDAT", data) =>
+          cur.foreach(_.write(chunk("IDAT", data)))
+        case ("fdAT", data) =>
+          cur.foreach(_.write(chunk("IDAT",
+            java.util.Arrays.copyOfRange(data, 4, data.length))))
+        case _ => ()
+      }
+      close()
+      val fs = out.result()
+      require(fs.nonEmpty, "apng: no frames found")
+      fs
+    }
+  }
+
   /** Pure-JVM media codec: one instance per partition. Image decode is
     * `ImageIO` (PNG/BMP/GIF — whatever the JDK registry carries);
-    * audio decode is `AudioSystem` WAV PCM. Decode failures throw —
-    * a corrupt payload must fail the job loudly, not zero silently. */
+    * audio decode is `AudioSystem` WAV PCM; video decode is the
+    * [[Apng]] container walk + per-frame `ImageIO` decode. Decode
+    * failures throw — a corrupt payload must fail the job loudly, not
+    * zero silently. */
   final class JvmMediaCodec {
 
     def decode(mediaType: String, content: Array[Byte]): (Long, Long, Array[Float]) =
       mediaType match {
         case "image" => decodeImage(content)
         case "audio" => decodeWav(content)
-        case _       => (0L, 0L, byteHistogram(content)) // STUB: no pure-JVM video codec
+        case "video" => decodeApng(content)
+        case other => throw new IllegalArgumentException(
+          s"unknown media type '$other'")
       }
+
+    /** Full container + frame decode; n_units = total pixels over all
+      * frames, unit_sum = Σ(R+G+B) over all frames, features =
+      * [nFrames, width, height, meanR, meanG, meanB, 0, 0]. */
+    def decodeApng(content: Array[Byte]): (Long, Long, Array[Float]) = {
+      val framePngs = Apng.frames(content)
+      var n = 0L; var sum = 0L
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var w = 0; var h = 0
+      framePngs.foreach { png =>
+        val img = ImageIO.read(new ByteArrayInputStream(png))
+        require(img != null, "apng: frame decode failed")
+        w = img.getWidth; h = img.getHeight
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        n += w.toLong * h
+      }
+      sum = sr + sg + sb
+      (n, sum, Array(
+        framePngs.length.toFloat, w.toFloat, h.toFloat,
+        sr.toFloat / n, sg.toFloat / n, sb.toFloat / n, 0f, 0f))
+    }
 
     /** Full format decode; n_units = pixel count, unit_sum = Σ(R+G+B),
       * features = [meanR, meanG, meanB, width, height, 0, 0, 0]. */
@@ -112,18 +263,6 @@ object Multimodal {
       } finally in.close()
     }
 
-    /** Video STUB feature: 8-bin byte histogram of the raw payload. */
-    def byteHistogram(content: Array[Byte]): Array[Float] = {
-      val acc = new Array[Float](8)
-      var i = 0
-      while (i < content.length) {
-        acc((content(i) & 0xff) % 8) += 1.0f
-        i += 1
-      }
-      val n = math.max(content.length, 1).toFloat
-      acc.map(_ / n)
-    }
-
     def checksum(content: Array[Byte]): Long = {
       var h = 1125899906842597L
       var i = 0
@@ -167,14 +306,17 @@ object Multimodal {
 
   /** The deterministic synthetic payload formulas, shared verbatim by
     * the adapter below and the DuckDB oracle in MultimodalQueries —
-    * PNG/WAV are lossless, so decoded sums must reproduce them
+    * PNG/WAV/APNG are lossless, so decoded sums must reproduce them
     * exactly after a real round trip through the container format.
     * Image: 8×8 RGB, channel k (k = (y*8+x)*3 + c, c = R,G,B) has
     * value (id*7 + k*13) % 256. Audio: 64 PCM-16 samples,
-    * s_j = ((id*11 + j*17) % 4096) − 2048, at 8 kHz.
+    * s_j = ((id*11 + j*17) % 4096) − 2048, at 8 kHz. Video: 4 APNG
+    * frames of 8×8 RGB, channel k of frame f has value
+    * (id*7 + f*19 + k*13) % 256.
     */
   object Synth {
     val ImgW = 8; val ImgH = 8; val NSamples = 64; val SampleRate = 8000
+    val NFrames = 4
 
     def imagePixels(id: Long): Array[Int] =
       Array.tabulate(ImgW * ImgH) { p =>
@@ -184,6 +326,13 @@ object Multimodal {
 
     def audioSamples(id: Long): Array[Short] =
       Array.tabulate(NSamples)(j => ((((id * 11 + j * 17) % 4096) + 4096) % 4096 - 2048).toShort)
+
+    def videoFramePixels(id: Long, f: Int): Array[Int] =
+      Array.tabulate(ImgW * ImgH) { p =>
+        def ch(c: Int): Int =
+          (((id * 7 + f * 19 + (p * 3 + c) * 13) % 256).toInt + 256) % 256
+        (ch(0) << 16) | (ch(1) << 8) | ch(2)
+      }
   }
 
   /** Batched feature extraction: codec constructed once per partition,
@@ -202,19 +351,21 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling for video-typed rows: k evenly spaced frames.
-    * STUB: a frame is a byte slice; a real codec seeks and decodes.
-    * flatMap keeps it one pass, no shuffle. */
+  /** Frame sampling for video-typed rows: up to `k` evenly spaced
+    * frames, each a REAL standalone PNG extracted by the [[Apng]]
+    * container walk (decodable downstream by [[JvmMediaCodec
+    * .decodeImage]] or any PNG consumer). flatMap keeps it one pass,
+    * no shuffle; the container parses once per row. */
   def frameSample(ds: Dataset[MediaRecord], k: Int): Dataset[MediaFrame] = {
     import ds.sparkSession.implicits._
     ds.flatMap { r =>
       if (r.meta.media_type != "video" || r.content.isEmpty) Iterator.empty
       else {
-        val step = math.max(r.content.length / k, 1)
-        (0 until math.min(k, r.content.length)).iterator.map { i =>
-          val from = i * step
-          MediaFrame(r.media_id, i,
-            r.content.slice(from, math.min(from + step, r.content.length)))
+        val frames = Apng.frames(r.content)
+        val take = math.min(k, frames.length)
+        (0 until take).iterator.map { i =>
+          val src = (i.toLong * frames.length / take).toInt
+          MediaFrame(r.media_id, i, frames(src))
         }
       }
     }
@@ -253,24 +404,28 @@ object Multimodal {
   }
 
   /** Real-container test-corpus adapter: id % 3 picks the modality;
-    * image rows carry an actual PNG and audio rows an actual WAV (both
-    * from the [[Synth]] formulas), video rows carry the raw text bytes
-    * (stub payload — see frameSample). Encode runs per partition, no
-    * shuffle. */
+    * image rows carry an actual PNG, audio rows an actual WAV, video
+    * rows an actual APNG — all from the [[Synth]] formulas, so every
+    * decoded value is oracle-replayable. Encode runs per partition,
+    * no shuffle. */
   def syntheticMedia(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
     import df.sparkSession.implicits._
     df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
       .mapPartitions { rows =>
-        rows.map { case (id, text) =>
+        rows.map { case (id, _) =>
           (id % 3) match {
             case 0 => MediaRecord(id, MediaMeta("image", Synth.ImgW, Synth.ImgH, 0L),
               Encode.png(Synth.ImgW, Synth.ImgH, Synth.imagePixels(id)))
             case 1 => MediaRecord(id, MediaMeta("audio", 0, 0,
               Synth.NSamples * 1000L / Synth.SampleRate),
               Encode.wavPcm16(Synth.audioSamples(id), Synth.SampleRate))
-            case _ => MediaRecord(id, MediaMeta("video", 64, 64, text.length * 40L),
-              text.getBytes("UTF-8"))
+            case _ => MediaRecord(id, MediaMeta("video", Synth.ImgW, Synth.ImgH,
+              Synth.NFrames * 40L),
+              Apng.assemble(
+                (0 until Synth.NFrames).map(f =>
+                  Encode.png(Synth.ImgW, Synth.ImgH, Synth.videoFramePixels(id, f))),
+                delayNumMs = 40))
           }
         }
       }

@@ -8,17 +8,17 @@ import graft.operators.Multimodal.MediaRecord
 
 /** Batch 5c: multimodal plumbing behind the driver gate (SURVEY.md §2
   * M1). The media table is [[Multimodal.syntheticMedia]] over
-  * `documents`: image rows carry a REAL PNG and audio rows a REAL WAV,
-  * both encoded from the deterministic [[Multimodal.Synth]] formulas.
-  * The query pushes every row through the partition-batched codec path
-  * (ImageIO / AudioSystem decode → unit sums) and aggregates per media
-  * type, so the gate only matches if the round trip through the actual
-  * container bytes (PNG zlib inflate, RIFF chunk walk) reproduces the
-  * formula exactly — the oracle replays the same arithmetic in SQL.
-  * `raw_bytes_sum` is NULL for images (PNG length is codec-dependent);
-  * audio WAV bytes are canonically 44 + 2·n so they stay checkable,
-  * and video rows keep the raw text payload (decode stubbed — no
-  * pure-JVM video codec; flagged in Multimodal.scala).
+  * `documents`: image rows carry a REAL PNG, audio rows a REAL WAV,
+  * video rows a REAL APNG — all encoded from the deterministic
+  * [[Multimodal.Synth]] formulas. The query pushes every row through
+  * the partition-batched codec path (ImageIO / AudioSystem / APNG
+  * chunk-walk decode → unit sums) and aggregates per media type, so
+  * the gate only matches if the round trip through the actual
+  * container bytes (PNG zlib inflate, RIFF chunk walk, fdAT
+  * reassembly) reproduces the formulas exactly — the oracle replays
+  * the same arithmetic in SQL. `raw_bytes_sum` stays checkable only
+  * for audio (canonical 44 + 2·n WAV); PNG/APNG byte lengths are
+  * codec-dependent and excluded.
   */
 object MultimodalQueries {
 
@@ -33,7 +33,7 @@ object MultimodalQueries {
           count(lit(1)).as("n_media"),
           sum(col("n_units")).as("n_units"),
           sum(col("unit_sum")).as("unit_sum"),
-          sum(when(col("media_type") =!= "image", col("n_bytes"))).as("raw_bytes_sum"))
+          sum(when(col("media_type") === "audio", col("n_bytes"))).as("raw_bytes_sum"))
         .orderBy("media_type")
     },
   )
@@ -41,26 +41,27 @@ object MultimodalQueries {
   val oracles: Map[String, String] = Map(
     // Mirrors Multimodal.Synth: image channel k of doc d is
     // (d*7 + k*13) % 256 over 8*8*3 = 192 channels; audio sample j is
-    // ((d*11 + j*17) % 4096) - 2048 over 64 samples; WAV byte length
-    // is 44 + 2*64 = 172. PNG/WAV are lossless so the decoded sums
-    // must equal these expressions exactly.
+    // ((d*11 + j*17) % 4096) - 2048 over 64 samples (WAV byte length
+    // 44 + 2*64 = 172); video channel k of frame f is
+    // (d*7 + f*19 + k*13) % 256 over 4 frames * 192 channels.
+    // PNG/WAV/APNG are lossless so the decoded sums must equal these
+    // expressions exactly.
     "q_media_features" -> """
       WITH t AS (
         SELECT doc_id,
-               ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
-               text
+               ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type
         FROM documents),
       d AS (
         SELECT media_type,
-          CASE media_type WHEN 'image' THEN 64 WHEN 'audio' THEN 64 ELSE 0 END AS n_units,
+          CASE media_type WHEN 'image' THEN 64 WHEN 'audio' THEN 64
+                          WHEN 'video' THEN 256 END AS n_units,
           CASE media_type
             WHEN 'image' THEN (SELECT SUM((t.doc_id*7 + r.range*13) % 256) FROM range(192) r)
             WHEN 'audio' THEN (SELECT SUM(((t.doc_id*11 + r.range*17) % 4096) - 2048) FROM range(64) r)
-            ELSE 0 END AS unit_sum,
-          CASE media_type
-            WHEN 'audio' THEN 172
-            WHEN 'video' THEN octet_length(CAST(text AS BLOB))
-            ELSE NULL END AS raw_bytes
+            WHEN 'video' THEN (SELECT SUM((t.doc_id*7 + f.range*19 + r.range*13) % 256)
+                               FROM range(4) f, range(192) r)
+            END AS unit_sum,
+          CASE media_type WHEN 'audio' THEN 172 ELSE NULL END AS raw_bytes
         FROM t)
       SELECT media_type,
              COUNT(*) AS n_media,

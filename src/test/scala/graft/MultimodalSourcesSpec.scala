@@ -10,11 +10,16 @@ import graft.sources.{Readers, Writers}
 class MultimodalSourcesSpec extends SparkSpec {
   import spark.implicits._
 
+  private def apngOf(id: Long) = Multimodal.Apng.assemble(
+    (0 until 4).map(f =>
+      Multimodal.Encode.png(8, 8, Multimodal.Synth.videoFramePixels(id, f))),
+    delayNumMs = 40)
+
   private def mediaDs = {
     val recs = Seq(
       MediaRecord(1L, MediaMeta("image", 8, 8, 0L),
         Multimodal.Encode.png(8, 8, Multimodal.Synth.imagePixels(1L))),
-      MediaRecord(2L, MediaMeta("video", 64, 64, 4000L), ("f" * 100).getBytes),
+      MediaRecord(2L, MediaMeta("video", 8, 8, 160L), apngOf(2L)),
       MediaRecord(3L, MediaMeta("audio", 0, 0, 2000L),
         Multimodal.Encode.wavPcm16(Multimodal.Synth.audioSamples(3L), 8000)),
     )
@@ -48,7 +53,9 @@ class MultimodalSourcesSpec extends SparkSpec {
     assert(feats.map(_.media_type).toSeq == Seq("image", "audio", "video"))
     assert(feats(0).unit_sum == (0 until 192).map(k => (0L * 7 + k * 13) % 256).sum)
     assert(feats(1).unit_sum == (0 until 64).map(j => ((1L * 11 + j * 17) % 4096) - 2048).sum)
-    assert(feats(2).n_units == 0L && feats(2).n_bytes == "video doc".length)
+    assert(feats(2).n_units == 256L)
+    assert(feats(2).unit_sum == (for (f <- 0 until 4; k <- 0 until 192)
+      yield (2L * 7 + f * 19 + k * 13) % 256).sum)
   }
 
   test("image decode failure is loud, not a silent zero") {
@@ -60,11 +67,41 @@ class MultimodalSourcesSpec extends SparkSpec {
       Option(err.getCause).exists(_.getMessage.contains("image decode failed")))
   }
 
-  test("frameSample emits k evenly spaced frames for video rows only") {
-    val frames = Multimodal.frameSample(mediaDs, k = 4).collect()
+  test("frameSample extracts decodable PNG frames from the APNG container") {
+    val frames = Multimodal.frameSample(mediaDs, k = 2).collect().sortBy(_.frame_idx)
     assert(frames.forall(_.media_id == 2L))
-    assert(frames.map(_.frame_idx).sorted.toSeq == Seq(0, 1, 2, 3))
-    assert(frames.map(_.frame.length).sum == 100)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 1)) // k=2 of the 4 frames
+    // each sampled frame is a standalone PNG whose decoded pixel sum
+    // matches the generator formula for its SOURCE frame (0 and 2)
+    val codec = new Multimodal.JvmMediaCodec
+    frames.zip(Seq(0, 2)).foreach { case (fr, src) =>
+      val (n, sum, _) = codec.decodeImage(fr.frame)
+      val want = (0 until 192).map(k => (2L * 7 + src * 19 + k * 13) % 256).sum
+      assert(n == 64L && sum == want, s"frame ${fr.frame_idx} from source $src")
+    }
+  }
+
+  test("video decode walks the APNG container and sums every frame") {
+    val out = Multimodal.extractFeatures(mediaDs).collect().find(_.media_type == "video").get
+    val want = (for (f <- 0 until 4; k <- 0 until 192)
+      yield (2L * 7 + f * 19 + k * 13) % 256).sum
+    assert(out.n_units == 256L && out.unit_sum == want)
+    assert(out.features(0) == 4f) // frame count surfaced
+    // corrupt container fails loudly
+    val bad = spark.createDataset(Seq(
+      MediaRecord(9L, MediaMeta("video", 8, 8, 0L), "notanapng".getBytes)))
+    val err = intercept[org.apache.spark.SparkException](
+      Multimodal.extractFeatures(bad).collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => String.valueOf(e.getMessage) +: msgs(e.getCause))
+    assert(msgs(err).exists(_.contains("apng")))
+    // a plain still PNG is not an animation — also loud
+    val still = spark.createDataset(Seq(
+      MediaRecord(8L, MediaMeta("video", 8, 8, 0L),
+        Multimodal.Encode.png(8, 8, Multimodal.Synth.imagePixels(8L)))))
+    val err2 = intercept[org.apache.spark.SparkException](
+      Multimodal.extractFeatures(still).collect())
+    assert(msgs(err2).exists(_.contains("acTL")))
   }
 
   test("fakeMediaFromText matches the declared media schema") {
