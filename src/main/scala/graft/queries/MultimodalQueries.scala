@@ -36,6 +36,24 @@ object MultimodalQueries {
           sum(when(col("media_type") === "audio", col("n_bytes"))).as("raw_bytes_sum"))
         .orderBy("media_type")
     },
+    // M1b — frame sampling behind the gate: k=2 evenly spaced frames
+    // of every APNG video row (sources 0 and 2 of the 4), each
+    // re-decoded as a standalone PNG; per-doc decoded pixel sums are
+    // formula-replayable, so container parsing, frame extraction AND
+    // the per-frame decode sit on the verified path.
+    "q_media_frames" -> { (s, dir) =>
+      val frames = Multimodal.frameSample(
+        media(s, dir).filter(col("meta.media_type") === "video"), k = 2)
+      import s.implicits._
+      frames.mapPartitions { rows =>
+        val codec = new Multimodal.JvmMediaCodec
+        rows.map { f =>
+          val (nPx, pxSum, _) = codec.decodeImage(f.frame)
+          (f.media_id, f.frame_idx, nPx, pxSum)
+        }
+      }.toDF("media_id", "frame_idx", "n_px", "px_sum")
+        .orderBy("media_id", "frame_idx")
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -69,5 +87,18 @@ object MultimodalQueries {
              CAST(SUM(unit_sum) AS BIGINT) AS unit_sum,
              CAST(SUM(raw_bytes) AS BIGINT) AS raw_bytes_sum
       FROM d GROUP BY 1 ORDER BY 1""",
+    // k=2 of the 4 synthetic frames samples sources 0 and 2
+    // (src = i * nFrames / k); per-frame pixel sum replays the video
+    // frame formula for that source frame.
+    "q_media_frames" -> """
+      WITH v AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
+      f AS (SELECT CAST(i.range AS INT) AS frame_idx,
+                   CAST(i.range * 2 AS BIGINT) AS src
+            FROM range(2) i)
+      SELECT v.doc_id AS media_id, f.frame_idx,
+             CAST(64 AS BIGINT) AS n_px,
+             CAST((SELECT SUM((v.doc_id*7 + f.src*19 + r.range*13) % 256)
+                   FROM range(192) r) AS BIGINT) AS px_sum
+      FROM v, f ORDER BY 1, 2""",
   )
 }
