@@ -121,6 +121,23 @@ object GraftFunctions {
   def sign_buckets(v: Column, planes: Array[Array[Double]], nPlanes: Int): Column =
     ColumnBridge.column(SignBuckets(ColumnBridge.expression(v), planes, nPlanes))
 
+  /** Codegen'd fixed-point k-means assignment against a driver-side
+    * integer codebook (see [[QuantNearestCell]]). Not SQL-registered
+    * for the same reason as `nearest_centroid`. */
+  def quant_nearest_cell(v: Column, centroids: Array[Array[Long]], scale: Double): Column =
+    ColumnBridge.column(QuantNearestCell(ColumnBridge.expression(v), centroids, scale))
+
+  /** Codegen'd squared integer L2 distance to the nearest centroid
+    * (see [[QuantNearestDist]]). */
+  def quant_nearest_dist(v: Column, centroids: Array[Array[Long]], scale: Double): Column =
+    ColumnBridge.column(QuantNearestDist(ColumnBridge.expression(v), centroids, scale))
+
+  /** Mergeable elementwise quantized coordinate-sum aggregate (see
+    * [[QuantVecSum]]) — the k-means centroid-update numerator. */
+  def quant_vec_sum(v: Column, scale: Double): Column =
+    ColumnBridge.column(
+      QuantVecSum(ColumnBridge.expression(v), scale).toAggregateExpression())
+
   /** Codegen'd product-quantization encode against a driver-side
     * codebook (see [[PqEncode]]). Not SQL-registered for the same
     * reason as `nearest_centroid`. */

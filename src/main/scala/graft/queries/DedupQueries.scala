@@ -56,6 +56,29 @@ object DedupQueries {
       Dedup.embeddingNearDup(
         Tables.embeddings(s, dir), "vec_id", "embedding", "label", threshold = 0.4)
     },
+    // K6 gate — fixed-point k-means, VERBATIM: every step (stride-16
+    // init, quantization to the 2^20 grid, integer-L2 argmin
+    // assignment with lowest-ordinal ties, elementwise mean update
+    // with empty-cell carry-over, reassignment, exact integer
+    // inertia) replays in the oracle — all cross-row arithmetic is
+    // integer, so there is no fold-order rounding to hide behind; a
+    // defect in any stage moves points across cells or shifts a
+    // centroid coordinate and the hash fails.
+    "q_kmeans" -> { (s, dir) =>
+      Clustering.kmeans(
+        Tables.embeddings(s, dir), "vec_id", "embedding", stride = 16, iters = 1)
+    },
+    // J9 gate — SemDeDup (cluster-blocked embedding near-dup): the
+    // oracle replays the k-means fit, blocks pairs by the SAME cells,
+    // and recomputes cosine with the identical sequential fold — so
+    // both the clustering and the within-cell pair mining sit under
+    // one hash gate. Same pair semantics as q_dedup_embedding, with
+    // the learned cells standing in for the labels.
+    "q_semantic_dedup" -> { (s, dir) =>
+      Clustering.semanticDedup(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        stride = 16, iters = 1, threshold = 0.4)
+    },
     // J6 — cluster the union of two dedup signals (exact text hash +
     // sorted-word fingerprint) into connected components; multi-hop
     // components arise when a doc shares text with one doc and word-set
@@ -175,6 +198,42 @@ object DedupQueries {
        / SQRT(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
             * list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"""
 
+  /** Squared integer L2 between two BIGINT lists — exact, no rounding
+    * to order. */
+  private def qdistSql(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2])))"""
+
+  /** Shared fixed-point k-means replay (see the q_kmeans query
+    * comment): quantize to the 2^20 grid, stride-16 ordinal init,
+    * integer-L2 argmin assignment (ties → lowest cell), exact
+    * elementwise mean update `floor(sum/n + 0.5)` with empty-cell
+    * carry-over. Ends with the quantized corpus `emb(vec_id, qv)` and
+    * the post-update codebook `cb1(cell, cv)` in scope. */
+  private lazy val kmeansCteSql: String = s"""
+      emb AS (
+        SELECT vec_id, list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) AS qv
+        FROM embeddings),
+      cb0 AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, qv AS cv
+        FROM emb WHERE vec_id % 16 = 0),
+      asg0 AS (
+        SELECT vec_id, qv, cell FROM (
+          SELECT e.vec_id, e.qv, c.cell,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              ${qdistSql("e.qv", "c.cv")} ASC, c.cell ASC) AS r
+          FROM emb e CROSS JOIN cb0 c) WHERE r = 1),
+      upd AS (
+        SELECT cell, CAST(r.range AS INT) + 1 AS ord, COUNT(*) AS n,
+               CAST(SUM(qv[CAST(r.range AS INT) + 1]) AS BIGINT) AS s
+        FROM asg0, range(64) r GROUP BY 1, 2),
+      cb1 AS (
+        SELECT c0.cell, COALESCE(u.cv, c0.cv) AS cv
+        FROM cb0 c0 LEFT JOIN (
+          SELECT cell,
+                 list(CAST(floor(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT) ORDER BY ord) AS cv
+          FROM upd GROUP BY cell) u ON u.cell = c0.cell)"""
+
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> """
       SELECT md5(text) AS text_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
@@ -273,6 +332,43 @@ object DedupQueries {
         ${cosSql("a.embedding", "b.embedding")} AS cosine
       FROM embeddings a JOIN embeddings b
         ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE cosine > 0.4 ORDER BY id_a, id_b""",
+    // Full fixed-point k-means replay (see the q_kmeans query
+    // comment): final assignment against the post-update codebook,
+    // exact integer inertia, centroid L1/first-coordinate
+    // fingerprints.
+    "q_kmeans" -> s"""
+      WITH $kmeansCteSql,
+      a2 AS (
+        SELECT vec_id, cell, dist FROM (
+          SELECT e.vec_id, c.cell,
+            CAST(${qdistSql("e.qv", "c.cv")} AS BIGINT) AS dist,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              ${qdistSql("e.qv", "c.cv")} ASC, c.cell ASC) AS r
+          FROM emb e CROSS JOIN cb1 c) WHERE r = 1)
+      SELECT a2.cell, COUNT(*) AS n_points, CAST(SUM(a2.dist) AS BIGINT) AS inertia,
+             MAX(cf.l1) AS centroid_l1, MAX(cf.c0) AS centroid_c0
+      FROM a2 JOIN (
+        SELECT cell,
+               CAST(list_sum(list_transform(cv, x -> abs(x))) AS BIGINT) AS l1,
+               cv[1] AS c0
+        FROM cb1) cf ON cf.cell = a2.cell
+      GROUP BY a2.cell ORDER BY a2.cell""",
+    // SemDeDup replay: the same k-means fit, pairs blocked by the
+    // learned cells, cosine with the identical sequential fold.
+    "q_semantic_dedup" -> s"""
+      WITH $kmeansCteSql,
+      asg AS (
+        SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.cell,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              ${qdistSql("e.qv", "c.cv")} ASC, c.cell ASC) AS r
+          FROM emb e CROSS JOIN cb1 c) WHERE r = 1)
+      SELECT a.cell AS cell, a.vec_id AS id_a, b.vec_id AS id_b,
+             ${cosSql("ea.embedding", "eb.embedding")} AS cosine
+      FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
       WHERE cosine > 0.4 ORDER BY id_a, id_b""",
     "q_ann_cosine" -> annTopKSql,
     // IVF at nProbe=8 is exact top-k at the verify scales → brute-force
