@@ -110,6 +110,25 @@ object Clustering {
       .orderBy("cell")
   }
 
+  /** K6b — cluster-balanced deterministic sampling: the
+    * [[Curation.stratifiedSample]] recipe (ceil(frac·n) per stratum
+    * ordered by md5(id) — engine-portable pseudo-random, one shuffle)
+    * with the LEARNED k-means cells as the strata. This is the
+    * SemDeDup-adjacent corpus-shaping step: uniform-per-cluster
+    * sampling flattens the corpus's semantic density instead of its
+    * source mix. Adds one map-only assignment pass in front of the
+    * sampler's single window shuffle. */
+  def clusterSample(
+      emb: DataFrame, idCol: String, vecCol: String,
+      stride: Long, iters: Int, frac: Double,
+      scale: Double = DefaultScale, maxCentroids: Int = 4096): DataFrame = {
+    val cb = kmeansCodebook(emb, idCol, vecCol, stride, iters, scale, maxCentroids)
+    val cells = emb.select(
+      col(idCol).as("vec_id"),
+      GraftFunctions.quant_nearest_cell(col(vecCol), cb, scale).as("cell"))
+    Curation.stratifiedSample(cells, Seq("cell"), "vec_id", frac)
+  }
+
   /** J9 — semantic dedup (SemDeDup): cluster-blocked embedding-cosine
     * near-dup pairs. Same pair semantics as [[Dedup.embeddingNearDup]]
     * but blocked by the k-means cell instead of a provided label — the

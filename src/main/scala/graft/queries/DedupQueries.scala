@@ -68,6 +68,14 @@ object DedupQueries {
       Clustering.kmeans(
         Tables.embeddings(s, dir), "vec_id", "embedding", stride = 16, iters = 1)
     },
+    // K6b gate — cluster-balanced sampling: the k-means replay feeds
+    // the q_stratified_sample window recipe with cells as strata; the
+    // md5 sample order is engine-portable, so rows match verbatim.
+    "q_cluster_sample" -> { (s, dir) =>
+      Clustering.clusterSample(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        stride = 16, iters = 1, frac = 0.25)
+    },
     // J9 gate — SemDeDup (cluster-blocked embedding near-dup): the
     // oracle replays the k-means fit, blocks pairs by the SAME cells,
     // and recomputes cosine with the identical sequential fold — so
@@ -354,6 +362,25 @@ object DedupQueries {
                cv[1] AS c0
         FROM cb1) cf ON cf.cell = a2.cell
       GROUP BY a2.cell ORDER BY a2.cell""",
+    // Cluster-balanced sampling replay: the k-means fit + final
+    // assignment, then the q_stratified_sample window recipe with the
+    // learned cells as strata.
+    "q_cluster_sample" -> s"""
+      WITH $kmeansCteSql,
+      asg AS (
+        SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.cell,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              ${qdistSql("e.qv", "c.cv")} ASC, c.cell ASC) AS r
+          FROM emb e CROSS JOIN cb1 c) WHERE r = 1)
+      SELECT vec_id, cell, CAST(rn AS INT) AS rn FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY cell
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn,
+               COUNT(*) OVER (PARTITION BY cell) AS cnt
+        FROM asg) t
+      WHERE rn <= GREATEST(1, CAST(CEIL(cnt * 0.25) AS BIGINT))
+      ORDER BY cell, vec_id""",
     // SemDeDup replay: the same k-means fit, pairs blocked by the
     // learned cells, cosine with the identical sequential fold.
     "q_semantic_dedup" -> s"""

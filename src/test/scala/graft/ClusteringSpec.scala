@@ -93,6 +93,23 @@ class ClusteringSpec extends SparkSpec {
     assert(!ids.exists { case (a, b) => Set(a, b).intersect(Set(2L, 3L)).size == 1 })
   }
 
+  test("clusterSample takes ceil(frac·n) per learned cell, deterministically") {
+    // Two clusters of different sizes: frac 0.3 → ceil(0.3·30)=9 and
+    // ceil(0.3·60)=18 rows; re-running yields the identical sample
+    // (md5 order, no RNG).
+    val rows =
+      (0 until 30).map(i => (i.toLong, vec(1.0 + (i % 3) * 0.01, 0.0))) ++
+      (30 until 90).map(i => (i.toLong, vec(-1.0 - (i % 3) * 0.01, 0.0)))
+    val df = rows.toDF("vec_id", "embedding")
+    // stride 45 seeds ids 0 and 45 — one per cluster
+    def run() = Clustering.clusterSample(
+      df, "vec_id", "embedding", stride = 45, iters = 1, frac = 0.3).collect()
+    val s1 = run()
+    val byCell = s1.groupBy(_.getAs[Int]("cell")).view.mapValues(_.length).toMap
+    assert(byCell.values.toSet === Set(9, 18), byCell.toString)
+    assert(s1.map(_.toString).sameElements(run().map(_.toString)))
+  }
+
   test("semanticDedup maxCellSize guard fails loudly on a hot cell") {
     val rows = (0 until 50).map(i => (i.toLong, vec(1.0, 0.0)))
     val e = intercept[IllegalArgumentException] {
