@@ -28,6 +28,23 @@ object StreamOps {
     graft.operators.Geo.tagPointsInRingSet(
       points, rings, lonCol, latCol, featureKey, xsCol, ysCol, cellDeg)
 
+  /** Streaming semantic-cluster tagging: each streaming embedding row
+    * is assigned its fixed-point k-means cell by the same codegen'd
+    * expression as the batch path
+    * ([[graft.functions.QuantNearestCell]]), against a codebook FIT
+    * OFFLINE with [[graft.operators.Clustering.kmeansCodebook]] — the
+    * train-offline / serve-online split. Map-only and stateless: the
+    * codebook rides into every task as a referenced `long[][]`
+    * (append-mode, no watermark, no state store, no join) — the shape
+    * that holds at any stream rate. Batch/stream parity is
+    * spec-asserted (shared expression ⇒ row-for-row identical). */
+  def clusterTagStream(
+      df: DataFrame, vecCol: String,
+      codebook: Array[Array[Long]],
+      scale: Double = graft.operators.Clustering.DefaultScale): DataFrame =
+    df.withColumn("cell",
+      graft.functions.GraftFunctions.quant_nearest_cell(col(vecCol), codebook, scale))
+
   /** Watermarked tumbling-window aggregation: late events beyond
     * `watermarkDur` are dropped and window state is bounded — the
     * property that keeps an unbounded 100 TB/day stream in fixed

@@ -274,4 +274,31 @@ class PlanAuditSpec extends SparkSpec {
     // the probed query set joins the assigned corpus via broadcast
     assert(plan.exists(_.isInstanceOf[BroadcastHashJoinExec]))
   }
+
+  test("kmeans keeps codegen'd map-only assignment and a broadcast fingerprint join") {
+    val plan = executed(SparkEntry.queries("q_kmeans")(spark, dir))
+    assert(!plan.exists(_.nodeName.toLowerCase.contains("nestedloop")))
+    assert(!plan.exists(_.nodeName.toLowerCase.contains("cartesian")))
+    // corpus-side assignment is the codegen'd expression over the scan
+    val assign = plan.map(_.toString).filter(s =>
+      s.contains("quant_nearest_cell") && s.contains("embeddings.parquet"))
+    assert(assign.nonEmpty && assign.exists(_.contains("*(")),
+      "quant_nearest_cell fell out of whole-stage codegen")
+    // the ≤k-row centroid fingerprint dim joins via broadcast
+    assert(plan.exists(_.isInstanceOf[BroadcastHashJoinExec]))
+    // one shuffle for the per-cell agg + at most the presentation sort
+    assert(shuffles(plan) <= 2, s"unexpected exchanges: ${shuffles(plan)}")
+  }
+
+  test("semantic dedup pairs via a cell-keyed equi-join, never a nested loop") {
+    val plan = executed(SparkEntry.queries("q_semantic_dedup")(spark, dir))
+    assert(!plan.exists(_.nodeName.toLowerCase.contains("nestedloop")))
+    assert(!plan.exists(_.nodeName.toLowerCase.contains("cartesian")))
+    // the `id_a < id_b` bound rides the cell equi-join as a post
+    // condition, not a join strategy downgrade
+    assert(plan.exists(p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec] ||
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec] ||
+      p.isInstanceOf[BroadcastHashJoinExec]))
+  }
 }

@@ -112,6 +112,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming cluster tagging matches the batch k-means assignment row-for-row") {
+    // codebook fit OFFLINE on the batch corpus; the stream then tags
+    // each embedding with the same codegen'd assignment expression
+    val corpus = (0 until 40).map { i =>
+      val c = if (i % 2 == 0) 1.0f else -1.0f
+      (i.toLong, Array(c + (i % 5) * 0.01f, -c))
+    }
+    val batchDf = corpus.toDF("vec_id", "embedding")
+    val cb = graft.operators.Clustering.kmeansCodebook(
+      batchDf, "vec_id", "embedding", stride = 3, iters = 1)
+    val input = MemoryStream[(Long, Array[Float])](spark)
+    val tagged = StreamOps.clusterTagStream(
+      input.toDF.toDF("vec_id", "embedding"), "embedding", cb)
+    val q = tagged.writeStream.format("memory").queryName("cluster_tags")
+      .outputMode("append").start()
+    try {
+      input.addData(corpus.take(25): _*)
+      q.processAllAvailable()
+      input.addData(corpus.drop(25): _*)
+      q.processAllAvailable()
+      val got = spark.table("cluster_tags").select("vec_id", "cell")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      val batch = StreamOps.clusterTagStream(batchDf, "embedding", cb)
+        .select("vec_id", "cell")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(got == batch)
+      assert(got.size == 40) // every row tagged
+    } finally q.stop()
+  }
+
   test("streaming geofence tagging matches the batch ring containment row-for-row") {
     // a Polygon with a hole + a two-part MultiPolygon as the static
     // ring-set dim; the stream-static join is stateless append-mode
