@@ -147,6 +147,72 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** K3c — IVF against a PERSISTED index: [[ivfTopK]]'s assignment
+    * written ONCE as a `partitionBy(cell)` parquet layout and probed
+    * through the on-disk layout, so repeated query batches touch only
+    * the `nProbe` probed cell partitions instead of rescanning (and
+    * re-assigning) the corpus — the index-reuse shape that makes IVF
+    * pay off at 100 TB (the write amortizes across every subsequent
+    * batch; Spark prunes the unprobed partitions at the scan, which
+    * the plan audit asserts). Same codebook, assignment and ranking
+    * arithmetic as [[ivfTopK]] ⇒ identical rows for identical
+    * parameters (the gate reuses the ivf-probe replay oracle
+    * verbatim). */
+  def ivfIndexedTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      centroidStride: Long, nProbe: Int, indexDir: String,
+      maxCentroids: Int = 4096): DataFrame = {
+    val spark = corpus.sparkSession
+    val cos = graft.functions.GraftFunctions.cosine_sim _
+    val sampled = corpus
+      .where(pmod(col(idCol), lit(centroidStride)) === 0)
+      .select(col(idCol).cast("string").as("cid"),
+        col(vecCol).cast("array<double>").as("cvec"))
+      .orderBy("cid")
+      .limit(maxCentroids + 1)
+      .collect()
+    require(sampled.nonEmpty, "ivfIndexedTopK: stride sampled zero centroids")
+    require(sampled.length <= maxCentroids,
+      s"ivfIndexedTopK: > $maxCentroids centroids sampled — raise centroidStride")
+    val codebook: Array[Array[Double]] = sampled.map { r =>
+      val v = r.getSeq[Double](1).toArray
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n > 0) v.map(_ / n) else v
+    }
+    // the index: one assignment pass, persisted partitioned by cell
+    corpus.select(
+        col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        graft.functions.GraftFunctions.nearest_centroid(col(vecCol), codebook).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(indexDir)
+    val index = spark.read.parquet(indexDir)
+    import spark.implicits._
+    val centroidDf = codebook.zipWithIndex
+      .map { case (v, i) => (i, v) }.toSeq.toDF("cell", "cnorm")
+    val probed = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(centroidDf))
+      .withColumn("cdist", -cos(col("qv"), col("cnorm")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cdist"), col("cell"))))
+      .where(col("crank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    // partition column comes back as the scan's partition key: the
+    // broadcast join on `cell` lets dynamic partition pruning skip
+    // every unprobed cell directory
+    index.join(broadcast(probed), "cell")
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("neighbor_id"),
+        cos(col("qv"), col("cv")).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
   /** K4 — product-quantization ANN (Jégou et al. 2011): compress the
     * corpus to `m` small code indices per vector (64 floats → m ints
     * against a ≤`maxCentroids`-per-subspace codebook) and search in

@@ -169,6 +169,18 @@ object DedupQueries {
         emb, emb.where(col("vec_id") < 8), "vec_id", "embedding",
         k = 10, centroidStride = 16, nProbe = 4)
     },
+    // K3c gate — the SAME sub-exhaustive pipeline probed through a
+    // PERSISTED partitionBy(cell) parquet index (write once, prune
+    // unprobed cell partitions on every batch — the index-reuse
+    // shape); identical arithmetic ⇒ the ivf-probe replay oracle
+    // gates it verbatim.
+    "q_ann_ivf_index" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfIndexedTopK(
+        emb, emb.where(col("vec_id") < 8), "vec_id", "embedding",
+        k = 10, centroidStride = 16, nProbe = 4,
+        indexDir = s"/tmp/graft-ivf-index-${java.lang.Math.abs(dir.hashCode)}")
+    },
     // K4 gate — product-quantization ANN, VERBATIM: the DuckDB oracle
     // replays the whole compressed-domain pipeline — stride-sampled
     // subspace codebook, argmin-L2 encode (ties → lowest ordinal),
@@ -440,7 +452,14 @@ object DedupQueries {
     // ordinal cells + L2 normalization + argmax-dot assignment with
     // lowest-ordinal ties + nProbe nearest cells by (−cos, cell) +
     // exact cosine rank, all in the same IEEE operation order.
-    "q_ann_ivf_probe" -> s"""
+    "q_ann_ivf_probe" -> annIvfProbeSql,
+    // identical pipeline through the persisted partitioned index —
+    // same replay oracle verbatim (see the q_ann_ivf_index query
+    // comment).
+    "q_ann_ivf_index" -> annIvfProbeSql,
+  )
+
+  private lazy val annIvfProbeSql: String = s"""
       WITH cb1 AS (
         SELECT CAST(vec_id AS VARCHAR) AS cid, embedding,
                SQRT(list_sum(list_transform(embedding,
@@ -482,8 +501,7 @@ object DedupQueries {
                  ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
         FROM scored)
       SELECT query_id, rank, neighbor_id, cosine FROM r
-      WHERE rank <= 10 ORDER BY query_id, rank""",
-  )
+      WHERE rank <= 10 ORDER BY query_id, rank"""
 
   /** Full PQ replay (see the q_ann_pq query comment): m=8 subspaces of
     * dsub=8 over the 64-dim embeddings, stride-16 codebook in

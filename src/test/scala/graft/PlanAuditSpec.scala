@@ -275,6 +275,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.exists(_.isInstanceOf[BroadcastHashJoinExec]))
   }
 
+  test("persisted ivf index scan prunes unprobed cell partitions") {
+    val plan = executed(SparkEntry.queries("q_ann_ivf_index")(spark, dir))
+    val indexScan = plan.map(_.toString).find(s =>
+      s.contains("Scan parquet") && s.contains("graft-ivf-index")).get
+    // the broadcast join on the partition column must inject a
+    // dynamic pruning filter — unprobed cell directories never read
+    assert(indexScan.contains("dynamicpruning"),
+      s"index scan reads all cell partitions:\n$indexScan")
+  }
+
   test("kmeans keeps codegen'd map-only assignment and a broadcast fingerprint join") {
     val plan = executed(SparkEntry.queries("q_kmeans")(spark, dir))
     assert(!plan.exists(_.nodeName.toLowerCase.contains("nestedloop")))
