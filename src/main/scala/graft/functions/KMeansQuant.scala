@@ -41,7 +41,9 @@ object QuantKMeans {
   /** Interpreted (bestCell, bestDist) sweep shared by both eval paths:
     * fused quantize + integer-L2 argmin over the codebook. Dimensions
     * beyond the shared prefix `min(n, c.length)` are ignored (the
-    * [[NearestCentroidIndex]] length contract); ties → lowest ordinal
+    * [[NearestCentroidIndex]] length contract); null elements
+    * quantize to 0 (matching [[QuantVecSum]]'s null-skip — quantize(0)
+    * is also 0, so the two paths agree); ties → lowest ordinal
     * (strict `<` update, ascending scan). */
   def sweep(v: Any, isFloat: Boolean, centroids: Array[Array[Long]], scale: Double): (Int, Long) = {
     val arr = v.asInstanceOf[ArrayData]
@@ -49,8 +51,10 @@ object QuantKMeans {
     val q = new Array[Long](n)
     var i = 0
     while (i < n) {
-      val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
-      q(i) = quantize(x, scale)
+      if (!arr.isNullAt(i)) {
+        val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        q(i) = quantize(x, scale)
+      }
       i += 1
     }
     var best = 0
@@ -96,7 +100,9 @@ object QuantKMeans {
        |final int $n = $a.numElements();
        |final long[] $q = new long[$n];
        |for (int $i = 0; $i < $n; $i++) {
-       |  $q[$i] = (long) java.lang.Math.floor(((double) $a.$get($i)) * $scale + 0.5);
+       |  if (!$a.isNullAt($i)) {
+       |    $q[$i] = (long) java.lang.Math.floor(((double) $a.$get($i)) * $scale + 0.5);
+       |  }
        |}
        |int $best = 0;
        |long $bestDist = Long.MAX_VALUE;
