@@ -66,7 +66,7 @@ object DedupQueries {
     // centroid coordinate and the hash fails.
     "q_kmeans" -> { (s, dir) =>
       Clustering.kmeans(
-        Tables.embeddings(s, dir), "vec_id", "embedding", stride = 16, iters = 1)
+        Tables.embeddings(s, dir), "vec_id", "embedding", stride = 16, iters = 2)
     },
     // K6b gate — cluster-balanced sampling: the k-means replay feeds
     // the q_stratified_sample window recipe with cells as strata; the
@@ -74,7 +74,7 @@ object DedupQueries {
     "q_cluster_sample" -> { (s, dir) =>
       Clustering.clusterSample(
         Tables.embeddings(s, dir), "vec_id", "embedding",
-        stride = 16, iters = 1, frac = 0.25)
+        stride = 16, iters = 2, frac = 0.25)
     },
     // J9 gate — SemDeDup (cluster-blocked embedding near-dup): the
     // oracle replays the k-means fit, blocks pairs by the SAME cells,
@@ -85,7 +85,7 @@ object DedupQueries {
     "q_semantic_dedup" -> { (s, dir) =>
       Clustering.semanticDedup(
         Tables.embeddings(s, dir), "vec_id", "embedding",
-        stride = 16, iters = 1, threshold = 0.4)
+        stride = 16, iters = 2, threshold = 0.4)
     },
     // J6 — cluster the union of two dedup signals (exact text hash +
     // sorted-word fingerprint) into connected components; multi-hop
@@ -224,35 +224,50 @@ object DedupQueries {
     s"""list_sum(list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2])))"""
 
   /** Shared fixed-point k-means replay (see the q_kmeans query
-    * comment): quantize to the 2^20 grid, stride-16 ordinal init,
-    * integer-L2 argmin assignment (ties → lowest cell), exact
-    * elementwise mean update `floor(sum/n + 0.5)` with empty-cell
-    * carry-over. Ends with the quantized corpus `emb(vec_id, qv)` and
-    * the post-update codebook `cb1(cell, cv)` in scope. */
-  private lazy val kmeansCteSql: String = s"""
+    * comment), generated for `iters` full Lloyd rounds so the gate
+    * exercises the LOOP (each round's codebook feeds the next), not
+    * just one round: quantize to the 2^20 grid, stride-16 ordinal
+    * init, then per round an integer-L2 argmin assignment (ties →
+    * lowest cell) and an exact elementwise mean update
+    * `floor(sum/n + 0.5)` with empty-cell carry-over. Ends with the
+    * quantized corpus `emb(vec_id, qv)` and the final codebook
+    * `cb$iters(cell, cv)` in scope. */
+  private def kmeansCteSql(iters: Int): String = {
+    val init = s"""
       emb AS (
         SELECT vec_id, list_transform(embedding,
           x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) AS qv
         FROM embeddings),
       cb0 AS (
         SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, qv AS cv
-        FROM emb WHERE vec_id % 16 = 0),
-      asg0 AS (
+        FROM emb WHERE vec_id % 16 = 0)"""
+    val rounds = (0 until iters).map { t =>
+      s""",
+      asg$t AS (
         SELECT vec_id, qv, cell FROM (
           SELECT e.vec_id, e.qv, c.cell,
             ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
               ${qdistSql("e.qv", "c.cv")} ASC, c.cell ASC) AS r
-          FROM emb e CROSS JOIN cb0 c) WHERE r = 1),
-      upd AS (
+          FROM emb e CROSS JOIN cb$t c) WHERE r = 1),
+      upd$t AS (
         SELECT cell, CAST(r.range AS INT) + 1 AS ord, COUNT(*) AS n,
                CAST(SUM(qv[CAST(r.range AS INT) + 1]) AS BIGINT) AS s
-        FROM asg0, range(64) r GROUP BY 1, 2),
-      cb1 AS (
+        FROM asg$t, range(64) r GROUP BY 1, 2),
+      cb${t + 1} AS (
         SELECT c0.cell, COALESCE(u.cv, c0.cv) AS cv
-        FROM cb0 c0 LEFT JOIN (
+        FROM cb$t c0 LEFT JOIN (
           SELECT cell,
                  list(CAST(floor(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT) ORDER BY ord) AS cv
-          FROM upd GROUP BY cell) u ON u.cell = c0.cell)"""
+          FROM upd$t GROUP BY cell) u ON u.cell = c0.cell)"""
+    }.mkString
+    init + rounds
+  }
+
+  /** The gate configuration: 2 full Lloyd rounds (loop composition
+    * under the hash gate) + the final assignment. */
+  private val kmIters = 2
+  private lazy val kmCte: String = kmeansCteSql(kmIters)
+  private val kmCb: String = s"cb$kmIters"
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> """
@@ -358,33 +373,33 @@ object DedupQueries {
     // exact integer inertia, centroid L1/first-coordinate
     // fingerprints.
     "q_kmeans" -> s"""
-      WITH $kmeansCteSql,
+      WITH $kmCte,
       a2 AS (
         SELECT vec_id, cell, dist FROM (
           SELECT e.vec_id, c.cell,
             CAST(${qdistSql("e.qv", "c.cv")} AS BIGINT) AS dist,
             ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
               ${qdistSql("e.qv", "c.cv")} ASC, c.cell ASC) AS r
-          FROM emb e CROSS JOIN cb1 c) WHERE r = 1)
+          FROM emb e CROSS JOIN $kmCb c) WHERE r = 1)
       SELECT a2.cell, COUNT(*) AS n_points, CAST(SUM(a2.dist) AS BIGINT) AS inertia,
              MAX(cf.l1) AS centroid_l1, MAX(cf.c0) AS centroid_c0
       FROM a2 JOIN (
         SELECT cell,
                CAST(list_sum(list_transform(cv, x -> abs(x))) AS BIGINT) AS l1,
                cv[1] AS c0
-        FROM cb1) cf ON cf.cell = a2.cell
+        FROM $kmCb) cf ON cf.cell = a2.cell
       GROUP BY a2.cell ORDER BY a2.cell""",
     // Cluster-balanced sampling replay: the k-means fit + final
     // assignment, then the q_stratified_sample window recipe with the
     // learned cells as strata.
     "q_cluster_sample" -> s"""
-      WITH $kmeansCteSql,
+      WITH $kmCte,
       asg AS (
         SELECT vec_id, cell FROM (
           SELECT e.vec_id, c.cell,
             ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
               ${qdistSql("e.qv", "c.cv")} ASC, c.cell ASC) AS r
-          FROM emb e CROSS JOIN cb1 c) WHERE r = 1)
+          FROM emb e CROSS JOIN $kmCb c) WHERE r = 1)
       SELECT vec_id, cell, CAST(rn AS INT) AS rn FROM (
         SELECT vec_id, cell,
                ROW_NUMBER() OVER (PARTITION BY cell
@@ -396,13 +411,13 @@ object DedupQueries {
     // SemDeDup replay: the same k-means fit, pairs blocked by the
     // learned cells, cosine with the identical sequential fold.
     "q_semantic_dedup" -> s"""
-      WITH $kmeansCteSql,
+      WITH $kmCte,
       asg AS (
         SELECT vec_id, cell FROM (
           SELECT e.vec_id, c.cell,
             ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
               ${qdistSql("e.qv", "c.cv")} ASC, c.cell ASC) AS r
-          FROM emb e CROSS JOIN cb1 c) WHERE r = 1)
+          FROM emb e CROSS JOIN $kmCb c) WHERE r = 1)
       SELECT a.cell AS cell, a.vec_id AS id_a, b.vec_id AS id_b,
              ${cosSql("ea.embedding", "eb.embedding")} AS cosine
       FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
