@@ -407,4 +407,25 @@ object HashFunctions {
     * [[StringNgrams]]). */
   def string_ngrams(arr: Column, n: Int): Column =
     ColumnBridge.column(StringNgrams(ColumnBridge.expression(arr), n))
+
+  /** Spark's built-in mergeable Bloom-filter aggregate (the engine's
+    * own runtime-filter machinery, codegen-free build but distributed
+    * and bounded): aggregates LONG hashes into a serialized filter of
+    * exactly `numBits` bits. The blob size is fixed by construction —
+    * `numBits/8` bytes + header — independent of input cardinality. */
+  def bloom_filter_agg(hashes: Column, expectedItems: Long, numBits: Long): Column =
+    ColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        ColumnBridge.expression(hashes),
+        org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits)
+      ).toAggregateExpression())
+
+  /** Membership probe against a serialized Bloom filter literal —
+    * Spark's codegen'd `BloomFilterMightContain` (no false negatives;
+    * false-positive rate set by the build's bits/items ratio). */
+  def might_contain(bloomBits: Column, hash: Column): Column =
+    ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        ColumnBridge.expression(bloomBits), ColumnBridge.expression(hash)))
 }

@@ -221,15 +221,85 @@ object Curation {
   def decontaminate(
       train: DataFrame, bench: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
-    def grams(d: DataFrame, cols: Column*) = d
-      .withColumn("__toks", split(col(textCol), " "))
-      .where(size(col("__toks")) >= n)
-      .select(cols :+ explode(array_distinct(ngramsFromTokens(col("__toks"), n))).as("gram"): _*)
-    val benchGrams = grams(bench).select("gram").distinct()
-    grams(train, col(idCol))
+    val benchGrams = docGrams(bench, textCol, n).select("gram").distinct()
+    docGrams(train, textCol, n, col(idCol))
       .join(broadcast(benchGrams), "gram")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shared_ngrams"))
+      .orderBy(col(idCol))
+  }
+
+  /** Per-doc distinct word n-grams (the shared tokenize→shingle step of
+    * the decontamination family). Map-only: explode of a per-row array. */
+  private def docGrams(d: DataFrame, textCol: String, n: Int, cols: Column*): DataFrame = d
+    .withColumn("__toks", split(col(textCol), " "))
+    .where(size(col("__toks")) >= n)
+    .select(cols :+ explode(array_distinct(ngramsFromTokens(col("__toks"), n))).as("gram"): _*)
+
+  /** Bloom-prefiltered decontamination — the scale path of
+    * [[decontaminate]] for when the benchmark/held-out side is itself
+    * too large to broadcast as a hash relation (e.g. decontaminating
+    * the train split against the full test split of the same corpus:
+    * at 100 TB the held-out grams are billions of rows, far past
+    * `autoBroadcastJoinThreshold`, but a FIXED `numBits`-bit Bloom
+    * filter over them is megabytes). Shape: (1) distributed
+    * Bloom build over bench grams via Spark's own mergeable
+    * `BloomFilterAggregate` — partial filters merge map-side, ONE
+    * bounded blob (numBits/8 bytes by construction, NOT data-sized)
+    * reaches the driver, same bounded-collect posture as the IVF
+    * codebook; (2) a codegen'd `might_contain` prefilter on the train
+    * gram scan — map-only, drops ~all non-matching grams before any
+    * exchange; (3) the exact verify join runs ONLY on survivors, so
+    * the shuffle carries true matches + the filter's false-positive
+    * sliver instead of every gram in the corpus. Bloom filters have no
+    * false negatives and survivors are re-verified exactly, so the
+    * result is IDENTICAL to [[decontaminate]] — the oracle replays the
+    * exact join without modeling the filter. */
+  def decontaminateBloom(
+      train: DataFrame, bench: DataFrame, idCol: String, textCol: String,
+      n: Int, expectedGrams: Long = 1L << 20, numBits: Long = 1L << 23): DataFrame = {
+    val benchGrams = docGrams(bench, textCol, n).select("gram").distinct()
+    val blobRow = benchGrams
+      .agg(graft.functions.HashFunctions.bloom_filter_agg(
+        xxhash64(col("gram")), expectedGrams, numBits).as("bf"))
+      .head()
+    if (blobRow.isNullAt(0)) {
+      // empty bench side: no gram can match; keep the output schema
+      return train.select(col(idCol), lit(0L).as("n_shared_ngrams")).limit(0)
+    }
+    val bits = blobRow.getAs[Array[Byte]](0)
+    val candidates = docGrams(train, textCol, n, col(idCol))
+      .where(graft.functions.HashFunctions.might_contain(lit(bits), xxhash64(col("gram"))))
+    candidates
+      .join(benchGrams, "gram") // exact verify on the surviving sliver only
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared_ngrams"))
+      .orderBy(col(idCol))
+  }
+
+  /** PII scrubbing — the redaction pass every public curation pipeline
+    * runs before training (C4 and Dolma both regex-scrub emails /
+    * phone numbers / IP addresses). Each pattern is counted on the
+    * ORIGINAL text (patterns are disjoint by construction; counts are
+    * pre-scrub audit numbers) and replaced sequentially in the given
+    * order. Pure codegen'd string expressions (`regexp_count` /
+    * `regexp_replace`) — a map-only corpus pass, zero shuffle: the
+    * 100 TB shape. Patterns must stay in the RE2 ∩ java.util.regex
+    * common dialect (no backreferences/lookaround) so an external
+    * engine can replay them verbatim. */
+  def piiScrub(
+      df: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[(String, String, String)]): DataFrame = {
+    require(patterns.nonEmpty, "piiScrub: need at least one pattern")
+    val counted = patterns.foldLeft(df) { case (d, (name, re, _)) =>
+      d.withColumn(s"n_$name", regexp_count(col(textCol), lit(re)))
+    }
+    val scrubbed = patterns.foldLeft(col(textCol)) { case (c, (_, re, repl)) =>
+      regexp_replace(c, lit(re), lit(repl))
+    }
+    counted.select(
+      (col(idCol) +: patterns.map { case (nm, _, _) => col(s"n_$nm") }) :+
+        scrubbed.as("scrubbed"): _*)
       .orderBy(col(idCol))
   }
 

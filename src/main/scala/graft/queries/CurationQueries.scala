@@ -47,6 +47,38 @@ object CurationQueries {
         docs.where(col("source") === "src0"),
         "doc_id", "text", n = 5)
     },
+    // Q11 — the Bloom scale path gated on EXACT-join parity: filter
+    // false negatives are impossible and survivors re-verify exactly,
+    // so any bloom build/probe defect shows up as missing rows against
+    // the oracle's plain exact join. Blocking scenario: train split
+    // decontaminated against the held-out test split (q_corpus_split's
+    // assignment), the case where the bench side outgrows a broadcast.
+    "q_decontaminate_bloom" -> { (s, dir) =>
+      val docs = Curation.assignSplits(
+        Tables.documents(s, dir), "doc_id", corpusSplits)
+      Curation.decontaminateBloom(
+        docs.where(col("split") === "train"),
+        docs.where(col("split") === "test"),
+        "doc_id", "text", n = 5)
+    },
+    // Q12 — PII redaction: the corpus has no digits/addresses, so the
+    // query INJECTS deterministic doc_id-derived PII (the M1 pattern:
+    // synthesize real bytes, then run the real decoder), scrubs it
+    // with the shared RE2∩Java regexes, and the oracle replays both
+    // injection and scrub — counts AND the full redacted text are
+    // row-hashed.
+    "q_pii_scrub" -> { (s, dir) =>
+      val injected = Tables.documents(s, dir).select(
+        col("doc_id"),
+        concat(
+          col("text"),
+          lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+          lit(" or call 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" from 10."), (col("doc_id") % 256).cast("string"), lit(".0.1")
+        ).as("text"))
+      Curation.piiScrub(injected, "doc_id", "text", piiPatterns)
+    },
     "q_tfidf_terms" -> { (s, dir) =>
       Curation.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 3)
     },
@@ -70,6 +102,14 @@ object CurationQueries {
     * can never fork. */
   private val corpusSplits =
     Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  /** (name, regex, replacement) for [[Curation.piiScrub]] — shared
+    * verbatim with the oracle SQL; RE2 ∩ java.util.regex dialect only
+    * (DuckDB is RE2, Spark is java.util.regex). */
+  private val piiPatterns = Seq(
+    ("emails", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phones", "\\b555-[0-9]{4}\\b", "<PHONE>"),
+    ("ips", "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b", "<IP>"))
 
   val oracles: Map[String, String] = Map(
     // max word multiplicity via token unnest + group; Spark computes the
@@ -161,6 +201,37 @@ object CurationQueries {
       FROM (SELECT * FROM g WHERE source <> 'src0') t
       JOIN (SELECT DISTINCT gram FROM g WHERE source = 'src0') b USING (gram)
       GROUP BY t.doc_id ORDER BY t.doc_id""",
+    // exact train-vs-test gram join — no bloom modeling: the filter is
+    // semantically transparent (no false negatives + exact re-verify)
+    "q_decontaminate_bloom" -> s"""
+      WITH sp AS (
+        SELECT doc_id, text, $splitCaseSql AS split FROM documents),
+      g AS (
+        SELECT doc_id, split,
+               unnest(list_distinct(list_transform(
+                 range(1, len(string_split(text, ' ')) - 3),
+                 i -> array_to_string(string_split(text, ' ')[i:i + 4], ' ')))) AS gram
+        FROM sp WHERE len(string_split(text, ' ')) >= 5)
+      SELECT t.doc_id, COUNT(*) AS n_shared_ngrams
+      FROM (SELECT * FROM g WHERE split = 'train') t
+      JOIN (SELECT DISTINCT gram FROM g WHERE split = 'test') b USING (gram)
+      GROUP BY t.doc_id ORDER BY t.doc_id""",
+    "q_pii_scrub" -> s"""
+      WITH inj AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                    || ' or call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' AS text
+        FROM documents)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '${piiPatterns(0)._2}')) AS INT) AS n_emails,
+             CAST(len(regexp_extract_all(text, '${piiPatterns(1)._2}')) AS INT) AS n_phones,
+             CAST(len(regexp_extract_all(text, '${piiPatterns(2)._2}')) AS INT) AS n_ips,
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '${piiPatterns(0)._2}', '${piiPatterns(0)._3}', 'g'),
+               '${piiPatterns(1)._2}', '${piiPatterns(1)._3}', 'g'),
+               '${piiPatterns(2)._2}', '${piiPatterns(2)._3}', 'g') AS scrubbed
+      FROM inj ORDER BY doc_id""",
     "q_tfidf_terms" -> """
       WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
       tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),

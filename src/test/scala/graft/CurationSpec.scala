@@ -63,6 +63,58 @@ class CurationSpec extends SparkSpec {
     assert(out == Map(1L -> 1L))
   }
 
+  test("decontaminateBloom matches the exact join and keeps the probe in the plan") {
+    // enough docs that shared and unshared grams both occur
+    val train = (1L to 40L).map(i => (i, s"w$i x$i p q r s t u${i % 7}"))
+      .toDF("doc_id", "text")
+    val bench = (0L until 7L).map(i => (100 + i, s"p q r s t u$i tail$i y z"))
+      .toDF("doc_id", "text")
+    val exact = Curation.decontaminate(train, bench, "doc_id", "text", n = 5)
+    val bloom = Curation.decontaminateBloom(train, bench, "doc_id", "text", n = 5)
+    assert(bloom.collect().toSeq == exact.collect().toSeq)
+    // the prefilter must actually be in the executed plan
+    assert(bloom.queryExecution.executedPlan.toString.contains("might_contain"))
+  }
+
+  test("decontaminateBloom on an empty bench side returns no rows, schema intact") {
+    val train = Seq((1L, "p q r s t")).toDF("doc_id", "text")
+    val bench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = Curation.decontaminateBloom(train, bench, "doc_id", "text", n = 5)
+    assert(out.columns.toSeq == Seq("doc_id", "n_shared_ngrams"))
+    assert(out.count() == 0)
+  }
+
+  test("decontaminateBloom survives a tiny over-filled filter (false positives re-verified)") {
+    // 2 bits per expected item → high FP rate; exactness must hold anyway
+    val train = (1L to 30L).map(i => (i, s"a$i b$i c$i d$i e$i shared v w x y"))
+      .toDF("doc_id", "text")
+    val bench = Seq((99L, "shared v w x y k")).toDF("doc_id", "text")
+    val exact = Curation.decontaminate(train, bench, "doc_id", "text", n = 5)
+    val bloom = Curation.decontaminateBloom(
+      train, bench, "doc_id", "text", n = 5, expectedGrams = 4, numBits = 64)
+    assert(bloom.collect().toSeq == exact.collect().toSeq)
+  }
+
+  test("piiScrub counts and redacts each pattern; clean text is untouched") {
+    val pats = Seq(
+      ("emails", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      ("ips", "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b", "<IP>"))
+    val df = Seq(
+      (1L, "mail a@b.com and c.d@e.org from 10.0.0.1"),
+      (2L, "nothing to hide here"),
+      (3L, "ip 192.168.1.255 twice 192.168.1.255")
+    ).toDF("doc_id", "text")
+    val out = Curation.piiScrub(df, "doc_id", "text", pats)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Int]("n_emails") == 2)
+    assert(out(1L).getAs[Int]("n_ips") == 1)
+    assert(out(1L).getAs[String]("scrubbed") == "mail <EMAIL> and <EMAIL> from <IP>")
+    assert(out(2L).getAs[Int]("n_emails") == 0)
+    assert(out(2L).getAs[String]("scrubbed") == "nothing to hide here")
+    assert(out(3L).getAs[Int]("n_ips") == 2)
+    assert(out(3L).getAs[String]("scrubbed") == "ip <IP> twice <IP>")
+  }
+
   test("tfidfTopTerms scores tf*N/df and keeps k per doc") {
     val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     val out = Curation.tfidfTopTerms(df, "doc_id", "text", k = 2)
