@@ -308,6 +308,43 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** J10 — SPAN-level exact dedup: every duplicated `spanLen`-token
+    * window that appears in ≥ `minDocs` distinct documents, with its
+    * doc count and total occurrence count. Substring granularity is
+    * the gap the doc-level J1–J6 family leaves open: two documents can
+    * be <50% similar overall yet share a verbatim boilerplate passage
+    * that doc-level minhash never flags (public spec: Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better", which
+    * dedups 50-token spans). That paper builds a single-node suffix
+    * array; the Spark-first shape is windowed shingles + two-level
+    * partial aggregation: explode the per-row window array (map-only),
+    * `groupBy(span, doc)` then `groupBy(span)` — map-side combine
+    * collapses within-partition repeats before the ONE shuffle on the
+    * span key, and only spans surviving the HAVING materialize in the
+    * result. Shuffle ∝ distinct (span, doc) pairs — the same posture
+    * as the J4 inverted index, no pairwise comparison anywhere. */
+  def spanDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      spanLen: Int, minDocs: Int = 2): DataFrame = {
+    require(spanLen >= 1, "spanDedup: spanLen must be >= 1")
+    require(minDocs >= 2, "spanDedup: minDocs must be >= 2 (cross-doc duplicates)")
+    val windows = df
+      .withColumn("__toks", split(col(textCol), " "))
+      .where(size(col("__toks")) >= spanLen)
+      .select(
+        col(idCol).as("__id"),
+        explode(transform(
+          sequence(lit(0), size(col("__toks")) - spanLen),
+          i => array_join(slice(col("__toks"), i + 1, lit(spanLen)), " "))).as("span"))
+    windows
+      .groupBy(col("span"), col("__id"))
+      .agg(count(lit(1)).as("__occ"))
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__occ")).as("n_occ"))
+      .where(col("n_docs") >= minDocs)
+      .orderBy(col("span"))
+  }
+
   /** J6 — near-dup CLUSTERING: connected components over candidate-pair
     * edges (the step after J1–J5: pairwise signals → document clusters →
     * one canonical doc kept per cluster). Each round does min-label

@@ -52,6 +52,13 @@ object DedupQueries {
       Dedup.ngramJaccardPairs(
         Tables.documents(s, dir), "doc_id", "text", "source", n = 3, minJaccard = 0.1)
     },
+    // J10 gate — substring-granularity dedup (Lee et al. 2021): every
+    // duplicated 8-token span with doc/occurrence counts; the oracle
+    // regroups the same windows directly, so a windowing or counting
+    // defect changes rows.
+    "q_span_dedup" -> { (s, dir) =>
+      Dedup.spanDedup(Tables.documents(s, dir), "doc_id", "text", spanLen = 8)
+    },
     "q_dedup_embedding" -> { (s, dir) =>
       Dedup.embeddingNearDup(
         Tables.embeddings(s, dir), "vec_id", "embedding", "label", threshold = 0.4)
@@ -362,6 +369,16 @@ object DedupQueries {
       FROM pairs
       WHERE CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE) >= 0.1
       ORDER BY id_a, id_b""",
+    "q_span_dedup" -> """
+      WITH w AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(string_split(text, ' ')) - 6),
+                 i -> array_to_string(string_split(text, ' ')[i:i + 7], ' '))) AS span
+        FROM documents WHERE len(string_split(text, ' ')) >= 8)
+      SELECT span, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             COUNT(*) AS n_occ
+      FROM w GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+      ORDER BY span""",
     "q_dedup_embedding" -> s"""
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         ${cosSql("a.embedding", "b.embedding")} AS cosine

@@ -55,6 +55,23 @@ class DedupSpec extends SparkSpec {
     assert(!out.keys.exists(p => p._1 == 5L || p._2 == 5L)) // other block
   }
 
+  test("spanDedup reports cross-doc duplicated windows with doc and occurrence counts") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f"),   // "a b c" at pos 0
+      (2L, "x a b c y z"),   // "a b c" at pos 1
+      (3L, "a b c a b c w"), // "a b c" twice in ONE doc
+      (4L, "p q")            // too short for any window
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(df, "doc_id", "text", spanLen = 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // only the cross-doc span survives; 3 docs, 4 total occurrences
+    assert(out == Map("a b c" -> ((3L, 4L))))
+    // within-doc-only repeats don't qualify
+    val solo = Seq((9L, "m n o m n o")).toDF("doc_id", "text")
+    assert(Dedup.spanDedup(solo, "doc_id", "text", spanLen = 3).count() == 0)
+  }
+
   test("embeddingNearDup finds parallel vectors within a block") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f), 0),
