@@ -103,6 +103,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.exists(_.nodeName.toLowerCase.contains("nestedloop")))
   }
 
+  test("bloom decontamination prefilters in the scan stage before any join") {
+    val plan = executed(SparkEntry.queries("q_decontaminate_bloom")(spark, dir))
+    val strs = plan.map(_.toString)
+    // codegen'd membership probe sits in a Filter, not post-join
+    assert(strs.exists(s => s.contains("Filter") && s.contains("might_contain")))
+    assert(!plan.exists(_.nodeName.toLowerCase.contains("nestedloop")))
+  }
+
+  test("pii scrub is map-only: zero shuffles before the presentation sort") {
+    val plan = executed(SparkEntry.queries("q_pii_scrub")(spark, dir))
+    assert(shuffles(plan) <= 1) // regex count/replace are per-row projections
+    assert(!plan.exists(_.nodeName.contains("Generate")))
+  }
+
+  test("span dedup keeps partial aggregation and no pairwise join") {
+    val plan = executed(SparkEntry.queries("q_span_dedup")(spark, dir))
+    val aggs = plan.map(_.toString).filter(_.contains("HashAggregate"))
+    assert(aggs.exists(_.contains("partial_"))) // map-side combine of repeats
+    assert(!plan.exists(p => p.nodeName.contains("Join"))) // regroup, not self-join
+  }
+
   test("ngram top-k is TakeOrdered, not a global window over the corpus") {
     val plan = executed(SparkEntry.queries("q_ngram_topk")(spark, dir))
     assert(plan.exists(_.nodeName.contains("TakeOrderedAndProject")))
