@@ -27,9 +27,10 @@ import org.apache.spark.sql.types._
   * query cannot change a driver-oracle hash.
   *
   * Null semantics: null input → null; mismatched lengths → null
-  * (mirrors `zip_with` padding to null). Array elements are assumed
-  * non-null (embedding vectors); a null element poisons the result to
-  * NaN rather than null.
+  * (mirrors `zip_with` padding to null). Null ELEMENTS contribute 0.0
+  * to every sum in both eval paths (the [[QuantVecSum]] null-skip
+  * convention; previously the interpreted path could NPE on a
+  * generic-array null while codegen read a raw 0 slot).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -62,8 +63,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = if (aFloat) aa.getFloat(i).toDouble else aa.getDouble(i)
-      val y = if (bFloat) bb.getFloat(i).toDouble else bb.getDouble(i)
+      val x =
+        if (aa.isNullAt(i)) 0.0
+        else if (aFloat) aa.getFloat(i).toDouble else aa.getDouble(i)
+      val y =
+        if (bb.isNullAt(i)) 0.0
+        else if (bFloat) bb.getFloat(i).toDouble else bb.getDouble(i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
@@ -86,8 +91,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    final double x = (double) $a.$aGet($i);
-         |    final double y = (double) $b.$bGet($i);
+         |    final double x = $a.isNullAt($i) ? 0.0 : (double) $a.$aGet($i);
+         |    final double y = $b.isNullAt($i) ? 0.0 : (double) $b.$bGet($i);
          |    $dot += x * y; $na += x * x; $nb += y * y;
          |  }
          |  ${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);

@@ -57,15 +57,19 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     var i = 0
     val n = arr.numElements()
     while (i < n) {
-      val eh =
-        if (strs) XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
-        else XXH64.hashLong(arr.getLong(i), 42L)
-      val base = XXH64.hashLong(eh, 42L)
-      var h = 0
-      while (h < numHashes) {
-        val v = XXH64.hashInt(h, base)
-        if (v < mins(h)) mins(h) = v
-        h += 1
+      // skip null shingles (filter parity — the generic-array path
+      // would otherwise NPE inside the hash)
+      if (!arr.isNullAt(i)) {
+        val eh =
+          if (strs) XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+          else XXH64.hashLong(arr.getLong(i), 42L)
+        val base = XXH64.hashLong(eh, 42L)
+        var h = 0
+        while (h < numHashes) {
+          val v = XXH64.hashInt(h, base)
+          if (v < mins(h)) mins(h) = v
+          h += 1
+        }
       }
       i += 1
     }
@@ -89,6 +93,7 @@ case class MinHashSignature(child: Expression, numHashes: Int)
          |final long[] $mins = new long[$numHashes];
          |java.util.Arrays.fill($mins, Long.MAX_VALUE);
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($arr.isNullAt($i)) continue;
          |  final long $base = $xxh.hashLong($elemHash, 42L);
          |  for (int $h = 0; $h < $numHashes; $h++) {
          |    final long $v = $xxh.hashInt($h, $base);
@@ -117,11 +122,15 @@ case class SimHash64(child: Expression) extends TokenSketchExpression {
     var i = 0
     val n = arr.numElements()
     while (i < n) {
-      val base = XXH64.hashLong(XXH64.hashUTF8String(arr.getUTF8String(i), 42L), 42L)
-      var b = 0
-      while (b < 64) {
-        votes(b) += (XXH64.hashInt(b, base) & 1L) * 2L - 1L
-        b += 1
+      // skip null tokens (filter parity; vote aggregation is
+      // order-insensitive so skipping == filtering first)
+      if (!arr.isNullAt(i)) {
+        val base = XXH64.hashLong(XXH64.hashUTF8String(arr.getUTF8String(i), 42L), 42L)
+        var b = 0
+        while (b < 64) {
+          votes(b) += (XXH64.hashInt(b, base) & 1L) * 2L - 1L
+          b += 1
+        }
       }
       i += 1
     }
@@ -144,6 +153,7 @@ case class SimHash64(child: Expression) extends TokenSketchExpression {
          |final int $n = $arr.numElements();
          |final long[] $votes = new long[64];
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($arr.isNullAt($i)) continue;
          |  final long $base = $xxh.hashLong($xxh.hashUTF8String($arr.getUTF8String($i), 42L), 42L);
          |  for (int $b = 0; $b < 64; $b++) {
          |    $votes[$b] += ($xxh.hashInt($b, $base) & 1L) * 2L - 1L;
@@ -179,18 +189,21 @@ object Md5SimHashUtil {
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val m = md.get()
-      m.reset()
-      val digest = m.digest(arr.getUTF8String(i).getBytes)
-      var j = 0
-      while (j < 8) {
-        val dj = digest(8 + j)
-        var k = 0
-        while (k < 8) {
-          votes(8 * j + k) += ((dj >> k) & 1) * 2 - 1
-          k += 1
+      // skip null tokens (filter parity; votes are order-insensitive)
+      if (!arr.isNullAt(i)) {
+        val m = md.get()
+        m.reset()
+        val digest = m.digest(arr.getUTF8String(i).getBytes)
+        var j = 0
+        while (j < 8) {
+          val dj = digest(8 + j)
+          var k = 0
+          while (k < 8) {
+            votes(8 * j + k) += ((dj >> k) & 1) * 2 - 1
+            k += 1
+          }
+          j += 1
         }
-        j += 1
       }
       i += 1
     }
@@ -239,15 +252,22 @@ case class ShingleHashes(child: Expression, n: Int) extends TokenSketchExpressio
     val arr = input.asInstanceOf[ArrayData]
     val len = arr.numElements()
     if (len < n) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    // compact null tokens away first (filter-adjacency parity, the
+    // RepetitionStats convention), then window over the kept tokens
     val tokHash = new Array[Long](len)
+    var m = 0
     var i = 0
     while (i < len) {
-      tokHash(i) = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+      if (!arr.isNullAt(i)) {
+        tokHash(m) = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+        m += 1
+      }
       i += 1
     }
-    val out = new Array[Long](len - n + 1)
+    if (m < n) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val out = new Array[Long](m - n + 1)
     i = 0
-    while (i <= len - n) {
+    while (i <= m - n) {
       var chain = 42L
       var j = 0
       while (j < n) { chain = XXH64.hashLong(tokHash(i + j), chain); j += 1 }
@@ -275,17 +295,21 @@ case class ShingleHashes(child: Expression, n: Int) extends TokenSketchExpressio
       val j = ctx.freshName("j")
       val w = ctx.freshName("w")
       val chain = ctx.freshName("chain")
+      val m = ctx.freshName("kept")
       s"""
          |final int $len = $arr.numElements();
-         |if ($len < $n) {
+         |final long[] $th = new long[$len];
+         |int $m = 0;
+         |for (int $i = 0; $i < $len; $i++) {
+         |  if (!$arr.isNullAt($i)) {
+         |    $th[$m++] = $xxh.hashUTF8String($arr.getUTF8String($i), 42L);
+         |  }
+         |}
+         |if ($m < $n) {
          |  ${ev.value} = $uad.fromPrimitiveArray(new long[0]);
          |} else {
-         |  final long[] $th = new long[$len];
-         |  for (int $i = 0; $i < $len; $i++) {
-         |    $th[$i] = $xxh.hashUTF8String($arr.getUTF8String($i), 42L);
-         |  }
-         |  long[] $out = new long[$len - $n + 1];
-         |  for (int $i = 0; $i <= $len - $n; $i++) {
+         |  long[] $out = new long[$m - $n + 1];
+         |  for (int $i = 0; $i <= $m - $n; $i++) {
          |    long $chain = 42L;
          |    for (int $j = 0; $j < $n; $j++) {
          |      $chain = $xxh.hashLong($th[$i + $j], $chain);

@@ -65,7 +65,11 @@ case class NearestCentroidIndex(child: Expression, centroids: Array[Array[Double
       var dot = 0.0
       var i = 0
       while (i < m) {
-        dot += (if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)) * c(i)
+        // null elements contribute 0 (QuantVecSum convention; the
+        // generic-array path would otherwise NPE)
+        if (!arr.isNullAt(i)) {
+          dot += (if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)) * c(i)
+        }
         i += 1
       }
       if (dot > bestScore) { bestScore = dot; best = j }
@@ -95,7 +99,9 @@ case class NearestCentroidIndex(child: Expression, centroids: Array[Array[Double
          |  final int $m = java.lang.Math.min($n, $c.length);
          |  double $dot = 0.0;
          |  for (int $i = 0; $i < $m; $i++) {
-         |    $dot += ((double) $a.$get($i)) * $c[$i];
+         |    if (!$a.isNullAt($i)) {
+         |      $dot += ((double) $a.$get($i)) * $c[$i];
+         |    }
          |  }
          |  if ($dot > $bestScore) { $bestScore = $dot; $best = $j; }
          |}

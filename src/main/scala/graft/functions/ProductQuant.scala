@@ -80,7 +80,7 @@ object PqEncode {
         var i = 0
         while (i < dsub) {
           val x =
-            if (base + i >= n) 0.0
+            if (base + i >= n || arr.isNullAt(base + i)) 0.0
             else if (isFloat) arr.getFloat(base + i).toDouble
             else arr.getDouble(base + i)
           val d = x - cent(i)
@@ -141,11 +141,21 @@ object PqAdcScore {
     var s = 0.0
     var j = 0
     while (j < m) {
+      // loud on null slots too: an unsafe-array null reads as a raw 0
+      // and would silently score centroid 0, which the contract bans
+      if (codes.isNullAt(j) || dtab.isNullAt(j)) {
+        throw new IllegalArgumentException(
+          s"pq_adc_score: null code or distance-table row at subspace $j")
+      }
       val row = dtab.getArray(j)
       val c = codes.getInt(j)
       if (c < 0 || c >= row.numElements()) {
         throw new IllegalArgumentException(
           s"pq_adc_score: code $c out of range for ${row.numElements()} centroids")
+      }
+      if (row.isNullAt(c)) {
+        throw new IllegalArgumentException(
+          s"pq_adc_score: null distance-table entry at subspace $j, code $c")
       }
       s += row.getDouble(c)
       j += 1

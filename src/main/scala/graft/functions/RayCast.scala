@@ -54,47 +54,17 @@ case class RayCastCrossings(
         s"$prettyName requires (double, double, array<double>, array<double>), got $other")
     }
 
-  override def nullSafeEval(pxv: Any, pyv: Any, xsv: Any, ysv: Any): Any = {
-    val x0 = pxv.asInstanceOf[Double]
-    val y0 = pyv.asInstanceOf[Double]
-    val xa = xsv.asInstanceOf[ArrayData]
-    val ya = ysv.asInstanceOf[ArrayData]
-    val n = math.min(xa.numElements(), ya.numElements())
-    var c = 0
-    var i = 0
-    while (i < n) {
-      val j = if (i + 1 == n) 0 else i + 1
-      val xi = xa.getDouble(i); val yi = ya.getDouble(i)
-      val xj = xa.getDouble(j); val yj = ya.getDouble(j)
-      if (((yi > y0) != (yj > y0)) && (x0 < (xj - xi) * (y0 - yi) / (yj - yi) + xi)) c += 1
-      i += 1
-    }
-    c
-  }
+  override def nullSafeEval(pxv: Any, pyv: Any, xsv: Any, ysv: Any): Any =
+    RingCrossings.ringCount(
+      pxv.asInstanceOf[Double], pyv.asInstanceOf[Double],
+      xsv.asInstanceOf[ArrayData], ysv.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (pxv, pyv, xsv, ysv) => {
-      val n = ctx.freshName("n")
-      val c = ctx.freshName("c")
-      val i = ctx.freshName("i")
-      val j = ctx.freshName("j")
-      val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
-      val xj = ctx.freshName("xj"); val yj = ctx.freshName("yj")
-      s"""
-         |final int $n = java.lang.Math.min($xsv.numElements(), $ysv.numElements());
-         |int $c = 0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  final int $j = ($i + 1 == $n) ? 0 : $i + 1;
-         |  final double $xi = $xsv.getDouble($i);
-         |  final double $yi = $ysv.getDouble($i);
-         |  final double $xj = $xsv.getDouble($j);
-         |  final double $yj = $ysv.getDouble($j);
-         |  if ((($yi > $pyv) != ($yj > $pyv)) &&
-         |      ($pxv < ($xj - $xi) * ($pyv - $yi) / ($yj - $yi) + $xi)) $c++;
-         |}
-         |${ev.value} = $c;
-       """.stripMargin
-    })
+    nullSafeCodeGen(ctx, ev, (pxv, pyv, xsv, ysv) =>
+      // the same shared kernel as the interpreted path (and as
+      // RingCrossings' per-ring sum) — arithmetic can never fork
+      s"""${ev.value} = graft.functions.RingCrossings.ringCount(
+         |  $pxv, $pyv, $xsv, $ysv);""".stripMargin)
 
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression,
@@ -182,14 +152,21 @@ case class RingCrossings(
 
 object RingCrossings {
   /** The single-ring loop, shared by interpreted eval and generated
-    * code — byte-for-byte the same arithmetic as
-    * [[RayCastCrossings.nullSafeEval]]. */
+    * code of BOTH [[RayCastCrossings]] and [[RingCrossings]] — one
+    * kernel, so the arithmetic can never fork. A null COORDINATE is corrupt
+    * geometry and fails loudly (a vectorized-parquet null slot can
+    * hold junk, so reading through it would silently bend the
+    * polygon; the PqAdcScore posture). */
   def ringCount(x0: Double, y0: Double, xa: ArrayData, ya: ArrayData): Int = {
     val n = math.min(xa.numElements(), ya.numElements())
     var c = 0
     var i = 0
     while (i < n) {
       val j = if (i + 1 == n) 0 else i + 1
+      if (xa.isNullAt(i) || ya.isNullAt(i) || xa.isNullAt(j) || ya.isNullAt(j)) {
+        throw new IllegalArgumentException(
+          s"ring_crossings: null vertex coordinate at index $i/$j")
+      }
       val xi = xa.getDouble(i); val yi = ya.getDouble(i)
       val xj = xa.getDouble(j); val yj = ya.getDouble(j)
       if (((yi > y0) != (yj > y0)) && (x0 < (xj - xi) * (y0 - yi) / (yj - yi) + xi)) c += 1

@@ -68,7 +68,11 @@ case class SignBuckets(child: Expression, planes: Array[Array[Double]], nPlanes:
         if (n == w.length) { // mismatch → dot 0 (HOF zip_with null→0 parity)
           var i = 0
           while (i < n) {
-            dot += (if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)) * w(i)
+            // null elements contribute 0 (QuantVecSum convention; the
+            // generic-array path would otherwise NPE)
+            if (!arr.isNullAt(i)) {
+              dot += (if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)) * w(i)
+            }
             i += 1
           }
         }
@@ -103,7 +107,9 @@ case class SignBuckets(child: Expression, planes: Array[Array[Double]], nPlanes:
          |    double $dot = 0.0;
          |    if ($n == $w.length) {
          |      for (int $i = 0; $i < $n; $i++) {
-         |        $dot += ((double) $a.$get($i)) * $w[$i];
+         |        if (!$a.isNullAt($i)) {
+         |          $dot += ((double) $a.$get($i)) * $w[$i];
+         |        }
          |      }
          |    }
          |    if ($dot > 0) $bucket += 1L << (${nPlanes} - 1 - $p);

@@ -66,6 +66,49 @@ class HashExpressionsSpec extends SparkSpec {
     assert(r.getSeq[Long](0).forall(_ == Long.MaxValue))
   }
 
+  test("null array elements are filter-parity skipped across the sketch family") {
+    // array with a null token vs the same array pre-filtered — every
+    // sketch must agree (the RepetitionStats filter-adjacency
+    // convention; previously the interpreted paths could NPE)
+    val df = Seq(1).toDF("i").select(
+      array(lit("a"), lit(null).cast("string"), lit("b"), lit("c")).as("withNull"),
+      array(lit("a"), lit("b"), lit("c")).as("clean"))
+    val r = df.select(
+      HashFunctions.minhash_sig(col("withNull"), 16).as("m1"),
+      HashFunctions.minhash_sig(col("clean"), 16).as("m2"),
+      HashFunctions.simhash64(col("withNull")).as("s1"),
+      HashFunctions.simhash64(col("clean")).as("s2"),
+      HashFunctions.simhash_md5(col("withNull")).as("d1"),
+      HashFunctions.simhash_md5(col("clean")).as("d2"),
+      HashFunctions.shingle_hashes(col("withNull"), 2).as("g1"),
+      HashFunctions.shingle_hashes(col("clean"), 2).as("g2")).head()
+    assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    assert(r.getLong(2) == r.getLong(3))
+    assert(r.getLong(4) == r.getLong(5))
+    assert(r.getSeq[Long](6) == r.getSeq[Long](7))
+  }
+
+  test("cosine_sim treats null elements as 0.0 in both eval paths") {
+    val df = Seq(1).toDF("i").select(
+      array(lit(3.0), lit(null).cast("double")).as("a"),
+      array(lit(3.0), lit(4.0)).as("b"))
+    val got = df.select(
+      graft.functions.GraftFunctions.cosine_sim(col("a"), col("b")).as("c")).head().getDouble(0)
+    // a ~ (3,0): dot=9, |a|=3, |b|=5 → 0.6
+    assert(got == 9.0 / (3.0 * 5.0))
+  }
+
+  test("ring crossings fail loudly on a null vertex coordinate") {
+    val df = Seq(1).toDF("i").select(
+      array(lit(0.0), lit(null).cast("double"), lit(1.0)).as("xs"),
+      array(lit(0.0), lit(1.0), lit(0.0)).as("ys"))
+    val ex = intercept[Exception] {
+      df.select(graft.functions.GraftFunctions.ray_cast_crossings(
+        lit(0.5), lit(0.25), col("xs"), col("ys")).as("c")).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("heavy_hitters is exact below capacity and matches groupBy counts") {
     val rows = (0 until 300).map { i =>
       Tuple1(Seq(s"t${i % 23}", s"t${i % 7}", "common"))
