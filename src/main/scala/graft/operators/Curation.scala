@@ -289,6 +289,14 @@ object Curation {
     * engine can replay them verbatim. */
   def piiScrub(
       df: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[(String, String, String)]): DataFrame =
+    piiScrubUnordered(df, idCol, textCol, patterns).orderBy(col(idCol))
+
+  /** [[piiScrub]] without the presentation sort — the form an
+    * unbounded stream can run (sorting is unsupported in append
+    * streams; the scrub itself is stateless per row). */
+  def piiScrubUnordered(
+      df: DataFrame, idCol: String, textCol: String,
       patterns: Seq[(String, String, String)]): DataFrame = {
     require(patterns.nonEmpty, "piiScrub: need at least one pattern")
     val counted = patterns.foldLeft(df) { case (d, (name, re, _)) =>
@@ -300,7 +308,6 @@ object Curation {
     counted.select(
       (col(idCol) +: patterns.map { case (nm, _, _) => col(s"n_$nm") }) :+
         scrubbed.as("scrubbed"): _*)
-      .orderBy(col(idCol))
   }
 
   /** Per-document top-k terms by tf·idf. The idf factor is the

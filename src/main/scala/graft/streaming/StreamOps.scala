@@ -45,6 +45,25 @@ object StreamOps {
     df.withColumn("cell",
       graft.functions.GraftFunctions.quant_nearest_cell(col(vecCol), codebook, scale))
 
+  /** Streaming curation scrub: PII redaction + quality signals over
+    * an unbounded document stream, via the SAME pure column
+    * expressions as the batch operators
+    * ([[graft.operators.Curation.piiScrub]] regexes,
+    * [[graft.functions.RepetitionStats]]) — stateless per row
+    * (append-mode, no watermark, no state store, no join): the
+    * live-ingest hygiene pass in front of a training-data lake, at
+    * any stream rate. Batch/stream parity is spec-asserted (shared
+    * code ⇒ row-for-row identical). */
+  def curationScrubStream(
+      docs: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[(String, String, String)]): DataFrame = {
+    val scrubbed = graft.operators.Curation.piiScrubUnordered(
+      docs, idCol, textCol, patterns)
+    scrubbed.withColumn("n_words",
+      graft.functions.HashFunctions.repetition_stats(
+        split(col("scrubbed"), " ")).getField("n_words"))
+  }
+
   /** Watermarked tumbling-window aggregation: late events beyond
     * `watermarkDur` are dropped and window state is bounded — the
     * property that keeps an unbounded 100 TB/day stream in fixed

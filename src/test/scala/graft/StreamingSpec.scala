@@ -183,4 +183,36 @@ class StreamingSpec extends SparkSpec {
       assert(got == Set((1L, "withHole"), (3L, "twoParts"), (4L, "twoParts")))
     } finally q.stop()
   }
+
+  test("streaming curation scrub matches the batch scrub row-for-row") {
+    val pats = Seq(
+      ("emails", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      ("ips", "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b", "<IP>"))
+    val docs = Seq(
+      (1L, "mail a@b.com from 10.0.0.1 says hi"),
+      (2L, "clean text only"),
+      (3L, "double c@d.org e@f.net"))
+    val input = MemoryStream[(Long, String)](spark)
+    val scrubbed = StreamOps.curationScrubStream(
+      input.toDF.toDF("doc_id", "text"), "doc_id", "text", pats)
+    val q = scrubbed.writeStream.format("memory").queryName("scrub_out")
+      .outputMode("append").start()
+    try {
+      input.addData(docs.take(1): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(1): _*)
+      q.processAllAvailable()
+      val got = spark.table("scrub_out")
+        .select("doc_id", "n_emails", "n_ips", "scrubbed", "n_words")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+          r.getString(3), r.getInt(4))).toSet
+      val batch = StreamOps.curationScrubStream(
+        docs.toDF("doc_id", "text"), "doc_id", "text", pats)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+          r.getString(3), r.getInt(4))).toSet
+      assert(got == batch)
+      assert(got.contains((1L, 1, 1, "mail <EMAIL> from <IP> says hi", 6)))
+      assert(got.contains((3L, 2, 0, "double <EMAIL> <EMAIL>", 3)))
+    } finally q.stop()
+  }
 }
