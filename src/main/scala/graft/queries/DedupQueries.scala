@@ -126,6 +126,19 @@ object DedupQueries {
       Similarity.bruteForceTopK(
         emb, emb.where(col("vec_id") < 8), "vec_id", "embedding", k = 10)
     },
+    // K7 gate — FILTERED ANN (metadata-constrained retrieval, the
+    // vector-DB "filtered search" pattern): the corpus predicate
+    // composes with the top-k and pushes into the parquet scan
+    // (PlanAuditSpec asserts PushedFilters), so non-matching vectors
+    // never leave the reader — at 100 TB the selectivity multiplies
+    // directly into scan cost. Exact by construction → brute-force
+    // oracle with the same WHERE.
+    "q_ann_filtered" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(
+        emb.where(col("label") === 3), emb.where(col("vec_id") < 8),
+        "vec_id", "embedding", k = 10)
+    },
     // K2 gate — VERBATIM: the multi-table LSH top-k result itself is
     // hash-compared against a DuckDB oracle that replays the ENTIRE
     // pipeline — sign-pattern bucketing against the same plane matrix
@@ -442,6 +455,21 @@ object DedupQueries {
       JOIN embeddings eb ON eb.vec_id = b.vec_id
       WHERE cosine > 0.4 ORDER BY id_a, id_b""",
     "q_ann_cosine" -> annTopKSql,
+    // the K1 oracle with the corpus-side WHERE — the filter is the
+    // only delta, so any pushdown/compose defect changes rows
+    "q_ann_filtered" -> s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                 FROM embeddings WHERE vec_id < 8),
+      p AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+              ${cosSql("q.qv", "e.embedding")} AS cosine
+            FROM (SELECT * FROM embeddings WHERE label = 3) e
+            CROSS JOIN q WHERE e.vec_id <> q.query_id),
+      r AS (SELECT query_id, neighbor_id, cosine,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+            FROM p)
+      SELECT query_id, rank, neighbor_id, cosine FROM r
+      WHERE rank <= 10 ORDER BY query_id, rank""",
     // IVF at nProbe=8 is exact top-k at the verify scales → brute-force
     // oracle verbatim (see the q_ann_ivf query comment).
     "q_ann_ivf" -> annTopKSql,

@@ -58,6 +58,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(pushed.exists(_.contains("LessThan(vec_id,8)")))
   }
 
+  test("filtered ann pushes the metadata predicate into the corpus scan") {
+    val plan = executed(SparkEntry.queries("q_ann_filtered")(spark, dir))
+    val pushed = plan.map(_.toString).filter(_.contains("PushedFilters"))
+    assert(pushed.exists(_.contains("EqualTo(label,3)")))
+  }
+
   test("asof join is one key shuffle, not a per-row probe join") {
     val plan = executed(SparkEntry.queries("q_asof_join")(spark, dir))
     // union + window on user_id + presentation sort: ≤2 shuffles, and
