@@ -21,7 +21,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * TOTAL on short inputs, unlike the HOF form: fewer than n tokens →
   * empty array (the composed `sequence(0, negative)` walks DESCENDING
   * and makes `slice` throw on index 0 — callers had to pre-filter).
-  * Null elements are skipped by the join exactly like `concat_ws`.
+  * Null elements are compacted away BEFORE windowing (the
+  * filter-adjacency convention shared with [[ShingleHashes]] and
+  * [[RepetitionStats]]): every emitted gram has exactly n tokens.
+  * (The previous concat_ws-skip behavior emitted shortened strings
+  * labeled as n-grams, diverging from the rest of the sketch family.)
   */
 case class StringNgrams(child: Expression, n: Int) extends UnaryExpression {
 
@@ -54,13 +58,22 @@ object StringNgrams {
   /** Called from generated code. */
   def compute(toks: ArrayData, n: Int): GenericArrayData = {
     val total = toks.numElements()
-    val count = math.max(total - n + 1, 0)
+    // compact null tokens first (filter-adjacency parity)
+    val kept = new Array[UTF8String](total)
+    var m = 0
+    var i = 0
+    while (i < total) {
+      val t = toks.getUTF8String(i) // null-checked accessor on every ArrayData
+      if (t != null) { kept(m) = t; m += 1 }
+      i += 1
+    }
+    val count = math.max(m - n + 1, 0)
     val out = new Array[AnyRef](count)
     val window = new Array[UTF8String](n)
-    var i = 0
+    i = 0
     while (i < count) {
       var j = 0
-      while (j < n) { window(j) = toks.getUTF8String(i + j); j += 1 }
+      while (j < n) { window(j) = kept(i + j); j += 1 }
       out(i) = UTF8String.concatWs(space, window: _*)
       i += 1
     }

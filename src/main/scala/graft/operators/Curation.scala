@@ -258,8 +258,27 @@ object Curation {
   def decontaminateBloom(
       train: DataFrame, bench: DataFrame, idCol: String, textCol: String,
       n: Int, expectedGrams: Long = 1L << 20, numBits: Long = 1L << 23): DataFrame = {
+    // Spark's BloomFilterAggregate silently CLAMPS its arguments to the
+    // session caps (Math.min against the runtime-bloom conf limits); a
+    // clamped filter degrades the false-positive rate without warning —
+    // exactly the "prefilter becomes a no-op" failure this operator
+    // exists to prevent — so over-cap requests fail loudly instead.
+    val conf = train.sparkSession.conf
+    val maxItems = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    require(expectedGrams <= maxItems && numBits <= maxBits,
+      s"decontaminateBloom: expectedGrams=$expectedGrams / numBits=$numBits exceed the " +
+        s"session caps ($maxItems items / $maxBits bits) — BloomFilterAggregate would " +
+        "silently clamp them; raise spark.sql.optimizer.runtime.bloomFilter.maxNumItems/" +
+        "maxNumBits to build a filter this size")
+    // the bloom build inserts straight from the raw gram stream — no
+    // distinct() shuffle: inserts are idempotent, so duplicates cost a
+    // hash each, and the ONE distinct shuffle of the bench side is
+    // saved for the verify join that actually needs set semantics
     val benchGrams = docGrams(bench, textCol, n).select("gram").distinct()
-    val blobRow = benchGrams
+    val blobRow = docGrams(bench, textCol, n)
       .agg(graft.functions.HashFunctions.bloom_filter_agg(
         xxhash64(col("gram")), expectedGrams, numBits).as("bf"))
       .head()
@@ -279,14 +298,18 @@ object Curation {
 
   /** PII scrubbing — the redaction pass every public curation pipeline
     * runs before training (C4 and Dolma both regex-scrub emails /
-    * phone numbers / IP addresses). Each pattern is counted on the
-    * ORIGINAL text (patterns are disjoint by construction; counts are
-    * pre-scrub audit numbers) and replaced sequentially in the given
-    * order. Pure codegen'd string expressions (`regexp_count` /
-    * `regexp_replace`) — a map-only corpus pass, zero shuffle: the
-    * 100 TB shape. Patterns must stay in the RE2 ∩ java.util.regex
-    * common dialect (no backreferences/lookaround) so an external
-    * engine can replay them verbatim. */
+    * phone numbers / IP addresses). Patterns apply sequentially in
+    * the given order, and each pattern is counted on the text AS IT
+    * STANDS when that pattern runs — so `n_<name>` is exactly the
+    * number of `<repl>` markers that pattern wrote, and counts always
+    * reconcile with the redaction markers in `scrubbed` (counting on
+    * the original text would over-report when an earlier pattern
+    * consumes an overlapping match, e.g. a phone-shaped substring
+    * inside an email local part). Pure codegen'd string expressions
+    * (`regexp_count` / `regexp_replace`) — a map-only corpus pass,
+    * zero shuffle: the 100 TB shape. Patterns must stay in the RE2 ∩
+    * java.util.regex common dialect (no backreferences/lookaround) so
+    * an external engine can replay them verbatim. */
   def piiScrub(
       df: DataFrame, idCol: String, textCol: String,
       patterns: Seq[(String, String, String)]): DataFrame =
@@ -299,15 +322,18 @@ object Curation {
       df: DataFrame, idCol: String, textCol: String,
       patterns: Seq[(String, String, String)]): DataFrame = {
     require(patterns.nonEmpty, "piiScrub: need at least one pattern")
-    val counted = patterns.foldLeft(df) { case (d, (name, re, _)) =>
-      d.withColumn(s"n_$name", regexp_count(col(textCol), lit(re)))
+    // stage i holds the text after patterns 0..i-1; each count runs
+    // against its own stage (withColumn projections collapse, so this
+    // stays one codegen'd map stage)
+    var d = df.withColumn("__s0", col(textCol))
+    patterns.zipWithIndex.foreach { case ((name, re, repl), i) =>
+      d = d
+        .withColumn(s"n_$name", regexp_count(col(s"__s$i"), lit(re)))
+        .withColumn(s"__s${i + 1}", regexp_replace(col(s"__s$i"), lit(re), lit(repl)))
     }
-    val scrubbed = patterns.foldLeft(col(textCol)) { case (c, (_, re, repl)) =>
-      regexp_replace(c, lit(re), lit(repl))
-    }
-    counted.select(
+    d.select(
       (col(idCol) +: patterns.map { case (nm, _, _) => col(s"n_$nm") }) :+
-        scrubbed.as("scrubbed"): _*)
+        col(s"__s${patterns.size}").as("scrubbed"): _*)
   }
 
   /** Per-document top-k terms by tf·idf. The idf factor is the

@@ -328,14 +328,16 @@ object Dedup {
       spanLen: Int, minDocs: Int = 2): DataFrame = {
     require(spanLen >= 1, "spanDedup: spanLen must be >= 1")
     require(minDocs >= 2, "spanDedup: minDocs must be >= 2 (cross-doc duplicates)")
+    // windows come from the codegen'd StringNgrams expression (one
+    // compiled pass per doc — the HOF transform/slice form interprets
+    // a lambda per window and is the documented slow path)
     val windows = df
       .withColumn("__toks", split(col(textCol), " "))
       .where(size(col("__toks")) >= spanLen)
       .select(
         col(idCol).as("__id"),
-        explode(transform(
-          sequence(lit(0), size(col("__toks")) - spanLen),
-          i => array_join(slice(col("__toks"), i + 1, lit(spanLen)), " "))).as("span"))
+        explode(graft.functions.HashFunctions.string_ngrams(
+          col("__toks"), spanLen)).as("span"))
     windows
       .groupBy(col("span"), col("__id"))
       .agg(count(lit(1)).as("__occ"))

@@ -216,22 +216,28 @@ object CurationQueries {
       FROM (SELECT * FROM g WHERE split = 'train') t
       JOIN (SELECT DISTINCT gram FROM g WHERE split = 'test') b USING (gram)
       GROUP BY t.doc_id ORDER BY t.doc_id""",
+    // sequential replay: each count runs on the text as it stands when
+    // that pattern fires, mirroring piiScrub's counts == markers
+    // reconciliation contract
     "q_pii_scrub" -> s"""
       WITH inj AS (
         SELECT doc_id,
                text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
                     || ' or call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-                    || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' AS text
-        FROM documents)
+                    || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' AS t0
+        FROM documents),
+      s1 AS (SELECT doc_id, t0,
+               regexp_replace(t0, '${piiPatterns(0)._2}', '${piiPatterns(0)._3}', 'g') AS t1
+             FROM inj),
+      s2 AS (SELECT doc_id, t0, t1,
+               regexp_replace(t1, '${piiPatterns(1)._2}', '${piiPatterns(1)._3}', 'g') AS t2
+             FROM s1)
       SELECT doc_id,
-             CAST(len(regexp_extract_all(text, '${piiPatterns(0)._2}')) AS INT) AS n_emails,
-             CAST(len(regexp_extract_all(text, '${piiPatterns(1)._2}')) AS INT) AS n_phones,
-             CAST(len(regexp_extract_all(text, '${piiPatterns(2)._2}')) AS INT) AS n_ips,
-             regexp_replace(regexp_replace(regexp_replace(text,
-               '${piiPatterns(0)._2}', '${piiPatterns(0)._3}', 'g'),
-               '${piiPatterns(1)._2}', '${piiPatterns(1)._3}', 'g'),
-               '${piiPatterns(2)._2}', '${piiPatterns(2)._3}', 'g') AS scrubbed
-      FROM inj ORDER BY doc_id""",
+             CAST(len(regexp_extract_all(t0, '${piiPatterns(0)._2}')) AS INT) AS n_emails,
+             CAST(len(regexp_extract_all(t1, '${piiPatterns(1)._2}')) AS INT) AS n_phones,
+             CAST(len(regexp_extract_all(t2, '${piiPatterns(2)._2}')) AS INT) AS n_ips,
+             regexp_replace(t2, '${piiPatterns(2)._2}', '${piiPatterns(2)._3}', 'g') AS scrubbed
+      FROM s2 ORDER BY doc_id""",
     "q_tfidf_terms" -> """
       WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
       tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),

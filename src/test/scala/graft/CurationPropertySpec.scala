@@ -60,9 +60,12 @@ class CurationPropertySpec extends SparkSpec {
     val got = Curation.piiScrub(docs.toDF("doc_id", "text"), "doc_id", "text", pats)
       .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
     docs.foreach { case (id, text) =>
+      // sequential reference: count each pattern on the text as it
+      // stands when that pattern runs (the counts==markers contract)
       val nEmails = pats(0)._2.r.findAllIn(text).size
-      val nIps = pats(1)._2.r.findAllIn(text).size
-      val scrubbed = pats.foldLeft(text) { case (t, (_, re, repl)) => t.replaceAll(re, repl) }
+      val afterEmails = text.replaceAll(pats(0)._2, pats(0)._3)
+      val nIps = pats(1)._2.r.findAllIn(afterEmails).size
+      val scrubbed = afterEmails.replaceAll(pats(1)._2, pats(1)._3)
       assert(got(id) == ((nEmails, nIps, scrubbed)), s"doc $id: $text")
     }
   }

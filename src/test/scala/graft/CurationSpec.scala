@@ -115,6 +115,21 @@ class CurationSpec extends SparkSpec {
     assert(out(3L).getAs[String]("scrubbed") == "ip <IP> twice <IP>")
   }
 
+  test("piiScrub counts reconcile with markers when patterns overlap") {
+    // the phone-shaped substring lives INSIDE the email local part:
+    // the email pattern consumes it first, so n_phones must be 0 and
+    // no <PHONE> marker may appear (counting on the original text
+    // would report a phone that was never redacted)
+    val pats = Seq(
+      ("emails", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      ("phones", "\\b555-[0-9]{4}\\b", "<PHONE>"))
+    val df = Seq((1L, "reach 555-1234@example.com today")).toDF("doc_id", "text")
+    val r = Curation.piiScrub(df, "doc_id", "text", pats).head()
+    assert(r.getAs[Int]("n_emails") == 1)
+    assert(r.getAs[Int]("n_phones") == 0)
+    assert(r.getAs[String]("scrubbed") == "reach <EMAIL> today")
+  }
+
   test("tfidfTopTerms scores tf*N/df and keeps k per doc") {
     val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     val out = Curation.tfidfTopTerms(df, "doc_id", "text", k = 2)

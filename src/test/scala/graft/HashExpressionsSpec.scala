@@ -86,6 +86,12 @@ class HashExpressionsSpec extends SparkSpec {
     assert(r.getLong(2) == r.getLong(3))
     assert(r.getLong(4) == r.getLong(5))
     assert(r.getSeq[Long](6) == r.getSeq[Long](7))
+    // string_ngrams compacts too: every gram has exactly n tokens
+    val s = df.select(
+      HashFunctions.string_ngrams(col("withNull"), 2).as("g1"),
+      HashFunctions.string_ngrams(col("clean"), 2).as("g2")).head()
+    assert(s.getSeq[String](0) == s.getSeq[String](1))
+    assert(s.getSeq[String](0) == Seq("a b", "b c"))
   }
 
   test("cosine_sim treats null elements as 0.0 in both eval paths") {
@@ -106,7 +112,11 @@ class HashExpressionsSpec extends SparkSpec {
       df.select(graft.functions.GraftFunctions.ray_cast_crossings(
         lit(0.5), lit(0.25), col("xs"), col("ys")).as("c")).collect()
     }
-    assert(ex.getMessage != null)
+    // the INTENDED guard, not an incidental codegen/analysis failure
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("ring_crossings: null vertex")))
   }
 
   test("heavy_hitters is exact below capacity and matches groupBy counts") {
