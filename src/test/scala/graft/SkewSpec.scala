@@ -72,6 +72,22 @@ class SkewSpec extends SparkSpec {
     assert(comp.count() == 3061L)
   }
 
+  test("J10: span dedup stays count-shaped on a mega-duplicated span — no pair blow-up") {
+    // 300 identical docs share every window; output must be one row
+    // per distinct span with n_docs=300 (counts, never materialized
+    // pairs — a pairwise formulation would emit ~45k rows per span)
+    val out = Dedup.spanDedup(megaCorpus, "doc_id", "text", spanLen = 5)
+    val rows = out.collect()
+    val boilerRows = rows.filter(_.getLong(1) == 300L)
+    assert(boilerRows.nonEmpty) // the mega span IS reported...
+    assert(rows.length < 50)    // ...as aggregate rows, not pairs
+    boilerRows.foreach(r => assert(r.getLong(2) == 300L))
+    // and the plan aggregates with a map-side partial, no join
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_"))
+    assert(!plan.toLowerCase.contains("join"))
+  }
+
   test("Q3: hot-domain top-k keeps the bounded-heap partial limit in the plan") {
     // 50k rows in ONE domain vs 10-row domains: the thing that makes
     // this survive a hot domain at scale is WindowGroupLimit(Partial)
