@@ -336,6 +336,32 @@ object Curation {
         col(s"__s${patterns.size}").as("scrubbed"): _*)
   }
 
+  /** Token-budget source MIXING — the data-mixture step of a training
+    * run (public recipe family: GPT-3 / The Pile / DoReMi publish
+    * per-source sampling weights): each source keeps documents in the
+    * deterministic md5(id) order until its token budget is exhausted.
+    * A doc is kept iff the tokens BEFORE it (same order) are under the
+    * source's budget, so the boundary doc is included and every
+    * non-empty budget yields ≥ 1 doc. Reshuffle-stable and
+    * engine-portable for the same reason as [[stratifiedSample]]
+    * (md5 order, not rand()). One shuffle on the source key; the
+    * running sum and the cut share its partitioning — the
+    * [[packSequences]] window shape. */
+  def tokenBudgetMix(
+      df: DataFrame, sourceCol: String, idCol: String, tokens: Column,
+      budget: Column): DataFrame = {
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("n_tokens", tokens.cast("long"))
+      .withColumn("tokens_before",
+        coalesce(
+          sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .where(col("tokens_before") < budget)
+      .select(col(sourceCol), col(idCol), col("n_tokens"), col("tokens_before"))
+      .orderBy(col(sourceCol), col(idCol))
+  }
+
   /** Per-document top-k terms by tf·idf. The idf factor is the
     * RATIONAL form N/df so the score is one IEEE division of exact
     * integers — bit-identical on any engine (ln-based idf differs in

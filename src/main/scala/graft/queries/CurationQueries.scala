@@ -79,6 +79,18 @@ object CurationQueries {
         ).as("text"))
       Curation.piiScrub(injected, "doc_id", "text", piiPatterns)
     },
+    // Q13 — token-budget source mixing: per-source budgets from the
+    // shared CASE (src0 squeezed, src1 roomy, default 400), md5-order
+    // cut; row-level gate — any ordering/budget/cutoff drift changes
+    // rows.
+    "q_source_mix" -> { (s, dir) =>
+      val budget = when(col("source") === "src0", lit(mixBudgets._1))
+        .when(col("source") === "src1", lit(mixBudgets._2))
+        .otherwise(lit(mixBudgets._3))
+      Curation.tokenBudgetMix(
+        Tables.documents(s, dir), "source", "doc_id",
+        size(split(col("text"), " ")).cast("long"), budget)
+    },
     "q_tfidf_terms" -> { (s, dir) =>
       Curation.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 3)
     },
@@ -102,6 +114,10 @@ object CurationQueries {
     * can never fork. */
   private val corpusSplits =
     Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  /** (src0, src1, default) token budgets for q_source_mix — shared by
+    * the query and its oracle CASE. */
+  private val mixBudgets = (100L, 100000L, 400L)
 
   /** (name, regex, replacement) for [[Curation.piiScrub]] — shared
     * verbatim with the oracle SQL; RE2 ∩ java.util.regex dialect only
@@ -238,6 +254,24 @@ object CurationQueries {
              CAST(len(regexp_extract_all(t2, '${piiPatterns(2)._2}')) AS INT) AS n_ips,
              regexp_replace(t2, '${piiPatterns(2)._2}', '${piiPatterns(2)._3}', 'g') AS scrubbed
       FROM s2 ORDER BY doc_id""",
+    "q_source_mix" -> s"""
+      WITH d AS (
+        SELECT source, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CASE WHEN source = 'src0' THEN ${mixBudgets._1}
+                    WHEN source = 'src1' THEN ${mixBudgets._2}
+                    ELSE ${mixBudgets._3} END AS budget
+        FROM documents),
+      r AS (
+        SELECT source, doc_id, n_tokens, budget,
+               CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                 AS tokens_before
+        FROM d)
+      SELECT source, doc_id, n_tokens, tokens_before
+      FROM r WHERE tokens_before < budget
+      ORDER BY source, doc_id""",
     "q_tfidf_terms" -> """
       WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
       tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),

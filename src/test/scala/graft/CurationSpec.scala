@@ -115,6 +115,24 @@ class CurationSpec extends SparkSpec {
     assert(out(3L).getAs[String]("scrubbed") == "ip <IP> twice <IP>")
   }
 
+  test("tokenBudgetMix cuts each source at its budget, boundary doc included") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val df = (1L to 50L).map(i => (if (i <= 40) "big" else "small", i, 10L))
+      .toDF("source", "doc_id", "toks")
+    val budget = when(col("source") === "big", lit(95L)).otherwise(lit(10000L))
+    val out = Curation.tokenBudgetMix(df, "source", "doc_id", col("toks"), budget)
+    val bysrc = out.collect().groupBy(_.getString(0))
+    // 95-token budget over 10-token docs: 9 fit fully, the 10th doc
+    // starts at tokens_before=90 < 95 → included (boundary rule)
+    assert(bysrc("big").length == 10)
+    assert(bysrc("small").length == 10) // roomy budget keeps all
+    // reshuffle-stable: same kept set from a different partitioning
+    val out2 = Curation.tokenBudgetMix(
+      df.repartition(7), "source", "doc_id", col("toks"), budget)
+    assert(out.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      out2.collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+  }
+
   test("piiScrub counts reconcile with markers when patterns overlap") {
     // the phone-shaped substring lives INSIDE the email local part:
     // the email pattern consumes it first, so n_phones must be 0 and
