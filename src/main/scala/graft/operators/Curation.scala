@@ -94,6 +94,12 @@ object Curation {
       .orderBy(idCols.map(col): _*)
   }
 
+  /** `%08x` md5-prefix threshold for the FRACTIONAL part of an
+    * upsampling weight (see [[sourceUpsample]]) — exposed so a gate
+    * oracle can embed the SAME literal. */
+  private[graft] def upsampleThresholdHex(w: Double): String =
+    f"${((w - math.floor(w)) * 4294967296.0).toLong}%08x"
+
   /** Cumulative-weight hex thresholds for [[assignSplits]]: the first
     * 8 md5 hex digits are uniform over [0, 2³²), so split i owns the
     * lexicographic range [t_{i−1}, t_i) of `%08x`-formatted
@@ -360,6 +366,41 @@ object Curation {
       .where(col("tokens_before") < budget)
       .select(col(sourceCol), col(idCol), col("n_tokens"), col("tokens_before"))
       .orderBy(col(sourceCol), col(idCol))
+  }
+
+  /** Epoch UPSAMPLING — the other half of data mixing (The Pile and
+    * GPT-3 both run hot sources for >1 epoch): every doc of source s
+    * appears `floor(w_s)` times, plus one extra copy for a
+    * deterministic `frac(w_s)` fraction of docs — chosen by the same
+    * md5-prefix threshold trick as [[assignSplits]], so the fraction
+    * is map-only, reshuffle-stable and engine-portable (no window, no
+    * shuffle at all before the presentation sort). Output carries an
+    * `epoch` ordinal (1..copies) so downstream packing can interleave
+    * epochs. Weights must be ≥ 0; weight 0 drops the source. */
+  def sourceUpsample(
+      df: DataFrame, sourceCol: String, idCol: String,
+      weights: Map[String, Double], defaultWeight: Double = 1.0): DataFrame = {
+    require(defaultWeight >= 0 && weights.values.forall(_ >= 0),
+      "sourceUpsample: weights must be >= 0")
+    val thresholdHex = Curation.upsampleThresholdHex _
+    def caseOver[T](f: Double => T, lift: T => Column): Column =
+      weights.foldLeft(null: Column) { case (acc, (s, w)) =>
+        val c = lift(f(w))
+        if (acc == null) when(col(sourceCol) === s, c)
+        else acc.when(col(sourceCol) === s, c)
+      } match {
+        case null => lift(f(defaultWeight))
+        case c => c.otherwise(lift(f(defaultWeight)))
+      }
+    val base = caseOver(w => math.floor(w).toLong, (v: Long) => lit(v))
+    val thr = caseOver(thresholdHex, (v: String) => lit(v))
+    val h = substring(md5(col(idCol).cast("string")), 1, 8)
+    val copies = base + when(h < thr, lit(1L)).otherwise(lit(0L))
+    df.withColumn("__copies", copies)
+      .where(col("__copies") >= 1L)
+      .select(col(sourceCol), col(idCol),
+        explode(sequence(lit(1L), col("__copies"))).as("epoch"))
+      .orderBy(col(sourceCol), col(idCol), col("epoch"))
   }
 
   /** Per-document top-k terms by tf·idf. The idf factor is the

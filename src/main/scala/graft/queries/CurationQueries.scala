@@ -91,6 +91,14 @@ object CurationQueries {
         Tables.documents(s, dir), "source", "doc_id",
         size(split(col("text"), " ")).cast("long"), budget)
     },
+    // Q14 — epoch upsampling: src0 runs 2.5 epochs, src1 is dropped,
+    // everything else 1 epoch; row-level gate over (source, doc_id,
+    // epoch) — any threshold/copy-count drift changes rows.
+    "q_source_upsample" -> { (s, dir) =>
+      Curation.sourceUpsample(
+        Tables.documents(s, dir).select("source", "doc_id"),
+        "source", "doc_id", upsampleWeights)
+    },
     "q_tfidf_terms" -> { (s, dir) =>
       Curation.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 3)
     },
@@ -118,6 +126,24 @@ object CurationQueries {
   /** (src0, src1, default) token budgets for q_source_mix — shared by
     * the query and its oracle CASE. */
   private val mixBudgets = (100L, 100000L, 400L)
+
+  /** Epoch weights for q_source_upsample — src0 runs 2.5 epochs, src1
+    * drops out, everything else 1; shared with the oracle CASE. */
+  private val upsampleWeights = Map("src0" -> 2.5, "src1" -> 0.0)
+
+  /** The oracle's copy-count CASE: floor(w) + md5-threshold extra copy,
+    * from the SAME `%08x` literals the operator derives. */
+  private def upsampleCopiesSql: String = {
+    val whens = upsampleWeights.toSeq.sortBy(_._1).map { case (s, w) =>
+      val base = math.floor(w).toLong
+      val thr = Curation.upsampleThresholdHex(w)
+      s"WHEN source = '$s' THEN $base + " +
+        s"(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$thr' THEN 1 ELSE 0 END)"
+    }.mkString(" ")
+    val dThr = Curation.upsampleThresholdHex(1.0)
+    s"CASE $whens ELSE 1 + (CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$dThr' " +
+      "THEN 1 ELSE 0 END) END"
+  }
 
   /** (name, regex, replacement) for [[Curation.piiScrub]] — shared
     * verbatim with the oracle SQL; RE2 ∩ java.util.regex dialect only
@@ -254,6 +280,15 @@ object CurationQueries {
              CAST(len(regexp_extract_all(t2, '${piiPatterns(2)._2}')) AS INT) AS n_ips,
              regexp_replace(t2, '${piiPatterns(2)._2}', '${piiPatterns(2)._3}', 'g') AS scrubbed
       FROM s2 ORDER BY doc_id""",
+    "q_source_upsample" -> s"""
+      WITH c AS (
+        SELECT source, doc_id, $upsampleCopiesSql AS copies
+        FROM documents),
+      e AS (
+        SELECT source, doc_id, CAST(unnest(range(1, copies + 1)) AS BIGINT) AS epoch
+        FROM c WHERE copies >= 1)
+      SELECT source, doc_id, epoch FROM e
+      ORDER BY source, doc_id, epoch""",
     "q_source_mix" -> s"""
       WITH d AS (
         SELECT source, doc_id,

@@ -133,6 +133,27 @@ class CurationSpec extends SparkSpec {
       out2.collect().map(r => (r.getString(0), r.getLong(1))).toSet)
   }
 
+  test("sourceUpsample emits floor(w) epochs plus a deterministic fractional extra") {
+    val df = (1L to 200L).map(i => ("hot", i)).toDF("source", "doc_id")
+    val out = Curation.sourceUpsample(df, "source", "doc_id", Map("hot" -> 2.5))
+    val byDoc = out.collect().groupBy(_.getLong(1)).view.mapValues(_.length).toMap
+    // every doc appears 2 or 3 times; epochs are 1..copies
+    assert(byDoc.values.forall(c => c == 2 || c == 3))
+    // the fractional extra lands near half the docs (md5-uniform)
+    val extras = byDoc.values.count(_ == 3)
+    assert(extras > 60 && extras < 140, s"extras=$extras")
+    // weight 0 drops the source; default weight keeps one epoch
+    val mixed = Seq(("drop", 1L), ("keep", 2L)).toDF("source", "doc_id")
+    val got = Curation.sourceUpsample(mixed, "source", "doc_id", Map("drop" -> 0.0))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("keep", 2L, 1L)))
+    // reshuffle-stable
+    val again = Curation.sourceUpsample(
+      df.repartition(7), "source", "doc_id", Map("hot" -> 2.5))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(again == out.collect().map(r => (r.getLong(1), r.getLong(2))).toSet)
+  }
+
   test("piiScrub counts reconcile with markers when patterns overlap") {
     // the phone-shaped substring lives INSIDE the email local part:
     // the email pattern consumes it first, so n_phones must be 0 and
