@@ -123,6 +123,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.exists(_.nodeName.contains("Generate")))
   }
 
+  test("source mix is one source-key shuffle plus the presentation sort") {
+    val plan = executed(SparkEntry.queries("q_source_mix")(spark, dir))
+    assert(shuffles(plan) <= 2) // window exchange + range sort, nothing else
+    assert(!plan.exists(_.nodeName.contains("Generate")))
+  }
+
+  test("source upsample is map-only before the presentation sort") {
+    val plan = executed(SparkEntry.queries("q_source_upsample")(spark, dir))
+    assert(shuffles(plan) <= 1) // only the range sort — no window, no join
+  }
+
   test("span dedup keeps partial aggregation and no pairwise join") {
     val plan = executed(SparkEntry.queries("q_span_dedup")(spark, dir))
     val aggs = plan.map(_.toString).filter(_.contains("HashAggregate"))
