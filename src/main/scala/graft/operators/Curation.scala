@@ -98,7 +98,17 @@ object Curation {
     * upsampling weight (see [[sourceUpsample]]) — exposed so a gate
     * oracle can embed the SAME literal. */
   private[graft] def upsampleThresholdHex(w: Double): String =
-    f"${((w - math.floor(w)) * 4294967296.0).toLong}%08x"
+    hexThreshold(w - math.floor(w))
+
+  /** `%08x` hex literal for a probability p ∈ [0, 1] against an
+    * 8-hex-digit md5 prefix — THE shared scale-and-format step for
+    * every md5-threshold trick in this file. Clamped to 0xFFFFFFFF:
+    * p within one ulp of 1.0 can round to exactly 2^32, whose `%08x`
+    * is NINE digits and lexicographically tiny against an 8-digit
+    * prefix (the fraction would silently collapse from ~100% to
+    * ~6%). */
+  private def hexThreshold(p: Double): String =
+    f"${math.min((p * 4294967296.0).toLong, 0xFFFFFFFFL)}%08x"
 
   /** Cumulative-weight hex thresholds for [[assignSplits]]: the first
     * 8 md5 hex digits are uniform over [0, 2³²), so split i owns the
@@ -110,7 +120,7 @@ object Curation {
     require(math.abs(weights.sum - 1.0) < 1e-9,
       s"assignSplits: weights must sum to 1, got ${weights.sum}")
     weights.scanLeft(0.0)(_ + _).tail.init
-      .map(c => f"${(c * 4294967296.0).toLong}%08x")
+      .map(hexThreshold)
   }
 
   /** Deterministic train/val/test corpus split: rows assign to the
@@ -380,8 +390,13 @@ object Curation {
   def sourceUpsample(
       df: DataFrame, sourceCol: String, idCol: String,
       weights: Map[String, Double], defaultWeight: Double = 1.0): DataFrame = {
-    require(defaultWeight >= 0 && weights.values.forall(_ >= 0),
-      "sourceUpsample: weights must be >= 0")
+    // fail fast with the operator's own message: floor(Inf).toLong or a
+    // giant finite weight would otherwise surface as Spark's opaque
+    // array-size error deep inside explode(sequence(...))
+    val maxEpochs = 1e4
+    def ok(w: Double) = w >= 0 && w <= maxEpochs // rejects NaN/Inf too
+    require(ok(defaultWeight) && weights.values.forall(ok),
+      s"sourceUpsample: weights must be finite and in [0, $maxEpochs]")
     val thresholdHex = Curation.upsampleThresholdHex _
     def caseOver[T](f: Double => T, lift: T => Column): Column =
       weights.foldLeft(null: Column) { case (acc, (s, w)) =>

@@ -97,7 +97,7 @@ object CurationQueries {
     "q_source_upsample" -> { (s, dir) =>
       Curation.sourceUpsample(
         Tables.documents(s, dir).select("source", "doc_id"),
-        "source", "doc_id", upsampleWeights)
+        "source", "doc_id", upsampleWeights, upsampleDefault)
     },
     "q_tfidf_terms" -> { (s, dir) =>
       Curation.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 3)
@@ -128,21 +128,25 @@ object CurationQueries {
   private val mixBudgets = (100L, 100000L, 400L)
 
   /** Epoch weights for q_source_upsample — src0 runs 2.5 epochs, src1
-    * drops out, everything else 1; shared with the oracle CASE. */
+    * drops out, everything else [[upsampleDefault]]; shared with the
+    * oracle CASE. */
   private val upsampleWeights = Map("src0" -> 2.5, "src1" -> 0.0)
+  private val upsampleDefault = 1.0
 
   /** The oracle's copy-count CASE: floor(w) + md5-threshold extra copy,
-    * from the SAME `%08x` literals the operator derives. */
+    * from the SAME `%08x` literals the operator derives — including
+    * the default branch, so neither side can fork. */
   private def upsampleCopiesSql: String = {
-    val whens = upsampleWeights.toSeq.sortBy(_._1).map { case (s, w) =>
+    def branch(w: Double): String = {
       val base = math.floor(w).toLong
       val thr = Curation.upsampleThresholdHex(w)
-      s"WHEN source = '$s' THEN $base + " +
-        s"(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$thr' THEN 1 ELSE 0 END)"
+      s"$base + (CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$thr' " +
+        "THEN 1 ELSE 0 END)"
+    }
+    val whens = upsampleWeights.toSeq.sortBy(_._1).map { case (s, w) =>
+      s"WHEN source = '$s' THEN ${branch(w)}"
     }.mkString(" ")
-    val dThr = Curation.upsampleThresholdHex(1.0)
-    s"CASE $whens ELSE 1 + (CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$dThr' " +
-      "THEN 1 ELSE 0 END) END"
+    s"CASE $whens ELSE ${branch(upsampleDefault)} END"
   }
 
   /** (name, regex, replacement) for [[Curation.piiScrub]] — shared

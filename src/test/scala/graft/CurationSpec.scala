@@ -120,8 +120,9 @@ class CurationSpec extends SparkSpec {
     val df = (1L to 50L).map(i => (if (i <= 40) "big" else "small", i, 10L))
       .toDF("source", "doc_id", "toks")
     val budget = when(col("source") === "big", lit(95L)).otherwise(lit(10000L))
-    val out = Curation.tokenBudgetMix(df, "source", "doc_id", col("toks"), budget)
-    val bysrc = out.collect().groupBy(_.getString(0))
+    val rows = Curation.tokenBudgetMix(df, "source", "doc_id", col("toks"), budget)
+      .collect()
+    val bysrc = rows.groupBy(_.getString(0))
     // 95-token budget over 10-token docs: 9 fit fully, the 10th doc
     // starts at tokens_before=90 < 95 → included (boundary rule)
     assert(bysrc("big").length == 10)
@@ -129,14 +130,15 @@ class CurationSpec extends SparkSpec {
     // reshuffle-stable: same kept set from a different partitioning
     val out2 = Curation.tokenBudgetMix(
       df.repartition(7), "source", "doc_id", col("toks"), budget)
-    assert(out.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSet ==
       out2.collect().map(r => (r.getString(0), r.getLong(1))).toSet)
   }
 
   test("sourceUpsample emits floor(w) epochs plus a deterministic fractional extra") {
     val df = (1L to 200L).map(i => ("hot", i)).toDF("source", "doc_id")
-    val out = Curation.sourceUpsample(df, "source", "doc_id", Map("hot" -> 2.5))
-    val byDoc = out.collect().groupBy(_.getLong(1)).view.mapValues(_.length).toMap
+    val outRows = Curation.sourceUpsample(df, "source", "doc_id", Map("hot" -> 2.5))
+      .collect()
+    val byDoc = outRows.groupBy(_.getLong(1)).view.mapValues(_.length).toMap
     // every doc appears 2 or 3 times; epochs are 1..copies
     assert(byDoc.values.forall(c => c == 2 || c == 3))
     // the fractional extra lands near half the docs (md5-uniform)
@@ -151,7 +153,20 @@ class CurationSpec extends SparkSpec {
     val again = Curation.sourceUpsample(
       df.repartition(7), "source", "doc_id", Map("hot" -> 2.5))
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
-    assert(again == out.collect().map(r => (r.getLong(1), r.getLong(2))).toSet)
+    assert(again == outRows.map(r => (r.getLong(1), r.getLong(2))).toSet)
+    // a fraction one ulp under 1.0 rounds to exactly 2^32 — without
+    // the clamp the threshold becomes the NINE-digit "100000000",
+    // lexicographically tiny vs an 8-digit md5 prefix, silently
+    // dropping ~94% of a weight-0.999... source; with it, every doc
+    // keeps its one epoch
+    val near = Curation.sourceUpsample(
+      df, "source", "doc_id", Map("hot" -> math.nextDown(1.0))).collect()
+    assert(near.length == 200)
+    assert(near.groupBy(_.getLong(1)).forall(_._2.length == 1))
+    // non-finite / absurd weights fail fast with the operator's message
+    intercept[IllegalArgumentException] {
+      Curation.sourceUpsample(df, "source", "doc_id", Map("hot" -> Double.PositiveInfinity))
+    }
   }
 
   test("piiScrub counts reconcile with markers when patterns overlap") {
