@@ -308,6 +308,21 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** J11 — APPLY a dedup clustering to the corpus: drop every
+    * non-canonical cluster member (`node != component` in the
+    * [[connectedComponents]] output — the component label IS the
+    * minimum member id, so the representative survives by
+    * construction) and keep un-clustered docs untouched. One anti-join
+    * on ids (the dropped-member list ∝ duplicate mass, exchanged as
+    * bare ids) — the cleaned-corpus materialization step a pipeline
+    * actually ships after J1–J6 decide who stays. */
+  def keepCanonical(
+      docs: DataFrame, clusters: DataFrame, idCol: String): DataFrame =
+    docs.join(
+      clusters.where(col("node") =!= col("component"))
+        .select(col("node").as(idCol)),
+      Seq(idCol), "left_anti")
+
   /** J10 — SPAN-level exact dedup: every duplicated `spanLen`-token
     * window that appears in ≥ `minDocs` distinct documents, with its
     * doc count and total occurrence count. Substring granularity is

@@ -99,26 +99,18 @@ object DedupQueries {
     // components arise when a doc shares text with one doc and word-set
     // with another.
     "q_dedup_cluster" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      // both dedup keys emit from ONE scan as (kind, key) rows, so the
-      // edge build is one groupBy + one join instead of two of each —
-      // at corpus scale that halves the pre-clustering shuffle count
-      val keyed = docs.select(
-        col("doc_id"),
-        explode(array(
-          struct(lit("hash").as("kind"),
-            md5(col("text").cast("binary")).as("k")),
-          struct(lit("fp").as("kind"),
-            md5(array_join(
-              array_sort(array_distinct(split(lower(col("text")), " "))), " ")
-              .cast("binary")).as("k")))).as("kk"))
-        .select(col("doc_id"), col("kk.kind").as("kind"), col("kk.k").as("k"))
-      val mins = keyed.groupBy("kind", "k").agg(min("doc_id").as("keep"))
-      val edges = keyed.join(mins, Seq("kind", "k"))
-        .where(col("doc_id") =!= col("keep"))
-        .select(col("doc_id").as("src"), col("keep").as("dst"))
-      Dedup.connectedComponents(edges, "src", "dst")
+      clusterDocs(Tables.documents(s, dir))
         .select(col("node").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    },
+    // J11 gate — the cleaned corpus itself: the J6 clustering applied
+    // (non-canonical members dropped, representatives + singletons
+    // kept); a row-level gate on the SURVIVOR set, so a clustering or
+    // anti-join defect adds/removes whole documents.
+    "q_dedup_apply" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Dedup.keepCanonical(docs, clusterDocs(docs), "doc_id")
+        .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")
     },
     "q_ann_cosine" -> { (s, dir) =>
@@ -293,26 +285,17 @@ object DedupQueries {
     "q_dedup_exact" -> """
       SELECT md5(text) AS text_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
       FROM documents GROUP BY 1 ORDER BY 1""",
-    "q_dedup_cluster" -> """
-      WITH RECURSIVE
-      k1 AS (SELECT doc_id, md5(text) AS k FROM documents),
-      k2 AS (SELECT doc_id,
-               md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS k
-             FROM documents),
-      e1 AS (SELECT a.doc_id AS src, m.keep AS dst
-             FROM k1 a JOIN (SELECT k, MIN(doc_id) AS keep FROM k1 GROUP BY k) m
-             ON a.k = m.k WHERE a.doc_id <> m.keep),
-      e2 AS (SELECT a.doc_id AS src, m.keep AS dst
-             FROM k2 a JOIN (SELECT k, MIN(doc_id) AS keep FROM k2 GROUP BY k) m
-             ON a.k = m.k WHERE a.doc_id <> m.keep),
-      edges AS (SELECT * FROM e1 UNION SELECT * FROM e2),
-      sym AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
-      reach(node, lab) AS (
-        SELECT DISTINCT src AS node, src AS lab FROM sym
-        UNION
-        SELECT s.src, r.lab FROM sym s JOIN reach r ON s.dst = r.node)
+    "q_dedup_cluster" -> s"""
+      WITH RECURSIVE $clusterCteSql
       SELECT node AS doc_id, MIN(lab) AS component
       FROM reach GROUP BY node ORDER BY doc_id""",
+    // survivors = everything except non-canonical cluster members
+    "q_dedup_apply" -> s"""
+      WITH RECURSIVE $clusterCteSql,
+      cc AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node)
+      SELECT d.doc_id, d.source, d.n_chars FROM documents d
+      WHERE d.doc_id NOT IN (SELECT node FROM cc WHERE node <> component)
+      ORDER BY d.doc_id""",
     // brute-force recomputation of the md5 simhash (votes from
     // md5_number_lower bits — the last 8 digest bytes little-endian,
     // matching the Spark side's byte-reversed hex parse) and of the
@@ -702,6 +685,48 @@ object DedupQueries {
       val t = idx / nPlanes; val p = idx % nPlanes
       s"($t, ${1L << (nPlanes - 1 - p)}, CAST(${w.mkString("[", ",", "]")} AS DOUBLE[]))"
     }.mkString(", ")
+  }
+
+  /** The J6/J11 oracle's shared recursive-CTE body (ends with `reach
+    * (node, lab)` in scope — min reachable label = component). */
+  private lazy val clusterCteSql: String = """
+      k1 AS (SELECT doc_id, md5(text) AS k FROM documents),
+      k2 AS (SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS k
+             FROM documents),
+      e1 AS (SELECT a.doc_id AS src, m.keep AS dst
+             FROM k1 a JOIN (SELECT k, MIN(doc_id) AS keep FROM k1 GROUP BY k) m
+             ON a.k = m.k WHERE a.doc_id <> m.keep),
+      e2 AS (SELECT a.doc_id AS src, m.keep AS dst
+             FROM k2 a JOIN (SELECT k, MIN(doc_id) AS keep FROM k2 GROUP BY k) m
+             ON a.k = m.k WHERE a.doc_id <> m.keep),
+      edges AS (SELECT * FROM e1 UNION SELECT * FROM e2),
+      sym AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+      reach(node, lab) AS (
+        SELECT DISTINCT src AS node, src AS lab FROM sym
+        UNION
+        SELECT s.src, r.lab FROM sym s JOIN reach r ON s.dst = r.node)"""
+
+  /** Shared J6/J11 clustering pipeline: both dedup keys emit from ONE
+    * scan as (kind, key) rows, so the edge build is one groupBy + one
+    * join instead of two of each — at corpus scale that halves the
+    * pre-clustering shuffle count. Returns (node, component). */
+  private def clusterDocs(docs: DataFrame): DataFrame = {
+    val keyed = docs.select(
+      col("doc_id"),
+      explode(array(
+        struct(lit("hash").as("kind"),
+          md5(col("text").cast("binary")).as("k")),
+        struct(lit("fp").as("kind"),
+          md5(array_join(
+            array_sort(array_distinct(split(lower(col("text")), " "))), " ")
+            .cast("binary")).as("k")))).as("kk"))
+      .select(col("doc_id"), col("kk.kind").as("kind"), col("kk.k").as("k"))
+    val mins = keyed.groupBy("kind", "k").agg(min("doc_id").as("keep"))
+    val edges = keyed.join(mins, Seq("kind", "k"))
+      .where(col("doc_id") =!= col("keep"))
+      .select(col("doc_id").as("src"), col("keep").as("dst"))
+    Dedup.connectedComponents(edges, "src", "dst")
   }
 
   private lazy val annTopKSql: String = s"""

@@ -55,6 +55,16 @@ class DedupSpec extends SparkSpec {
     assert(!out.keys.exists(p => p._1 == 5L || p._2 == 5L)) // other block
   }
 
+  test("keepCanonical drops non-canonical members and keeps singletons") {
+    import spark.implicits._
+    val docs = Seq((1L, "x"), (2L, "x"), (3L, "x"), (7L, "solo")).toDF("doc_id", "text")
+    // cluster {1,2,3} with component=min=1; doc 7 unclustered
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("node", "component")
+    val kept = Dedup.keepCanonical(docs, clusters, "doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 7L))
+  }
+
   test("spanDedup reports cross-doc duplicated windows with doc and occurrence counts") {
     import spark.implicits._
     val df = Seq(
