@@ -123,6 +123,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.exists(_.nodeName.contains("Generate")))
   }
 
+  test("dedup apply drops members through a hash anti-join, never a nested loop") {
+    val plan = executed(SparkEntry.queries("q_dedup_apply")(spark, dir))
+    assert(plan.map(_.toString).exists(s =>
+      s.contains("LeftAnti") && (s.contains("HashJoin") || s.contains("hash join"))))
+    assert(!plan.exists(_.nodeName.toLowerCase.contains("nestedloop")))
+  }
+
   test("source mix is one source-key shuffle plus the presentation sort") {
     val plan = executed(SparkEntry.queries("q_source_mix")(spark, dir))
     assert(shuffles(plan) <= 2) // window exchange + range sort, nothing else
