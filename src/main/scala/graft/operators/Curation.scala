@@ -108,7 +108,7 @@ object Curation {
     * prefix (the fraction would silently collapse from ~100% to
     * ~6%). */
   private def hexThreshold(p: Double): String =
-    f"${math.min((p * 4294967296.0).toLong, 0xFFFFFFFFL)}%08x"
+    f"${math.max(0L, math.min((p * 4294967296.0).toLong, 0xFFFFFFFFL))}%08x"
 
   /** Cumulative-weight hex thresholds for [[assignSplits]]: the first
     * 8 md5 hex digits are uniform over [0, 2³²), so split i owns the
