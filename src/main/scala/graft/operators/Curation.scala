@@ -352,6 +352,24 @@ object Curation {
         col(s"__s${patterns.size}").as("scrubbed"): _*)
   }
 
+  /** Quality FILTER — the keep decision a pipeline ships from the Q1
+    * signals (Rae et al. 2021 table A1 applies hard thresholds per
+    * document): keep docs with enough words, enough lexical diversity
+    * and no dominating word. Returns the SURVIVORS with their
+    * signals — the quality twin of the J11 cleaned-corpus
+    * materialization. Same map-only shape as [[repetitionSignals]];
+    * the filter is one codegen'd predicate over its output. */
+  def qualityFilter(
+      df: DataFrame, idCol: String, textCol: String,
+      minWords: Int, minDistinctFrac: Double, maxTopShare: Double): DataFrame =
+    repetitionSignals(df, Seq(idCol), textCol)
+      .where(col("n_words") >= minWords &&
+        col("distinct_word_frac") >= minDistinctFrac &&
+        col("top_word_share") <= maxTopShare)
+      .select(col(idCol), col("n_words"), col("distinct_word_frac"),
+        col("top_word_share"))
+      .orderBy(col(idCol))
+
   /** Token-budget source MIXING — the data-mixture step of a training
     * run (public recipe family: GPT-3 / The Pile / DoReMi publish
     * per-source sampling weights): each source keeps documents in the

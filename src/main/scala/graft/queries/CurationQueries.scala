@@ -12,6 +12,14 @@ object CurationQueries {
     "q_quality_signals" -> { (s, dir) =>
       Curation.repetitionSignals(Tables.documents(s, dir), Seq("doc_id"), "text")
     },
+    // Q15 — the Gopher-threshold keep decision over the Q1 signals
+    "q_quality_filter" -> { (s, dir) =>
+      Curation.qualityFilter(
+        Tables.documents(s, dir), "doc_id", "text",
+        minWords = qualityThresholds._1,
+        minDistinctFrac = qualityThresholds._2,
+        maxTopShare = qualityThresholds._3)
+    },
     "q_stratified_sample" -> { (s, dir) =>
       Curation.stratifiedSample(
         Tables.documents(s, dir).select("doc_id", "source"),
@@ -123,6 +131,40 @@ object CurationQueries {
   private val corpusSplits =
     Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
+  /** (minWords, minDistinctFrac, maxTopShare) for q_quality_filter —
+    * shared by the query and its oracle predicate. */
+  private val qualityThresholds = (30, 0.35, 0.12)
+
+  /** The Q1 signals computation as a composable SELECT (no ORDER BY)
+    * — q_quality_signals wraps it with a sort, q_quality_filter with
+    * the threshold predicate. */
+  private lazy val qualitySignalsSql: String = """
+      WITH w AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+               unnest(string_split(text, ' ')) AS word
+        FROM documents),
+      wc AS (SELECT doc_id, n_words, word, COUNT(*) AS c FROM w GROUP BY 1, 2, 3),
+      tops AS (
+        SELECT doc_id, n_words,
+               CAST(COUNT(*) AS INT) AS n_distinct,
+               MAX(c) AS top_word,
+               CAST(SUM(len(word) * c) AS BIGINT) AS char_sum
+        FROM wc GROUP BY 1, 2),
+      bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(string_split(text, ' '))),
+                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]))
+               AS bigram
+        FROM documents WHERE len(string_split(text, ' ')) >= 2),
+      bgc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+      bgt AS (SELECT doc_id, MAX(c) AS top_bigram FROM bgc GROUP BY 1)
+      SELECT t.doc_id AS doc_id, CAST(t.n_words AS INT) AS n_words,
+             CAST(t.n_distinct AS DOUBLE) / t.n_words AS distinct_word_frac,
+             CAST(t.top_word AS DOUBLE) / t.n_words AS top_word_share,
+             CAST(b.top_bigram AS DOUBLE) / (t.n_words - 1) AS top_bigram_share,
+             CAST(t.char_sum AS DOUBLE) / t.n_words AS mean_word_len
+      FROM tops t LEFT JOIN bgt b ON t.doc_id = b.doc_id"""
+
   /** (src0, src1, default) token budgets for q_source_mix — shared by
     * the query and its oracle CASE. */
   private val mixBudgets = (100L, 100000L, 400L)
@@ -160,33 +202,18 @@ object CurationQueries {
   val oracles: Map[String, String] = Map(
     // max word multiplicity via token unnest + group; Spark computes the
     // same number as the longest run of the per-row sorted array
-    "q_quality_signals" -> """
-      WITH w AS (
-        SELECT doc_id, len(string_split(text, ' ')) AS n_words,
-               unnest(string_split(text, ' ')) AS word
-        FROM documents),
-      wc AS (SELECT doc_id, n_words, word, COUNT(*) AS c FROM w GROUP BY 1, 2, 3),
-      tops AS (
-        SELECT doc_id, n_words,
-               CAST(COUNT(*) AS INT) AS n_distinct,
-               MAX(c) AS top_word,
-               CAST(SUM(len(word) * c) AS BIGINT) AS char_sum
-        FROM wc GROUP BY 1, 2),
-      bg AS (
-        SELECT doc_id,
-               unnest(list_transform(range(1, len(string_split(text, ' '))),
-                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]))
-               AS bigram
-        FROM documents WHERE len(string_split(text, ' ')) >= 2),
-      bgc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
-      bgt AS (SELECT doc_id, MAX(c) AS top_bigram FROM bgc GROUP BY 1)
-      SELECT t.doc_id, CAST(t.n_words AS INT) AS n_words,
-             CAST(t.n_distinct AS DOUBLE) / t.n_words AS distinct_word_frac,
-             CAST(t.top_word AS DOUBLE) / t.n_words AS top_word_share,
-             CAST(b.top_bigram AS DOUBLE) / (t.n_words - 1) AS top_bigram_share,
-             CAST(t.char_sum AS DOUBLE) / t.n_words AS mean_word_len
-      FROM tops t LEFT JOIN bgt b ON t.doc_id = b.doc_id
-      ORDER BY t.doc_id""",
+    "q_quality_signals" -> s"$qualitySignalsSql ORDER BY doc_id",
+    // Q15 — the keep decision from the same signal arithmetic: the
+    // oracle wraps the shared signals body in the identical threshold
+    // predicate, so a drift in either the signals or the cut changes
+    // the survivor rows
+    "q_quality_filter" -> s"""
+      SELECT doc_id, n_words, distinct_word_frac, top_word_share
+      FROM ($qualitySignalsSql)
+      WHERE n_words >= ${qualityThresholds._1}
+        AND distinct_word_frac >= ${qualityThresholds._2}
+        AND top_word_share <= ${qualityThresholds._3}
+      ORDER BY doc_id""",
     "q_stratified_sample" -> """
       SELECT source, doc_id, CAST(rn AS INT) AS rn FROM (
         SELECT source, doc_id,

@@ -115,6 +115,19 @@ class CurationSpec extends SparkSpec {
     assert(out(3L).getAs[String]("scrubbed") == "ip <IP> twice <IP>")
   }
 
+  test("qualityFilter keeps docs passing every Gopher threshold") {
+    val df = Seq(
+      (1L, (1 to 40).map(i => s"w$i").mkString(" ")),       // diverse, long → keep
+      (2L, "short doc"),                                     // too few words
+      (3L, Seq.fill(40)("spam").mkString(" ")),              // one dominating word
+      (4L, ((1 to 20).map(i => s"w$i") ++ Seq.fill(20)("x")).mkString(" ")) // low diversity + hot word
+    ).toDF("doc_id", "text")
+    val kept = Curation.qualityFilter(df, "doc_id", "text",
+      minWords = 30, minDistinctFrac = 0.35, maxTopShare = 0.12)
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L))
+  }
+
   test("tokenBudgetMix cuts each source at its budget, boundary doc included") {
     import org.apache.spark.sql.functions.{col, lit, when}
     val df = (1L to 50L).map(i => (if (i <= 40) "big" else "small", i, 10L))
