@@ -9,6 +9,10 @@ import graft.operators._
   * inputs with hand-computed expectations.
   */
 class CoreOperatorsSpec extends SparkSpec {
+
+  test("SparkEntry.entry flagship returns rows (the driver's smoke check)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
   import spark.implicits._
 
   private val vals = Seq(
