@@ -35,7 +35,28 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Calibration micro-benchmark: a fixed, SF-independent workload
+    // (hash-agg over a generated range — no IO) timed the same
+    // min-of-N way. Cross-round absolute seconds have repeatedly moved
+    // 25–40% on BOTH engines from shared-sandbox drift; dividing a
+    // round's per-query seconds by its `calib` value normalizes that
+    // drift out, so only same-round Spark-vs-DuckDB ratios plus
+    // calib-normalized cross-round ratios are comparable.
+    val calib = {
+      val times = (1 to math.max(runs, 2)).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(0, 50000000L, 1, 32)
+          .selectExpr("id % 9973 AS k", "id AS v")
+          .groupBy("k").count()
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      times.min
+    }
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         spark.catalog.clearCache()
         System.gc() // drain accumulated broadcasts/codegen garbage so
@@ -69,6 +90,7 @@ object Bench {
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,""" +
       s""""value_med":${fmt(totalMed)},"spread_pct":${fmt(spreadPct)},""" +
+      s""""calib":${fmt(calib)},""" +
       s""""queries":${jmap(results.map(r => (r._1, r._2)))},""" +
       s""""queries_med":${jmap(results.map(r => (r._1, r._3)))},"sf":"$sfDir"}""")
     // Compact line: slowest-first, stop before the line would push the
@@ -84,6 +106,7 @@ object Bench {
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,""" +
       s""""value_med":${fmt(totalMed)},"spread_pct":${fmt(spreadPct)},""" +
+      s""""calib":${fmt(calib)},""" +
       s""""queries":${jmap(kept.sortBy(_._1))},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -376,64 +376,209 @@ object Dedup {
     * check — O(1) driver data); non-convergence within `maxIter`
     * fails loudly rather than returning wrong clusters.
     *
+    * Loop parallelism is sized from the OBSERVED edge count (one count
+    * over the persisted symmetric closure — the only full pass over
+    * the caller's edge pipeline): duplicate-pair edge sets are usually
+    * a tiny fraction of the corpus, and running a 1k-edge round with
+    * the session's full shuffle-partition count makes every stage pay
+    * per-task launch overhead for empty partitions. Partitions scale
+    * linearly with edges up to the session's configured ceiling —
+    * never above it — and AQE is switched off for the loop ONLY in the
+    * coalesce regime (partitions below the ceiling), where each round
+    * is a handful of trivially small stages and AQE's per-stage
+    * re-planning is pure latency; at-scale graphs keep the session's
+    * AQE (skew splits) and pay one up-front repartition on the join
+    * key so the big edge side is exchanged once, not once per round.
+    *
+    * Small-graph fast path (the same shape as Spark's own
+    * size-adaptive broadcast decision): a `limit(threshold+1)` probe
+    * collects the edge list when it fits under `driverThreshold` rows
+    * (default 10⁶ ≈ 32 MB of boxed id pairs — BOUNDED, loud in the
+    * scaladoc, never data-proportional) and solves union–find on the
+    * driver. Duplicate-pair edge sets are a tiny fraction of the
+    * corpus even at 100 TB, but when they do exceed the bound the
+    * probe costs one short-circuiting job and the distributed loop
+    * runs unchanged. The fast path's output is a LocalRelation, so
+    * every downstream join against it broadcasts for free.
+    *
     * Returns (node, component) with component = min node id reachable.
     */
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 25): DataFrame = {
-    val sym = edges
+      maxIter: Int = 25, driverThreshold: Int = 1000000): DataFrame = {
+    val spark = edges.sparkSession
+    if (driverThreshold > 0) {
+      val probe = edges
+        .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .limit(driverThreshold + 1)
+        .collect()
+      if (probe.length <= driverThreshold) {
+        // Union–find with the MIN reachable id as each root (matching
+        // the distributed loop's label semantics), path-halving finds.
+        val parent = new java.util.HashMap[Any, Any]()
+        def find(x0: Any): Any = {
+          var x = x0
+          var p = parent.get(x)
+          while (p != x) {
+            val gp = parent.get(p)
+            parent.put(x, gp); x = gp; p = parent.get(x)
+          }
+          x
+        }
+        def lt(a: Any, b: Any): Boolean =
+          a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+        probe.foreach { r =>
+          val a = r.get(0); val b = r.get(1)
+          if (!parent.containsKey(a)) parent.put(a, a)
+          if (!parent.containsKey(b)) parent.put(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) {
+            if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+          }
+        }
+        val dt = edges.schema(srcCol).dataType
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node", dt, nullable = false),
+          org.apache.spark.sql.types.StructField("component", dt, nullable = false)))
+        val out = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size())
+        val it = parent.keySet().iterator()
+        while (it.hasNext) {
+          val n = it.next()
+          out.add(org.apache.spark.sql.Row(n, find(n)))
+        }
+        return spark.createDataFrame(out, schema).orderBy("node")
+      }
+    }
+    // Symmetric closure PLUS a self-loop per node. The self-loop does
+    // two jobs at once: (a) the neighbor-min join needs no left-join /
+    // coalesce fallback (every node meets at least its own label), and
+    // (b) the row where dst == src delivers the node's OWN round-start
+    // label into the same aggregation — so propagation and the `prev`
+    // needed for the convergence check come out of ONE join+groupBy
+    // instead of the former two joins.
+    // Duplicate edges are tolerated (the min-aggregation absorbs
+    // them), so only the self-loop branch pays a distinct — callers
+    // whose candidate generators emit a pair many times (banded
+    // minhash) should dedupe upstream where the dedup key is cheap.
+    val symRaw = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
-      .distinct()
+    val symBase = symRaw
+      .union(symRaw.select(col("src")).distinct()
+        .select(col("src"), col("src").as("dst")))
       .persist()
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("component", col("node"))
-      // localCheckpoint (not persist): iterative rounds reference the
-      // prior labels SEVERAL times, so without lineage truncation the
-      // logical plan grows ~3× per round — by round ~15 the driver
-      // spends minutes just *stringifying* plans. Checkpointing cuts
-      // each round's plan back to a LogicalRDD over in-memory blocks
-      // (the same reason GraphX checkpoints its iteration state).
-      .localCheckpoint()
+    val symCount = symBase.count()
+    val confParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts =
+      math.min(confParts.toLong, symCount / 250000L + 1L).toInt
+    val coalesced = parts < confParts
+    // Big-graph path: pre-partition the persisted edge table on the
+    // join key so every round's join reuses the cached partitioning
+    // and only shuffles the ids-only label frame. Small-graph path:
+    // narrow coalesce (no shuffle) down to `parts`.
+    val sym =
+      if (coalesced) symBase.coalesce(math.max(parts, 1))
+      else symBase.repartition(col("dst")).persist()
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    if (coalesced) {
+      spark.conf.set("spark.sql.shuffle.partitions", math.max(parts, 1))
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+    }
+    try {
+    // No separate label-initialization pass: labels materialize for
+    // the first time as round 0's output (see below). Each round's
+    // output is an eager localCheckpoint — iterative rounds reference
+    // the prior labels several times, so without lineage truncation
+    // the logical plan grows ~3× per round and the driver ends up
+    // spending minutes just *stringifying* plans (the same reason
+    // GraphX checkpoints its iteration state).
+    var labels: DataFrame = null
     var iter = 0
     var changed = 1L
     while (iter < maxIter && changed > 0) {
-      val nbrMin = sym
+      val staged = if (iter == 0) {
+        // Round 0: the label map is the identity (component(n) = n),
+        // so label(dst) = dst and min-propagation needs NO join —
+        // one groupBy over the edge table. prev is the group key
+        // itself (the self-loop's dst) and the identity jump is a
+        // no-op, so this round is a single shuffle.
+        sym.groupBy(col("src").as("node"))
+          .agg(min(col("dst")).as("component"), min(col("src")).as("prev"))
+          .select(col("node"), col("prev"), col("component"))
+      } else {
+      // ONE join+groupBy yields both the propagated label (min over
+      // self ∪ neighbors — self-loops make the inner join total, no
+      // left-join fallback) and `prev` (the self-loop row's
+      // contribution, recovered as min over the dst==src singleton).
+      val propagated = sym
         .join(labels, sym("dst") === labels("node"))
-        .groupBy(col("src").as("node"))
-        .agg(min("component").as("nbr"))
-      val propagated = labels
-        .join(nbrMin, Seq("node"), "left")
-        .select(
-          col("node"), col("component").as("prev"),
-          least(col("component"), coalesce(col("nbr"), col("component")))
-            .as("component"))
+        .groupBy(sym("src").as("node"))
+        .agg(
+          min("component").as("component"),
+          min(when(col("dst") === col("src"), col("component"))).as("prev"))
       // pointer jumping: component ids ARE node ids, so every label can
       // be compressed through its own label's label in one self-join —
       // this is what turns O(diameter) rounds into O(log diameter).
       // The jump reads the ROUND-START labels (already checkpointed)
       // rather than `propagated`: one half-round-stale hop compresses
-      // almost as fast, and it keeps `propagated` single-use — one
-      // eager localCheckpoint job per round instead of two.
+      // almost as fast, and it keeps `propagated` single-use.
       val lookup = labels
         .select(col("node").as("__ln"), col("component").as("__lc"))
       // keep the round-start label as prev, so the convergence check is
       // a filter over THIS frame — no extra join
-      val staged = propagated
+      propagated
         .join(lookup, propagated("component") === col("__ln"), "left")
         .select(
           col("node"), col("prev"),
           least(col("component"), coalesce(col("__lc"), col("component")))
             .as("component"))
-        .localCheckpoint()
-      changed = staged.where(col("component") =!= col("prev")).count()
-      labels = staged.select("node", "component")
+      }
+      // Fused materialize + convergence check: ONE driver action per
+      // round instead of two (the eager DF localCheckpoint used to be
+      // job 1 and the changed-count job 2). The changed-count rides a
+      // LongAccumulator on the same pass that pins the round's blocks.
+      // Everything stays in InternalRow-land (`toRdd` +
+      // internalCreateDataFrame): the public RDD[Row] route pays an
+      // encoder pass on every downstream consumption, and this frame
+      // is consumed three times per round. Accumulator updates in a
+      // transformation are at-least-once under task retry — safe for
+      // this check, which only distinguishes `== 0` from `> 0`: a
+      // retried task can overcount a nonzero round, never turn a
+      // changed round into an apparent fixpoint.
+      val acc = spark.sparkContext.longAccumulator("cc_changed")
+      val schema = staged.schema
+      val pi = schema.fieldIndex("prev")
+      val ci = schema.fieldIndex("component")
+      val dt = schema(ci).dataType
+      val counted = staged.queryExecution.toRdd.map { r =>
+        if (r.get(ci, dt) != r.get(pi, dt)) acc.add(1L)
+        r.copy() // rows are buffer-reused by the scan; the cached
+                 // blocks need stable copies
+      }
+      counted.localCheckpoint()
+      counted.count()
+      changed = acc.value
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"[cc] round $iter changed=$changed")
+      labels = org.apache.spark.sql.graft.ColumnBridge
+        .internalCreateDataFrame(spark, counted, schema)
+        .select("node", "component")
       iter += 1
     }
-    sym.unpersist()
     require(changed == 0L,
       s"connectedComponents did not converge in $maxIter rounds")
+    // The ordering shuffle runs at the CALLER's conf (restored below);
+    // labels itself is already materialized checkpoint blocks.
     labels.orderBy("node")
+    } finally {
+      if (coalesced) {
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }
+      sym.unpersist()
+      symBase.unpersist()
+    }
   }
 
   /** J5 — embedding-cosine near-duplicates over pairs blocked by

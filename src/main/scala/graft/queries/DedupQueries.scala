@@ -108,7 +108,11 @@ object DedupQueries {
     // kept); a row-level gate on the SURVIVOR set, so a clustering or
     // anti-join defect adds/removes whole documents.
     "q_dedup_apply" -> { (s, dir) =>
+      // one cached 4-column scan feeds BOTH the edge build (doc_id,
+      // text) and the survivor anti-join (doc_id, source, n_chars) —
+      // without it the corpus is scanned twice
       val docs = Tables.documents(s, dir)
+        .select("doc_id", "text", "source", "n_chars").persist()
       Dedup.keepCanonical(docs, clusterDocs(docs), "doc_id")
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")
@@ -723,10 +727,15 @@ object DedupQueries {
             .cast("binary")).as("k")))).as("kk"))
       .select(col("doc_id"), col("kk.kind").as("kind"), col("kk.k").as("k"))
     val mins = keyed.groupBy("kind", "k").agg(min("doc_id").as("keep"))
+    // persist: connectedComponents references the edge frame twice
+    // (symmetric closure) — without this the md5 keying + join runs
+    // twice inside the closure's one materialization
     val edges = keyed.join(mins, Seq("kind", "k"))
       .where(col("doc_id") =!= col("keep"))
       .select(col("doc_id").as("src"), col("keep").as("dst"))
-    Dedup.connectedComponents(edges, "src", "dst")
+      .persist()
+    try Dedup.connectedComponents(edges, "src", "dst")
+    finally edges.unpersist()
   }
 
   private lazy val annTopKSql: String = s"""

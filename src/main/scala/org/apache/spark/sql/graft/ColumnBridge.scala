@@ -22,6 +22,17 @@ object ColumnBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** DataFrame over an RDD of InternalRows with NO external-Row
+    * conversion (the public `createDataFrame(RDD[Row], schema)` pays a
+    * Row→InternalRow encoder pass on EVERY downstream consumption —
+    * ruinous for iterative operators that re-read a checkpointed round
+    * frame several times per round). */
+  def internalCreateDataFrame(
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
+
   /** Idempotently register an extra planner strategy on a live session
     * (the imperative twin of `injectPlannerStrategy` for sessions not
     * built with `spark.sql.extensions`). */

@@ -213,11 +213,30 @@ class DedupSpec extends SparkSpec {
 
   test("connectedComponents converges on a chain far deeper than the round budget") {
     // path 0-1-2-…-120: plain min-propagation would need 120 rounds;
-    // pointer jumping must finish within the default 25
+    // pointer jumping must finish within the default 25.
+    // driverThreshold = 0 forces the DISTRIBUTED loop (the default
+    // would take the driver union-find fast path at this size).
     val edges = (1L to 120L).map(i => (i, i - 1)).toDF("src", "dst")
-    val out = Dedup.connectedComponents(edges, "src", "dst").collect()
+    val out = Dedup.connectedComponents(
+      edges, "src", "dst", driverThreshold = 0).collect()
     assert(out.length == 121)
     assert(out.forall(_.getLong(1) == 0L))
+  }
+
+  test("connectedComponents driver fast path matches the distributed loop") {
+    // randomized graph: 300 nodes, 250 edges drawn deterministically —
+    // mixed component shapes (stars, chains, isolated pairs)
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(250)((rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("src", "dst")
+    val fast = Dedup.connectedComponents(edges, "src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val dist = Dedup.connectedComponents(
+      edges, "src", "dst", driverThreshold = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fast == dist)
+    assert(fast.nonEmpty)
   }
 
   test("connectedComponents merges components across edge sources") {
