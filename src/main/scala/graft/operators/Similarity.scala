@@ -162,9 +162,39 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       centroidStride: Long, nProbe: Int, indexDir: String,
-      maxCentroids: Int = 4096): DataFrame = {
+      maxCentroids: Int = 4096, reuseExisting: Boolean = true): DataFrame = {
     val spark = corpus.sparkSession
-    val cos = graft.functions.GraftFunctions.cosine_sim _
+    // probe-only when an index with MATCHING build params already sits
+    // at indexDir — this is what makes "the write amortizes across
+    // query batches" real instead of aspirational. The params marker
+    // cannot see corpus content: reuse assumes the corpus at this
+    // indexDir is immutable for the index's lifetime (callers indexing
+    // a changing corpus pass reuseExisting = false or a fresh dir).
+    val reusable = reuseExisting && {
+      import org.apache.hadoop.fs.Path
+      val p = new Path(s"$indexDir/params")
+      p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p) && {
+        val r = spark.read.parquet(s"$indexDir/params").collect()
+        r.length == 1 && r(0).getLong(0) == centroidStride &&
+          r(0).getInt(1) == maxCentroids
+      }
+    }
+    if (!reusable)
+      buildIvfIndex(corpus, idCol, vecCol, centroidStride, indexDir, maxCentroids)
+    probeIvfIndex(spark, queries, idCol, vecCol, k, nProbe, indexDir)
+  }
+
+  /** Build half of [[ivfIndexedTopK]]: stride-sampled codebook
+    * (bounded ≤ `maxCentroids`-row driver collect, loud overflow) +
+    * ONE map-only assignment pass over the corpus written
+    * `partitionBy(cell)`, with the codebook and build params persisted
+    * beside the cells — so any later session can probe the index
+    * without touching the corpus. */
+  def buildIvfIndex(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroidStride: Long, indexDir: String,
+      maxCentroids: Int = 4096): Unit = {
+    val spark = corpus.sparkSession
     val sampled = corpus
       .where(pmod(col(idCol), lit(centroidStride)) === 0)
       .select(col(idCol).cast("string").as("cid"),
@@ -172,23 +202,40 @@ object Similarity {
       .orderBy("cid")
       .limit(maxCentroids + 1)
       .collect()
-    require(sampled.nonEmpty, "ivfIndexedTopK: stride sampled zero centroids")
+    require(sampled.nonEmpty, "buildIvfIndex: stride sampled zero centroids")
     require(sampled.length <= maxCentroids,
-      s"ivfIndexedTopK: > $maxCentroids centroids sampled — raise centroidStride")
+      s"buildIvfIndex: > $maxCentroids centroids sampled — raise centroidStride")
     val codebook: Array[Array[Double]] = sampled.map { r =>
       val v = r.getSeq[Double](1).toArray
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n > 0) v.map(_ / n) else v
     }
-    // the index: one assignment pass, persisted partitioned by cell
     corpus.select(
         col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         graft.functions.GraftFunctions.nearest_centroid(col(vecCol), codebook).as("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(indexDir)
-    val index = spark.read.parquet(indexDir)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/cells")
     import spark.implicits._
-    val centroidDf = codebook.zipWithIndex
-      .map { case (v, i) => (i, v) }.toSeq.toDF("cell", "cnorm")
+    codebook.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+      .toDF("cell", "cnorm")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/codebook")
+    Seq((centroidStride, maxCentroids)).toDF("centroid_stride", "max_centroids")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/params")
+  }
+
+  /** Probe half of [[ivfIndexedTopK]]: ranks the stored (normalized)
+    * codebook per query, keeps `nProbe` cells, and joins only those
+    * cell partitions of the on-disk layout — dynamic partition pruning
+    * skips every unprobed cell directory (plan-asserted). Codebook
+    * read is bounded by the build's `maxCentroids`. */
+  def probeIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int,
+      indexDir: String): DataFrame = {
+    val cos = graft.functions.GraftFunctions.cosine_sim _
+    val centroidDf = spark.read.parquet(s"$indexDir/codebook")
+    val index = spark.read.parquet(s"$indexDir/cells")
     val probed = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .crossJoin(broadcast(centroidDf))

@@ -13,6 +13,14 @@ import graft.operators._
   */
 object DedupQueries {
 
+  /** Per-JVM uniqueness token for scratch index paths (see
+    * q_ann_ivf_index): stable within a session so repeat runs hit the
+    * probe-only path, unique across processes so concurrent harness
+    * runs never race on a shared /tmp layout. */
+  private lazy val runToken: String =
+    java.lang.Long.toHexString(
+      java.util.UUID.randomUUID().getMostSignificantBits)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> { (s, dir) =>
       Dedup.exactDuplicates(Tables.documents(s, dir), "doc_id", "text")
@@ -195,7 +203,11 @@ object DedupQueries {
       Similarity.ivfIndexedTopK(
         emb, emb.where(col("vec_id") < 8), "vec_id", "embedding",
         k = 10, centroidStride = 16, nProbe = 4,
-        indexDir = s"/tmp/graft-ivf-index-${java.lang.Math.abs(dir.hashCode)}")
+        // per-JVM token: concurrent harness runs over the same data
+        // dir must not collide on a shared /tmp path; within one JVM
+        // repeat runs REUSE the index (probe-only — the amortized
+        // shape the operator exists for)
+        indexDir = s"/tmp/graft-ivf-index-$runToken-${java.lang.Math.abs(dir.hashCode)}")
     },
     // K4 gate — product-quantization ANN, VERBATIM: the DuckDB oracle
     // replays the whole compressed-domain pipeline — stride-sampled

@@ -43,13 +43,31 @@ object GeoJson {
   /** Parse a FeatureCollection JSON string column into ring rows.
     * `keyProperty` names the feature property used as `feature_key`
     * (falls back to the feature index when absent). Geometry types
-    * other than Polygon/MultiPolygon fail loudly. A malformed document
-    * parses to zero rows (PERMISSIVE `from_json`) — callers needing a
-    * hard ingest gate assert on the row count. */
+    * other than Polygon/MultiPolygon fail loudly — and so does any
+    * NON-EMPTY document that yields no feature array under BOTH parse
+    * depths. That second guard is deliberate: the dual-depth trick
+    * relies on partial-results JSON parsing
+    * (`spark.sql.json.enablePartialResults`, default-on since Spark
+    * 3.4.1) to survive the intentional Polygon/MultiPolygon depth
+    * mismatch, and with it off a mixed FeatureCollection parses to
+    * all-null — which would otherwise emit a silently empty layer
+    * instead of the loud failure every other ingest path here uses. */
   def featureRings(df: DataFrame, jsonCol: String, keyProperty: String): DataFrame = {
+    val pfRaw = from_json(col(jsonCol), docSchema(polygonCoords))
+      .getField("features")
+    val mfRaw = from_json(col(jsonCol), docSchema(multiPolygonCoords))
+      .getField("features")
+    val noFeatures = length(trim(col(jsonCol))) > 0 &&
+      pfRaw.isNull && mfRaw.isNull
     val parsed = df.select(
-      from_json(col(jsonCol), docSchema(polygonCoords)).getField("features").as("pf"),
-      from_json(col(jsonCol), docSchema(multiPolygonCoords)).getField("features").as("mf"))
+      // the guard rides the consumed pf column (a dangling assert
+      // column would be pruned by Catalyst before it could fire)
+      when(noFeatures, raise_error(concat(
+        lit("geojson: non-empty document produced no features under " +
+          "both Polygon and MultiPolygon schemas — malformed input, " +
+          "or spark.sql.json.enablePartialResults is disabled: "),
+        substring(col(jsonCol), 1, 80)))).otherwise(pfRaw).as("pf"),
+      mfRaw.as("mf"))
 
     val feats = parsed
       .select(posexplode(col("pf")).as(Seq("feature_idx", "feat")), col("mf"))

@@ -149,11 +149,19 @@ object GeoTiff {
     val (w, rps, sx, sy, ox, oy, le) =
       (meta.width, meta.rowsPerStrip, meta.scaleX, meta.scaleY,
         meta.originX, meta.originY, meta.littleEndian)
+    // ship the DRIVER's session Hadoop conf to the tasks (Configuration
+    // is a Writable; SerializableWritable is the public DeveloperApi
+    // wrapper) — a bare `new Configuration()` on the executor drops
+    // every spark.hadoop.* override (S3 credentials/endpoints, fs
+    // impls) that made the driver-side header read succeed, so the
+    // same path could fail or resolve to a DIFFERENT filesystem mid-job
+    val confSer = new org.apache.spark.SerializableWritable(
+      spark.sessionState.newHadoopConf())
     import spark.implicits._
     spark.sparkContext.parallelize(strips, strips.length)
       .flatMap { case (stripIdx, off, len) =>
         val sp = new Path(new java.net.URI(uri))
-        val sfs = sp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val sfs = sp.getFileSystem(confSer.value)
         val raw = new Array[Byte](len.toInt)
         val sin = sfs.open(sp)
         try sin.readFully(off, raw) finally sin.close()

@@ -110,15 +110,36 @@ object Writers {
     case object Skip extends ZipMode
     /** One zip PER CSV PART, created by DISTRIBUTED executor tasks —
       * the 100 TB path: the packaging cost parallelizes with the part
-      * count and the driver never streams a data byte. (DwC-A
-      * consumers accept multi-file archives; meta.xml lists every
-      * part.) */
+      * count and the driver never streams a data byte. Each zip embeds
+      * a meta.xml listing ONLY its own part, so every zip is an
+      * independently consumable single-file DwC-A; the full-archive
+      * meta.xml beside the zips describes the multi-part logical
+      * archive as a whole. */
     case object PerPart extends ZipMode
     /** The single `archive.zip` convenience for SMALL exports: a
       * driver-side stream copy of every CSV byte — a serial tail by
       * construction (one zip = one stream), so never the default. */
     case object SingleFile extends ZipMode
   }
+
+  /** DwC-A `meta.xml` descriptor for the given part locations — used
+    * for the whole-archive descriptor (all parts) and, under
+    * [[ZipMode.PerPart]], once per zip with just that zip's part. */
+  private def dwcMeta(
+      rowType: String, termNs: String, fields: Seq[String],
+      locations: Seq[String]): String =
+    s"""<archive xmlns="http://rs.tdwg.org/dwc/text/">
+       |  <core encoding="UTF-8" fieldsTerminatedBy="," linesTerminatedBy="\\n"
+       |        fieldsEnclosedBy="&quot;" ignoreHeaderLines="1" rowType="$rowType">
+       |    <files>
+       |${locations.map(l => s"      <location>$l</location>").mkString("\n")}
+       |    </files>
+       |    <id index="0"/>
+       |${fields.zipWithIndex.map { case (f, i) =>
+           s"""      <field index="$i" term="$termNs$f"/>""" }.mkString("\n")}
+       |  </core>
+       |</archive>
+       |""".stripMargin
 
   /** G6 — FULL Darwin-Core archive (`exporters/dwc_archive_exporter
     * .py` emits occurrence CSV + `meta.xml` + zip): the occurrence
@@ -142,19 +163,8 @@ object Writers {
       .map(_.getPath).filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".csv"))
       .sortBy(_.getName)
     val fields = df.schema.fieldNames
-    val meta =
-      s"""<archive xmlns="http://rs.tdwg.org/dwc/text/">
-         |  <core encoding="UTF-8" fieldsTerminatedBy="," linesTerminatedBy="\\n"
-         |        fieldsEnclosedBy="&quot;" ignoreHeaderLines="1" rowType="$rowType">
-         |    <files>
-         |${parts.map(p => s"      <location>occurrence/${p.getName}</location>").mkString("\n")}
-         |    </files>
-         |    <id index="0"/>
-         |${fields.zipWithIndex.map { case (f, i) =>
-             s"""      <field index="$i" term="$termNs$f"/>""" }.mkString("\n")}
-         |  </core>
-         |</archive>
-         |""".stripMargin
+    val meta = dwcMeta(rowType, termNs, fields,
+      parts.map(p => s"occurrence/${p.getName}"))
     val metaOut = fs.create(new Path(s"$path/meta.xml"), true)
     try metaOut.write(meta.getBytes("UTF-8")) finally metaOut.close()
     zipMode match {
@@ -162,23 +172,27 @@ object Writers {
       case ZipMode.PerPart =>
         // distributed packaging: one task per part, each zipping only
         // its own file — wall-clock scales down with the part count and
-        // zero data bytes pass through the driver. meta.xml travels in
-        // every zip so each is independently consumable.
-        val metaBytes = meta.getBytes("UTF-8")
+        // zero data bytes pass through the driver. Each zip carries a
+        // meta.xml listing ONLY its own part (a complete single-file
+        // DwC-A on its own); the all-parts meta.xml written above
+        // beside the zips describes the logical archive.
         val partPaths = parts.map(_.toUri.toString)
+        // ship the driver's session Hadoop conf (spark.hadoop.*
+        // overrides — S3 credentials, fs impls) to the tasks; a bare
+        // executor-side `new Configuration()` sees only the classpath
+        val confSer = new org.apache.spark.SerializableWritable(conf)
         df.sparkSession.sparkContext
           .parallelize(partPaths, math.max(partPaths.length, 1))
           .foreach { partUri =>
             val p = new Path(new java.net.URI(partUri))
-            // executor-side FS from the classpath config — the standard
-            // deployment carries core-site/hdfs-site on every node
-            val pfs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            val pfs = p.getFileSystem(confSer.value)
             val zo = new java.util.zip.ZipOutputStream(
               pfs.create(new Path(p.getParent, p.getName + ".zip"), true))
             zo.setLevel(java.util.zip.Deflater.BEST_SPEED)
             try {
               zo.putNextEntry(new java.util.zip.ZipEntry("meta.xml"))
-              zo.write(metaBytes)
+              zo.write(dwcMeta(rowType, termNs, fields,
+                Seq(s"occurrence/${p.getName}")).getBytes("UTF-8"))
               zo.closeEntry()
               zo.putNextEntry(new java.util.zip.ZipEntry(s"occurrence/${p.getName}"))
               val in = pfs.open(p)

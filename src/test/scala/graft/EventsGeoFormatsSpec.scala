@@ -304,6 +304,17 @@ class EventsGeoFormatsSpec extends SparkSpec {
     assert(msgs(err).exists(_.contains("unsupported geometry type")))
   }
 
+  test("featureRings fails loudly when a non-empty doc yields no features") {
+    // malformed input (or partial-results parsing disabled) must not
+    // produce a silently empty layer
+    val err = intercept[Exception](graft.sources.GeoJson.featureRings(
+      Seq("""{"not":"a feature collection"}""").toDF("doc"), "doc", "name")
+      .collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(err).exists(_.contains("no features under both")))
+  }
+
   test("ring_crossings equals the per-ring ray_cast sum") {
     val rnd = new scala.util.Random(53)
     val rows = (0 until 100).map { i =>

@@ -154,6 +154,13 @@ class MultimodalSourcesSpec extends SparkSpec {
         val entry = zf.getEntry(s"occurrence/${p.getName}")
         val zipped = zf.getInputStream(entry).readAllBytes()
         assert(zipped.toSeq == Files.readAllBytes(p.toPath).toSeq)
+        // the embedded descriptor lists ONLY this zip's own part —
+        // each zip is an independently consumable DwC-A
+        val metaXml = new String(
+          zf.getInputStream(zf.getEntry("meta.xml")).readAllBytes(), "UTF-8")
+        val locs = "<location>([^<]+)</location>".r
+          .findAllMatchIn(metaXml).map(_.group(1)).toSeq
+        assert(locs == Seq(s"occurrence/${p.getName}"))
       } finally zf.close()
     }
     assert(!new java.io.File(s"$dir/per-part/archive.zip").exists())
