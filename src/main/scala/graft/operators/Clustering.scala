@@ -132,25 +132,46 @@ object Clustering {
   /** J9 — semantic dedup (SemDeDup): cluster-blocked embedding-cosine
     * near-dup pairs. Same pair semantics as [[Dedup.embeddingNearDup]]
     * but blocked by the k-means cell instead of a provided label — the
-    * path that exists when no labels do. Pair work is O(Σ cell²); the
-    * loud `maxCellSize` guard fails (rather than silently degrades)
-    * when a cell outgrows the pairwise budget — the remedy is a
+    * path that exists when no labels do.
+    *
+    * The guard is a PAIR budget, not a row cap: the work this operator
+    * actually schedules is Σ over cells of n·(n−1)/2 cosine
+    * evaluations, and a row cap admits quadratically more of it than
+    * it appears to (a cell at a 100k cap is ~5×10⁹ pairs on its own).
+    * One aggregate over the per-cell counts prices the whole job
+    * up-front and fails loudly — with the total pair count and the
+    * hottest cell — when it exceeds `pairBudget`. The remedy is a
     * smaller stride (more cells), which is also what SemDeDup
-    * prescribes at scale (k ~ √N keeps cells ~√N). */
+    * prescribes at scale (k ~ √N keeps cells ~√N and Σ pairs ~N^1.5).
+    * The default budget (10⁹ pairs ≈ minutes of vectorized cosine on
+    * one node) is completable anywhere; raising it is a deliberate
+    * caller decision, never a silent degradation. */
   def semanticDedup(
       emb: DataFrame, idCol: String, vecCol: String,
       stride: Long, iters: Int, threshold: Double,
       scale: Double = DefaultScale, maxCentroids: Int = 4096,
-      maxCellSize: Long = 100000L): DataFrame = {
+      pairBudget: Long = 1000000000L): DataFrame = {
     val cb = kmeansCodebook(emb, idCol, vecCol, stride, iters, scale, maxCentroids)
     val cells = emb.select(
       col(idCol).as("vec_id"), col(vecCol).as("emb"),
       GraftFunctions.quant_nearest_cell(col(vecCol), cb, scale).as("cell"))
-    val oversize = cells.groupBy("cell").count()
-      .where(col("count") > maxCellSize).limit(1).collect()
-    require(oversize.isEmpty,
-      s"semanticDedup: cell ${oversize.head.getInt(0)} exceeds maxCellSize=" +
-        s"$maxCellSize — lower the stride to split hot cells")
+    // decimal accumulation: per-cell pair counts are n·(n−1)/2 in
+    // long range only while n < ~4.3e9; the SUM across cells could
+    // overflow long well before the budget check sees it
+    val price = cells.groupBy("cell").count()
+      .agg(
+        coalesce(sum(col("count").cast("decimal(38,0)") *
+          (col("count") - 1)), lit(0).cast("decimal(38,0)"))
+          .as("pairs2x"),
+        coalesce(max(col("count")), lit(0L)).as("hottest"))
+      .collect()(0)
+    // n·(n−1) is even, so halving in exact BigDecimal never truncates
+    val pairs = price.getDecimal(0).toBigInteger
+      .divide(java.math.BigInteger.TWO)
+    require(pairs.compareTo(java.math.BigInteger.valueOf(pairBudget)) <= 0,
+      s"semanticDedup: blocked pair count $pairs exceeds pairBudget=" +
+        s"$pairBudget (hottest cell has ${price.getLong(1)} rows) — " +
+        "lower the stride to split hot cells or raise the budget")
     cells.as("a").join(cells.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .select(

@@ -110,14 +110,23 @@ class ClusteringSpec extends SparkSpec {
     assert(s1.map(_.toString).sameElements(run().map(_.toString)))
   }
 
-  test("semanticDedup maxCellSize guard fails loudly on a hot cell") {
+  test("semanticDedup pair-budget guard prices a mega-cell corpus up-front") {
+    // 50 identical vectors → one cell → 50·49/2 = 1225 pairs; a budget
+    // below that must fail BEFORE any pairwise work, with the actual
+    // pair count and the hottest cell size in the message
     val rows = (0 until 50).map(i => (i.toLong, vec(1.0, 0.0)))
     val e = intercept[IllegalArgumentException] {
       Clustering.semanticDedup(
         rows.toDF("vec_id", "embedding"), "vec_id", "embedding",
-        stride = 50, iters = 1, threshold = 0.5, maxCellSize = 10L)
+        stride = 50, iters = 1, threshold = 0.5, pairBudget = 1000L)
     }
-    assert(e.getMessage.contains("maxCellSize"))
+    assert(e.getMessage.contains("pair count 1225"), e.getMessage)
+    assert(e.getMessage.contains("hottest cell has 50 rows"), e.getMessage)
+    // the same corpus completes when the budget covers the pair count
+    val ok = Clustering.semanticDedup(
+      rows.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      stride = 50, iters = 1, threshold = 0.5, pairBudget = 1225L)
+    assert(ok.count() == 1225L)
   }
 
   test("assignment stage is map-only whole-stage codegen (no exchange before the partial agg)") {
