@@ -22,11 +22,13 @@ object SparkEntry {
     CoreQueries.all ++ HierarchyQueries.all ++ ExtractionQueries.all ++
       TextQueries.all ++ DedupQueries.all ++ EventQueries.all ++
       GeoQueries.all ++ FormatQueries.all ++ EcoQueries.all ++
-      ClassObjectQueries.all ++ MultimodalQueries.all ++ CurationQueries.all
+      ClassObjectQueries.all ++ MultimodalQueries.all ++ CurationQueries.all ++
+      PipelineQueries.all
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ HierarchyQueries.oracles ++ ExtractionQueries.oracles ++
       TextQueries.oracles ++ DedupQueries.oracles ++ EventQueries.oracles ++
       GeoQueries.oracles ++ FormatQueries.oracles ++ EcoQueries.oracles ++
-      ClassObjectQueries.oracles ++ MultimodalQueries.oracles ++ CurationQueries.oracles
+      ClassObjectQueries.oracles ++ MultimodalQueries.oracles ++ CurationQueries.oracles ++
+      PipelineQueries.oracles
 }

@@ -1,0 +1,399 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Aggregations, Chain, Distributions, Formats}
+import graft.sources.Writers
+
+/** Config-driven pipeline runner — the engine twin of the reference's
+  * services layer (`services/transformer.py:360` `transform_data`,
+  * `services/importer.py:30`, `services/exporter.py:29`), where a
+  * declarative YAML document names the per-entity sources, transform
+  * steps and exports and the services execute every plugin run.
+  *
+  * Spark-first translation: the spec does NOT drive a per-group
+  * driver loop the way the reference does — it is COMPILED, through
+  * the same composition discipline as [[graft.operators.Chain]], into
+  * ONE lazy Catalyst plan per step graph. Catalyst then sees the whole
+  * pipeline at once: filters written as late steps still push into the
+  * source scans, unused columns prune end-to-end, and a 10⁸-entity
+  * config runs as one shuffle per aggregation instead of 10⁸ queries.
+  * Nothing is materialized until an export (or the caller) acts.
+  *
+  * Spec format: YAML or JSON (YAML is a superset; both parse through
+  * the same loader). Shape, mirroring the reference's `transform.yml`
+  * trio — `sources` are the loader plugins (`direct_reference`,
+  * `join_table`), `steps` the transformer plugins, `exports` the
+  * exporter plugins:
+  *
+  * {{{
+  * entity: customer_stats
+  * sources:
+  *   - name: customers           # direct_reference loader
+  *     table: customer
+  *   - name: cust_orders         # join_table loader
+  *     table: orders
+  *     relation: {ref: customers, key: o_custkey, refKey: c_custkey}
+  * steps:
+  *   - name: big
+  *     op: filter                # input defaults to the previous
+  *     input: cust_orders        # step (or the first source)
+  *     params: {where: "o_totalprice > 1000"}
+  *   - name: per_nation
+  *     op: aggregate
+  *     params:
+  *       groupBy: [c_nationkey]
+  *       aggs: {n_orders: "count(1)", revenue: "sum(o_totalprice)"}
+  * exports:
+  *   - name: api
+  *     format: parquet           # parquet | jsonapi | dwc_archive
+  *     params: {path: out/api}
+  * }}}
+  *
+  * Validation mirrors `chains/chain_validator.py`: the whole spec is
+  * checked BEFORE any execution — unknown ops (with the known-op list
+  * in the message), references to undefined step/source names,
+  * duplicate names, unknown export formats and missing/ill-typed
+  * params all fail loudly at compile time, never as a half-written
+  * export.
+  */
+object Pipeline {
+
+  // ---------------------------------------------------------------- model
+
+  final case class RelationSpec(ref: String, key: String, refKey: String)
+  final case class SourceSpec(
+      name: String, table: String, relation: Option[RelationSpec])
+  final case class StepSpec(
+      name: String, op: String, input: Option[String],
+      params: Map[String, Any])
+  final case class ExportSpec(
+      name: String, format: String, params: Map[String, Any])
+  final case class PipelineSpec(
+      entity: String, sources: Seq[SourceSpec], steps: Seq[StepSpec],
+      exports: Seq[ExportSpec])
+
+  /** Step operators the compiler knows (the registry the reference
+    * keeps in `core/plugins/registry.py`). */
+  val knownOps: Set[String] = Set(
+    "filter", "select", "aggregate", "join", "sql", "sort", "top_ranking",
+    "field_aggregator", "statistical_summary", "binned_distribution",
+    "categorical_distribution")
+
+  val knownExports: Set[String] = Set("parquet", "jsonapi", "dwc_archive")
+
+  // ---------------------------------------------------------------- parse
+
+  /** Parse a YAML/JSON pipeline document (SnakeYAML — YAML 1.2 is a
+    * JSON superset, so both syntaxes land here). Driver-side, O(spec):
+    * configs are small by construction. */
+  def parse(specText: String): PipelineSpec = {
+    val root = asMap(
+      new org.yaml.snakeyaml.Yaml().load[Any](specText), "pipeline root")
+    val entity = reqStr(root, "entity", "pipeline root")
+    val sources = seqOfMaps(root, "sources", "pipeline root").map { m =>
+      val name = reqStr(m, "name", "source")
+      SourceSpec(
+        name, reqStr(m, "table", s"source '$name'"),
+        m.get("relation").map { r =>
+          val rm = asMap(r, s"source '$name' relation")
+          RelationSpec(
+            reqStr(rm, "ref", s"source '$name' relation"),
+            reqStr(rm, "key", s"source '$name' relation"),
+            reqStr(rm, "refKey", s"source '$name' relation"))
+        })
+    }
+    val steps = seqOfMaps(root, "steps", "pipeline root").map { m =>
+      val name = reqStr(m, "name", "step")
+      StepSpec(
+        name, reqStr(m, "op", s"step '$name'"),
+        m.get("input").map(_.toString),
+        m.get("params").map(p => asMap(p, s"step '$name' params"))
+          .getOrElse(Map.empty))
+    }
+    val exports = root.get("exports").map(_ =>
+      seqOfMaps(root, "exports", "pipeline root").map { m =>
+        val name = reqStr(m, "name", "export")
+        ExportSpec(
+          name, reqStr(m, "format", s"export '$name'"),
+          m.get("params").map(p => asMap(p, s"export '$name' params"))
+            .getOrElse(Map.empty))
+      }).getOrElse(Seq.empty)
+    require(steps.nonEmpty, "pipeline: at least one step is required")
+    PipelineSpec(entity, sources, steps, exports)
+  }
+
+  // ------------------------------------------------------------- validate
+
+  /** Structural validation, spec-only — no DataFrames touched. */
+  def validate(spec: PipelineSpec): Unit = {
+    val srcNames = spec.sources.map(_.name)
+    val stepNames = spec.steps.map(_.name)
+    val all = srcNames ++ stepNames
+    require(all.distinct.size == all.size,
+      s"pipeline '${spec.entity}': duplicate source/step names in $all")
+    spec.sources.foreach { s =>
+      s.relation.foreach { r =>
+        require(srcNames.takeWhile(_ != s.name).contains(r.ref),
+          s"pipeline '${spec.entity}': source '${s.name}' relation " +
+            s"references undefined source '${r.ref}' (defined before it: " +
+            s"${srcNames.takeWhile(_ != s.name).mkString(", ")})")
+      }
+    }
+    var defined = srcNames.toSet
+    spec.steps.foreach { st =>
+      require(knownOps.contains(st.op),
+        s"pipeline '${spec.entity}': step '${st.name}' uses unknown op " +
+          s"'${st.op}' — known ops: ${knownOps.toSeq.sorted.mkString(", ")}")
+      st.input.foreach { in =>
+        require(defined.contains(in),
+          s"pipeline '${spec.entity}': step '${st.name}' references " +
+            s"undefined input '$in' — defined names: " +
+            s"${defined.toSeq.sorted.mkString(", ")}")
+      }
+      if (st.op == "join") {
+        val r = st.params.get("right").map(_.toString)
+        require(r.nonEmpty, s"step '${st.name}': join needs param 'right'")
+        require(defined.contains(r.get),
+          s"pipeline '${spec.entity}': step '${st.name}' joins undefined " +
+            s"frame '${r.get}'")
+      }
+      defined += st.name
+    }
+    spec.exports.foreach { e =>
+      require(knownExports.contains(e.format),
+        s"pipeline '${spec.entity}': export '${e.name}' uses unknown " +
+          s"format '${e.format}' — known: ${knownExports.toSeq.sorted.mkString(", ")}")
+      e.params.get("input").foreach { in =>
+        require(defined.contains(in.toString),
+          s"pipeline '${spec.entity}': export '${e.name}' references " +
+            s"undefined input '$in'")
+      }
+    }
+  }
+
+  // -------------------------------------------------------------- compile
+
+  /** Compile the spec into its lazy frame graph: every source and step
+    * name → its DataFrame, all one Catalyst plan family, nothing
+    * executed. `resolveTable` maps spec table names to frames (the
+    * registry boundary — tests pass the parquet dir, production passes
+    * a catalog lookup). */
+  def compile(
+      spark: SparkSession, spec: PipelineSpec,
+      resolveTable: String => DataFrame): Map[String, DataFrame] = {
+    validate(spec)
+    val sourceCtx = spec.sources.foldLeft(Map.empty[String, DataFrame]) {
+      case (ctx, s) =>
+        val base = resolveTable(s.table)
+        val loaded = s.relation match {
+          case None => base // direct_reference
+          case Some(r) => // join_table: dataset rows joined to the ref
+            base.join(ctx(r.ref), base(r.key) === ctx(r.ref)(r.refKey))
+        }
+        ctx + (s.name -> loaded)
+    }
+    val firstInput = spec.sources.headOption.map(_.name)
+    // the step graph itself runs through Chain: same composition rule,
+    // same duplicate guard, one plan out
+    val chainSteps: Seq[(String, Chain.Step)] = spec.steps.zipWithIndex.map {
+      case (st, i) =>
+        val inputName = st.input
+          .orElse(if (i == 0) firstInput else Some(spec.steps(i - 1).name))
+          .getOrElse(fail(s"step '${st.name}': no input and no sources"))
+        st.name -> { (ctx: Map[String, DataFrame]) =>
+          applyOp(st, ctx(inputName), ctx)
+        }
+    }
+    val seed = sourceCtx.getOrElse(firstInput.getOrElse("input"),
+      spark.emptyDataFrame)
+    // rebuild the full ctx (Chain returns only the last frame)
+    chainSteps.foldLeft(sourceCtx + ("input" -> seed)) {
+      case (ctx, (name, f)) => ctx + (name -> f(ctx))
+    }
+  }
+
+  /** Compile and return the LAST step's frame — the single-result
+    * entry the gates use. */
+  def result(
+      spark: SparkSession, specText: String,
+      resolveTable: String => DataFrame): DataFrame = {
+    val spec = parse(specText)
+    compile(spark, spec, resolveTable)(spec.steps.last.name)
+  }
+
+  // ---------------------------------------------------------------- run
+
+  /** Compile and execute every export. Returns (export name, output
+    * path). Paths in the spec are joined under `outRoot` so a spec
+    * never writes outside the caller's chosen root. */
+  def run(
+      spark: SparkSession, specText: String,
+      resolveTable: String => DataFrame, outRoot: String): Seq[(String, String)] = {
+    val spec = parse(specText)
+    val ctx = compile(spark, spec, resolveTable)
+    spec.exports.map { e =>
+      val in = e.params.get("input").map(_.toString)
+        .getOrElse(spec.steps.last.name)
+      val df = ctx(in)
+      val path = s"$outRoot/${reqStr(e.params, "path", s"export '${e.name}'")}"
+      e.format match {
+        case "parquet" =>
+          df.write.mode("overwrite").parquet(path)
+        case "jsonapi" =>
+          // G2/G7 composition: per-entity detail docs + the index
+          // derived from the same frame (never disagrees with what was
+          // exported) — `exporters/json_exporter.py`'s layout
+          val keys = strSeq(e.params, "entityKeys", s"export '${e.name}'")
+          val sortKey = reqStr(e.params, "sortKey", s"export '${e.name}'")
+          val topN = e.params.getOrElse("topN", 10).toString.toInt
+          val detailCols = df.columns.filterNot(keys.contains)
+          val details = Formats.jsonDetailRecords(
+            df, keys,
+            struct(col(sortKey) +: detailCols.filterNot(_ == sortKey)
+              .map(col): _*),
+            topN)
+          details.select("payload")
+            .write.mode("overwrite").text(s"$path/details")
+          Formats.exportIndex(details, keys, "n_details", "details")
+            .write.mode("overwrite").json(s"$path/index")
+        case "dwc_archive" =>
+          // G6: headered CSV parts + meta.xml + per-part zips
+          Writers.dwcArchiveFull(df, path)
+        case other => fail(s"export '${e.name}': unknown format '$other'")
+      }
+      e.name -> path
+    }
+  }
+
+  // ------------------------------------------------------------- step ops
+
+  private def applyOp(
+      st: StepSpec, in: DataFrame, ctx: Map[String, DataFrame]): DataFrame = {
+    val tag = s"step '${st.name}'"
+    st.op match {
+      case "filter" =>
+        in.where(expr(reqStr(st.params, "where", tag)))
+      case "select" =>
+        in.selectExpr(strSeq(st.params, "columns", tag): _*)
+      case "aggregate" =>
+        val aggs = mapOfStr(st.params, "aggs", tag)
+        require(aggs.nonEmpty, s"$tag: 'aggs' must name at least one aggregate")
+        val aggCols = aggs.map { case (t, e) => expr(e).as(t) }.toSeq
+        strSeq(st.params, "groupBy", tag) match {
+          case Nil => in.agg(aggCols.head, aggCols.tail: _*)
+          case keys => in.groupBy(keys.map(col): _*)
+            .agg(aggCols.head, aggCols.tail: _*)
+        }
+      case "join" =>
+        val right = ctxGet(ctx, st.params("right").toString, tag)
+        val how = st.params.getOrElse("how", "inner").toString
+        in.join(right, strSeq(st.params, "on", tag), how)
+      case "sort" =>
+        in.orderBy(strSeq(st.params, "by", tag).map(expr): _*)
+      case "sql" =>
+        // ctx frames become temp views under their logical names —
+        // the same names the spec author already uses
+        val spark = in.sparkSession
+        ctx.foreach { case (n, df) =>
+          if (n != "input") df.createOrReplaceTempView(n)
+        }
+        spark.sql(reqStr(st.params, "query", tag))
+      case "top_ranking" =>
+        Aggregations.topRanking(
+          in, reqStr(st.params, "field", tag),
+          strSeq(st.params, "groupBy", tag),
+          st.params.getOrElse("n", 10).toString.toInt)
+      case "field_aggregator" =>
+        // each field names its source frame (`source` defaults to the
+        // step input) — the multi-source shape of field_aggregator.py
+        val specs = seqOfMaps(st.params, "fields", tag).map { f =>
+          Aggregations.FieldSpec(
+            f.get("source").map(s => ctxGet(ctx, s.toString, tag)).getOrElse(in),
+            reqStr(f, "field", tag), reqStr(f, "target", tag),
+            reqStr(f, "transformation", tag))
+        }
+        Aggregations.fieldAggregator(specs, reqStr(st.params, "key", tag))
+      case "statistical_summary" =>
+        Aggregations.statisticalSummary(
+          in, reqStr(st.params, "field", tag),
+          strSeq(st.params, "groupBy", tag))
+      case "binned_distribution" =>
+        Distributions.binnedDistribution(
+          in, reqStr(st.params, "field", tag),
+          numSeq(st.params, "bins", tag),
+          strSeq(st.params, "groupBy", tag))
+      case "categorical_distribution" =>
+        Distributions.categoricalDistribution(
+          in, reqStr(st.params, "field", tag),
+          strSeq(st.params, "categories", tag),
+          strSeq(st.params, "groupBy", tag))
+      case other =>
+        fail(s"$tag: unknown op '$other'") // unreachable after validate
+    }
+  }
+
+  // ------------------------------------------------------------- helpers
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"pipeline: $msg")
+
+  private def ctxGet(
+      ctx: Map[String, DataFrame], name: String, tag: String): DataFrame =
+    ctx.getOrElse(name, fail(
+      s"$tag: references undefined frame '$name' — defined: " +
+        ctx.keys.toSeq.sorted.mkString(", ")))
+
+  private def asMap(v: Any, where: String): Map[String, Any] = v match {
+    case m: java.util.Map[_, _] =>
+      import scala.jdk.CollectionConverters._
+      m.asScala.map { case (k, vv) => k.toString -> vv }.toMap
+    case m: Map[_, _] => m.map { case (k, vv) => k.toString -> vv }
+    case other => fail(s"$where: expected a mapping, got $other")
+  }
+
+  private def asSeq(v: Any, where: String): Seq[Any] = v match {
+    case l: java.util.List[_] =>
+      import scala.jdk.CollectionConverters._
+      l.asScala.toSeq
+    case s: Seq[_] => s
+    case other => fail(s"$where: expected a list, got $other")
+  }
+
+  private def seqOfMaps(
+      params: Map[String, Any], key: String, where: String): Seq[Map[String, Any]] =
+    params.get(key) match {
+      case Some(v) => asSeq(v, s"$where '$key'").map(asMap(_, s"$where '$key'"))
+      case None => fail(s"$where: missing required list '$key'")
+    }
+
+  private def reqStr(params: Map[String, Any], key: String, where: String): String =
+    params.get(key) match {
+      case Some(s: String) => s
+      case Some(other) => fail(s"$where: param '$key' must be a string, got $other")
+      case None => fail(s"$where: missing required param '$key'")
+    }
+
+  private def strSeq(
+      params: Map[String, Any], key: String, where: String): Seq[String] =
+    params.get(key).map(asSeq(_, s"$where '$key'").map(_.toString))
+      .getOrElse(Seq.empty)
+
+  private def numSeq(
+      params: Map[String, Any], key: String, where: String): Seq[Double] =
+    params.get(key) match {
+      case Some(v) => asSeq(v, s"$where '$key'").map {
+        case n: Number => n.doubleValue()
+        case other => fail(s"$where: '$key' entries must be numbers, got $other")
+      }
+      case None => fail(s"$where: missing required list '$key'")
+    }
+
+  private def mapOfStr(
+      params: Map[String, Any], key: String, where: String): Map[String, String] =
+    params.get(key) match {
+      case Some(v) => asMap(v, s"$where '$key'").map { case (k, vv) => k -> vv.toString }
+      case None => fail(s"$where: missing required map '$key'")
+    }
+}

@@ -1,0 +1,212 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.Pipeline
+
+/** Config-driven pipeline runner: validation loudness (the
+  * chain_validator mirror), op bridges vs direct operator calls,
+  * end-to-end exports, and the one-Catalyst-plan claim. */
+class PipelineSpecSuite extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "news", 120L, "en"), (2L, "web", 80L, "en"),
+    (3L, "news", 200L, "fr"), (4L, "web", 50L, "fr"),
+    (5L, "news", 10L, "en")).toDF("doc_id", "source", "n_chars", "lang")
+
+  private def resolve: String => org.apache.spark.sql.DataFrame = {
+    case "docs" => docs
+    case other => fail(s"unexpected table $other")
+  }
+
+  test("a YAML spec compiles to the same rows as the hand-written plan") {
+    val spec = """
+entity: doc_stats
+sources:
+  - name: d
+    table: docs
+steps:
+  - name: long_docs
+    op: filter
+    params: {where: "n_chars >= 50"}
+  - name: by_source
+    op: aggregate
+    params:
+      groupBy: [source]
+      aggs: {n_docs: "count(1)", chars: "sum(n_chars)"}
+  - name: ordered
+    op: sort
+    params: {by: [source]}
+"""
+    val got = Pipeline.result(spark, spec, resolve).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = docs.where("n_chars >= 50").groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("c")).orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("JSON specs parse through the same loader (YAML superset)") {
+    val spec =
+      """{"entity":"j","sources":[{"name":"d","table":"docs"}],
+        |"steps":[{"name":"s","op":"filter",
+        |"params":{"where":"lang = 'en'"}}]}""".stripMargin
+    assert(Pipeline.result(spark, spec, resolve).count() == 3L)
+  }
+
+  test("unknown op fails loudly, listing the known ops") {
+    val spec = """
+entity: bad
+sources: [{name: d, table: docs}]
+steps: [{name: s, op: frobnicate, params: {}}]
+"""
+    val e = intercept[IllegalArgumentException](
+      Pipeline.result(spark, spec, resolve))
+    assert(e.getMessage.contains("unknown op 'frobnicate'"))
+    assert(e.getMessage.contains("aggregate")) // the known-op list
+  }
+
+  test("reference to an undefined step/input fails loudly before execution") {
+    val spec = """
+entity: bad
+sources: [{name: d, table: docs}]
+steps:
+  - {name: s, op: filter, input: nonexistent, params: {where: "1=1"}}
+"""
+    val e = intercept[IllegalArgumentException](
+      Pipeline.result(spark, spec, resolve))
+    assert(e.getMessage.contains("undefined input 'nonexistent'"))
+  }
+
+  test("duplicate names, missing params and unknown export formats are loud") {
+    val dup = """
+entity: bad
+sources: [{name: s, table: docs}]
+steps: [{name: s, op: filter, params: {where: "1=1"}}]
+"""
+    assert(intercept[IllegalArgumentException](
+      Pipeline.result(spark, dup, resolve))
+      .getMessage.contains("duplicate"))
+    val missing = """
+entity: bad
+sources: [{name: d, table: docs}]
+steps: [{name: s, op: filter, params: {}}]
+"""
+    assert(intercept[IllegalArgumentException](
+      Pipeline.result(spark, missing, resolve))
+      .getMessage.contains("missing required param 'where'"))
+    val badExport = """
+entity: bad
+sources: [{name: d, table: docs}]
+steps: [{name: s, op: filter, params: {where: "1=1"}}]
+exports: [{name: e, format: carrier_pigeon, params: {path: x}}]
+"""
+    assert(intercept[IllegalArgumentException](
+      Pipeline.result(spark, badExport, resolve))
+      .getMessage.contains("unknown format 'carrier_pigeon'"))
+  }
+
+  test("widget-bridge ops match the direct operator calls") {
+    val spec = """
+entity: widgets
+sources: [{name: d, table: docs}]
+steps:
+  - name: stats
+    op: statistical_summary
+    params: {field: n_chars, groupBy: [source]}
+"""
+    val got = Pipeline.result(spark, spec, resolve).collect().map(_.toString)
+    val want = graft.operators.Aggregations
+      .statisticalSummary(docs, "n_chars", Seq("source"))
+      .collect().map(_.toString)
+    assert(got.toSeq == want.toSeq)
+
+    val dist = """
+entity: widgets2
+sources: [{name: d, table: docs}]
+steps:
+  - name: cat
+    op: categorical_distribution
+    params: {field: lang, categories: [en, fr], groupBy: [source]}
+"""
+    val got2 = Pipeline.result(spark, dist, resolve).collect().map(_.toString)
+    val want2 = graft.operators.Distributions
+      .categoricalDistribution(docs, "lang", Seq("en", "fr"), Seq("source"))
+      .collect().map(_.toString)
+    assert(got2.toSeq == want2.toSeq)
+  }
+
+  test("sql step sees prior steps as views under their logical names") {
+    val spec = """
+entity: sqltest
+sources: [{name: d, table: docs}]
+steps:
+  - name: en_docs
+    op: filter
+    params: {where: "lang = 'en'"}
+  - name: agg
+    op: sql
+    params: {query: "SELECT source, count(1) AS n FROM en_docs GROUP BY 1 ORDER BY 1"}
+"""
+    val got = Pipeline.result(spark, spec, resolve).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("news", 2L), ("web", 1L)))
+  }
+
+  test("late filters still push into the source scan (one-plan compilation)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pipe-push").toString
+    docs.write.mode("overwrite").parquet(s"$dir/docs")
+    val spec = """
+entity: pushdown
+sources: [{name: d, table: docs}]
+steps:
+  - name: wide
+    op: select
+    params: {columns: ["doc_id", "source", "n_chars"]}
+  - name: narrow
+    op: filter
+    params: {where: "n_chars > 100"}
+"""
+    val out = Pipeline.result(
+      spark, spec, _ => spark.read.parquet(s"$dir/docs"))
+    val scan = out.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,100)"),
+      s"filter did not reach the scan:\n$scan")
+    assert(out.count() == 2L)
+  }
+
+  test("jsonapi and dwc_archive exports land on disk with consistent indexes") {
+    val root = java.nio.file.Files.createTempDirectory("graft-pipe-exp").toString
+    val spec = """
+entity: exports
+sources: [{name: d, table: docs}]
+steps:
+  - name: summary
+    op: aggregate
+    params:
+      groupBy: [source, lang]
+      aggs: {n_docs: "count(1)", chars: "sum(n_chars)"}
+exports:
+  - name: api
+    format: jsonapi
+    params: {path: api, entityKeys: [source], sortKey: chars, topN: 5}
+  - name: archive
+    format: dwc_archive
+    params: {path: dwca}
+"""
+    val outs = Pipeline.run(spark, spec, resolve, root).toMap
+    // jsonapi: detail docs + index derived from the same frame
+    val idx = spark.read.json(s"${outs("api")}/index")
+    assert(idx.columns.toSet == Set("source", "n_records", "detail_path"))
+    assert(idx.count() == 2L) // news, web
+    val payloads = spark.read.text(s"${outs("api")}/details").collect()
+      .map(_.getString(0))
+    assert(payloads.length == 2 && payloads.forall(_.contains("top_details")))
+    // dwc archive: headered CSV parts + meta.xml + per-part zips
+    val occ = new java.io.File(s"${outs("archive")}/occurrence")
+    assert(occ.listFiles().exists(f =>
+      f.getName.startsWith("part-") && f.getName.endsWith(".csv")))
+    assert(new java.io.File(s"${outs("archive")}/meta.xml").exists())
+    assert(occ.listFiles().exists(_.getName.endsWith(".csv.zip")))
+  }
+}
