@@ -320,4 +320,85 @@ object Geo {
         Num.dsum(col(valueCol)).as("sum_val"),
         Num.dmean(col(valueCol)).as("mean_val"))
       .orderBy("zone_x", "zone_y")
+
+  /** F7 — point-entity ELEVATION ENRICHMENT: the local-join analogue
+    * of `loaders/api_elevation_enricher.py:24` (profile
+    * `openmeteo_elevation_v1`, `sample_mode: bbox_grid`,
+    * `sample_count: 9`). The reference calls a remote elevation API
+    * once per entity with rate limiting and a cache; in a zero-egress
+    * deployment the elevation source is a LOCAL raster table, and the
+    * Spark-first shape enriches EVERY entity in one join instead of
+    * 10⁸ sequential HTTP calls: each point samples the 3×3 cell
+    * neighborhood around its own `cellDeg` grid cell and summarizes
+    * min / mean / max elevation over every raster sample in those
+    * cells.
+    *
+    * Scale shape: the raster pre-aggregates per cell FIRST, so the
+    * join side is bounded by the grid size (≤ 360×180 at 1°), never
+    * the raster sample count — it broadcasts, and the entity side
+    * neither shuffles nor fans out beyond the fixed 9 offsets.
+    * Entities whose neighborhood holds no raster sample drop out
+    * (inner join), mirroring the reference's skip-on-no-data path.
+    * Mean goes through exact decimal accumulation (cell sums, then
+    * entity sums) so parallel merge order cannot wiggle the double. */
+  def elevationEnrich(
+      points: DataFrame, raster: DataFrame,
+      idCol: String, lonCol: String, latCol: String,
+      xCol: String, yCol: String, valueCol: String,
+      cellDeg: Double = 1.0): DataFrame = {
+    val cellAgg = raster.groupBy(col(xCol).as("cx"), col(yCol).as("cy"))
+      .agg(
+        count(lit(1)).as("c_n"),
+        min(col(valueCol)).as("c_min"),
+        max(col(valueCol)).as("c_max"),
+        sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .as("c_sum"))
+    points
+      .withColumn("__dx", explode(sequence(lit(-1), lit(1))))
+      .withColumn("__dy", explode(sequence(lit(-1), lit(1))))
+      .withColumn("cx",
+        (floor((col(lonCol) + 180.0) / cellDeg).cast("int") + col("__dx")))
+      .withColumn("cy",
+        (floor((col(latCol) + 90.0) / cellDeg).cast("int") + col("__dy")))
+      .join(broadcast(cellAgg), Seq("cx", "cy"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("c_n")).as("n_samples"),
+        min(col("c_min")).as("elevation_min"),
+        max(col("c_max")).as("elevation_max"),
+        (sum(col("c_sum")).cast("double") /
+          sum(col("c_n")).cast("double")).as("elevation_mean"))
+      .orderBy(idCol)
+  }
+
+  /** F8 — shape-entity SPATIAL ENRICHMENT: the zonal twin of
+    * `loaders/api_spatial_enricher.py` (shape → spatial summary with
+    * `include_bbox_summary`). Rect zones containment-join the raster
+    * cell CENTERS through [[pointInRect]] (the same grid-blocked
+    * broadcast join P5/F3 use — zones explode to bbox cells, the
+    * raster side never shuffles), then the per-zone value summary is
+    * re-attached to the zone's own bbox fields. One broadcast join +
+    * one aggregation, shuffle ∝ zones. */
+  def spatialEnrich(
+      zones: DataFrame, raster: DataFrame, zoneKey: String,
+      xCol: String, yCol: String, valueCol: String,
+      cellDeg: Double = 1.0): DataFrame = {
+    val centers = raster.select(
+      (col(xCol) * cellDeg - 180.0 + cellDeg / 2).as("lon"),
+      (col(yCol) * cellDeg - 90.0 + cellDeg / 2).as("lat"),
+      col(valueCol).as("value"))
+    val summary = pointInRect(
+      centers, zones, "lon", "lat", zoneKey,
+      Seq(
+        min(col("value")).as("value_min"),
+        max(col("value")).as("value_max"),
+        Num.dsum(col("value")).as("value_sum"),
+        Num.dmean(col("value")).as("value_mean")))
+    summary
+      .join(broadcast(zones), Seq(zoneKey))
+      .select(col(zoneKey), col("xmin"), col("xmax"), col("ymin"), col("ymax"),
+        col("n_points").as("n_cells"),
+        col("value_min"), col("value_max"), col("value_sum"), col("value_mean"))
+      .orderBy(zoneKey)
+  }
 }

@@ -104,6 +104,26 @@ object GeoQueries {
     // oracle starts from the OPEN ring vertex lists the parser must
     // produce and replays the identical crossing arithmetic, so a
     // parsing or hole-handling defect breaks the hash.
+    // F5 — point-entity elevation enrichment (the local-join analogue
+    // of loaders/api_elevation_enricher.py, bbox_grid/9 profile):
+    // every customer point samples the 3×3 cell neighborhood of the
+    // event-raster elevation surface through a broadcast cell-agg
+    // join; the oracle replays the neighborhood expansion + two-level
+    // decimal summary in SQL.
+    "q_elevation_enrich" -> { (s, dir) =>
+      Geo.elevationEnrich(
+        customerPoints(s, dir), eventRaster(s, dir),
+        "c_custkey", "lon", "lat", "cell_x", "cell_y", "value")
+    },
+    // F6 — shape-entity spatial enrichment (api_spatial_enricher.py
+    // with include_bbox_summary): nation rect zones zonal-summarize
+    // the raster cell centers via the same grid-blocked pointInRect
+    // join P5 uses, bbox fields re-attached from the zone dim.
+    "q_spatial_enrich" -> { (s, dir) =>
+      Geo.spatialEnrich(
+        nationZones(s, dir), eventRaster(s, dir),
+        "zone_id", "cell_x", "cell_y", "value")
+    },
     // F4b — raster ingestion from an ACTUAL GeoTIFF file: the query
     // writes a deterministic float32 raster (formula values, strip
     // layout, ModelPixelScale/Tiepoint), imports it through the
@@ -302,6 +322,40 @@ object GeoQueries {
         GROUP BY 1, 2, 3)
       SELECT poly_id, cell_x, cell_y FROM crossings
       WHERE c % 2 = 1 ORDER BY 1, 2, 3""",
+    "q_elevation_enrich" -> s"""
+      WITH p AS ($pointsSql), r AS ($rasterSql),
+      cells AS (
+        SELECT cell_x AS cx, cell_y AS cy, COUNT(*) AS c_n,
+               MIN(value) AS c_min, MAX(value) AS c_max,
+               SUM(CAST(value AS DECIMAL(18,4))) AS c_sum
+        FROM r GROUP BY 1, 2),
+      nbr AS (
+        SELECT p.c_custkey, c.c_n, c.c_min, c.c_max, c.c_sum
+        FROM p
+        CROSS JOIN (VALUES (-1), (0), (1)) dx(dx)
+        CROSS JOIN (VALUES (-1), (0), (1)) dy(dy)
+        JOIN cells c
+          ON c.cx = CAST(FLOOR((p.lon + 180.0) / 1.0) AS INT) + dx.dx
+         AND c.cy = CAST(FLOOR((p.lat + 90.0) / 1.0) AS INT) + dy.dy)
+      SELECT c_custkey, CAST(SUM(c_n) AS BIGINT) AS n_samples,
+             MIN(c_min) AS elevation_min, MAX(c_max) AS elevation_max,
+             CAST(SUM(c_sum) AS DOUBLE) / CAST(SUM(c_n) AS DOUBLE)
+               AS elevation_mean
+      FROM nbr GROUP BY 1 ORDER BY 1""",
+    "q_spatial_enrich" -> s"""
+      WITH z AS ($zonesSql), r AS ($rasterSql),
+      c AS (SELECT cell_x * 1.0 - 180.0 + 0.5 AS lon,
+                   cell_y * 1.0 - 90.0 + 0.5 AS lat, value FROM r),
+      j AS (SELECT z.zone_id, z.xmin, z.xmax, z.ymin, z.ymax, c.value
+            FROM c JOIN z
+              ON c.lon >= z.xmin AND c.lon < z.xmax
+             AND c.lat >= z.ymin AND c.lat < z.ymax)
+      SELECT zone_id, xmin, xmax, ymin, ymax,
+             COUNT(*) AS n_cells,
+             MIN(value) AS value_min, MAX(value) AS value_max,
+             ${dsum("value")} AS value_sum,
+             ${dsum("value")} / COUNT(value) AS value_mean
+      FROM j GROUP BY 1, 2, 3, 4, 5 ORDER BY 1""",
     "q_polygon_join" -> s"""
       WITH p AS ($pointsSql),
       polys(poly_id, xs, ys) AS (VALUES $polygonValuesSql),

@@ -384,4 +384,46 @@ class EventsGeoFormatsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getSeq[Long](2).toSet).toMap
     assert(got == Map("withHole" -> Set(1L), "twoParts" -> Set(3L, 4L)))
   }
+
+  test("elevationEnrich summarizes the 3x3 cell neighborhood per point") {
+    // cellDeg=1: point cell = floor(lon+180), floor(lat+90).
+    val points = Seq(
+      (1L, -179.5, -89.5), // cell (0,0): neighborhood reaches (1,1)
+      (2L, -177.5, -87.5), // cell (2,2): neighborhood reaches (1,1)
+      (3L, -170.5, -80.5), // cell (9,9): no raster in reach → dropped
+    ).toDF("id", "lon", "lat")
+    val raster = Seq(
+      (0, 0, 100.0), (1, 1, 200.0), (2, 2, 999.0),
+    ).toDF("cell_x", "cell_y", "value")
+    val out = Geo.elevationEnrich(
+      points, raster, "id", "lon", "lat", "cell_x", "cell_y", "value")
+    // the cell-agg side must broadcast — the raster pre-agg is grid-bounded
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    val rows = out.collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    val r1 = rows(0)
+    assert(r1.getLong(1) == 2L && r1.getDouble(2) == 100.0 &&
+      r1.getDouble(3) == 200.0 && r1.getDouble(4) == 150.0)
+    val r2 = rows(1)
+    assert(r2.getLong(1) == 2L && r2.getDouble(2) == 200.0 &&
+      r2.getDouble(3) == 999.0 && r2.getDouble(4) == 599.5)
+  }
+
+  test("spatialEnrich zonal-summarizes raster cell centers per rect zone") {
+    // center of cell (cx,cy) at cellDeg=1 is (cx-179.5, cy-89.5)
+    val raster = Seq(
+      (0, 0, 10.0), (1, 0, 20.0), (5, 5, 99.0),
+    ).toDF("cell_x", "cell_y", "value")
+    val zones = Seq(
+      ("A", -180.0, -178.0, -90.0, -89.0), // holds centers of (0,0),(1,0)
+      ("B", -175.0, -174.0, -85.0, -84.0), // holds center of (5,5)
+      ("C", 10.0, 20.0, 10.0, 20.0),       // empty → absent
+    ).toDF("zone_id", "xmin", "xmax", "ymin", "ymax")
+    val got = Geo.spatialEnrich(zones, raster, "zone_id", "cell_x", "cell_y", "value")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(5), r.getDouble(6), r.getDouble(7), r.getDouble(9))).toMap
+    assert(got == Map(
+      "A" -> ((2L, 10.0, 20.0, 15.0)),
+      "B" -> ((1L, 99.0, 99.0, 99.0))))
+  }
 }
