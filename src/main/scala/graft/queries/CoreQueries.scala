@@ -167,6 +167,25 @@ object CoreQueries {
             .otherwise(col("o_totalprice")).as("o_totalprice"))
       Joins.snapshotDiff(prev, next, Seq("o_orderkey"), Seq("o_totalprice"))
     },
+    // incremental re-import refresh over two synthetic document
+    // snapshots: %89-keys deleted, %97-keys added, %50-keys rewritten
+    // to one of 7 boilerplate variants (forcing intra-batch dup
+    // collapse); actions ∝ churn, corpus never rewritten
+    "q_incremental_refresh" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val prev = docs
+        .where(pmod(col("doc_id"), lit(89)) =!= 0)
+        .select("doc_id", "text")
+      val next = docs
+        .where(pmod(col("doc_id"), lit(97)) =!= 0)
+        .select(
+          col("doc_id"),
+          when(pmod(col("doc_id"), lit(50)) === 0,
+            concat(lit("shared boilerplate "),
+              pmod(col("doc_id"), lit(7)).cast("string")))
+            .otherwise(col("text")).as("text"))
+      Incremental.refreshActions(prev, next, "doc_id", "text")
+    },
   )
 
   /** Exact decimal-sum expression fragments reused across oracles (must
@@ -240,6 +259,41 @@ object CoreQueries {
       FROM lineitem l CROSS JOIN e
       GROUP BY 1 ORDER BY 1""",
     "q_snapshot_diff" -> snapshotDiffOracle,
+    "q_incremental_refresh" -> """
+      WITH prev AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 89 <> 0),
+      nxt AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 50 = 0
+                    THEN 'shared boilerplate ' || CAST(doc_id % 7 AS VARCHAR)
+                    ELSE text END AS text
+        FROM documents WHERE doc_id % 97 <> 0),
+      d AS (
+        SELECT * FROM (
+          SELECT COALESCE(p.doc_id, n.doc_id) AS doc_id,
+                 CASE WHEN p.doc_id IS NULL THEN 'added'
+                      WHEN n.doc_id IS NULL THEN 'removed'
+                      WHEN p.text <> n.text THEN 'changed' END AS change_type,
+                 n.text AS new_text
+          FROM prev p FULL OUTER JOIN nxt n ON p.doc_id = n.doc_id)
+        WHERE change_type IS NOT NULL),
+      ups AS (
+        SELECT doc_id, change_type, md5(new_text) AS text_hash
+        FROM d WHERE change_type <> 'removed'),
+      corpus_dup AS (
+        SELECT DISTINCT md5(text) AS text_hash FROM nxt
+        WHERE doc_id NOT IN (SELECT doc_id FROM d)
+          AND md5(text) IN (SELECT text_hash FROM ups))
+      SELECT doc_id, change_type,
+             CASE WHEN text_hash IN (SELECT text_hash FROM corpus_dup)
+                    OR doc_id > MIN(doc_id) OVER (PARTITION BY text_hash)
+                  THEN 'skip_duplicate' ELSE 'upsert' END AS action,
+             text_hash
+      FROM ups
+      UNION ALL
+      SELECT doc_id, change_type, 'delete' AS action, NULL AS text_hash
+      FROM d WHERE change_type = 'removed'
+      ORDER BY doc_id""",
     "q_table_profile" -> s"""
       WITH prof AS (
         ${profileCols.map { case (c, t) =>

@@ -219,9 +219,13 @@ object DedupQueries {
     // spec-held in PqSpec.
     "q_ann_pq" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
+      // size-derived stride: the codebook must stay O(1) as the corpus
+      // grows (a fixed stride samples ∝ n and trips the loud 256-cap —
+      // found by the sf1 scale run). floor 16 keeps sf≤0.1 output
+      // byte-identical; the oracle replays the same GREATEST/CEIL.
       Similarity.pqTopK(
         emb, emb.where(col("vec_id") < 8), "vec_id", "embedding",
-        k = 10, m = 8, centroidStride = 16)
+        k = 10, m = 8, centroidStride = autoStride(emb))
     },
     // K5 gate — IVF-PQ composition, VERBATIM: cells prune (stride-16
     // coarse codebook, nProbe 4 — a strict subset at every verify
@@ -232,9 +236,10 @@ object DedupQueries {
     // hash gate.
     "q_ann_ivfpq" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
+      val stride = autoStride(emb) // same scale posture as q_ann_pq
       Similarity.ivfPqTopK(
         emb, emb.where(col("vec_id") < 8), "vec_id", "embedding",
-        k = 10, m = 8, cellStride = 16, pqStride = 16, nProbe = 4)
+        k = 10, m = 8, cellStride = stride, pqStride = stride, nProbe = 4)
     },
   )
 
@@ -260,6 +265,16 @@ object DedupQueries {
     * `floor(sum/n + 0.5)` with empty-cell carry-over. Ends with the
     * quantized corpus `emb(vec_id, qv)` and the final codebook
     * `cb$iters(cell, cv)` in scope. */
+  /** Codebook sampling stride that keeps the sampled codebook O(1) as
+    * the corpus grows: ceil(n/128), floored at 16 so sf ≤ 0.1 output
+    * stays byte-identical to the historical fixed-16 gates. The PQ
+    * oracles replay the identical GREATEST/CEIL as a scalar subselect. */
+  private def autoStride(corpus: DataFrame): Long =
+    math.max(16L, math.ceil(corpus.count() / 128.0).toLong)
+
+  private val autoStrideSql: String =
+    "(SELECT GREATEST(16, CAST(CEIL(COUNT(*) / 128.0) AS BIGINT)) FROM embeddings)"
+
   private def kmeansCteSql(iters: Int): String = {
     val init = s"""
       emb AS (
@@ -572,7 +587,7 @@ object DedupQueries {
       WITH cb AS (
         SELECT CAST(ROW_NUMBER() OVER (ORDER BY CAST(vec_id AS VARCHAR)) - 1 AS INT) AS cidx,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
-        FROM embeddings WHERE vec_id % 16 = 0),
+        FROM embeddings WHERE vec_id % $autoStrideSql = 0),
       subs AS (SELECT CAST(s.range AS INT) AS sub FROM range(8) s),
       cents AS (
         SELECT subs.sub, cb.cidx,
@@ -614,14 +629,14 @@ object DedupQueries {
     * codebook, argmax-dot assignment, nProbe nearest cells) feeding
     * the q_ann_pq CTEs (subspace codebook, argmin-L2 encode, ordered
     * ADC sums), joined on the probed (query, cell) pairs. Both
-    * codebooks happen to share stride 16 here, but stay separate CTEs
-    * — the operators sample independently. */
+    * codebooks happen to share the size-derived stride here, but stay
+    * separate CTEs — the operators sample independently. */
   private lazy val annIvfPqSql: String = s"""
       WITH cellcb1 AS (
         SELECT CAST(vec_id AS VARCHAR) AS cid, embedding,
                SQRT(list_sum(list_transform(embedding,
                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-        FROM embeddings WHERE vec_id % 16 = 0),
+        FROM embeddings WHERE vec_id % $autoStrideSql = 0),
       cellcb AS (
         SELECT CAST(ROW_NUMBER() OVER (ORDER BY cid) - 1 AS INT) AS cell,
                CASE WHEN nrm > 0
@@ -648,7 +663,7 @@ object DedupQueries {
       pqcb AS (
         SELECT CAST(ROW_NUMBER() OVER (ORDER BY CAST(vec_id AS VARCHAR)) - 1 AS INT) AS cidx,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
-        FROM embeddings WHERE vec_id % 16 = 0),
+        FROM embeddings WHERE vec_id % $autoStrideSql = 0),
       subs AS (SELECT CAST(s.range AS INT) AS sub FROM range(8) s),
       cents AS (
         SELECT subs.sub, pqcb.cidx,

@@ -196,6 +196,22 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(out == Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
   }
 
+  test("refreshActions emits churn-proportional delete/upsert/skip actions") {
+    val prev = Seq((1L, "a"), (2L, "b"), (3L, "c"), (5L, "dup")).toDF("k", "t")
+    val next = Seq((2L, "b"), (3L, "cc"), (4L, "dup"), (5L, "dup"),
+      (6L, "x"), (7L, "x")).toDF("k", "t")
+    val out = Incremental.refreshActions(prev, next, "k", "t")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out == Map(
+      1L -> ("removed", "delete"),          // gone from next
+      3L -> ("changed", "upsert"),          // content rewrite, unique hash
+      4L -> ("added", "skip_duplicate"),    // collides with untouched row 5
+      6L -> ("added", "upsert"),            // batch-dup pair: min id kept
+      7L -> ("added", "skip_duplicate")))   // batch-dup pair: rest skipped
+    // unchanged rows (2, 5) produce no action at all
+    assert(!out.contains(2L) && !out.contains(5L))
+  }
+
   test("sketchRollup merges fine-grain sketches to accurate coarse counts") {
     // 3 days × 2 types; users overlap across days so the merged
     // distinct must dedupe ACROSS cells, not sum them

@@ -345,6 +345,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(plan) <= 2, s"unexpected exchanges: ${shuffles(plan)}")
   }
 
+  test("incremental refresh probes the corpus map-side, churn-sized builds only") {
+    import spark.implicits._
+    // a corpus-dup collision must exist, else AQE's empty-relation
+    // propagation erases the probe joins and there is nothing to audit;
+    // auto-broadcast off so ONLY the operator's explicit hints can
+    // produce broadcast joins (at test scale AQE would mask their loss)
+    val autoBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aqeBcast = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", autoBcast)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val prev = (1L to 50L).map(i => (i, s"t$i")).toDF("k", "t")
+      val next = ((2L to 50L).map(i => (i, s"t$i")) :+ (99L, "t7")).toDF("k", "t")
+      val plan = executed(operators.Incremental.refreshActions(prev, next, "k", "t"))
+      assert(!plan.exists(_.nodeName.toLowerCase.contains("nestedloop")))
+      assert(!plan.exists(_.nodeName.toLowerCase.contains("cartesian")))
+      // the corpus anti/semi probes and the dup-flag join all build the
+      // churn-sized side — three broadcast hash joins, no corpus shuffle
+      assert(plan.count(_.isInstanceOf[BroadcastHashJoinExec]) >= 3,
+        "corpus probe degraded from broadcast to a shuffled join")
+      // post-diff exchanges are all churn-sized: the upsert-hash
+      // distinct feeding the semi-probe broadcast build, the corpus-dup
+      // distinct, the window over upserts, and the presentation sort
+      assert(shuffles(plan) <= 4, s"unexpected exchanges: ${shuffles(plan)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", autoBcast)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", aqeBcast)
+    }
+  }
+
   test("semantic dedup pairs via a cell-keyed equi-join, never a nested loop") {
     val plan = executed(SparkEntry.queries("q_semantic_dedup")(spark, dir))
     assert(!plan.exists(_.nodeName.toLowerCase.contains("nestedloop")))
