@@ -1,9 +1,14 @@
 #!/usr/bin/env python3
 """Local mimic of the driver's correctness gate: run oracle_sql.json in
 DuckDB over the same sf dir, compare with the Spark parquet dumps.
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [oracleTimeoutSec]
+
+The optional third arg interrupts any single DuckDB oracle after that
+many seconds and records it as [TIME] instead of [FAIL] — for scale
+runs (sf >= 1) where a few intentionally-unblocked O(n^2) oracles
+(e.g. the simhash all-pairs scan) outgrow the oracle engine, not ours.
 """
-import sys, json, glob, math
+import sys, json, glob, math, threading
 import duckdb
 import pandas as pd
 
@@ -15,21 +20,37 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
-def main(sf_dir: str, out_dir: str) -> None:
+def main(sf_dir: str, out_dir: str, timeout_s: float = 0.0) -> None:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = 0
+    n_timed = 0
     for name, sql in sorted(oracles.items()):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"[FAIL] {name}: no spark output"); continue
         spark_df = norm(pd.concat([pd.read_parquet(f) for f in sorted(files)]))
+        timer = None
+        timed_out = []
+        if timeout_s > 0:
+            timer = threading.Timer(
+                timeout_s, lambda: (timed_out.append(1), con.interrupt()))
+            timer.start()
         try:
             duck_df = norm(con.execute(sql).fetchdf())
         except Exception as e:
-            print(f"[FAIL] {name}: oracle error {e}"); continue
+            if timed_out:
+                n_timed += 1
+                print(f"[TIME] {name}: oracle exceeded {timeout_s:.0f}s "
+                      f"(spark rows={len(spark_df)})")
+            else:
+                print(f"[FAIL] {name}: oracle error {e}")
+            continue
+        finally:
+            if timer is not None:
+                timer.cancel()
         if list(spark_df.columns) != list(duck_df.columns):
             print(f"[FAIL] {name}: cols spark={list(spark_df.columns)} duck={list(duck_df.columns)}"); continue
         if len(spark_df) != len(duck_df):
@@ -56,7 +77,9 @@ def main(sf_dir: str, out_dir: str) -> None:
         else:
             n_ok += 1
             print(f"[ OK ] {name} ({len(spark_df)} rows)")
-    print(f"{n_ok}/{len(oracles)} ok")
+    timed = f" ({n_timed} oracle-timeout)" if n_timed else ""
+    print(f"{n_ok}/{len(oracles)} ok{timed}")
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1], sys.argv[2],
+         float(sys.argv[3]) if len(sys.argv) > 3 else 0.0)
