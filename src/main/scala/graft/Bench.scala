@@ -83,8 +83,10 @@ object Bench {
     def fmt(v: Double): String = f"$v%.2f"
     def jmap(qs: Seq[(String, Double)]): String =
       qs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val totalMed = results.map(_._3).sum
+    // failed queries report -1.0 as their per-query marker; clamp them
+    // to 0 in the totals so a failure can't shrink the reported sum
+    val total = results.map(r => math.max(r._2, 0.0)).sum
+    val totalMed = results.map(r => math.max(r._3, 0.0)).sum
     val spreads = results.map(_._4).sorted
     val spreadPct = if (spreads.isEmpty) 0.0 else spreads(spreads.size / 2) * 100
     println(
