@@ -19,7 +19,14 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // A thrown query must FAIL its gate, not vanish from it: round 8
+        // lost 16 queries to a corpus-encoding change and the correctness
+        // report shrank instead of going red. Dump a sentinel row whose
+        // schema can never match any oracle so the compare flags it.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        import spark.implicits._
+        Seq(s"$name: ${e.getMessage}".take(500)).toDF("graft_verify_error")
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

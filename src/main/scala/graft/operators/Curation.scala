@@ -228,6 +228,35 @@ object Curation {
         Window.orderBy(col("e.est").desc, col("e.term"))).as("rank"))
   }
 
+  /** Q10 gate wiring — [[ngramTopKSketch]] with `capacity` sized from a
+    * distinct-estimate pre-pass so the sketch stays in its EXACT regime
+    * (distinct terms ≤ capacity) at any verify scale: one map-only HLL
+    * pass over the gram stream (exchange = one sketch per partition, one
+    * bounded number to the driver — the IVF-codebook collect shape),
+    * then capacity = next pow-2 ≥ max(minCapacity, 1.5 × estimate)
+    * (HLL's default ±5% rel-sd is far inside the 1.5× margin). The
+    * corpus vocabulary grew past the old fixed 4096 between sf0.1 and
+    * sf1, silently leaving the exact regime; production keeps a FIXED
+    * capacity and takes the `est ∈ [true − N/capacity, true]` bound
+    * (spec-held in CurationSpec). */
+  def ngramTopKSketchAuto(
+      df: DataFrame, textCol: String, n: Int, k: Int,
+      minCapacity: Int = 4096): DataFrame = {
+    val est = df
+      .withColumn("__toks", split(col(textCol), " "))
+      .where(size(col("__toks")) >= n)
+      .select(explode(ngramsFromTokens(col("__toks"), n)).as("__g"))
+      .agg(approx_count_distinct(col("__g")).as("d"))
+      .head().getLong(0)
+    val want = math.max(minCapacity.toLong, (est * 3 + 1) / 2)
+    val capacity = java.lang.Long.highestOneBit(math.max(1L, want * 2 - 1))
+    require(capacity <= (1L << 24),
+      s"ngramTopKSketchAuto: derived capacity $capacity exceeds 2^24 — " +
+        s"vocabulary estimate $est is beyond the exact-gate regime; use " +
+        "ngramTopKSketch with a fixed capacity and the MG error bound")
+    ngramTopKSketch(df, textCol, n, k, capacity.toInt)
+  }
+
   /** Benchmark decontamination: flag corpus docs sharing any word
     * n-gram with a benchmark set (the standard pre-training hygiene
     * pass). Distinct n-grams explode on both sides; the bench side

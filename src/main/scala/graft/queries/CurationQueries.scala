@@ -39,13 +39,16 @@ object CurationQueries {
       Curation.ngramTopK(Tables.documents(s, dir), "text", n = 2, k = 100)
     },
     // Q10 gate — the MG sketch against the EXACT top-k oracle
-    // verbatim (K3's "exact at verify scales" pattern): the corpus
-    // vocabulary (~930 distinct bigrams) stays below capacity 4096, so
-    // no decrement ever fires and every estimate is provably exact —
-    // any sketch/merge regression breaks the row hash.
+    // verbatim (K3's "exact at verify scales" pattern): capacity is
+    // sized from a distinct-estimate pre-pass (1.5× margin, pow-2) so
+    // the sketch stays in its exact regime at ANY verify scale — the
+    // fixed capacity 4096 silently left it when the sf1 clone's
+    // vocabulary hit ~9.3k distinct bigrams. No decrement ever fires,
+    // so any sketch/merge regression breaks the row hash; the
+    // fixed-capacity production path's MG bound is spec-held.
     "q_ngram_sketch_topk" -> { (s, dir) =>
-      Curation.ngramTopKSketch(
-        Tables.documents(s, dir), "text", n = 2, k = 100, capacity = 4096)
+      Curation.ngramTopKSketchAuto(
+        Tables.documents(s, dir), "text", n = 2, k = 100)
     },
     // decontamination: src0 docs stand in for the benchmark set
     "q_decontaminate" -> { (s, dir) =>

@@ -160,4 +160,20 @@ class HashExpressionsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
     assert(sk == ex)
   }
+
+  test("ngramTopKSketchAuto re-sizes past a too-small floor and stays exact") {
+    // 600 distinct bigrams ("w<i> w<i+1>"), each with multiplicity i%7+1
+    // — a fixed minCapacity of 64 would leave the exact regime (the sf1
+    // clone did exactly this to the old fixed 4096); the auto pre-pass
+    // must size past the vocabulary and reproduce the exact ranking.
+    import spark.implicits._
+    val docs = (0 until 600)
+      .flatMap(i => Seq.fill(i % 7 + 1)(s"w$i w${i + 1}")).toDF("text")
+    val sk = graft.operators.Curation
+      .ngramTopKSketchAuto(docs, "text", 2, 80, minCapacity = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    val ex = graft.operators.Curation.ngramTopK(docs, "text", 2, 80)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(sk == ex)
+  }
 }
