@@ -190,6 +190,49 @@ object Aggregations {
       .orderBy(groupBy.map(col): _*)
   }
 
+  /** Exact interpolated percentiles (the `percentile`/`quantile_cont`
+    * formula: position r = (n−1)·p, linear interpolation between the
+    * bracketing order statistics) computed over a VALUE HISTOGRAM
+    * instead of Spark's per-group value map: groupBy(group, value) →
+    * cumulative-count window → the two rows covering floor(r)+1 and
+    * ceil(r)+1 yield the bracket. Exchange is ∝ distinct values (with
+    * map-side combine), not rows — Spark's `percentile` aggregate
+    * buffers EVERY row's value per group, which at sf1 turned the A6
+    * gate's exact comparator into the single slowest line of the
+    * bench (46 s over 6M rows). Ties/duplicates collapse into one
+    * histogram row, so heavy-duplicate columns get cheaper, not
+    * slower. */
+  def exactPercentilesByValue(
+      df: DataFrame, valueCol: String, groupBy: Seq[String],
+      quantiles: Seq[Double], outCol: String = "eq"): DataFrame = {
+    val g = groupBy.map(col)
+    val counts = df.where(col(valueCol).isNotNull)
+      .groupBy((groupBy.map(col) :+ col(valueCol).cast("double").as("__v")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wOrd = Window.partitionBy(g: _*).orderBy(col("__v"))
+    val wAll = Window.partitionBy(g: _*)
+    val staged = counts
+      .withColumn("__cum", sum(col("__c")).over(wOrd))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+    val aggs = quantiles.zipWithIndex.flatMap { case (p, i) =>
+      val r = (col("__n") - 1) * lit(p)
+      val kLo = floor(r) + 1
+      val kHi = ceil(r) + 1
+      def cover(k: Column) =
+        col("__cum") >= k && (col("__cum") - col("__c")) < k
+      Seq(
+        max(when(cover(kLo), col("__v"))).as(s"__lo$i"),
+        max(when(cover(kHi), col("__v"))).as(s"__hi$i"))
+    } :+ max(col("__n")).as("__n")
+    val perGroup = staged.groupBy(g: _*).agg(aggs.head, aggs.tail: _*)
+    val outs = quantiles.zipWithIndex.map { case (p, i) =>
+      val r = (col("__n") - 1) * lit(p)
+      val d = r - floor(r)
+      col(s"__lo$i") + d * (col(s"__hi$i") - col(s"__lo$i"))
+    }
+    perGroup.select((g :+ array(outs: _*).as(outCol)): _*)
+  }
+
   /** Incremental distinct-count rollup via mergeable HLL sketches
     * (Datasketches `hll_sketch_agg` / `hll_union_agg`): build one
     * sketch per fine-grained cell (e.g. day × key), then MERGE the

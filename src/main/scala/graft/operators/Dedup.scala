@@ -582,8 +582,17 @@ object Dedup {
   }
 
   /** J5 — embedding-cosine near-duplicates over pairs blocked by
-    * `blockCol` (cluster label or an ANN bucket — see
-    * [[Similarity.lshBucket]] for the scale path). */
+    * `blockCol` (cluster label or an ANN bucket).
+    *
+    * Scale note (measured at sf1): with FIXED block cardinality the
+    * within-block pair count grows ∝ n²/nBlocks — J5 is the exact
+    * small/labeled-corpus tool, and [[Clustering.semanticDedup]] (cells
+    * ∝ √n) or [[Similarity.lshBucket]] is the scale path. Salting the
+    * pair join was tried and REVERTED: Spark broadcasts the ≤10s-of-MB
+    * embedding side and streams the probe, so there is no key-
+    * parallelism collapse to fix — a salt factor of S only bloats the
+    * broadcast ×S (S=32 measured 2× slower than S=1 at sf1); the
+    * quadratic candidate evaluation itself is the irreducible cost. */
   def embeddingNearDup(
       df: DataFrame, idCol: String, vecCol: String, blockCol: String,
       threshold: Double): DataFrame = {

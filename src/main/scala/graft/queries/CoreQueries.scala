@@ -78,13 +78,14 @@ object CoreQueries {
       val li = Tables.lineitem(s, dir)
       val sk = Aggregations.sketchProfile(
         li, "l_extendedprice", "l_partkey", Seq("l_returnflag"))
-      // ONE array-percentile aggregate (4 scalar `percentile` aggs
-      // each keep their own per-group value map — measured 4× the agg
-      // cost of the fused form)
-      val exact = li.groupBy("l_returnflag").agg(
-        count_distinct(col("l_partkey")).as("exact_distinct"),
-        percentile(col("l_extendedprice"),
-          array(lit(0.25), lit(0.5), lit(0.75), lit(0.95))).as("eq"))
+      // exact comparator via the histogram percentile (exchange ∝
+      // distinct values, not rows — Spark's `percentile` agg buffers
+      // every row per group and was the slowest line of the sf1 bench)
+      val exact = li.groupBy("l_returnflag")
+        .agg(count_distinct(col("l_partkey")).as("exact_distinct"))
+        .join(Aggregations.exactPercentilesByValue(
+          li, "l_extendedprice", Seq("l_returnflag"),
+          Seq(0.25, 0.5, 0.75, 0.95)), "l_returnflag")
       def near(a: Column, i: Int): Column = {
         val e = element_at(col("eq"), i)
         abs(a - e) <= lit(0.02) * (abs(e) + 1.0)

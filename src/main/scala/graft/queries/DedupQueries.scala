@@ -71,25 +71,27 @@ object DedupQueries {
       Dedup.embeddingNearDup(
         Tables.embeddings(s, dir), "vec_id", "embedding", "label", threshold = 0.4)
     },
-    // K6 gate — fixed-point k-means, VERBATIM: every step (stride-16
-    // init, quantization to the 2^20 grid, integer-L2 argmin
-    // assignment with lowest-ordinal ties, elementwise mean update
-    // with empty-cell carry-over, reassignment, exact integer
-    // inertia) replays in the oracle — all cross-row arithmetic is
-    // integer, so there is no fold-order rounding to hide behind; a
-    // defect in any stage moves points across cells or shifts a
-    // centroid coordinate and the hash fails.
+    // K6 gate — fixed-point k-means, VERBATIM: every step
+    // (√n-derived-stride init — see autoSqrtStride — quantization to
+    // the 2^20 grid, integer-L2 argmin assignment with lowest-ordinal
+    // ties, elementwise mean update with empty-cell carry-over,
+    // reassignment, exact integer inertia) replays in the oracle —
+    // all cross-row arithmetic is integer, so there is no fold-order
+    // rounding to hide behind; a defect in any stage moves points
+    // across cells or shifts a centroid coordinate and the hash fails.
     "q_kmeans" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
       Clustering.kmeans(
-        Tables.embeddings(s, dir), "vec_id", "embedding", stride = 16, iters = 2)
+        emb, "vec_id", "embedding", stride = autoSqrtStride(emb), iters = 2)
     },
     // K6b gate — cluster-balanced sampling: the k-means replay feeds
     // the q_stratified_sample window recipe with cells as strata; the
     // md5 sample order is engine-portable, so rows match verbatim.
     "q_cluster_sample" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
       Clustering.clusterSample(
-        Tables.embeddings(s, dir), "vec_id", "embedding",
-        stride = 16, iters = 2, frac = 0.25)
+        emb, "vec_id", "embedding",
+        stride = autoSqrtStride(emb), iters = 2, frac = 0.25)
     },
     // J9 gate — SemDeDup (cluster-blocked embedding near-dup): the
     // oracle replays the k-means fit, blocks pairs by the SAME cells,
@@ -98,9 +100,10 @@ object DedupQueries {
     // one hash gate. Same pair semantics as q_dedup_embedding, with
     // the learned cells standing in for the labels.
     "q_semantic_dedup" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
       Clustering.semanticDedup(
-        Tables.embeddings(s, dir), "vec_id", "embedding",
-        stride = 16, iters = 2, threshold = 0.4)
+        emb, "vec_id", "embedding",
+        stride = autoSqrtStride(emb), iters = 2, threshold = 0.4)
     },
     // J6 — cluster the union of two dedup signals (exact text hash +
     // sorted-word fingerprint) into connected components; multi-hop
@@ -181,8 +184,8 @@ object DedupQueries {
     // K3b gate — SUB-EXHAUSTIVE probing behind the driver gate (the
     // round-6 exhaustive-by-construction entry above proves exactness;
     // this one puts the PARTIAL-probe code path itself under hash
-    // verification): stride 16 gives ≥ 32 cells at every verify scale
-    // while nProbe stays 4, and the DuckDB oracle replays the whole
+    // verification): the √n-derived stride keeps ≥ ~20 cells at every
+    // verify scale while nProbe stays 4, and the DuckDB oracle replays the whole
     // production pipeline — stride sampling, string-ordinal codebook,
     // L2 normalization, argmax-dot assignment (ties → lowest ordinal),
     // nProbe nearest-cell selection, exact cosine rank — with
@@ -191,7 +194,7 @@ object DedupQueries {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfTopK(
         emb, emb.where(col("vec_id") < 8), "vec_id", "embedding",
-        k = 10, centroidStride = 16, nProbe = 4)
+        k = 10, centroidStride = autoSqrtStride(emb), nProbe = 4)
     },
     // K3c gate — the SAME sub-exhaustive pipeline probed through a
     // PERSISTED partitionBy(cell) parquet index (write once, prune
@@ -202,7 +205,7 @@ object DedupQueries {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfIndexedTopK(
         emb, emb.where(col("vec_id") < 8), "vec_id", "embedding",
-        k = 10, centroidStride = 16, nProbe = 4,
+        k = 10, centroidStride = autoSqrtStride(emb), nProbe = 4,
         // per-JVM token: concurrent harness runs over the same data
         // dir must not collide on a shared /tmp path; within one JVM
         // repeat runs REUSE the index (probe-only — the amortized
@@ -275,6 +278,25 @@ object DedupQueries {
   private val autoStrideSql: String =
     "(SELECT GREATEST(16, CAST(CEIL(COUNT(*) / 128.0) AS BIGINT)) FROM embeddings)"
 
+  /** Centroid sampling stride that keeps k ≈ √n (the standard IVF
+    * nlist / SemDeDup cell-count sizing, capped at the 4096 codebook
+    * bound): with the old FIXED 16 the cell count grew ∝ n, so the
+    * n×k assignment pass grew ∝ n²/16 — the sf1 run priced that out
+    * on BOTH engines (q_ann_ivf_probe ×16.6 Spark-side; the three
+    * k-means-replay oracles past 600 s in DuckDB). √n keeps the
+    * assignment ∝ n^1.5 and the within-cell pair scan ∝ n (SemDeDup's
+    * design point). Both engines evaluate the identical
+    * GREATEST/CEIL/SQRT in IEEE double, so the derived stride — and
+    * therefore every downstream hash — replays verbatim. */
+  private def autoSqrtStride(corpus: DataFrame): Long = {
+    val n = corpus.count()
+    val k = math.min(4096L, math.ceil(math.sqrt(n.toDouble)).toLong)
+    math.max(16L, math.ceil(n.toDouble / k).toLong)
+  }
+
+  private val autoSqrtStrideSql: String =
+    "(SELECT GREATEST(16, CAST(CEIL(COUNT(*) / LEAST(4096, CEIL(SQRT(COUNT(*))))) AS BIGINT)) FROM embeddings)"
+
   private def kmeansCteSql(iters: Int): String = {
     val init = s"""
       emb AS (
@@ -283,7 +305,7 @@ object DedupQueries {
         FROM embeddings),
       cb0 AS (
         SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, qv AS cv
-        FROM emb WHERE vec_id % 16 = 0)"""
+        FROM emb WHERE vec_id % $autoSqrtStrideSql = 0)"""
     val rounds = (0 until iters).map { t =>
       s""",
       asg$t AS (
@@ -538,7 +560,7 @@ object DedupQueries {
         SELECT CAST(vec_id AS VARCHAR) AS cid, embedding,
                SQRT(list_sum(list_transform(embedding,
                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-        FROM embeddings WHERE vec_id % 16 = 0),
+        FROM embeddings WHERE vec_id % $autoSqrtStrideSql = 0),
       cbn AS (
         SELECT CAST(ROW_NUMBER() OVER (ORDER BY cid) - 1 AS INT) AS cell,
                CASE WHEN nrm > 0

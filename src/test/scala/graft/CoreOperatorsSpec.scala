@@ -270,6 +270,24 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(out("B") == (("R|B", 1)))
   }
 
+  test("exactPercentilesByValue matches Spark's percentile aggregate") {
+    // heavy duplicates + uneven group sizes so interpolation brackets
+    // land both inside and between histogram rows
+    val rows = (0 until 997).map { i =>
+      (s"g${i % 3}", ((i * 7919) % 50).toDouble / 3.0)
+    }.toDF("g", "v")
+    val ps = Seq(0.0, 0.25, 0.5, 0.75, 0.95, 1.0)
+    val ref = rows.groupBy("g").agg(
+      percentile(col("v"), array(ps.map(lit): _*)).as("eq"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val got = Aggregations.exactPercentilesByValue(rows, "v", Seq("g"), ps)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (g, vs) =>
+      vs.zip(ref(g)).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    }
+  }
+
   test("subtreeAggregate rolls facts up every ancestor") {
     val nodes = Seq(
       ("R", None, 0L), ("A", Some("R"), 1L), ("A1", Some("A"), 1L),
