@@ -88,7 +88,10 @@ object CurationQueries {
           lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
           lit(" from 10."), (col("doc_id") % 256).cast("string"), lit(".0.1")
         ).as("text"))
-      Curation.piiScrub(injected, "doc_id", "text", piiPatterns)
+      // fused one-scan scrub; identical to the sequential form here
+      // because the injected matches are mutually disjoint (PiiScrubSpec
+      // holds the parity), so the sequential oracle replay still gates it
+      Curation.piiScrubFused(injected, "doc_id", "text", piiPatterns)
     },
     // Q13 — token-budget source mixing: per-source budgets from the
     // shared CASE (src0 squeezed, src1 roomy, default 400), md5-order

@@ -115,6 +115,58 @@ class CurationSpec extends SparkSpec {
     assert(out(3L).getAs[String]("scrubbed") == "ip <IP> twice <IP>")
   }
 
+  test("piiScrubFused matches the sequential scrub wherever matches are disjoint") {
+    val pats = Seq(
+      ("emails", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      ("phones", "\\b555-[0-9]{4}\\b", "<PHONE>"),
+      ("ips", "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b", "<IP>"))
+    val df = Seq(
+      (1L, "mail a@b.com and c.d@e.org from 10.0.0.1"),
+      (2L, "nothing to hide here"),
+      (3L, "ip 192.168.1.255 twice 192.168.1.255 call 555-0001"),
+      (4L, "reach 555-1234@example.com today"), // phone INSIDE email: email wins in both forms
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val seqRows = Curation.piiScrub(df, "doc_id", "text", pats).collect().toSeq
+    val fusedRows = Curation.piiScrubFused(df, "doc_id", "text", pats).collect().toSeq
+    assert(fusedRows == seqRows)
+  }
+
+  test("piiScrubFused redacts in position order when patterns truly overlap") {
+    // sequential gives pattern 1 priority: 'bcd' fires first, killing
+    // 'abc'; the one-pass alternation is leftmost-first, so the match
+    // starting earlier ('abc', pos 0) wins regardless of listing order —
+    // the documented divergence between the two forms
+    val pats = Seq(("p1", "bcd", "<1>"), ("p2", "abc", "<2>"))
+    val df = Seq((1L, "abcd")).toDF("doc_id", "text")
+    val s = Curation.piiScrub(df, "doc_id", "text", pats).head()
+    assert((s.getInt(1), s.getInt(2), s.getString(3)) == ((1, 0, "a<1>")))
+    val f = Curation.piiScrubFused(df, "doc_id", "text", pats).head()
+    assert((f.getInt(1), f.getInt(2), f.getString(3)) == ((0, 1, "<2>d")))
+  }
+
+  test("piiScrubFused counts branches through patterns carrying their own groups") {
+    // the IP pattern has an inner group; branch attribution must skip it
+    val pats = Seq(
+      ("ips", "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b", "<IP>"),
+      ("phones", "\\b555-[0-9]{4}\\b", "<PHONE>"))
+    val r = Curation.piiScrubFused(
+      Seq((1L, "x 10.0.0.1 call 555-9999 y")).toDF("doc_id", "text"),
+      "doc_id", "text", pats).head()
+    assert((r.getInt(1), r.getInt(2), r.getString(3)) ==
+      ((1, 1, "x <IP> call <PHONE> y")))
+  }
+
+  test("piiScrubFused rejects a pattern matching the empty string") {
+    val err = intercept[Exception] {
+      Curation.piiScrubFused(
+        Seq((1L, "a")).toDF("doc_id", "text"),
+        "doc_id", "text", Seq(("bad", "x*", "<X>"))).collect()
+    }
+    assert(err.getMessage.contains("empty string") ||
+      Option(err.getCause).exists(_.getMessage.contains("empty string")))
+  }
+
   test("qualityFilter keeps docs passing every Gopher threshold") {
     val df = Seq(
       (1L, (1 to 40).map(i => s"w$i").mkString(" ")),       // diverse, long → keep
