@@ -1,0 +1,144 @@
+package graft.operators
+
+import scala.collection.mutable.ListBuffer
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Byte-pair-encoding vocabulary induction and application (Sennrich
+  * et al. 2016, "Neural Machine Translation of Rare Words with Subword
+  * Units" — the tokenizer-training step of every LLM data pipeline;
+  * reference scope: SURVEY.md §2 L3 token counting, upgraded from a
+  * fixed regex to a LEARNED subword vocabulary).
+  *
+  * Distributed shape: BPE statistics live on the WORD-FREQUENCY table,
+  * not the corpus — one corpus scan builds `(word, freq)` (shuffle ∝
+  * distinct words, i.e. the vocabulary, which at 100 TB is millions of
+  * rows against billions of documents), and every merge round is a
+  * map + pair-count aggregation + global top-1 (`TakeOrderedAndProject`
+  * — bounded per-partition heaps, one row to the driver per round,
+  * exactly the Lloyd-codebook driver-collect pattern). The corpus is
+  * touched again only by [[encode]], as one map-side broadcast join.
+  *
+  * Symbol representation: a word's symbol sequence is kept as a STRING
+  * — each symbol wrapped in single spaces and concatenated, so
+  * `cat → " c  a  t "` (two spaces between symbols, one at each edge).
+  * Merging pair (A,B) is then a plain left-to-right non-overlapping
+  * `replace(repr, " A  B ", " AB ")`, which IS the greedy BPE merge:
+  * the wrapping spaces make cross-symbol false matches impossible
+  * (" ab  b " cannot match pair (b,b)), consecutive merge sites do not
+  * steal each other's boundary (each symbol carries its own spaces),
+  * and overlapping repeats resolve left-to-right (`a a a → aa a`)
+  * exactly as BPE defines. `replace` has identical semantics in Java
+  * and any SQL engine, so the whole training loop replays verbatim in
+  * the DuckDB oracle.
+  *
+  * Determinism: pair counts are exact integers; the best pair breaks
+  * ties lexicographically — no floats anywhere in the loop.
+  */
+object Bpe {
+
+  /** One learned merge: `(round, lhs, rhs, merged, pair_count)`. */
+  final case class Merge(
+      round: Int, lhs: String, rhs: String, merged: String, pairCount: Long)
+
+  /** `(w, repr, freq)` word-frequency table with the initial
+    * one-character-per-symbol representation. Tokenization contract
+    * (shared with the oracle): split on single spaces, drop empties. */
+  def wordTable(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(col(textCol), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("w"),
+        concat(lit(" "),
+          concat_ws("  ",
+            transform(sequence(lit(1), length(col("w"))),
+              i => col("w").substr(i, lit(1)))),
+          lit(" ")).as("repr"),
+        col("freq"))
+
+  /** Learn `merges` BPE merges from the corpus. Returns the learned
+    * merge list in order (stops early if no adjacent pair remains).
+    * `checkpointEvery` bounds the replace-chain lineage for large
+    * merge counts (production vocabularies run thousands of rounds;
+    * an unbounded `withColumn` chain chokes plan stringification long
+    * before execution — the §7.1 iterative-op lesson). */
+  def train(
+      df: DataFrame, textCol: String, merges: Int,
+      checkpointEvery: Int = 32): Seq[Merge] = {
+    require(merges >= 1, s"bpeTrain: need merges >= 1, got $merges")
+    var cur = wordTable(df, textCol).persist(StorageLevel.MEMORY_AND_DISK)
+    val out = ListBuffer.empty[Merge]
+    var t = 1
+    var done = false
+    while (t <= merges && !done) {
+      val syms = split(trim(col("repr")), "  ")
+      val best = cur
+        .select(explode(
+          graft.functions.HashFunctions.string_ngrams(syms, 2)).as("pair"),
+          col("freq"))
+        .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val pair = best(0).getString(0)
+        val cnt = best(0).getLong(1)
+        val Array(lhs, rhs) = pair.split(" ", 2)
+        out += Merge(t, lhs, rhs, lhs + rhs, cnt)
+        cur = cur.withColumn("repr",
+          replace(col("repr"),
+            lit(s" $lhs  $rhs "), lit(s" $lhs$rhs ")))
+        if (t % checkpointEvery == 0) {
+          val staged = cur.localCheckpoint(true)
+          cur.unpersist()
+          cur = staged
+        }
+        t += 1
+      }
+    }
+    cur.unpersist()
+    out.toList
+  }
+
+  /** The learned vocabulary applied back to a word table: `(w, nsym)`
+    * — how many subword tokens each word becomes. */
+  def wordTokenCounts(
+      df: DataFrame, textCol: String, merges: Seq[Merge]): DataFrame = {
+    val repr = merges.foldLeft(col("repr")) { (r, m) =>
+      replace(r, lit(s" ${m.lhs}  ${m.rhs} "), lit(s" ${m.merged} "))
+    }
+    wordTable(df, textCol)
+      .select(col("w"), size(split(trim(repr), "  ")).as("nsym"))
+  }
+
+  /** Per-document subword token counts under the learned vocabulary:
+    * `(idCol, n_words, n_tokens)`. One corpus gram stream map-side
+    * joined against the broadcast `(w, nsym)` vocabulary — the corpus
+    * never shuffles on anything but its own id. */
+  def encode(
+      df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val vocab = wordTokenCounts(df, textCol, merges)
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .where(col("w") =!= "")
+      .join(broadcast(vocab), "w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("nsym").cast("long")).as("n_tokens"))
+      .orderBy(col(idCol))
+  }
+
+  /** [[train]] wrapped as a DataFrame for gating: the merge table the
+    * driver collected, re-emitted as a LocalRelation (bounded — one
+    * row per merge round, the Lloyd-codebook shape). */
+  def trainAsFrame(
+      spark: SparkSession, df: DataFrame, textCol: String,
+      merges: Int): DataFrame = {
+    import spark.implicits._
+    train(df, textCol, merges)
+      .map(m => (m.round, m.lhs, m.rhs, m.merged, m.pairCount))
+      .toDF("round", "lhs", "rhs", "merged", "pair_count")
+  }
+}

@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+
+import graft.Tables
+import graft.operators.Bpe
+
+/** SURVEY.md §2 L6/L7 — BPE vocabulary induction + application.
+  *
+  * Both oracles replay the ENTIRE training loop in SQL: the word-freq
+  * table, the per-character initial representation, and one generated
+  * CTE trio per merge round (pair counts → deterministic top-1 →
+  * replace application), exactly the per-round generated-CTE pattern
+  * the Lloyd-replay gates use (ClusteringQueries). All arithmetic is
+  * integer; ties break lexicographically — nothing engine-specific
+  * anywhere in the loop.
+  */
+object BpeQueries {
+
+  private val Merges = 8
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // L6 — learned merge table: any drift in tokenization, pair
+    // counting, tie-breaks or merge application changes some row
+    "q_bpe_train" -> { (s, dir) =>
+      Bpe.trainAsFrame(s, Tables.documents(s, dir), "text", Merges)
+    },
+    // L7 — the vocabulary applied back to the corpus: per-doc subword
+    // token counts under the learned merges (the real token-budget
+    // number a packing/mixing step consumes)
+    "q_bpe_encode" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Bpe.encode(docs, "doc_id", "text", Bpe.train(docs, "text", Merges))
+    })
+
+  /** One merge round: pair explode → weighted count → deterministic
+    * top-1 → double-space replace. `sym[i] || ' ' || sym[i+1]` matches
+    * the Spark side's `string_ngrams(syms, 2)` format exactly. */
+  private def roundCtes(t: Int): String = {
+    val prev = s"r${t - 1}"
+    s"""p$t AS MATERIALIZED (
+      SELECT unnest(list_transform(range(1, len(sym)),
+               i -> sym[i] || ' ' || sym[i+1])) AS pair, freq
+      FROM (SELECT string_split(trim(repr), '  ') AS sym, freq FROM $prev)),
+    b$t AS MATERIALIZED (
+      SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM p$t
+      GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1),
+    r$t AS MATERIALIZED (
+      SELECT w,
+             replace(repr,
+               ' ' || (SELECT string_split(pair, ' ')[1] FROM b$t) || '  ' ||
+                      (SELECT string_split(pair, ' ')[2] FROM b$t) || ' ',
+               ' ' || (SELECT replace(pair, ' ', '') FROM b$t) || ' ') AS repr,
+             freq
+      FROM $prev)"""
+  }
+
+  private def trainChain(k: Int): String =
+    s"""tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    wf AS MATERIALIZED (SELECT w, COUNT(*) AS freq FROM tok WHERE w <> '' GROUP BY w),
+    r0 AS MATERIALIZED (SELECT w,
+             ' ' || array_to_string(
+               list_transform(range(1, len(w) + 1), i -> w[i]), '  ') || ' '
+               AS repr,
+             freq
+           FROM wf),
+    ${(1 to k).map(roundCtes).mkString(",\n    ")}"""
+
+  val oracles: Map[String, String] = Map(
+    "q_bpe_train" -> s"""
+      WITH ${trainChain(Merges)}
+      SELECT round, lhs, rhs, merged, pair_count FROM (
+        ${(1 to Merges).map { t =>
+          s"""SELECT $t AS round,
+               string_split(pair, ' ')[1] AS lhs,
+               string_split(pair, ' ')[2] AS rhs,
+               replace(pair, ' ', '') AS merged,
+               cnt AS pair_count
+             FROM b$t"""
+        }.mkString("\n        UNION ALL\n        ")}
+      ) ORDER BY round""",
+    "q_bpe_encode" -> s"""
+      WITH ${trainChain(Merges)},
+      enc AS (SELECT w,
+                CAST(len(string_split(trim(repr), '  ')) AS INT) AS nsym
+              FROM r$Merges),
+      dtok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+               FROM documents)
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(nsym) AS BIGINT) AS n_tokens
+      FROM dtok JOIN enc USING (w)
+      GROUP BY doc_id ORDER BY doc_id""")
+}
