@@ -12,6 +12,16 @@ object CurationQueries {
     "q_quality_signals" -> { (s, dir) =>
       Curation.repetitionSignals(Tables.documents(s, dir), Seq("doc_id"), "text")
     },
+    // Q16 — DSIR importance resampling: src0 is the target domain,
+    // every other source is the raw corpus being selected from;
+    // row-level gate over (doc_id, weight, kept) — any drift in the
+    // hashed-bucket stats, the quantized ratio, the weight sum or the
+    // integer keep decision changes rows
+    "q_importance_resample" -> { (s, dir) =>
+      graft.operators.Importance.resample(
+        Tables.documents(s, dir), "doc_id", "text",
+        col("source") === "src0", buckets = 64, cap = 1L << 28)
+    },
     // Q15 — the Gopher-threshold keep decision over the Q1 signals
     "q_quality_filter" -> { (s, dir) =>
       Curation.qualityFilter(
@@ -206,6 +216,48 @@ object CurationQueries {
     ("ips", "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b", "<IP>"))
 
   val oracles: Map[String, String] = Map(
+    // Q16 — full replay: hashed buckets, smoothed quantized ratios
+    // (integer products cast to double for ONE division, the §7.5.15
+    // grid trick), exact weight sums, integer cross-multiplied keep.
+    // CASE keeps the weight*2^32 product inside the weight<cap branch
+    // (DuckDB errors on BIGINT overflow where Spark would wrap).
+    "q_importance_resample" -> """
+      WITH tok AS (
+        SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+      g AS (
+        SELECT doc_id, (source = 'src0') AS tgt,
+               unnest(list_transform(range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i+1])) AS gram
+        FROM tok WHERE len(toks) >= 2),
+      gb AS (
+        SELECT doc_id, tgt,
+               CAST(CAST(('0x' || substring(md5(gram), 1, 8)) AS BIGINT) % 64 AS INT)
+                 AS bucket
+        FROM g),
+      st AS (
+        SELECT bucket,
+               CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS t,
+               CAST(SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS s
+        FROM gb GROUP BY bucket),
+      tt AS (
+        SELECT CAST(SUM(t) AS BIGINT) AS tt, CAST(SUM(s) AS BIGINT) AS ss FROM st),
+      q AS (
+        SELECT bucket,
+               CAST(floor(
+                 CAST((2*t+1)*(2*ss+64) AS DOUBLE) /
+                 CAST((2*s+1)*(2*tt+64) AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) AS q
+        FROM st CROSS JOIN tt),
+      fw AS (
+        SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS f
+        FROM gb WHERE NOT tgt GROUP BY doc_id, bucket),
+      w AS (
+        SELECT doc_id, CAST(SUM(f * q) AS BIGINT) AS weight
+        FROM fw JOIN q USING (bucket) GROUP BY doc_id)
+      SELECT doc_id, weight,
+             CASE WHEN weight >= 268435456 THEN TRUE
+                  ELSE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) * 268435456 < weight * 4294967296 END AS kept
+      FROM w ORDER BY doc_id""",
     // max word multiplicity via token unnest + group; Spark computes the
     // same number as the longest run of the per-row sorted array
     "q_quality_signals" -> s"$qualitySignalsSql ORDER BY doc_id",
