@@ -96,4 +96,54 @@ object RepetitionStats {
     }
     InternalRow(nWords, words.size, topWord, topBigram, charSum)
   }
+
+  /** The Gopher keep decision from one stats pass — called by
+    * [[GopherKeep]]'s generated code. Fraction arithmetic is the SAME
+    * IEEE cast-and-divide the projected signal columns use, so the
+    * predicate and the emitted signals can never disagree. */
+  def gopherKeep(
+      arr: ArrayData, minWords: Int, minDistinctFrac: Double,
+      maxTopShare: Double): Boolean = {
+    val st = compute(arr)
+    val n = st.getInt(0)
+    n >= minWords &&
+      st.getInt(1).toDouble / n.toDouble >= minDistinctFrac &&
+      st.getInt(2).toDouble / n.toDouble <= maxTopShare
+  }
+}
+
+/** Gopher-threshold keep predicate in ONE expression (SURVEY.md §2
+  * Q15). Why not compose `repetition_stats(...).field` comparisons:
+  * predicate pushdown substitutes the projected aliases into the
+  * Filter, and `FilterExec` does NOT run subexpression elimination —
+  * each of the five struct references re-runs the whole O(L) stats
+  * pass per row (measured 3.4× on the filter query at sf1). This
+  * expression keeps the filter at exactly one stats pass per row no
+  * matter where the optimizer moves it. */
+case class GopherKeep(
+    child: Expression, minWords: Int, minDistinctFrac: Double,
+    maxTopShare: Double) extends UnaryExpression {
+
+  require(minWords >= 1, s"gopher_keep: need minWords >= 1, got $minWords")
+
+  override def prettyName: String = "gopher_keep"
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    RepetitionStats.gopherKeep(
+      v.asInstanceOf[ArrayData], minWords, minDistinctFrac, maxTopShare)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.RepetitionStats.gopherKeep(" +
+        s"$a, $minWords, $minDistinctFrac, $maxTopShare);")
+
+  override protected def withNewChildInternal(newChild: Expression): GopherKeep =
+    copy(child = newChild)
 }

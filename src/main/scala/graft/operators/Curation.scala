@@ -416,10 +416,20 @@ object Curation {
   def qualityFilter(
       df: DataFrame, idCol: String, textCol: String,
       minWords: Int, minDistinctFrac: Double, maxTopShare: Double): DataFrame =
-    repetitionSignals(df, Seq(idCol), textCol)
-      .where(col("n_words") >= minWords &&
-        col("distinct_word_frac") >= minDistinctFrac &&
-        col("top_word_share") <= maxTopShare)
+    // Filter FIRST through the single-pass GopherKeep expression, then
+    // project the signals for survivors only. Filtering on the signal
+    // COLUMNS pushes the substituted predicate below the project, and
+    // FilterExec has no subexpression elimination — five stats passes
+    // per row (3.4× at sf1). This shape runs exactly one stats pass
+    // per row plus one per survivor, same rows (GopherKeep compares
+    // with the identical IEEE fraction arithmetic).
+    repetitionSignals(
+        df.where(org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.functions.GopherKeep(
+            org.apache.spark.sql.graft.ColumnBridge.expression(
+              split(col(textCol), " ")),
+            minWords, minDistinctFrac, maxTopShare))),
+        Seq(idCol), textCol)
       .select(col(idCol), col("n_words"), col("distinct_word_frac"),
         col("top_word_share"))
       .orderBy(col(idCol))
