@@ -31,8 +31,14 @@ object TextAnalysis {
     val toks = tokens(text)
     val nChars = length(text).cast("long")
     val nTokens = size(toks).cast("long")
-    val nAlnum = length(regexp_replace(text, "[^a-zA-Z0-9]", "")).cast("long")
-    val nDigits = length(regexp_replace(text, "[^0-9]", "")).cast("long")
+    // one byte pass for both class counts (the regexp_replace pair
+    // cost two full regex scans + two replacement strings per doc just
+    // to read off lengths); both field references CSE to one eval
+    val cc = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.AsciiClassCounts(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text)))
+    val nAlnum = cc.getField("n_alnum")
+    val nDigits = cc.getField("n_digits")
     val stopRatio =
       hitCount(toks, stopEn).cast(DoubleType) / nTokens.cast(DoubleType)
     val alnumRatio = nAlnum.cast(DoubleType) / nChars.cast(DoubleType)
