@@ -64,6 +64,32 @@ object StreamOps {
         split(col("scrubbed"), " ")).getField("n_words"))
   }
 
+  /** Streaming Gopher quality gate: the Q15 keep decision applied to
+    * an unbounded document stream through the SAME single-pass
+    * codegen'd predicate as the batch operator
+    * ([[graft.functions.GopherKeep]] — one stats pass per row, no
+    * regex, no state). Stateless append-mode filter: survivors flow
+    * through with their signal columns, at any stream rate.
+    * Batch/stream parity is spec-asserted (shared expression ⇒
+    * row-for-row identical keep decisions). */
+  def qualityFilterStream(
+      docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int, minDistinctFrac: Double, maxTopShare: Double): DataFrame = {
+    val st = graft.functions.HashFunctions.repetition_stats(
+      split(col(textCol), " "))
+    val n = st.getField("n_words")
+    docs
+      .where(org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.GopherKeep(
+          org.apache.spark.sql.graft.ColumnBridge.expression(
+            split(col(textCol), " ")),
+          minWords, minDistinctFrac, maxTopShare)))
+      .select(col(idCol),
+        n.as("n_words"),
+        (st.getField("n_distinct").cast("double") / n).as("distinct_word_frac"),
+        (st.getField("top_word").cast("double") / n).as("top_word_share"))
+  }
+
   /** Watermarked tumbling-window aggregation: late events beyond
     * `watermarkDur` are dropped and window state is bounded — the
     * property that keeps an unbounded 100 TB/day stream in fixed

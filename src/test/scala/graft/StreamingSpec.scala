@@ -184,6 +184,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quality filter matches the batch Gopher gate row-for-row") {
+    val docs = Seq(
+      (1L, (1 to 40).map(i => s"w$i").mkString(" ")),          // diverse → keep
+      (2L, "short doc"),                                        // too short
+      (3L, Array.fill(50)("same").mkString(" ")),               // dominated
+      (4L, ((1 to 30).map(i => s"u$i") ++ Seq("x", "x")).mkString(" ")))
+    val input = MemoryStream[(Long, String)](spark)
+    val filtered = StreamOps.qualityFilterStream(
+      input.toDF.toDF("doc_id", "text"), "doc_id", "text",
+      minWords = 20, minDistinctFrac = 0.3, maxTopShare = 0.2)
+    val q = filtered.writeStream.format("memory").queryName("qfilter_out")
+      .outputMode("append").start()
+    try {
+      input.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.table("qfilter_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3))).toSet
+      val batch = graft.operators.Curation.qualityFilter(
+        docs.toDF("doc_id", "text"), "doc_id", "text", 20, 0.3, 0.2)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3))).toSet
+      assert(got == batch)
+      assert(got.map(_._1) == Set(1L, 4L))
+    } finally q.stop()
+  }
+
   test("streaming curation scrub matches the batch scrub row-for-row") {
     val pats = Seq(
       ("emails", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
