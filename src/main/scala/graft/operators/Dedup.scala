@@ -80,14 +80,22 @@ object Dedup {
     * candidate miner and the streaming bucket processor. */
   private[graft] def signatureFrame(
       df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, numHashes: Int): DataFrame = {
+      shingleN: Int, numHashes: Int): DataFrame =
+    shingleFrame(df, idCol, textCol, shingleN)
+      .select(col("doc_id"), minhashSignature(col("sh"), numHashes).as("sig"))
+
+  /** (doc_id, sh, n_sh) distinct-shingle-hash frame — the shared
+    * upstream of BOTH the minhash signature builder and the exact
+    * jaccard postings miner. Composed gates compute (and checkpoint)
+    * this once so the corpus is parsed and shingled a single time. */
+  private[graft] def shingleFrame(
+      df: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame = {
     val toks = split(col(textCol), " ")
     df.where(size(toks) >= shingleN)
       .select(
         col(idCol).as("doc_id"),
-        minhashSignature(
-          graft.functions.HashFunctions.shingle_hashes(toks, shingleN),
-          numHashes).as("sig"))
+        graft.functions.HashFunctions.shingle_hashes(toks, shingleN).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
   }
 
   /** Banded (doc_id, band, bucket) rows from a signature frame.
@@ -125,6 +133,16 @@ object Dedup {
     // numHashes longs (0.5 KB/doc) — executor-resident, never driver.
     val sigDf = signatureFrame(df, idCol, textCol, shingleN, numHashes)
       .localCheckpoint(true)
+    minhashCandidatesFromSig(sigDf, numHashes, bands, maxBucket)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Candidate mining from a MATERIALIZED signature frame, unsorted —
+    * the composition entry (gates that join the candidates downstream
+    * re-sort once at the end; an interior orderBy would pay a range-
+    * sampling job + a sort exchange that the join then destroys). */
+  private[graft] def minhashCandidatesFromSig(
+      sigDf: DataFrame, numHashes: Int, bands: Int, maxBucket: Int): DataFrame = {
     val pairs = bandedBuckets(sigDf, numHashes, bands)
       .groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(col("doc_id"))).as("members"))
@@ -141,7 +159,6 @@ object Dedup {
         col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           eq => eq)).cast(DoubleType) / lit(numHashes.toDouble)).as("est_jaccard"))
-      .orderBy("id_a", "id_b")
   }
 
   /** 64-bit SimHash of the token stream: bit b votes +1/−1 by the
@@ -300,6 +317,17 @@ object Dedup {
         graft.functions.HashFunctions
           .shingle_hashes(split(col(textCol), " "), n).as("sh"))
       .withColumn("n_sh", size(col("sh")))
+    ngramJaccardFromShingles(s, minJaccard).orderBy("id_a", "id_b")
+  }
+
+  /** Exact-jaccard postings miner over a prepared (doc_id, block, sh,
+    * n_sh) frame, unsorted — the composition entry (see
+    * [[minhashCandidatesFromSig]] for why interior sorts are skipped;
+    * gates additionally share ONE checkpointed [[shingleFrame]]
+    * between this and the signature builder, so the corpus text is
+    * split and hashed exactly once). */
+  private[graft] def ngramJaccardFromShingles(
+      s: DataFrame, minJaccard: Double): DataFrame = {
     // Postings-list shape, not a self-join: group the exploded shingle
     // stream once per (block, shingle) and emit member pairs from the
     // sorted postings array (the minhashCandidates bucket-miner shape).
@@ -331,7 +359,6 @@ object Dedup {
         (col("n_common").cast(DoubleType) /
           (col("na") + col("nb") - col("n_common")).cast(DoubleType)).as("jaccard"))
       .where(col("jaccard") >= minJaccard)
-      .orderBy("id_a", "id_b")
   }
 
   /** J11 — APPLY a dedup clustering to the corpus: drop every

@@ -37,10 +37,19 @@ object DedupQueries {
     // exact pairs surfaced at the largest scale).
     "q_dedup_minhash" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
-      val exact = Dedup.ngramJaccardPairs(
-        docs.withColumn("__all", lit(1)), "doc_id", "text", "__all",
-        n = 3, minJaccard = 0.5)
+      // Both sides consume the SAME distinct-shingle arrays: checkpoint
+      // the shingle frame once (text parsed/hashed a single time), then
+      // the signature build and the exact postings miner read it. The
+      // interior per-operator orderBys are skipped — the join destroys
+      // order and the gate sorts once at the end.
+      val shf = Dedup.shingleFrame(docs, "doc_id", "text", 3)
+        .localCheckpoint(true)
+      val sig = shf
+        .select(col("doc_id"), Dedup.minhashSignature(col("sh"), 64).as("sig"))
+        .localCheckpoint(true)
+      val cand = Dedup.minhashCandidatesFromSig(sig, 64, 16, 1000)
+      val exact = Dedup.ngramJaccardFromShingles(
+        shf.withColumn("block", lit(1)), minJaccard = 0.5)
       exact.join(cand, Seq("id_a", "id_b"))
         .select(
           col("id_a"), col("id_b"), col("jaccard"),
