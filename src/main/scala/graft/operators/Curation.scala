@@ -274,6 +274,74 @@ object Curation {
       .orderBy(col(idCol))
   }
 
+  /** Q17 — FUZZY benchmark decontamination: flag corpus docs whose
+    * n-gram Jaccard similarity to ANY benchmark doc reaches
+    * `minJaccard`, reporting the most-similar benchmark doc. Exact
+    * n-gram containment (Q6/Q11) misses lightly-edited benchmark
+    * copies (reworded prompt, shuffled whitespace); near-duplicate
+    * matching is the hygiene pass production pipelines layer on top
+    * (Brown et al. 2020 §C dedups eval overlaps fuzzily; Touvron et
+    * al. 2023 use minhash against eval sets).
+    *
+    * Shape: MinHash/LSH across the TWO tables — band both sides
+    * (exchange ∝ 16 longs/doc, the J2 posture), join train×bench on
+    * (band, bucket) for candidates, then EXACT-verify each candidate
+    * pair on its distinct-shingle sets (`array_intersect` on the two
+    * hash arrays — candidates only, never all pairs). Per train doc
+    * the best (max jaccard, min bench_id) match survives. The gate's
+    * oracle enumerates exact train×bench jaccard ≥ threshold pairs
+    * UNBLOCKED (inverted index), so any banding recall miss at the
+    * threshold deletes a row and fails the hash — same contract as
+    * the J2 gate. */
+  def fuzzyDecontaminate(
+      train: DataFrame, bench: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      maxBucket: Int = 1000, minJaccard: Double = 0.5): DataFrame = {
+    // Signature frames materialize once each (banding + the verify
+    // join read them; see minhashCandidates for the economics).
+    val shT = Dedup.shingleFrame(train, idCol, textCol, shingleN).localCheckpoint(true)
+    val shB = Dedup.shingleFrame(bench, idCol, textCol, shingleN).localCheckpoint(true)
+    val bbT = Dedup.bandedBuckets(
+      shT.select(col("doc_id"), Dedup.minhashSignature(col("sh"), numHashes).as("sig")),
+      numHashes, bands)
+    val bbB = Dedup.bandedBuckets(
+      shB.select(col("doc_id"), Dedup.minhashSignature(col("sh"), numHashes).as("sig")),
+      numHashes, bands)
+    // Hot-bucket cap mirrors J2: a boilerplate train bucket admits
+    // |bucket|×|bench-bucket| pairs, so train buckets over `maxBucket`
+    // drop before the candidate join (same documented trade as J2 —
+    // boilerplate mega-buckets belong to exact dedup, not fuzzy
+    // matching; the bench side is the small curated one and stays
+    // uncapped).
+    val hot = bbT.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__c")).where(col("__c") > maxBucket)
+      .select(col("band"), col("bucket"))
+    val cand = bbT.join(hot, Seq("band", "bucket"), "left_anti")
+      .select(col("doc_id").as("doc_id"), col("band"), col("bucket"))
+      .join(bbB.select(col("doc_id").as("bench_id"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select(col("doc_id"), col("bench_id"))
+      .distinct()
+    val scored = cand
+      .join(shT.select(col("doc_id"), col("sh").as("sh_t"), col("n_sh").as("nt")), "doc_id")
+      .join(shB.select(col("doc_id").as("bench_id"), col("sh").as("sh_b"), col("n_sh").as("nb")),
+        "bench_id")
+      .select(col("doc_id"), col("bench_id"),
+        (size(array_intersect(col("sh_t"), col("sh_b"))).cast("double") /
+          (col("nt") + col("nb") -
+            size(array_intersect(col("sh_t"), col("sh_b")))).cast("double"))
+          .as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+    scored
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("jaccard"), (-col("bench_id")).as("nbid"))).as("best"))
+      .select(
+        col("doc_id"),
+        (-col("best.nbid")).as("bench_id"),
+        col("best.jaccard").as("jaccard"))
+      .orderBy("doc_id")
+  }
+
   /** Per-doc distinct word n-grams (the shared tokenize→shingle step of
     * the decontamination family). Map-only: explode of a per-row array. */
   private def docGrams(d: DataFrame, textCol: String, n: Int, cols: Column*): DataFrame = d

@@ -415,6 +415,77 @@ object Dedup {
       .orderBy(col("span"))
   }
 
+  /** J12 — span-level dedup APPLIED: rewrite every document with its
+    * duplicated-span occurrences REMOVED, keeping only the corpus-wide
+    * first occurrence of each flagged span (the Lee et al. 2021
+    * materialization step behind [[spanDedup]]'s detection — their
+    * pipeline cuts all-but-one copy of each duplicated 50-token
+    * substring before training). A span is flagged when it appears in
+    * ≥ `minDocs` distinct documents (same criterion as J10); every
+    * token covered by a NON-first occurrence of any flagged span is
+    * dropped, and the survivors re-join in position order.
+    *
+    * Plan economics: window occurrences explode once (codegen'd
+    * StringNgrams, map-only); the dup decision is the J10 two-level
+    * partial agg (shuffle ∝ distinct (span, doc)); the corpus-wide
+    * first occurrence is `min(struct(doc_id, pos))` per span — a plain
+    * aggregate with map-side combine, chosen over a
+    * `row_number().over(partitionBy(span))` window because a hot
+    * boilerplate span would funnel its whole occurrence list through
+    * one sorting window partition, while the struct-min reduces it
+    * map-side. Covered positions fan out ≤ spanLen× the flagged
+    * occurrence mass, the keep decision is one ids-only anti-join, and
+    * the rebuild is one groupBy(doc) with an in-group position sort —
+    * every shuffle ∝ tokens or ∝ flagged mass, no pairwise work. */
+  def spanScrub(
+      df: DataFrame, idCol: String, textCol: String,
+      spanLen: Int, minDocs: Int = 2): DataFrame = {
+    require(spanLen >= 1, "spanScrub: spanLen must be >= 1")
+    require(minDocs >= 2, "spanScrub: minDocs must be >= 2 (cross-doc duplicates)")
+    val base = df.select(
+      col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+    val occ = base
+      .where(size(col("toks")) >= spanLen)
+      .select(col("doc_id"), posexplode(
+        graft.functions.HashFunctions.string_ngrams(col("toks"), spanLen)))
+      .toDF("doc_id", "pos", "span")
+    // flagged spans: >= minDocs distinct docs (two-level partial agg)
+    val dup = occ
+      .groupBy(col("span"), col("doc_id")).agg(count(lit(1)).as("__occ"))
+      .groupBy(col("span")).agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+      .select(col("span"))
+    val flagged = occ.join(dup, "span")
+    // corpus-wide first occurrence survives; the rest scrub
+    val firstOcc = flagged
+      .groupBy(col("span"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+      .select(col("span"), col("f.doc_id").as("fdoc"), col("f.pos").as("fpos"))
+    val cover = flagged.join(firstOcc, "span")
+      .where(!(col("doc_id") === col("fdoc") && col("pos") === col("fpos")))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(spanLen - 1))).as("tpos"))
+      .distinct()
+    val toks = base.select(
+      col("doc_id"), posexplode(col("toks"))).toDF("doc_id", "tpos", "tok")
+    val kept = toks.join(cover, Seq("doc_id", "tpos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        sort_array(collect_list(struct(col("tpos"), col("tok")))).as("kt"))
+      .select(
+        col("doc_id"),
+        array_join(transform(col("kt"), k => k.getField("tok")), " ").as("text_clean"),
+        size(col("kt")).as("n_kept"))
+    base.select(col("doc_id"), size(col("toks")).as("__n"))
+      .join(kept, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_kept"), lit(0)).cast("long").as("n_kept"),
+        (col("__n") - coalesce(col("n_kept"), lit(0))).cast("long").as("n_removed"))
+      .orderBy("doc_id")
+  }
+
   /** J6 — near-dup CLUSTERING: connected components over candidate-pair
     * edges (the step after J1–J5: pairwise signals → document clusters →
     * one canonical doc kept per cluster). Each round does min-label

@@ -68,6 +68,18 @@ object CurationQueries {
         docs.where(col("source") === "src0"),
         "doc_id", "text", n = 5)
     },
+    // Q17 — fuzzy decontamination: train docs minhash-matched against
+    // the src0 benchmark set, exact-verified on candidates. The oracle
+    // enumerates ALL exact train×bench jaccard >= 0.5 pairs with an
+    // UNBLOCKED inverted index, so an LSH recall miss at the threshold
+    // deletes a row and the hash fails (the J2 contract, cross-table).
+    "q_decontaminate_fuzzy" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Curation.fuzzyDecontaminate(
+        docs.where(col("source") =!= "src0"),
+        docs.where(col("source") === "src0"),
+        "doc_id", "text", shingleN = 3, minJaccard = 0.5)
+    },
     // Q11 — the Bloom scale path gated on EXACT-join parity: filter
     // false negatives are impossible and survivors re-verify exactly,
     // so any bloom build/probe defect shows up as missing rows against
@@ -332,6 +344,31 @@ object CurationQueries {
       FROM (SELECT * FROM g WHERE source <> 'src0') t
       JOIN (SELECT DISTINCT gram FROM g WHERE source = 'src0') b USING (gram)
       GROUP BY t.doc_id ORDER BY t.doc_id""",
+    // UNBLOCKED exact enumeration (inverted index over both sides) —
+    // deliberately stronger than the operator's LSH blocking, so the
+    // gate proves banding recall at the threshold, not just portability
+    "q_decontaminate_fuzzy" -> """
+      WITH g0 AS (
+        SELECT doc_id, source, list_distinct(list_transform(
+          range(1, len(string_split(text, ' ')) - 1),
+          i -> array_to_string(string_split(text, ' ')[i:i + 2], ' '))) AS grams
+        FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      g AS (SELECT doc_id, source, len(grams) AS n, unnest(grams) AS gram FROM g0),
+      t AS (SELECT * FROM g WHERE source <> 'src0'),
+      b AS (SELECT * FROM g WHERE source = 'src0'),
+      pairs AS (
+        SELECT t.doc_id AS doc_id, b.doc_id AS bench_id,
+               COUNT(*) AS c, ANY_VALUE(t.n) AS nt, ANY_VALUE(b.n) AS nb
+        FROM t JOIN b USING (gram) GROUP BY 1, 2),
+      scored AS (
+        SELECT doc_id, bench_id,
+               CAST(c AS DOUBLE) / CAST(nt + nb - c AS DOUBLE) AS jaccard
+        FROM pairs
+        WHERE CAST(c AS DOUBLE) / CAST(nt + nb - c AS DOUBLE) >= 0.5)
+      SELECT doc_id,
+             -(MAX(struct_pack(j := jaccard, nbid := -bench_id)).nbid) AS bench_id,
+             MAX(struct_pack(j := jaccard, nbid := -bench_id)).j AS jaccard
+      FROM scored GROUP BY doc_id ORDER BY doc_id""",
     // exact train-vs-test gram join — no bloom modeling: the filter is
     // semantically transparent (no false negatives + exact re-verify)
     "q_decontaminate_bloom" -> s"""

@@ -76,6 +76,14 @@ object DedupQueries {
     "q_span_dedup" -> { (s, dir) =>
       Dedup.spanDedup(Tables.documents(s, dir), "doc_id", "text", spanLen = 8)
     },
+    // J12 gate — the span-dedup APPLY: every document rewritten with
+    // non-first occurrences of cross-doc duplicated 8-token spans cut
+    // out. Row-level gate on the rebuilt text itself, so a defect in
+    // flagging, first-occurrence choice, coverage expansion, or token
+    // reassembly changes a string and the hash fails.
+    "q_span_scrub" -> { (s, dir) =>
+      Dedup.spanScrub(Tables.documents(s, dir), "doc_id", "text", spanLen = 8)
+    },
     "q_dedup_embedding" -> { (s, dir) =>
       Dedup.embeddingNearDup(
         Tables.embeddings(s, dir), "vec_id", "embedding", "label", threshold = 0.4)
@@ -437,6 +445,43 @@ object DedupQueries {
              COUNT(*) AS n_occ
       FROM w GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
       ORDER BY span""",
+    "q_span_scrub" -> """
+      WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+      occ AS (
+        SELECT doc_id,
+               unnest(range(len(a) - 7)) AS pos,
+               unnest(list_transform(range(len(a) - 7),
+                 i -> array_to_string(a[i + 1:i + 8], ' '))) AS span
+        FROM base WHERE len(a) >= 8),
+      dup AS (
+        SELECT span FROM (SELECT span, doc_id FROM occ GROUP BY span, doc_id)
+        GROUP BY span HAVING COUNT(*) >= 2),
+      flagged AS (SELECT o.* FROM occ o JOIN dup USING (span)),
+      fo AS (
+        SELECT span, MIN(struct_pack(d := doc_id, p := pos)) AS f
+        FROM flagged GROUP BY span),
+      cover AS (
+        SELECT DISTINCT doc_id, tpos FROM (
+          SELECT fl.doc_id, unnest(range(fl.pos, fl.pos + 8)) AS tpos
+          FROM flagged fl JOIN fo USING (span)
+          WHERE NOT (fl.doc_id = fo.f.d AND fl.pos = fo.f.p))),
+      toks AS (
+        SELECT doc_id, unnest(a) AS tok, unnest(range(len(a))) AS tpos
+        FROM base),
+      kept AS (
+        SELECT t.doc_id,
+               string_agg(t.tok, ' ' ORDER BY t.tpos) AS text_clean,
+               COUNT(*) AS n_kept
+        FROM toks t LEFT JOIN cover c
+          ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+        WHERE c.doc_id IS NULL GROUP BY t.doc_id)
+      SELECT b.doc_id,
+             COALESCE(k.text_clean, '') AS text_clean,
+             CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+             CAST(len(b.a) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed
+      FROM base b LEFT JOIN kept k USING (doc_id)
+      ORDER BY doc_id""",
     "q_dedup_embedding" -> s"""
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         ${cosSql("a.embedding", "b.embedding")} AS cosine

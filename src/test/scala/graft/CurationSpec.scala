@@ -341,4 +341,32 @@ class CurationSpec extends SparkSpec {
       .select(graft.functions.HashFunctions.string_ngrams(col("toks"), 3)).head
     assert(short.getSeq[String](0).isEmpty)
   }
+
+  test("fuzzyDecontaminate flags near-copies of benchmark docs with the best match") {
+    val train = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta CHANGED"), // near-copy of 1
+      (11L, "alpha beta gamma delta epsilon zeta eta theta"),         // exact copy of 1
+      (12L, "completely unrelated text about spark catalyst rules"),
+      (13L, "short doc")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "some other benchmark question entirely different words here")
+    ).toDF("doc_id", "text")
+    val out = Curation.fuzzyDecontaminate(train, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(11L) == ((1L, 1.0)))           // exact copy: jaccard 1 vs bench 1
+    assert(out.contains(10L) && out(10L)._1 == 1L && out(10L)._2 >= 0.5)
+    assert(!out.contains(12L) && !out.contains(13L))
+  }
+
+  test("fuzzyDecontaminate tie-breaks equal-jaccard matches to the min bench id") {
+    val train = Seq((10L, "a b c d e f g h")).toDF("doc_id", "text")
+    val bench = Seq(
+      (5L, "a b c d e f g h"),
+      (3L, "a b c d e f g h")).toDF("doc_id", "text")
+    val out = Curation.fuzzyDecontaminate(train, bench, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((10L, 3L, 1.0)))
+  }
 }

@@ -82,6 +82,35 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.spanDedup(solo, "doc_id", "text", spanLen = 3).count() == 0)
   }
 
+  test("spanScrub keeps the corpus-wide first occurrence and cuts the rest") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f"),   // "a b c" first occurrence (doc 1, pos 0) — kept
+      (2L, "x a b c y z"),   // non-first occurrence — cut
+      (3L, "a b c a b c w"), // BOTH occurrences non-first — cut, overlap-safe
+      (4L, "p q")            // shorter than the span — untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanScrub(df, "doc_id", "text", spanLen = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == (("a b c d e f", 6L, 0L)))
+    assert(out(2L) == (("x y z", 3L, 3L)))
+    assert(out(3L) == (("w", 1L, 6L)))
+    assert(out(4L) == (("p q", 2L, 0L)))
+  }
+
+  test("spanScrub removes a fully-duplicated doc down to empty text") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = Dedup.spanScrub(df, "doc_id", "text", spanLen = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == (("a b c", 3L, 0L)))
+    assert(out(2L) == (("", 0L, 3L)))
+  }
+
   test("embeddingNearDup finds parallel vectors within a block") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f), 0),
