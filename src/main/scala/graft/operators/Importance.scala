@@ -45,6 +45,36 @@ object Importance {
   def hashedBucket(gram: Column, buckets: Int): Column =
     (conv(substring(md5(gram), 1, 8), 16, 10).cast("long") % buckets).cast("int")
 
+  /** (bucket, q) quantized-ratio table from a tagged gram stream
+    * (`__tgt`, `bucket` columns) — the FIT artifact; ≤ `buckets` rows,
+    * reusable offline (batch resample) and online (the streaming
+    * tagger folds it into a literal map). */
+  private[graft] def ratioTable(
+      grams: DataFrame, buckets: Int, grid: Long): DataFrame = {
+    val stats = grams.groupBy("bucket").agg(
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("t"),
+      sum(when(col("__tgt"), 0L).otherwise(1L)).as("s"))
+    val tot = stats.agg(sum(col("t")).as("tt"), sum(col("s")).as("ss"))
+    val b = lit(buckets.toLong)
+    stats.crossJoin(broadcast(tot)).select(
+      col("bucket"),
+      floor(
+        ((lit(2L) * col("t") + lit(1L)) * (lit(2L) * col("ss") + b)).cast("double") /
+          ((lit(2L) * col("s") + lit(1L)) * (lit(2L) * col("tt") + b)).cast("double") *
+          lit(grid.toDouble) + lit(0.5)).cast("long").as("q"))
+  }
+
+  /** The tagged gram stream behind [[resample]]/[[ratioTable]]. */
+  private[graft] def gramStream(
+      df: DataFrame, idCol: String, textCol: String, targetPred: Column,
+      buckets: Int): DataFrame = df
+    .withColumn("__toks", split(col(textCol), " "))
+    .where(size(col("__toks")) >= 2)
+    .select(col(idCol), targetPred.as("__tgt"),
+      explode(graft.functions.HashFunctions.string_ngrams(col("__toks"), 2))
+        .as("gram"))
+    .withColumn("bucket", hashedBucket(col("gram"), buckets))
+
   /** Resample the documents where `targetPred` is FALSE (the raw
     * corpus) toward the distribution of the documents where it is
     * TRUE (the target domain). Returns `(idCol, weight, kept)` for
@@ -56,24 +86,8 @@ object Importance {
       s"importanceResample: need 1..4096 buckets, got $buckets")
     require(cap >= 1 && cap <= (1L << 31),
       s"importanceResample: need 1 <= cap <= 2^31, got $cap")
-    val grams = df
-      .withColumn("__toks", split(col(textCol), " "))
-      .where(size(col("__toks")) >= 2)
-      .select(col(idCol), targetPred.as("__tgt"),
-        explode(graft.functions.HashFunctions.string_ngrams(col("__toks"), 2))
-          .as("gram"))
-      .withColumn("bucket", hashedBucket(col("gram"), buckets))
-    val stats = grams.groupBy("bucket").agg(
-      sum(when(col("__tgt"), 1L).otherwise(0L)).as("t"),
-      sum(when(col("__tgt"), 0L).otherwise(1L)).as("s"))
-    val tot = stats.agg(sum(col("t")).as("tt"), sum(col("s")).as("ss"))
-    val b = lit(buckets.toLong)
-    val ratios = stats.crossJoin(broadcast(tot)).select(
-      col("bucket"),
-      floor(
-        ((lit(2L) * col("t") + lit(1L)) * (lit(2L) * col("ss") + b)).cast("double") /
-          ((lit(2L) * col("s") + lit(1L)) * (lit(2L) * col("tt") + b)).cast("double") *
-          lit(grid.toDouble) + lit(0.5)).cast("long").as("q"))
+    val grams = gramStream(df, idCol, textCol, targetPred, buckets)
+    val ratios = ratioTable(grams, buckets, grid)
     val weights = grams.where(!col("__tgt"))
       .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("f"))
       .join(broadcast(ratios), "bucket")

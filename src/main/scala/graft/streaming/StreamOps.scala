@@ -45,6 +45,45 @@ object StreamOps {
     df.withColumn("cell",
       graft.functions.GraftFunctions.quant_nearest_cell(col(vecCol), codebook, scale))
 
+  /** Streaming DSIR importance tagging: score an unbounded document
+    * stream against an OFFLINE-FITTED bucket-ratio table (the
+    * [[graft.operators.Importance.resample]] fit — train offline,
+    * serve online, the I9 pattern). The ≤4096-row ratio table folds
+    * into a literal map, so the per-doc weight
+    * `Σ_gram q(bucket(gram))` is ONE in-row fold over the gram array —
+    * no explode, no per-doc aggregation state, no join: stateless
+    * append mode at any stream rate. Grams hashing to buckets unseen
+    * in the fit score `defaultQ` (the add-half-smoothed empty-bucket
+    * ratio — in-fit replays never hit it). The keep decision is the
+    * batch operator's exact integer arithmetic verbatim; batch/stream
+    * parity is spec-asserted. */
+  def importanceTagStream(
+      docs: DataFrame, idCol: String, textCol: String,
+      ratios: Map[Int, Long], defaultQ: Long, cap: Long,
+      buckets: Int = 64): DataFrame = {
+    require(ratios.size <= 4096,
+      s"importanceTagStream: ratio table has ${ratios.size} buckets (> 4096)")
+    require(cap >= 1 && cap <= (1L << 31),
+      s"importanceTagStream: need 1 <= cap <= 2^31, got $cap")
+    val rmap =
+      if (ratios.isEmpty) map()
+      else map(ratios.toSeq.sortBy(_._1)
+        .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val toks = split(col(textCol), " ")
+    val grams = graft.functions.HashFunctions.string_ngrams(toks, 2)
+    val w = aggregate(grams, lit(0L), (acc, g) =>
+      acc + coalesce(
+        element_at(rmap, graft.operators.Importance.hashedBucket(g, buckets)),
+        lit(defaultQ)))
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    docs.where(size(toks) >= 2)
+      .select(col(idCol), w.as("weight"))
+      .select(col(idCol), col("weight"),
+        when(col("weight") >= cap, lit(true))
+          .otherwise(u * lit(cap) < col("weight") * lit(1L << 32)).as("kept"))
+  }
+
   /** Streaming curation scrub: PII redaction + quality signals over
     * an unbounded document stream, via the SAME pure column
     * expressions as the batch operators

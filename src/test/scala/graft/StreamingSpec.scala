@@ -212,6 +212,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming importance tagger matches the batch resample weights and keeps") {
+    val corpus = Seq(
+      (1L, "spark shuffle exchange partition spark shuffle", true),
+      (2L, "spark catalyst optimizer rules and codegen stages", true),
+      (10L, "spark shuffle exchange partition spark shuffle exactly", false),
+      (11L, "cooking pasta with tomatoes and fresh basil leaves", false),
+      (12L, "one", false) // dropped: no bigram evidence
+    )
+    val df = corpus.toDF("doc_id", "text", "tgt")
+    val cap = 2000000L
+    val batch = graft.operators.Importance
+      .resample(df, "doc_id", "text", org.apache.spark.sql.functions.col("tgt"), buckets = 64, cap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // offline fit: the ratio table the stream tagger serves from
+    val ratios = graft.operators.Importance.ratioTable(
+        graft.operators.Importance.gramStream(
+          df, "doc_id", "text", org.apache.spark.sql.functions.col("tgt"), 64), 64, 1L << 20)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val input = MemoryStream[(Long, String)](spark)
+    val tagged = StreamOps.importanceTagStream(
+      input.toDF.toDF("doc_id", "text"), "doc_id", "text",
+      ratios, defaultQ = 0L, cap = cap)
+    val q = tagged.writeStream.format("memory").queryName("dsir_out")
+      .outputMode("append").start()
+    try {
+      input.addData(corpus.collect { case (id, t, tgt) if !tgt => (id, t) }: _*)
+      q.processAllAvailable()
+      val got = spark.table("dsir_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(got == batch)
+      assert(got.map(_._1) == Set(10L, 11L))
+    } finally q.stop()
+  }
+
   test("streaming curation scrub matches the batch scrub row-for-row") {
     val pats = Seq(
       ("emails", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
