@@ -58,6 +58,33 @@ object FormatQueries {
           graft.operators.Num.dsum(col("o_totalprice")).as("price_sum"))
         .orderBy("o_orderpriority")
     },
+    // G9 — range-CLUSTERED layout behind the gate: lineitem written
+    // repartitionByRange(l_shipdate)+sorted, reread through a
+    // date-range filter, aggregated. The gate verifies the clustered
+    // round trip end-to-end (the oracle filters the source directly);
+    // ClusterLayoutSpec proves the layout's row-group skipping with
+    // scan metrics (the same filter reads ~1/nFiles of this layout vs
+    // ALL rows of a round-robin one).
+    "q_clustered_scan" -> { (s, dir) =>
+      val out = s"/tmp/graft-clustered-${java.lang.Math.abs(dir.hashCode)}"
+      graft.sources.Writers.clusteredParquet(
+        Tables.lineitem(s, dir).select(
+          // date-typed cluster key: parquet INT32 min/max stats make
+          // the range predicate a real row-group filter (an NTZ
+          // timestamp pushes at the source level but does not
+          // translate to a parquet record filter)
+          to_date(col("l_shipdate")).as("l_shipdate"),
+          col("l_returnflag"), col("l_extendedprice")),
+        out, Seq("l_shipdate"), nFiles = 24)
+      graft.sources.Readers.parquet(s, out)
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+          col("l_shipdate") < lit("1997-01-01").cast("date"))
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n_items"),
+          graft.operators.Num.dsum(col("l_extendedprice")).as("price_sum"))
+        .orderBy("l_returnflag")
+    },
     // G8 — the same verified write→reread→aggregate path on ORC (the
     // other built-in columnar format): partition layout, type fidelity
     // and decimal-exact sums must survive the round trip byte-for-byte
@@ -219,6 +246,12 @@ object FormatQueries {
       SELECT o_orderpriority, COUNT(*) AS n_orders,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum
       FROM orders GROUP BY 1 ORDER BY 1""",
+    "q_clustered_scan" -> """
+      SELECT l_returnflag, COUNT(*) AS n_items,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01' AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+      GROUP BY 1 ORDER BY 1""",
     "q_orc_roundtrip" -> """
       SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum

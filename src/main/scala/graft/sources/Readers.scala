@@ -101,6 +101,25 @@ object Writers {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Range-CLUSTERED parquet: repartition by range on `clusterCols`
+    * and sort within partitions before writing, so each output file
+    * covers a narrow key range and its parquet row-group min/max
+    * statistics become effective — a range-predicate scan then skips
+    * whole row groups (files) instead of reading the lake
+    * (ClusterLayoutSpec proves the skip with scan metrics: the same
+    * filter reads ~1/`nFiles` of the clustered layout vs ALL rows of
+    * an unclustered one). This is the sort-cluster layout move for
+    * 100 TB time-series/lakehouse tables where directory partitioning
+    * is too coarse; bucketing ([[bucketedTable]]) is the equi-join
+    * twin, this is the range-scan one. */
+  def clusteredParquet(
+      df: DataFrame, path: String, clusterCols: Seq[String], nFiles: Int): Unit = {
+    val cols = clusterCols.map(org.apache.spark.sql.functions.col)
+    df.repartitionByRange(nFiles, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Zip packaging policy for [[dwcArchiveFull]]. The CSV parts beside
     * the zips are always the queryable copy; zips are transport
     * packaging only. */
