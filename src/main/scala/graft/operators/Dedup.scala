@@ -142,8 +142,18 @@ object Dedup {
     * re-sort once at the end; an interior orderBy would pay a range-
     * sampling job + a sort exchange that the join then destroys). */
   private[graft] def minhashCandidatesFromSig(
-      sigDf: DataFrame, numHashes: Int, bands: Int, maxBucket: Int): DataFrame = {
-    val pairs = bandedBuckets(sigDf, numHashes, bands)
+      sigDf: DataFrame, numHashes: Int, bands: Int, maxBucket: Int): DataFrame =
+    estimateJaccard(
+      minhashCandidatePairsFromSig(sigDf, numHashes, bands, maxBucket),
+      sigDf, numHashes)
+
+  /** Ids-only candidate pairs from a signature frame — callers that
+    * intersect the candidate set with another pair source first (the
+    * J2 gate) score ONLY the survivors via [[estimateJaccard]],
+    * instead of paying the two signature joins over every candidate. */
+  private[graft] def minhashCandidatePairsFromSig(
+      sigDf: DataFrame, numHashes: Int, bands: Int, maxBucket: Int): DataFrame =
+    bandedBuckets(sigDf, numHashes, bands)
       .groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(col("doc_id"))).as("members"))
       .where(size(col("members")) > 1 && size(col("members")) <= maxBucket)
@@ -152,14 +162,17 @@ object Dedup {
           m2 => struct(m.as("id_a"), m2.as("id_b")))))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct() // dedup pairs BEFORE the (wider) verify join
+
+  /** Attach the minhash jaccard estimate to (id_a, id_b) pairs. */
+  private[graft] def estimateJaccard(
+      pairs: DataFrame, sigDf: DataFrame, numHashes: Int): DataFrame =
     pairs
       .join(sigDf.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigDf.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(
-        col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          eq => eq)).cast(DoubleType) / lit(numHashes.toDouble)).as("est_jaccard"))
-  }
+        pairs.columns.map(col) :+
+          (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+            eq => eq)).cast(DoubleType) / lit(numHashes.toDouble)).as("est_jaccard"): _*)
 
   /** 64-bit SimHash of the token stream: bit b votes +1/−1 by the
     * parity of xxhash64(token, b); the fingerprint folds the vote

@@ -42,15 +42,21 @@ object DedupQueries {
       // the signature build and the exact postings miner read it. The
       // interior per-operator orderBys are skipped — the join destroys
       // order and the gate sorts once at the end.
+      // TWO slim checkpoints, not one fused frame: checkpointed rows
+      // never column-prune, so a fused (sh, sig) frame would make the
+      // banding side deserialize the shingle arrays and the exact side
+      // the signatures (measured slower than recomputing).
       val shf = Dedup.shingleFrame(docs, "doc_id", "text", 3)
         .localCheckpoint(true)
       val sig = shf
         .select(col("doc_id"), Dedup.minhashSignature(col("sh"), 64).as("sig"))
         .localCheckpoint(true)
-      val cand = Dedup.minhashCandidatesFromSig(sig, 64, 16, 1000)
+      val cand = Dedup.minhashCandidatePairsFromSig(sig, 64, 16, 1000)
       val exact = Dedup.ngramJaccardFromShingles(
         shf.withColumn("block", lit(1)), minJaccard = 0.5)
-      exact.join(cand, Seq("id_a", "id_b"))
+      // intersect ids FIRST; only the surviving few hundred pairs pay
+      // the signature joins for their estimate
+      Dedup.estimateJaccard(exact.join(cand, Seq("id_a", "id_b")), sig, 64)
         .select(
           col("id_a"), col("id_b"), col("jaccard"),
           (abs(col("est_jaccard") - col("jaccard")) <= 0.2).cast("int").as("est_ok"))
