@@ -66,8 +66,30 @@ object Bpe {
     * before execution — the §7.1 iterative-op lesson). */
   def train(
       df: DataFrame, textCol: String, merges: Int,
-      checkpointEvery: Int = 32): Seq[Merge] = {
+      checkpointEvery: Int = 32, localVocabBound: Int = 65536): Seq[Merge] = {
     require(merges >= 1, s"bpeTrain: need merges >= 1, got $merges")
+    // Bounded driver fast path (the J6 connected-components precedent):
+    // BPE statistics live on the word-FREQUENCY table, whose size is
+    // the corpus VOCABULARY — when that is small enough to hold on the
+    // driver, running the merge loop locally replaces `merges`
+    // sequential cluster rounds (each a full job paying the stage
+    // floor for a global top-1) with ONE aggregation job + a local
+    // loop. Identical output by construction: the local loop is the
+    // textbook greedy algorithm the distributed replace-chain is
+    // spec-proven equal to (BpeSpec), with the same add-count
+    // arithmetic and the same binary-string tie-break. Vocabularies
+    // beyond the bound (open-domain 100 TB corpora) take the
+    // distributed loop below, unchanged.
+    if (localVocabBound > 0) {
+      val wt = wordTable(df, textCol).select(col("w"), col("freq"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (wt.count() <= localVocabBound) {
+          val words = wt.collect().map(r => (r.getString(0), r.getLong(1)))
+          return trainLocal(words, merges)
+        }
+      } finally wt.unpersist()
+    }
     var cur = wordTable(df, textCol).persist(StorageLevel.MEMORY_AND_DISK)
     val out = ListBuffer.empty[Merge]
     var t = 1
@@ -99,6 +121,70 @@ object Bpe {
       }
     }
     cur.unpersist()
+    out.toList
+  }
+
+  /** The textbook greedy loop on a collected (word, freq) table —
+    * the [[train]] fast path. Symbols are Unicode CODE POINTS (the
+    * distributed path's `substr` granularity); pair ties break on the
+    * UTF-8 byte order of "lhs rhs" (Spark's binary string ordering,
+    * = `orderBy(pair.asc)` in the cluster loop). */
+  private def trainLocal(words: Array[(String, Long)], merges: Int): Seq[Merge] = {
+    def codePoints(w: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        out += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      out.result()
+    }
+    def utf8Lt(a: String, b: String): Boolean = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    var reprs = words.map { case (w, f) => (codePoints(w), f) }
+    val out = ListBuffer.empty[Merge]
+    var t = 1
+    var done = false
+    while (t <= merges && !done) {
+      val counts = collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, f) <- reprs; i <- 0 until syms.length - 1) {
+        val k = (syms(i), syms(i + 1))
+        counts(k) = counts.getOrElse(k, 0L) + f
+      }
+      if (counts.isEmpty) done = true
+      else {
+        var best: ((String, String), Long) = null
+        for (e <- counts) {
+          if (best == null || e._2 > best._2 ||
+            (e._2 == best._2 &&
+              utf8Lt(e._1._1 + " " + e._1._2, best._1._1 + " " + best._1._2)))
+            best = e
+        }
+        val ((lhs, rhs), cnt) = best
+        out += Merge(t, lhs, rhs, lhs + rhs, cnt)
+        reprs = reprs.map { case (syms, f) =>
+          val nb = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == lhs && syms(i + 1) == rhs) {
+              nb += (lhs + rhs); i += 2
+            } else { nb += syms(i); i += 1 }
+          }
+          (nb.result(), f)
+        }
+        t += 1
+      }
+    }
     out.toList
   }
 

@@ -90,6 +90,17 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("driver fast path and distributed loop learn identical merges") {
+    val docs = Seq(
+      (1L, "low low low low low lower lower newest newest newest"),
+      (2L, "newest newest newest widest widest widest aaa abb bbb"),
+    ).toDF("doc_id", "text")
+    val local = Bpe.train(docs, "text", merges = 6) // vocab << bound → local
+    val dist = Bpe.train(docs, "text", merges = 6, localVocabBound = 0)
+    assert(local == dist)
+    assert(local.size == 6)
+  }
+
   test("repeated symbols merge left-to-right, and merged symbols can't be split-matched") {
     // 'aaa' under merge (a,a) must become [aa, a], never [a, aa] or [aaa];
     // 'abb' under merge (a,b) must become [ab, b], and a following (b,b)
