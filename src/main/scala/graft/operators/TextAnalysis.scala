@@ -98,6 +98,74 @@ object TextAnalysis {
     * canonicalization): documents with the same word set share a
     * fingerprint. Returns one row per fingerprint with its cluster
     * size and canonical (min) id. */
+  /** L8 — n-gram LM fluency scoring (the CCNet/KenLM filtering stage,
+    * Wenzek et al. 2020: score every candidate document under a
+    * language model fit on a high-quality reference corpus, and keep
+    * the fluent head — the standard web-corpus quality pass BESIDE
+    * heuristic signals (Q1/Q15) and domain matching (Q16)).
+    *
+    * Model: bigram conditional with add-half smoothing,
+    * `p(w2|w1) = (2·c(w1w2)+1) / (2·c(w1·)+V)` where `c(w1·)` counts
+    * reference bigrams starting with w1 and V is the reference
+    * vocabulary size. Per this repo's exact-arithmetic contract the
+    * per-bigram LOG surprisal is replaced by the quantized LINEAR
+    * likelihood `q = floor(p·grid + 0.5)` (ONE correctly-rounded IEEE
+    * division per bigram TYPE — integer everywhere else), and the doc
+    * score is `mean(q)` over its bigram tokens — monotone in the same
+    * evidence, exactly replayable in any engine. Back-off: unseen
+    * (w1,w2) with seen prefix scores the prefix's smoothed floor;
+    * unseen prefix scores the vocabulary floor.
+    *
+    * Shape: model ∝ reference bigram types (one agg); the candidate
+    * side is one gram-stream pass with two equi-joins against the
+    * model tables and a per-doc sum — the Q16 posture, shuffle ∝
+    * corpus grams, nothing driver-side. */
+  def lmFluency(
+      df: DataFrame, idCol: String, textCol: String, refPred: Column,
+      grid: Long = 1L << 20): DataFrame = {
+    def bigrams(d: DataFrame, cols: Column*): DataFrame = d
+      .withColumn("__toks", split(col(textCol), " "))
+      .where(size(col("__toks")) >= 2)
+      .select(cols :+ explode(
+        graft.functions.HashFunctions.string_ngrams(col("__toks"), 2))
+        .as("gram"): _*)
+      .withColumn("w1", split(col("gram"), " ").getItem(0))
+    val ref = bigrams(df.where(refPred))
+    val vTot = df.where(refPred)
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .where(col("w") =!= "")
+      .agg(count_distinct(col("w")).as("v"))
+    val prefix = ref.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val model = ref.groupBy("gram", "w1").agg(count(lit(1)).as("c12"))
+      .join(prefix, "w1")
+      .crossJoin(broadcast(vTot))
+      .select(col("gram"),
+        floor(
+          (lit(2L) * col("c12") + lit(1L)).cast(DoubleType) /
+            (lit(2L) * col("c1") + col("v")).cast(DoubleType) *
+            lit(grid.toDouble) + lit(0.5)).cast("long").as("q"))
+    val prefixFloor = prefix.crossJoin(broadcast(vTot))
+      .select(col("w1"),
+        floor(
+          lit(1.0) / (lit(2L) * col("c1") + col("v")).cast(DoubleType) *
+            lit(grid.toDouble) + lit(0.5)).cast("long").as("q1"))
+    val cand = bigrams(df.where(!refPred), col(idCol))
+    cand
+      .join(model, Seq("gram"), "left_outer")
+      .join(prefixFloor, Seq("w1"), "left_outer")
+      .crossJoin(broadcast(vTot))
+      .select(col(idCol),
+        coalesce(col("q"), col("q1"),
+          floor(lit(1.0) / col("v").cast(DoubleType) *
+            lit(grid.toDouble) + lit(0.5)).cast("long")).as("qe"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("qe")).as("score_sum"))
+      .select(col(idCol), col("n_bigrams"), col("score_sum"),
+        (col("score_sum").cast(DoubleType) /
+          col("n_bigrams").cast(DoubleType)).as("fluency"))
+      .orderBy(col(idCol))
+  }
+
   def fingerprintClusters(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val fp = md5(
       array_join(array_sort(array_distinct(tokens(lower(col(textCol))))), " ")

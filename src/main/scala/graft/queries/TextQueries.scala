@@ -25,6 +25,17 @@ object TextQueries {
     "q_fingerprint" -> { (s, dir) =>
       TextAnalysis.fingerprintClusters(Tables.documents(s, dir), "doc_id", "text")
     },
+    // L8 — n-gram LM fluency scoring (CCNet): src1 docs stand in for
+    // the clean reference corpus; every other doc scores under the
+    // smoothed bigram model fit on it. The oracle replays the fit and
+    // the scoring end-to-end (integer counts, one quantized IEEE
+    // division per bigram type, exact sums), so a drift anywhere in
+    // model building, back-off, or the mean moves a row.
+    "q_lm_fluency" -> { (s, dir) =>
+      TextAnalysis.lmFluency(
+        Tables.documents(s, dir), "doc_id", "text",
+        col("source") === "src1")
+    },
     // End-to-end corpus curation — the LLM-pipeline stages composed as
     // ONE Catalyst plan via Chain: score quality → language-ID → keep
     // good English docs → exact-dedup (keep min doc_id per text hash)
@@ -149,5 +160,48 @@ object TextQueries {
       SELECT md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint,
              COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
       FROM documents GROUP BY 1 ORDER BY 1""",
+    "q_lm_fluency" -> """
+      WITH tk AS (
+        SELECT doc_id, source, string_split(text, ' ') AS a FROM documents),
+      bg AS (
+        SELECT doc_id, source,
+               unnest(list_transform(range(1, len(a)),
+                 i -> a[i] || ' ' || a[i+1])) AS gram
+        FROM tk WHERE len(a) >= 2),
+      ref AS (
+        SELECT gram, string_split(gram, ' ')[1] AS w1
+        FROM bg WHERE source = 'src1'),
+      vv AS (
+        SELECT COUNT(DISTINCT w) AS v FROM (
+          SELECT unnest(string_split(text, ' ')) AS w
+          FROM documents WHERE source = 'src1') WHERE w <> ''),
+      prefix AS (SELECT w1, COUNT(*) AS c1 FROM ref GROUP BY w1),
+      model AS (
+        SELECT gram,
+               CAST(FLOOR(CAST(2*c12+1 AS DOUBLE) / CAST(2*c1+v AS DOUBLE)
+                 * 1048576.0 + 0.5) AS BIGINT) AS q
+        FROM (SELECT gram, w1, COUNT(*) AS c12 FROM ref GROUP BY gram, w1) m
+        JOIN prefix USING (w1), vv),
+      pfloor AS (
+        SELECT w1,
+               CAST(FLOOR(1.0 / CAST(2*c1+v AS DOUBLE)
+                 * 1048576.0 + 0.5) AS BIGINT) AS q1
+        FROM prefix, vv),
+      cand AS (
+        SELECT doc_id, gram, string_split(gram, ' ')[1] AS w1
+        FROM bg WHERE source <> 'src1'),
+      scored AS (
+        SELECT c.doc_id,
+               COALESCE(m.q, p.q1,
+                 (SELECT CAST(FLOOR(1.0 / CAST(v AS DOUBLE)
+                    * 1048576.0 + 0.5) AS BIGINT) FROM vv)) AS qe
+        FROM cand c
+        LEFT JOIN model m USING (gram)
+        LEFT JOIN pfloor p USING (w1))
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             CAST(SUM(qe) AS BIGINT) AS score_sum,
+             CAST(CAST(SUM(qe) AS BIGINT) AS DOUBLE) /
+               CAST(COUNT(*) AS DOUBLE) AS fluency
+      FROM scored GROUP BY doc_id ORDER BY doc_id""",
   )
 }

@@ -49,4 +49,21 @@ class TextAnalysisSpec extends SparkSpec {
     val big = out.filter(_.getAs[Long]("n_docs") == 2L)
     assert(big.length == 1 && big.head.getAs[Long]("canonical_id") == 1L)
   }
+
+  test("lmFluency ranks reference-like text above gibberish and backs off for OOV") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "the cat sat on the mat", true),
+      (2L, "the dog sat on the mat", true),
+      (10L, "the cat sat on the mat", false),  // in-distribution
+      (11L, "zz qq vv kk zz qq", false),        // fully OOV gibberish
+      (12L, "the cat zz qq on the mat", false), // mixed
+    ).toDF("doc_id", "text", "ref")
+    val got = TextAnalysis.lmFluency(df, "doc_id", "text", col("ref"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got.keySet == Set(10L, 11L, 12L))
+    assert(got(10L) > got(12L) && got(12L) > got(11L))
+    // OOV bigrams score the strictly-positive smoothed floor, not zero
+    assert(got(11L) > 0.0)
+  }
 }
