@@ -131,33 +131,34 @@ object TextAnalysis {
         .as("gram"): _*)
       .withColumn("w1", split(col("gram"), " ").getItem(0))
     val ref = bigrams(df.where(refPred))
-    val vTot = df.where(refPred)
+    // ONE bounded driver value (a single long — the Lloyd-collect
+    // pattern): attaching it as a 1-row broadcast cross join would put
+    // a nested-loop join on the corpus-wide gram stream instead
+    val v: Long = df.where(refPred)
       .select(explode(split(col(textCol), " ")).as("w"))
       .where(col("w") =!= "")
-      .agg(count_distinct(col("w")).as("v"))
+      .agg(count_distinct(col("w"))).head().getLong(0)
+    require(v > 0, "lmFluency: the reference slice has no words to fit on")
     val prefix = ref.groupBy("w1").agg(count(lit(1)).as("c1"))
     val model = ref.groupBy("gram", "w1").agg(count(lit(1)).as("c12"))
       .join(prefix, "w1")
-      .crossJoin(broadcast(vTot))
       .select(col("gram"),
         floor(
           (lit(2L) * col("c12") + lit(1L)).cast(DoubleType) /
-            (lit(2L) * col("c1") + col("v")).cast(DoubleType) *
+            (lit(2L) * col("c1") + lit(v)).cast(DoubleType) *
             lit(grid.toDouble) + lit(0.5)).cast("long").as("q"))
-    val prefixFloor = prefix.crossJoin(broadcast(vTot))
+    val prefixFloor = prefix
       .select(col("w1"),
         floor(
-          lit(1.0) / (lit(2L) * col("c1") + col("v")).cast(DoubleType) *
+          lit(1.0) / (lit(2L) * col("c1") + lit(v)).cast(DoubleType) *
             lit(grid.toDouble) + lit(0.5)).cast("long").as("q1"))
+    val q0 = math.floor(1.0 / v.toDouble * grid.toDouble + 0.5).toLong
     val cand = bigrams(df.where(!refPred), col(idCol))
     cand
       .join(model, Seq("gram"), "left_outer")
       .join(prefixFloor, Seq("w1"), "left_outer")
-      .crossJoin(broadcast(vTot))
       .select(col(idCol),
-        coalesce(col("q"), col("q1"),
-          floor(lit(1.0) / col("v").cast(DoubleType) *
-            lit(grid.toDouble) + lit(0.5)).cast("long")).as("qe"))
+        coalesce(col("q"), col("q1"), lit(q0)).as("qe"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("qe")).as("score_sum"))
       .select(col(idCol), col("n_bigrams"), col("score_sum"),

@@ -375,6 +375,34 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("span scrub: equi-joins throughout, struct-min first occurrence, no window sort") {
+    val plan = executed(SparkEntry.queries("q_span_scrub")(spark, dir))
+    assert(!plan.exists(_.nodeName.toLowerCase.contains("nestedloop")))
+    assert(!plan.exists(_.nodeName.toLowerCase.contains("cartesian")))
+    // the corpus-wide first occurrence is a map-side-combinable
+    // aggregate, NOT a per-span row_number window (hot-span skew)
+    assert(!plan.exists(_.nodeName.contains("Window")))
+    assert(plan.map(_.toString).exists(s =>
+      s.contains("partial_min") || s.contains("partial_")))
+  }
+
+  test("fuzzy decontamination joins on band buckets and shingle keys, no nested loop") {
+    val plan = executed(SparkEntry.queries("q_decontaminate_fuzzy")(spark, dir))
+    assert(!plan.exists(_.nodeName.toLowerCase.contains("nestedloop")))
+    assert(!plan.exists(_.nodeName.toLowerCase.contains("cartesian")))
+  }
+
+  test("lm fluency: model fit keeps partial aggregation, scoring via equi-joins only") {
+    val plan = executed(SparkEntry.queries("q_lm_fluency")(spark, dir))
+    assert(!plan.exists(_.nodeName.toLowerCase.contains("nestedloop")))
+    // the only cartesian-shaped nodes allowed are the broadcast of the
+    // 1-row vocabulary total
+    val carts = plan.filter(_.nodeName.toLowerCase.contains("cartesian"))
+    assert(carts.isEmpty)
+    val aggs = plan.map(_.toString).filter(_.contains("HashAggregate"))
+    assert(aggs.exists(_.contains("partial_")))
+  }
+
   test("semantic dedup pairs via a cell-keyed equi-join, never a nested loop") {
     val plan = executed(SparkEntry.queries("q_semantic_dedup")(spark, dir))
     assert(!plan.exists(_.nodeName.toLowerCase.contains("nestedloop")))
