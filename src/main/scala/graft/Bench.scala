@@ -54,10 +54,16 @@ object Bench {
       times.min
     }
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Short queries get extra warm runs: min-of-3 on a ~2 s query
+    // still swings ±30% with sandbox noise (three rounds of r7–r9
+    // cross-window drift traced to exactly this), so rows whose min is
+    // under `extraBelowSec` after the base runs take min-of-5.
+    val extraRuns = sys.env.getOrElse("SPARK_GRAFT_EXTRA_RUNS", "5").toInt
+    val extraBelowSec = 3.0
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+      def timeOnce(): Double = {
         spark.catalog.clearCache()
         System.gc() // drain accumulated broadcasts/codegen garbage so
                     // earlier queries' GC debt doesn't bill this one
@@ -70,6 +76,10 @@ object Bench {
         } catch { case _: Throwable => false }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
+      var times = (1 to runs).map(_ => timeOnce())
+      val base = times.filter(_ >= 0)
+      if (base.nonEmpty && base.min < extraBelowSec && extraRuns > runs)
+        times = times ++ (runs until extraRuns).map(_ => timeOnce())
       val good = times.filter(_ >= 0)
       // spread over WARM runs only (chronological drop of run 1, which
       // measures JIT/codegen compile, not noise)
@@ -89,12 +99,22 @@ object Bench {
     val totalMed = results.map(r => math.max(r._3, 0.0)).sum
     val spreads = results.map(_._4).sorted
     val spreadPct = if (spreads.isEmpty) 0.0 else spreads(spreads.size / 2) * 100
-    println(
+    val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,""" +
       s""""value_med":${fmt(totalMed)},"spread_pct":${fmt(spreadPct)},""" +
       s""""calib":${fmt(calib)},""" +
       s""""queries":${jmap(results.map(r => (r._1, r._2)))},""" +
-      s""""queries_med":${jmap(results.map(r => (r._1, r._3)))},"sf":"$sfDir"}""")
+      s""""queries_med":${jmap(results.map(r => (r._1, r._3)))},"sf":"$sfDir"}"""
+    println(fullLine)
+    // The driver's committed BENCH_r{N}.json harvests a tail-capped
+    // window (55/122 rows in round 9), which made per-query cross-round
+    // comparison impossible from artifacts alone — so the FULL map is
+    // also written to a file (committable) on every run.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    try {
+      val w = new java.io.PrintWriter(outFile, "UTF-8")
+      try w.println(fullLine) finally w.close()
+    } catch { case _: Throwable => () } // read-only CWD must not fail the bench
     // Compact line: slowest-first, stop before the line would push the
     // tail window past 2000 chars once sbt's success line is appended.
     val budget = 1500

@@ -80,47 +80,53 @@ object Bpe {
     // arithmetic and the same binary-string tie-break. Vocabularies
     // beyond the bound (open-domain 100 TB corpora) take the
     // distributed loop below, unchanged.
+    // ONE word-table build serves both the vocab-bound probe and (when
+    // the probe overflows) the first distributed merge round; the
+    // persisted reference is held in its own val so the final
+    // unpersist targets the cached plan itself, not a merge-derived
+    // child (unpersist on a derived plan is a no-op and would pin the
+    // word table for the app lifetime).
+    val base = wordTable(df, textCol).persist(StorageLevel.MEMORY_AND_DISK)
     if (localVocabBound > 0) {
-      val wt = wordTable(df, textCol).select(col("w"), col("freq"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      try {
-        if (wt.count() <= localVocabBound) {
-          val words = wt.collect().map(r => (r.getString(0), r.getLong(1)))
+      if (base.count() <= localVocabBound) {
+        try {
+          val words = base.select(col("w"), col("freq")).collect()
+            .map(r => (r.getString(0), r.getLong(1)))
           return trainLocal(words, merges)
-        }
-      } finally wt.unpersist()
+        } finally base.unpersist()
+      }
     }
-    var cur = wordTable(df, textCol).persist(StorageLevel.MEMORY_AND_DISK)
+    var cur: DataFrame = base
     val out = ListBuffer.empty[Merge]
     var t = 1
     var done = false
-    while (t <= merges && !done) {
-      val syms = split(trim(col("repr")), "  ")
-      val best = cur
-        .select(explode(
-          graft.functions.HashFunctions.string_ngrams(syms, 2)).as("pair"),
-          col("freq"))
-        .groupBy("pair").agg(sum(col("freq")).as("cnt"))
-        .orderBy(col("cnt").desc, col("pair").asc)
-        .limit(1).collect()
-      if (best.isEmpty) done = true
-      else {
-        val pair = best(0).getString(0)
-        val cnt = best(0).getLong(1)
-        val Array(lhs, rhs) = pair.split(" ", 2)
-        out += Merge(t, lhs, rhs, lhs + rhs, cnt)
-        cur = cur.withColumn("repr",
-          replace(col("repr"),
-            lit(s" $lhs  $rhs "), lit(s" $lhs$rhs ")))
-        if (t % checkpointEvery == 0) {
-          val staged = cur.localCheckpoint(true)
-          cur.unpersist()
-          cur = staged
+    try {
+      while (t <= merges && !done) {
+        val syms = split(trim(col("repr")), "  ")
+        val best = cur
+          .select(explode(
+            graft.functions.HashFunctions.string_ngrams(syms, 2)).as("pair"),
+            col("freq"))
+          .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair").asc)
+          .limit(1).collect()
+        if (best.isEmpty) done = true
+        else {
+          val pair = best(0).getString(0)
+          val cnt = best(0).getLong(1)
+          val Array(lhs, rhs) = pair.split(" ", 2)
+          out += Merge(t, lhs, rhs, lhs + rhs, cnt)
+          cur = cur.withColumn("repr",
+            replace(col("repr"),
+              lit(s" $lhs  $rhs "), lit(s" $lhs$rhs ")))
+          // Lineage bound: re-root on a materialized checkpoint every
+          // `checkpointEvery` rounds (old checkpoint blocks are
+          // ContextCleaner-collected once unreferenced).
+          if (t % checkpointEvery == 0) cur = cur.localCheckpoint(true)
+          t += 1
         }
-        t += 1
       }
-    }
-    cur.unpersist()
+    } finally base.unpersist()
     out.toList
   }
 
@@ -189,14 +195,25 @@ object Bpe {
   }
 
   /** The learned vocabulary applied back to a word table: `(w, nsym)`
-    * — how many subword tokens each word becomes. */
+    * — how many subword tokens each word becomes. Merges apply in
+    * `checkpointEvery`-sized expression batches with a materialization
+    * between batches — the same lineage bound [[train]] applies per
+    * round, so a production-sized merge list (tens of thousands) can't
+    * blow up plan stringification or codegen at encode time either. */
   def wordTokenCounts(
-      df: DataFrame, textCol: String, merges: Seq[Merge]): DataFrame = {
-    val repr = merges.foldLeft(col("repr")) { (r, m) =>
-      replace(r, lit(s" ${m.lhs}  ${m.rhs} "), lit(s" ${m.merged} "))
+      df: DataFrame, textCol: String, merges: Seq[Merge],
+      checkpointEvery: Int = 64): DataFrame = {
+    val batches = merges.grouped(math.max(checkpointEvery, 1)).toSeq
+    var wt = wordTable(df, textCol)
+    for ((batch, i) <- batches.zipWithIndex) {
+      wt = wt.withColumn("repr", batch.foldLeft(col("repr")) { (r, m) =>
+        replace(r, lit(s" ${m.lhs}  ${m.rhs} "), lit(s" ${m.merged} "))
+      })
+      // the last batch stays lazy — its projection fuses with the
+      // caller's nsym computation instead of paying a materialization
+      if (i < batches.size - 1) wt = wt.localCheckpoint(true)
     }
-    wordTable(df, textCol)
-      .select(col("w"), size(split(trim(repr), "  ")).as("nsym"))
+    wt.select(col("w"), size(split(trim(col("repr")), "  ")).as("nsym"))
   }
 
   /** Per-document subword token counts under the learned vocabulary:

@@ -332,13 +332,18 @@ object Curation {
             size(array_intersect(col("sh_t"), col("sh_b")))).cast("double"))
           .as("jaccard"))
       .where(col("jaccard") >= minJaccard)
+    // Best match per train doc = (max jaccard, min bench_id), folded
+    // as ONE map-combinable min(struct(-jaccard, bench_id)): jaccard
+    // is our own positive double (sign-flip is exact), while bench_id
+    // stays un-negated so ANY orderable id type works — negating the
+    // id would silently null-cast non-numeric ids.
     scored
       .groupBy(col("doc_id"))
-      .agg(max(struct(col("jaccard"), (-col("bench_id")).as("nbid"))).as("best"))
+      .agg(min(struct((-col("jaccard")).as("nj"), col("bench_id"))).as("best"))
       .select(
         col("doc_id"),
-        (-col("best.nbid")).as("bench_id"),
-        col("best.jaccard").as("jaccard"))
+        col("best.bench_id").as("bench_id"),
+        (-col("best.nj")).as("jaccard"))
       .orderBy("doc_id")
   }
 

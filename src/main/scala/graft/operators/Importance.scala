@@ -86,7 +86,15 @@ object Importance {
       s"importanceResample: need 1..4096 buckets, got $buckets")
     require(cap >= 1 && cap <= (1L << 31),
       s"importanceResample: need 1 <= cap <= 2^31, got $cap")
+    // The tagged gram stream feeds TWO consumers (the ratio fit and
+    // the per-doc weight aggregation); without materialization the
+    // corpus split/ngram/hash pass runs twice — the shared-checkpoint
+    // economics of minhashCandidates apply verbatim. The gram STRING
+    // is dead once bucketed, so only (id, __tgt, bucket) materializes
+    // — a fixed-width sliver of the corpus. Executor-resident.
     val grams = gramStream(df, idCol, textCol, targetPred, buckets)
+      .select(col(idCol), col("__tgt"), col("bucket"))
+      .localCheckpoint(true)
     val ratios = ratioTable(grams, buckets, grid)
     val weights = grams.where(!col("__tgt"))
       .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("f"))

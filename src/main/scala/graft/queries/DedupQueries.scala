@@ -38,25 +38,34 @@ object DedupQueries {
     "q_dedup_minhash" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
       // Both sides consume the SAME distinct-shingle arrays: checkpoint
-      // the shingle frame once (text parsed/hashed a single time), then
-      // the signature build and the exact postings miner read it. The
+      // the shingle frame ONCE (text parsed/hashed a single time), then
+      // the banding side and the exact postings miner read it. The
       // interior per-operator orderBys are skipped — the join destroys
       // order and the gate sorts once at the end.
-      // TWO slim checkpoints, not one fused frame: checkpointed rows
-      // never column-prune, so a fused (sh, sig) frame would make the
-      // banding side deserialize the shingle arrays and the exact side
-      // the signatures (measured slower than recomputing).
+      // ONE checkpoint, not two: the full-corpus signature frame is
+      // never materialized. Banding consumes signatures STREAMING off
+      // the shingle checkpoint (one fused minhash+band pass, nothing
+      // retained), and the estimate recomputes signatures only for the
+      // ids surviving the exact∩candidate intersection — a few hundred
+      // docs semi-joined off the same checkpoint — so the 0.5 KB/doc
+      // corpus-wide signature materialization the earlier shape paid
+      // (and its two corpus-sized estimate joins) is gone.
       val shf = Dedup.shingleFrame(docs, "doc_id", "text", 3)
         .localCheckpoint(true)
-      val sig = shf
+      val sigStream = shf
         .select(col("doc_id"), Dedup.minhashSignature(col("sh"), 64).as("sig"))
-        .localCheckpoint(true)
-      val cand = Dedup.minhashCandidatePairsFromSig(sig, 64, 16, 1000)
+      val cand = Dedup.minhashCandidatePairsFromSig(sigStream, 64, 16, 1000)
       val exact = Dedup.ngramJaccardFromShingles(
         shf.withColumn("block", lit(1)), minJaccard = 0.5)
-      // intersect ids FIRST; only the surviving few hundred pairs pay
-      // the signature joins for their estimate
-      Dedup.estimateJaccard(exact.join(cand, Seq("id_a", "id_b")), sig, 64)
+      // intersect ids FIRST and pin the tiny survivor set (so the
+      // id-extraction below can't re-run the whole mining pipeline)
+      val surv = exact.join(cand, Seq("id_a", "id_b")).localCheckpoint(true)
+      val survIds = surv
+        .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+        .distinct()
+      val sigSurv = shf.join(survIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), Dedup.minhashSignature(col("sh"), 64).as("sig"))
+      Dedup.estimateJaccard(surv, sigSurv, 64)
         .select(
           col("id_a"), col("id_b"), col("jaccard"),
           (abs(col("est_jaccard") - col("jaccard")) <= 0.2).cast("int").as("est_ok"))
