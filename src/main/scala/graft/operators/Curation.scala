@@ -507,6 +507,35 @@ object Curation {
         col("top_word_share"))
       .orderBy(col(idCol))
 
+  /** [[qualityFilter]]'s KEEP decision applied to the corpus rows
+    * themselves (all columns intact) — the form a config-driven
+    * curation pipeline chains between other steps. Map-only, one
+    * codegen'd stats pass per row (the same fused `GopherKeep`
+    * predicate as the gate and the streaming twin). */
+  def qualityKeep(
+      df: DataFrame, textCol: String,
+      minWords: Int, minDistinctFrac: Double, maxTopShare: Double): DataFrame =
+    df.where(org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.GopherKeep(
+        org.apache.spark.sql.graft.ColumnBridge.expression(
+          split(col(textCol), " ")),
+        minWords, minDistinctFrac, maxTopShare)))
+
+  /** [[piiScrubFused]] applied IN PLACE: the text column replaced by
+    * its scrubbed form, every other column untouched — the pipeline
+    * step shape (the gate variant projects counts instead). Same
+    * map-only single-scan plan. */
+  def piiScrubText(
+      df: DataFrame, textCol: String,
+      patterns: Seq[(String, String, String)]): DataFrame = {
+    require(patterns.nonEmpty, "piiScrubText: need at least one pattern")
+    val scrub = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.PiiScrubAll(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col(textCol)),
+        patterns))
+    df.withColumn(textCol, scrub.getField("scrubbed"))
+  }
+
   /** Token-budget source MIXING — the data-mixture step of a training
     * run (public recipe family: GPT-3 / The Pile / DoReMi publish
     * per-source sampling weights): each source keeps documents in the

@@ -37,6 +37,19 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
       .orderBy("text_hash")
 
+  /** J1 APPLY — the corpus with only the canonical (min-id) row of
+    * each exact-duplicate cluster kept, all columns intact: ONE
+    * shuffle on the text hash (row_number, not a self-join back
+    * through [[exactDuplicates]] — that shape scans and shuffles the
+    * corpus twice). The md5 partition key keeps the exchange key
+    * fixed-width regardless of document length. */
+  def exactDedupKeep(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col(textCol).cast("binary"))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
   /** MinHash signature: for hash function h, min over shingles of
     * xxhash64(shingle, h) — the classic permutation-free MinHash
     * family (ref behavior: niamoto has no dedup; this follows the

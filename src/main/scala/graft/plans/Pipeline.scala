@@ -79,7 +79,11 @@ object Pipeline {
   val knownOps: Set[String] = Set(
     "filter", "select", "aggregate", "join", "sql", "sort", "top_ranking",
     "field_aggregator", "statistical_summary", "binned_distribution",
-    "categorical_distribution")
+    "categorical_distribution",
+    // training-data curation vocabulary (the engine's LLM-pipeline
+    // mandate): the high-traffic J1/Q15/Q12/Q2 operators as chainable
+    // spec steps, reusing the gated operator internals verbatim
+    "exact_dedup", "quality_filter", "pii_scrub", "stratified_sample")
 
   val knownExports: Set[String] = Set("parquet", "jsonapi", "dwc_archive")
 
@@ -152,6 +156,10 @@ object Pipeline {
             s"undefined input '$in' — defined names: " +
             s"${defined.toSeq.sorted.mkString(", ")}")
       }
+      // @step.field|fn(args) cross-step references (ChainRefs): the
+      // referenced step must precede this one, the pipe function must
+      // be known, and only expression-vocabulary ops may embed refs
+      ChainRefs.validateStep(spec.entity, st.name, st.op, st.params, defined)
       if (st.op == "join") {
         val r = st.params.get("right").map(_.toString)
         require(r.nonEmpty, s"step '${st.name}': join needs param 'right'")
@@ -203,7 +211,13 @@ object Pipeline {
           .orElse(if (i == 0) firstInput else Some(spec.steps(i - 1).name))
           .getOrElse(fail(s"step '${st.name}': no input and no sources"))
         st.name -> { (ctx: Map[String, DataFrame]) =>
-          applyOp(st, ctx(inputName), ctx)
+          // resolve @refs: params rewritten to __ref_N columns, each a
+          // one-row broadcast compiled from the referenced step's plan
+          // — the step graph stays ONE lazy plan (see ChainRefs)
+          val (params2, in2, refCols) =
+            ChainRefs.rewrite(st.params, ctx(inputName), ctx)
+          val out = applyOp(st.copy(params = params2), in2, ctx)
+          out.drop(refCols.filter(out.columns.contains): _*)
         }
     }
     val seed = sourceCtx.getOrElse(firstInput.getOrElse("input"),
@@ -329,6 +343,26 @@ object Pipeline {
           in, reqStr(st.params, "field", tag),
           strSeq(st.params, "categories", tag),
           strSeq(st.params, "groupBy", tag))
+      case "exact_dedup" =>
+        graft.operators.Dedup.exactDedupKeep(
+          in, reqStr(st.params, "id", tag), reqStr(st.params, "text", tag))
+      case "quality_filter" =>
+        graft.operators.Curation.qualityKeep(
+          in, reqStr(st.params, "text", tag),
+          num(st.params, "minWords", tag).toInt,
+          num(st.params, "minDistinctFrac", tag),
+          num(st.params, "maxTopShare", tag))
+      case "pii_scrub" =>
+        val patterns = seqOfMaps(st.params, "patterns", tag).map { p =>
+          (reqStr(p, "name", tag), reqStr(p, "regex", tag),
+            reqStr(p, "replace", tag))
+        }
+        graft.operators.Curation.piiScrubText(
+          in, reqStr(st.params, "text", tag), patterns)
+      case "stratified_sample" =>
+        graft.operators.Curation.stratifiedSample(
+          in, strSeq(st.params, "strata", tag),
+          reqStr(st.params, "id", tag), num(st.params, "frac", tag))
       case other =>
         fail(s"$tag: unknown op '$other'") // unreachable after validate
     }
@@ -379,6 +413,13 @@ object Pipeline {
       params: Map[String, Any], key: String, where: String): Seq[String] =
     params.get(key).map(asSeq(_, s"$where '$key'").map(_.toString))
       .getOrElse(Seq.empty)
+
+  private def num(params: Map[String, Any], key: String, where: String): Double =
+    params.get(key) match {
+      case Some(n: Number) => n.doubleValue()
+      case Some(other) => fail(s"$where: param '$key' must be a number, got $other")
+      case None => fail(s"$where: missing required numeric param '$key'")
+    }
 
   private def numSeq(
       params: Map[String, Any], key: String, where: String): Seq[Double] =

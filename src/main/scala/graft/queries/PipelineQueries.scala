@@ -71,6 +71,93 @@ exports:
     params: {path: by_segment}
 """
 
+  /** Chain-reference spec (`reference_resolver.py` semantics): step
+    * params embed `@step.field|fn(args)` references to earlier step
+    * and source outputs — a guarded exactly-one-row scalar pickup
+    * (`@szstats.max_sz|int`), aggregating pipes over a multi-row
+    * source (`@parts.p_size|sum`, `|length`), and array pipes over a
+    * one-row collected list (`@brands.blist|last`, `|length`). Each
+    * compiles to a one-row broadcast cross-joined into the consuming
+    * step, so the whole chain is still ONE lazy plan. */
+  private val chainRefSpec = """
+entity: chain_ref
+sources:
+  - name: parts
+    table: part
+  - name: li
+    table: lineitem
+steps:
+  - name: szstats
+    op: aggregate
+    input: parts
+    params:
+      groupBy: []
+      aggs: {max_sz: "max(p_size)"}
+  - name: brands
+    op: aggregate
+    input: parts
+    params:
+      groupBy: []
+      aggs: {blist: "sort_array(collect_set(p_brand))"}
+  - name: tagged
+    op: filter
+    input: li
+    params: {where: "l_partkey % 100 < @szstats.max_sz|int AND l_quantity > 25"}
+  - name: out
+    op: aggregate
+    params:
+      groupBy: [l_returnflag]
+      aggs:
+        n: "count(1)"
+        qty: "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)"
+        n_parts: "CAST(MAX(@parts.p_partkey|length) AS BIGINT)"
+        sz_sum: "CAST(MAX(@parts.p_size|sum) AS BIGINT)"
+        n_brands: "CAST(MAX(@brands.blist|length) AS BIGINT)"
+        top_brand: "MAX(@brands.blist|last)"
+  - name: ordered
+    op: sort
+    params: {by: [l_returnflag]}
+"""
+
+  /** Curation spec — a config-driven TRAINING-DATA pipeline (the
+    * engine's actual mandate) chaining the gated curation internals:
+    * exact dedup (J1 apply) → Gopher quality filter (Q15) → a select
+    * step that INJECTS deterministic PII (the corpus has none — the
+    * Q12 gate's pattern) → fused PII scrub (Q12) → deterministic
+    * stratified sample (Q2). One lazy plan; the oracle replays every
+    * stage in plain SQL, so a defect in any bridge changes rows. */
+  private val curateSpec = """
+entity: curate
+sources: [{name: d, table: documents}]
+steps:
+  - name: dedup
+    op: exact_dedup
+    input: d
+    params: {id: doc_id, text: text}
+  - name: quality
+    op: quality_filter
+    params: {text: text, minWords: 30, minDistinctFrac: 0.35, maxTopShare: 0.12}
+  - name: seeded
+    op: select
+    params:
+      columns:
+        - "doc_id"
+        - "source"
+        - "concat(text, ' contact user', cast(doc_id AS string), '@example.com') AS text"
+  - name: scrubbed
+    op: pii_scrub
+    params:
+      text: text
+      patterns:
+        - {name: emails, regex: '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', replace: "<EMAIL>"}
+  - name: sampled
+    op: stratified_sample
+    params: {strata: [source], id: doc_id, frac: 0.5}
+  - name: ordered
+    op: sort
+    params: {by: [doc_id]}
+"""
+
   private def resolver(s: SparkSession, dir: String): String => DataFrame =
     name => Tables(s, dir, name)
 
@@ -90,6 +177,20 @@ exports:
       val paths = Pipeline.run(s, exportSpec, resolver(s, dir), out)
       s.read.parquet(paths.head._2).orderBy("c_mktsegment")
     },
+    // R3 gate — chain references: the oracle recomputes every
+    // referenced scalar in plain SQL CTEs, so a resolver defect
+    // (wrong step, wrong pipe semantics, silent multi-row pickup,
+    // broken array indexing) changes a value and fails the hash.
+    "q_pipeline_chain_ref" -> { (s, dir) =>
+      Pipeline.result(s, chainRefSpec, resolver(s, dir))
+    },
+    // R4 gate — the spec-driven curation chain: every stage (dedup
+    // keep-row, quality keep, PII injection+scrub, stratified cut)
+    // re-derived by the oracle from the raw table, full text
+    // row-hashed.
+    "q_pipeline_curate" -> { (s, dir) =>
+      Pipeline.result(s, curateSpec, resolver(s, dir))
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -104,5 +205,60 @@ exports:
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY 1 ORDER BY 1""",
+    "q_pipeline_chain_ref" -> """
+      WITH szstats AS (SELECT max(p_size) AS max_sz FROM part),
+           brands AS (SELECT list_sort(list(DISTINCT p_brand)) AS blist FROM part),
+           pstats AS (SELECT CAST(count(1) AS BIGINT) AS n_parts,
+                             CAST(sum(p_size) AS BIGINT) AS sz_sum FROM part),
+           tagged AS (SELECT l.* FROM lineitem l, szstats
+                      WHERE l_partkey % 100 < CAST(max_sz AS BIGINT)
+                        AND l_quantity > 25)
+      SELECT l_returnflag, COUNT(1) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty,
+             (SELECT n_parts FROM pstats) AS n_parts,
+             (SELECT sz_sum FROM pstats) AS sz_sum,
+             (SELECT CAST(len(blist) AS BIGINT) FROM brands) AS n_brands,
+             (SELECT blist[-1] FROM brands) AS top_brand
+      FROM tagged GROUP BY 1 ORDER BY 1""",
+    "q_pipeline_curate" -> """
+      WITH dedup AS (
+        SELECT doc_id, source, text FROM (
+          SELECT doc_id, source, text,
+                 ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS drn
+          FROM documents) t WHERE drn = 1),
+      w AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+               unnest(string_split(text, ' ')) AS word
+        FROM dedup),
+      wc AS (SELECT doc_id, n_words, word, COUNT(*) AS c FROM w GROUP BY 1, 2, 3),
+      sig AS (
+        SELECT doc_id, n_words, CAST(COUNT(*) AS INT) AS n_distinct, MAX(c) AS top
+        FROM wc GROUP BY 1, 2),
+      kept AS (
+        SELECT d.doc_id, d.source, d.text
+        FROM dedup d JOIN sig s USING (doc_id)
+        WHERE s.n_words >= 30
+          AND CAST(s.n_distinct AS DOUBLE) / s.n_words >= 0.35
+          AND CAST(s.top AS DOUBLE) / s.n_words <= 0.12),
+      seeded AS (
+        SELECT doc_id, source,
+               text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' AS text
+        FROM kept),
+      scrub AS (
+        SELECT doc_id, source,
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g') AS text
+        FROM seeded),
+      samp AS (
+        SELECT doc_id, source, text, rn FROM (
+          SELECT doc_id, source, text,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY source) AS cnt
+          FROM scrub) t
+        WHERE rn <= GREATEST(1, CAST(CEIL(cnt * 0.5) AS BIGINT)))
+      SELECT doc_id, source, text, CAST(rn AS INT) AS rn
+      FROM samp ORDER BY doc_id""",
   )
 }

@@ -136,6 +136,58 @@ steps:
     assert(got2.toSeq == want2.toSeq)
   }
 
+  test("curation-bridge ops match the direct operator calls") {
+    val corpus = Seq(
+      (1L, "news", "the quick brown fox jumps over a lazy dog near the river bank today"),
+      (2L, "news", "the quick brown fox jumps over a lazy dog near the river bank today"),
+      (3L, "web", "contact me at bob@mail.com for details about the offer we discussed"),
+      (4L, "web", "spam spam spam spam spam spam spam spam spam spam spam spam"),
+      (5L, "news", "short doc")).toDF("doc_id", "source", "text")
+    val resolveC: String => org.apache.spark.sql.DataFrame = {
+      case "corpus" => corpus
+      case other => fail(s"unexpected table $other")
+    }
+    val spec = """
+entity: curate
+sources: [{name: c, table: corpus}]
+steps:
+  - name: dedup
+    op: exact_dedup
+    params: {id: doc_id, text: text}
+  - name: quality
+    op: quality_filter
+    params: {text: text, minWords: 5, minDistinctFrac: 0.5, maxTopShare: 0.5}
+  - name: scrubbed
+    op: pii_scrub
+    params:
+      text: text
+      patterns:
+        - {name: emails, regex: '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', replace: "<EMAIL>"}
+  - name: sampled
+    op: stratified_sample
+    params: {strata: [source], id: doc_id, frac: 1.0}
+"""
+    val got = Pipeline.result(spark, spec, resolveC)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    // direct composition of the same operators
+    val want = graft.operators.Curation.stratifiedSample(
+        graft.operators.Curation.piiScrubText(
+          graft.operators.Curation.qualityKeep(
+            graft.operators.Dedup.exactDedupKeep(corpus, "doc_id", "text"),
+            "text", 5, 0.5, 0.5),
+          "text", Seq(("emails",
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"))),
+        Seq("source"), "doc_id", 1.0)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    // semantics: doc 2 deduped away, doc 4 (top share) and 5 (short)
+    // filtered, email redacted
+    assert(got.map(_._1).toSeq == Seq(1L, 3L))
+    assert(got.find(_._1 == 3L).get._2.contains("<EMAIL>"))
+  }
+
   test("sql step sees prior steps as views under their logical names") {
     val spec = """
 entity: sqltest
