@@ -492,6 +492,15 @@ object Dedup {
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(spanLen - 1))).as("tpos"))
       .distinct()
+    spanCoverRebuild(base, cover)
+  }
+
+  /** Rebuild documents with covered token positions cut — the shared
+    * tail of [[spanScrub]] and the streaming span-decision applier
+    * ([[graft.streaming.StreamOps.applySpanDecisions]]). `base` is
+    * `(doc_id, toks)`, `cover` is distinct `(doc_id, tpos)` to remove. */
+  private[graft] def spanCoverRebuild(
+      base: DataFrame, cover: DataFrame): DataFrame = {
     val toks = base.select(
       col("doc_id"), posexplode(col("toks"))).toDF("doc_id", "tpos", "tok")
     val kept = toks.join(cover, Seq("doc_id", "tpos"), "left_anti")

@@ -36,6 +36,25 @@ object Retrieval {
     * float SUM's partial-aggregation order is engine- and
     * partition-dependent; a pivot over a fixed small term set is not).
     */
+  /** `(idCol, dl, __hits)` hit projection of the corpus — one scan,
+    * query terms filtered per row. */
+  private[graft] def hitBase(
+      df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): DataFrame = {
+    val toks = split(col(textCol), " ")
+    df.select(col(idCol), size(toks).cast("long").as("dl"),
+      filter(toks, t => array_contains(typedLit(terms), t)).as("__hits"))
+  }
+
+  /** `(idCol, dl, term, tf)` posting counts — the hit filter sits
+    * DIRECTLY on the corpus scan, so only documents containing a
+    * query term reach the one posting exchange (plan-audited). */
+  private[graft] def postingCounts(base: DataFrame, idCol: String): DataFrame =
+    base.where(size(col("__hits")) > 0)
+      .select(col(idCol), col("dl"), explode(col("__hits")).as("term"))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
   def bm25Scores(
       df: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
@@ -43,16 +62,19 @@ object Retrieval {
       s"bm25Scores: need 1..32 query terms, got ${terms.size}")
     val oneMinusB = 1.0 - b
     val k1p1 = k1 + 1.0
-    val toks = split(col(textCol), " ")
     // one corpus scan: id, doc length, query-term hits only
-    val base = df.select(col(idCol), size(toks).cast("long").as("dl"),
-      filter(toks, t => array_contains(typedLit(terms), t)).as("__hits"))
+    val base = hitBase(df, idCol, textCol, terms)
     val stats = base.agg(
       count(lit(1)).as("n"), sum(col("dl")).as("tot"))
-    val tf = base.where(size(col("__hits")) > 0)
-      .select(col(idCol), col("dl"), explode(col("__hits")).as("term"))
-      .groupBy(col(idCol), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    // The posting table feeds TWO consumers (the document-frequency
+    // aggregate and the scored join); Spark has no common-subplan
+    // reuse once the consumers prune differently, so without
+    // materialization the hit-filtered corpus scan AND the posting
+    // exchange run twice (plan-audited: ReuseExchange does not fire
+    // because the df side drops the count). One eager localCheckpoint
+    // pins it — size ∝ matching postings (docs containing a query
+    // term × distinct query terms), tiny at any corpus scale.
+    val tf = postingCounts(base, idCol).localCheckpoint(true)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val avgdl = col("tot").cast("double") / col("n").cast("double")
     val idf = (lit(2L) * (col("n") - col("df")) + lit(1L)).cast("double") /

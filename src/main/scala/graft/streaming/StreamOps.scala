@@ -311,6 +311,109 @@ object StreamOps {
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
+  case class SpanDecision(doc_id: Long, pos: Int, keep: Boolean)
+
+  /** Per-span first-seen state for the streaming span scrub (the J12
+    * twin): keyed by the 64-bit span hash, the value is the corpus-wide
+    * first occurrence `(doc_id, pos)`. Within a micro-batch the
+    * processor replays the batch operator's semantics EXACTLY —
+    * occurrences sort by `(doc_id, pos)`, and non-first occurrences
+    * scrub only when the span is seen in ≥ 2 distinct docs (the batch
+    * `minDocs = 2` flag). Across micro-batches the stream keeps the
+    * arrival-order first occurrence and scrubs every later one from
+    * other docs; the one batch behavior a stream cannot replicate is
+    * retracting a within-introducing-doc repeat whose duplicating doc
+    * arrives LATER (an emitted keep cannot be unsent) — the standard
+    * online-dedup approximation, with the batch pass as completeness
+    * backstop (the J8 contract). With `ttl` set, first-seen state
+    * expires after the horizon, bounding state on unbounded ingest. */
+  class SpanFirstSeenProcessor(ttl: Option[java.time.Duration])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Int), SpanDecision] {
+    @transient private var seen:
+      org.apache.spark.sql.streaming.ValueState[(Long, Int)] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      seen = getHandle.getValueState[(Long, Int)](
+        "first",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaInt),
+        ttl.map(d => new org.apache.spark.sql.streaming.TTLConfig(d))
+          .getOrElse(org.apache.spark.sql.streaming.TTLConfig.NONE))
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[(Long, Long, Int)],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[SpanDecision] = {
+      val occ = rows.map { case (_, d, p) => (d, p) }.toArray.sorted
+      val out = Seq.newBuilder[SpanDecision]
+      if (seen.exists()) {
+        val (fd, fp) = seen.get()
+        occ.foreach { case (d, p) =>
+          out += SpanDecision(d, p, keep = d == fd && p == fp)
+        }
+      } else if (occ.nonEmpty) {
+        seen.update(occ.head)
+        val multiDoc = occ.iterator.map(_._1).distinct.size >= 2
+        occ.zipWithIndex.foreach { case ((d, p), i) =>
+          out += SpanDecision(d, p, keep = i == 0 || !multiDoc)
+        }
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Streaming span-level scrub DECISIONS — the unbounded twin of
+    * [[graft.operators.Dedup.spanScrub]] (J12): every `spanLen`-token
+    * window of every arriving document gets a keep/scrub verdict
+    * against the (span-hash → first-seen) state. Shares the batch
+    * operator's codegen'd window expression verbatim, so stream and
+    * batch window identically by construction; the xxhash64 state key
+    * is 8 bytes/span (a 2⁻⁶⁴ collision would scrub a false positive —
+    * the usual fingerprint trade, same as the J3 family). Consumers
+    * rebuild cleaned text per micro-batch via [[applySpanDecisions]]
+    * (the batch rebuild applied to that batch's docs — all of a doc's
+    * windows arrive together, so the rebuild never splits a doc). */
+  def spanScrubStream(
+      df: DataFrame, idCol: String, textCol: String, spanLen: Int,
+      ttl: Option[java.time.Duration] = None): Dataset[SpanDecision] = {
+    import df.sparkSession.implicits._
+    require(spanLen >= 1, "spanScrubStream: spanLen must be >= 1")
+    val toks = split(col(textCol), " ")
+    df.where(size(toks) >= spanLen)
+      .select(
+        col(idCol).cast("long").as("doc_id"),
+        posexplode(graft.functions.HashFunctions.string_ngrams(toks, spanLen)))
+      .toDF("doc_id", "pos", "span")
+      .select(xxhash64(col("span")).as("h"), col("doc_id"), col("pos").cast("int"))
+      .as[(Long, Long, Int)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new SpanFirstSeenProcessor(ttl),
+        if (ttl.isDefined) org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+        else org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
+  /** Apply a micro-batch's [[SpanDecision]]s to its documents: expand
+    * scrubbed window positions to covered token positions and rebuild
+    * through the batch operator's own tail, so streamed output is
+    * byte-identical to [[graft.operators.Dedup.spanScrub]] wherever
+    * the decisions agree. */
+  def applySpanDecisions(
+      docs: DataFrame, idCol: String, textCol: String,
+      decisions: DataFrame, spanLen: Int): DataFrame = {
+    val base = docs.select(
+      col(idCol).cast("long").as("doc_id"), split(col(textCol), " ").as("toks"))
+    val cover = decisions.where(!col("keep"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(spanLen - 1))).as("tpos"))
+      .distinct()
+    graft.operators.Dedup.spanCoverRebuild(base, cover)
+  }
+
   case class SessionState(
       start: Long, last: Long, n: Long, sum: Double)
   case class Session(

@@ -403,6 +403,51 @@ class PlanAuditSpec extends SparkSpec {
     assert(aggs.exists(_.contains("partial_")))
   }
 
+  test("bm25 prunes to query-term hits before the posting exchange, " +
+      "broadcasts the term stats, and takes a bounded global head") {
+    // the (doc, term) posting aggregation must be fed by the
+    // hit-filtered scan: the size(__hits)>0 filter applies DIRECTLY
+    // over the file scan (below the posting exchange), so only docs
+    // containing a query term shuffle — under a 10× vocabulary the
+    // exchange stays ∝ matching postings, not ∝ corpus. The posting
+    // frame is checkpointed inside bm25Scores (its scan job is
+    // separate), so the audit runs on the posting builder itself.
+    val docs = Tables.documents(spark, dir)
+    val posting = executed(graft.operators.Retrieval.postingCounts(
+      graft.operators.Retrieval.hitBase(
+        docs, "doc_id", "text", Seq("vector", "stream")), "doc_id"))
+    def subtree(p: SparkPlan): Seq[SparkPlan] = p +: p.children.flatMap(subtree)
+    assert(posting.exists(s =>
+      s.isInstanceOf[org.apache.spark.sql.execution.FilterExec] &&
+        s.toString.contains("size(") &&
+        subtree(s).exists(_.nodeName.contains("Scan"))),
+      "the query-term hit filter does not sit on the corpus scan")
+    assert(shuffles(posting) == 1, "posting build must be ONE exchange")
+    // the gate plan: df/N·avgdl sides enter as broadcasts (dfreq hash
+    // join + the one-row stats nested loop); nothing ever sort-merges
+    val plan = executed(SparkEntry.queries("q_bm25_topk")(spark, dir))
+    assert(plan.count(_.isInstanceOf[BroadcastHashJoinExec]) >= 1)
+    assert(!plan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]))
+    // the global top-k is TakeOrderedAndProject (per-partition heaps),
+    // never a full sort of the scored corpus
+    assert(plan.exists(_.nodeName.contains("TakeOrderedAndProject")))
+    // df agg + stats agg + pivot agg above the checkpointed postings:
+    // the shuffle count is fixed, independent of corpus size
+    assert(shuffles(plan) <= 3, s"bm25 shuffle count grew: ${shuffles(plan)}")
+  }
+
+  test("hybrid search fuses bounded heads: TakeOrdered lists, broadcast-side fusion") {
+    val plan = executed(SparkEntry.queries("q_hybrid_search")(spark, dir))
+    // both retrieval arms end in bounded-heap heads before fusion
+    assert(plan.count(_.nodeName.contains("TakeOrderedAndProject")) >= 2)
+    // the full-outer RRF join runs over two ≤k-row heads — any join
+    // strategy is fine, but it must never sort-merge the CORPUS: no
+    // corpus-sized exchange may appear above the heads
+    assert(!plan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]))
+  }
+
   test("semantic dedup pairs via a cell-keyed equi-join, never a nested loop") {
     val plan = executed(SparkEntry.queries("q_semantic_dedup")(spark, dir))
     assert(!plan.exists(_.nodeName.toLowerCase.contains("nestedloop")))

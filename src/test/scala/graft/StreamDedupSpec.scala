@@ -90,6 +90,76 @@ class StreamDedupSpec extends SparkSpec {
     }
   }
 
+  test("streaming span scrub matches batch J12 on a one-batch replay") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val docsDf = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val spanLen = 8
+    val batchOut = graft.operators.Dedup
+      .spanScrub(docsDf, "doc_id", "text", spanLen)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(batchOut.values.exists(_.nonEmpty))
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamOps.spanScrubStream(
+        input.toDF.toDF("doc_id", "text"), "doc_id", "text", spanLen)
+      .writeStream.format("memory").queryName("span_out")
+      .outputMode("append").start()
+    try {
+      // ONE micro-batch = the whole corpus: within a batch the
+      // processor replays the batch operator's (doc,pos)-min
+      // first-occurrence and minDocs>=2 semantics exactly
+      input.addData(docsDf.as[(Long, String)].collect().toSeq)
+      q.processAllAvailable()
+      val rebuilt = StreamOps.applySpanDecisions(
+          docsDf, "doc_id", "text", spark.table("span_out"), spanLen)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      // docs shorter than spanLen emit no decisions and rebuild
+      // verbatim; compare the full maps
+      assert(rebuilt.keySet == batchOut.keySet)
+      val diff = rebuilt.keySet.filter(k => rebuilt(k) != batchOut(k))
+      assert(diff.isEmpty, s"streamed scrub diverges on docs $diff")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("streaming span scrub state survives micro-batches (later dup scrubs)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamOps.spanScrubStream(
+        input.toDF.toDF("doc_id", "text"), "doc_id", "text", spanLen = 5)
+      .writeStream.format("memory").queryName("span_out2")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "a b c d e x y z"),
+        (2L, "p q r s a b c d e"))
+      q.processAllAvailable()
+      input.addData((3L, "a b c d e m n o p")) // dup of a batch-1 span
+      q.processAllAvailable()
+      val dec = spark.table("span_out2")
+        .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getBoolean(2))).toMap
+      assert(dec((1L, 0)) === true)   // corpus-wide first occurrence kept
+      assert(dec((2L, 4)) === false)  // same-batch dup scrubbed
+      assert(dec((3L, 0)) === false)  // CROSS-batch dup scrubbed (state survived)
+      assert(dec((3L, 1)) === true)   // unseen span kept
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState keeps running per-user aggregates (RocksDB store)") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
