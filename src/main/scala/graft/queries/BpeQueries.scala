@@ -36,13 +36,20 @@ object BpeQueries {
 
   /** One merge round: pair explode → weighted count → deterministic
     * top-1 → double-space replace. `sym[i] || ' ' || sym[i+1]` matches
-    * the Spark side's `string_ngrams(syms, 2)` format exactly. */
+    * the Spark side's `string_ngrams(syms, 2)` format exactly.
+    *
+    * `trim(repr, ' ')` with the EXPLICIT one-character set, never bare
+    * `trim(repr)`: DuckDB's bare trim strips Unicode space category
+    * characters (NBSP U+00A0 included) while Spark's `trim` strips
+    * only 0x20 — on a corpus whose words contain edge NBSPs the bare
+    * form silently deletes a symbol per word (caught by the sf10 scale
+    * proof: 51-token drift on every copy-63 document). */
   private def roundCtes(t: Int): String = {
     val prev = s"r${t - 1}"
     s"""p$t AS MATERIALIZED (
       SELECT unnest(list_transform(range(1, len(sym)),
                i -> sym[i] || ' ' || sym[i+1])) AS pair, freq
-      FROM (SELECT string_split(trim(repr), '  ') AS sym, freq FROM $prev)),
+      FROM (SELECT string_split(trim(repr, ' '), '  ') AS sym, freq FROM $prev)),
     b$t AS MATERIALIZED (
       SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM p$t
       GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1),
@@ -83,7 +90,7 @@ object BpeQueries {
     "q_bpe_encode" -> s"""
       WITH ${trainChain(Merges)},
       enc AS (SELECT w,
-                CAST(len(string_split(trim(repr), '  ')) AS INT) AS nsym
+                CAST(len(string_split(trim(repr, ' '), '  ')) AS INT) AS nsym
               FROM r$Merges),
       dtok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
                FROM documents)
