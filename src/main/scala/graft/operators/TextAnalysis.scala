@@ -89,7 +89,12 @@ object TextAnalysis {
     df.select(
       col(idCol),
       size(toks).cast("long").as("n_ws_tokens"),
-      size(filter(toks, t => t.rlike("^[a-z]+$"))).cast("long").as("n_alpha_tokens"),
+      // \A..\z, not ^..$: Java's $ also matches before a FINAL line
+      // terminator (\n, \r, NEL U+0085, U+2028/9), so "word"
+      // would count as alpha here while an RE2/strict consumer of the
+      // same data disagrees. \z anchors to end-of-input only — the
+      // strict "every char is [a-z]" semantics this column claims.
+      size(filter(toks, t => t.rlike("\\A[a-z]+\\z"))).cast("long").as("n_alpha_tokens"),
       size(array_distinct(toks)).cast("long").as("n_distinct_tokens"))
       .orderBy(col(idCol))
   }
