@@ -85,6 +85,29 @@ object FormatQueries {
           graft.operators.Num.dsum(col("l_extendedprice")).as("price_sum"))
         .orderBy("l_returnflag")
     },
+    // G10 — Z-ORDER clustered write → two-dimension pruned re-scan:
+    // the multi-dim layout twin of G9 (ZOrderLayoutSpec holds the
+    // skip proof — a partkey-only filter prunes the z-layout but
+    // reads ALL of a date-range-clustered one). The gate verifies the
+    // roundtrip end-to-end: zorder-rewritten rows filtered on BOTH
+    // clustered dimensions hash-match the raw table's answer.
+    "q_zorder_scan" -> { (s, dir) =>
+      val out = s"/tmp/graft-zorder-${java.lang.Math.abs(dir.hashCode)}"
+      graft.sources.Writers.zorderedParquet(
+        Tables.lineitem(s, dir).select(
+          to_date(col("l_shipdate")).as("l_shipdate"),
+          col("l_partkey"), col("l_returnflag"), col("l_extendedprice")),
+        out, Seq("l_shipdate", "l_partkey"), nFiles = 24)
+      graft.sources.Readers.parquet(s, out)
+        .where(col("l_shipdate") >= lit("1995-01-01").cast("date") &&
+          col("l_shipdate") < lit("1997-01-01").cast("date") &&
+          col("l_partkey") <= lit(400L))
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n_items"),
+          graft.operators.Num.dsum(col("l_extendedprice")).as("price_sum"))
+        .orderBy("l_returnflag")
+    },
     // G8 — the same verified write→reread→aggregate path on ORC (the
     // other built-in columnar format): partition layout, type fidelity
     // and decimal-exact sums must survive the round trip byte-for-byte
@@ -251,6 +274,13 @@ object FormatQueries {
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum
       FROM lineitem
       WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01' AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+      GROUP BY 1 ORDER BY 1""",
+    "q_zorder_scan" -> """
+      SELECT l_returnflag, COUNT(*) AS n_items,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01' AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+        AND l_partkey <= 400
       GROUP BY 1 ORDER BY 1""",
     "q_orc_roundtrip" -> """
       SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.types.StructType
 
 /** Sources and sinks (SURVEY.md §3), mirroring the reference's import
@@ -118,6 +118,87 @@ object Writers {
     df.repartitionByRange(nFiles, cols: _*)
       .sortWithinPartitions(cols: _*)
       .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Z-ORDER clustered parquet — the MULTI-dimension sibling of
+    * [[clusteredParquet]]. Lexicographic range clustering makes only
+    * its LEADING column's row-group min/max stats narrow; a filter on
+    * the second dimension alone still reads the whole lake. Ordering
+    * by the Morton (bit-interleaved) code of all `zCols` instead makes
+    * every file cover a small HYPER-RECTANGLE of the key space, so
+    * row-group stats are narrow on EVERY clustered dimension at once
+    * and single- or multi-dimension range predicates both skip
+    * (ZOrderLayoutSpec proves exactly the case lexicographic loses:
+    * a second-dimension-only filter). The curve is the standard
+    * space-filling-curve layout for multi-dim lakehouse clustering.
+    *
+    * Mechanics: one bounded stats pass (min/max per column — a 1-row
+    * collect) quantizes each column to `64/k`-bit ranks (≤16); the
+    * interleave is a pure codegen'd bitwise expression; the exchange
+    * is the same single range-repartition [[clusteredParquet]] pays,
+    * on the z-code. The z-code is dropped before write — layout is
+    * its only product. Dates quantize via their epoch-day integer;
+    * nulls rank 0. */
+  def zorderedParquet(
+      df: DataFrame, path: String, zCols: Seq[String], nFiles: Int): Unit = {
+    df.withColumn("__zval", zvalue(df, zCols))
+      .repartitionByRange(nFiles, org.apache.spark.sql.functions.col("__zval"))
+      .sortWithinPartitions("__zval")
+      .drop("__zval")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** The Morton z-code column for `zCols` of `df`: each column
+    * min-max-quantized to `min(16, 63/k)` bits, bit b of dimension i
+    * landing at interleaved position `b*k + i`. Exposed for the spec's
+    * parity test against a driver-side reference interleave. */
+  private[graft] def zvalue(df: DataFrame, zCols: Seq[String]): Column = {
+    import org.apache.spark.sql.functions._
+    require(zCols.nonEmpty, "zorder: need at least one cluster column")
+    val k = zCols.size
+    val bits = math.min(16, 63 / k)
+    val maxQ = (1L << bits) - 1
+    val nums = zCols.map { name =>
+      df.schema(name).dataType match {
+        // DATE has no numeric cast in Spark SQL — rank by epoch day
+        case org.apache.spark.sql.types.DateType =>
+          datediff(col(name), to_date(lit("1970-01-01"))).cast("double")
+        case _ => col(name).cast("double")
+      }
+    }
+    val statExprs = nums.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(c).as(s"mn$i"), max(c).as(s"mx$i")) }
+    val stats = df.agg(statExprs.head, statExprs.tail: _*).head()
+    val ranks = nums.zipWithIndex.map { case (c, i) =>
+      // empty/all-null input: no stats → constant code (layout moot)
+      if (stats.isNullAt(2 * i)) lit(0L) else {
+      val mn = stats.getDouble(2 * i)
+      val mx = stats.getDouble(2 * i + 1)
+      val span = mx - mn
+      if (!(span > 0)) lit(0L)
+      // narrow integral domains (keys, epoch days) rank EXACTLY by
+      // offset — no scaling round-off; only spans past 2^bits scale.
+      // Either way the rank is TOP-ALIGNED to the full `bits` width
+      // (shift by the span's unused high bits): a dimension with a
+      // small domain must not fall to the low interleave positions,
+      // or the wide dimension alone would decide file boundaries and
+      // the layout degenerates to single-column clustering.
+      else if (span <= maxQ) {
+        val spanBits = 64 - java.lang.Long.numberOfLeadingZeros(
+          math.max(span.toLong, 1L))
+        shiftleft((coalesce(c, lit(mn)) - lit(mn)).cast("long"),
+          bits - spanBits)
+      }
+      else least(lit(maxQ), greatest(lit(0L),
+        ((coalesce(c, lit(mn)) - lit(mn)) / lit(span) * lit(maxQ.toDouble))
+          .cast("long")))
+      }
+    }
+    val terms = for {
+      (q, i) <- ranks.zipWithIndex
+      b <- 0 until bits
+    } yield shiftleft(shiftright(q, b).bitwiseAND(lit(1L)), b * k + i)
+    terms.reduce(_ bitwiseOR _)
   }
 
   /** Zip packaging policy for [[dwcArchiveFull]]. The CSV parts beside
