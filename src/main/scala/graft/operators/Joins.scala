@@ -39,31 +39,52 @@ object Joins {
     * `blockOf(name)` buckets (caller picks the blocking key — a
     * suffix/prefix, soundex, or an LSH bucket), so the candidate space
     * is per-bucket quadratic, never corpus-quadratic — same scaling
-    * contract as the dedup suite. Within candidates, `levenshtein ≤
-    * maxDist` filters, and one bounded-heap window (`row_number ≤ 1`,
-    * planned as Partial+Final WindowGroupLimit) keeps the best match
-    * per dirty row (min distance, ties → min ref id).
+    * contract as the dedup suite. The key's CARDINALITY must grow
+    * with the corpus: a fixed-width key saturates and block size
+    * grows ∝ n, turning the candidate join quadratic anyway (the
+    * sf10 bench measured 64× cost for 10× data on a fixed 3-char
+    * suffix; derive the width from a corpus count — see the
+    * q_fuzzy_match gate — or block on an LSH band).
+    *
+    * The expensive compare runs on DISTINCT NAMES, not rows: distance
+    * depends only on the strings, so both sides collapse to their name
+    * sets first and every duplicate (common in real reference data —
+    * the sf10 corpus carries 100 copies per name, and comparing rows
+    * directly meant 10M levenshtein evals where ~1k name pairs carry
+    * the information) is priced once. The row-level best-match
+    * semantics are preserved EXACTLY: all rows of a ref name share its
+    * distance, so "min (dist, ref_id) over rows" equals "min (dist,
+    * per-name min ref_id) over names" — the per-name representative id
+    * is folded in a pre-aggregation, the best name-pair is picked by
+    * one bounded-heap window (`row_number ≤ 1` per dirty NAME, planned
+    * as Partial+Final WindowGroupLimit), and dirty rows re-attach by
+    * name in a final linear join.
     */
   def fuzzyMatch(
       dirty: DataFrame, dirtyId: String, dirtyName: String,
       ref: DataFrame, refId: String, refName: String,
       blockOf: Column => Column, maxDist: Int): DataFrame = {
     val d = dirty.select(
-      col(dirtyId).as("dirty_id"), col(dirtyName).as("dirty_name"),
-      blockOf(col(dirtyName)).as("block"))
-    val r = ref.select(
-      col(refId).as("ref_id"), col(refName).as("ref_name"),
-      blockOf(col(refName)).as("block"))
-    val cand = d.join(r, "block")
+      col(dirtyId).as("dirty_id"), col(dirtyName).as("dirty_name"))
+    val dn = d.select(col("dirty_name")).distinct()
+      .withColumn("block", blockOf(col("dirty_name")))
+    // one row per ref NAME, carrying the tie-break representative
+    val rn = ref
+      .groupBy(col(refName).as("ref_name"))
+      .agg(min(col(refId)).as("ref_id"))
+      .withColumn("block", blockOf(col("ref_name")))
+    val cand = dn.join(rn, "block")
       .withColumn("dist", levenshtein(col("dirty_name"), col("ref_name")))
       .where(col("dist") <= maxDist)
-    cand
+    val best = cand
       .withColumn("rn",
         row_number().over(
           org.apache.spark.sql.expressions.Window
-            .partitionBy("dirty_id")
+            .partitionBy("dirty_name")
             .orderBy(col("dist"), col("ref_id"))))
       .where(col("rn") === 1)
+      .select(col("dirty_name"), col("ref_id"), col("ref_name"), col("dist"))
+    d.join(best, Seq("dirty_name"))
       .select(col("dirty_id"), col("dirty_name"), col("ref_id"),
         col("ref_name"), col("dist"))
       .orderBy("dirty_id")

@@ -87,10 +87,18 @@ object ExtractionQueries {
         col("s_suppkey").as("dirty_key"),
         concat(substring(col("s_name"), 1, 4), substring(col("s_name"), 6, 100))
           .as("dirty_name"))
+      // Blocking-key CARDINALITY must grow with the corpus, or block
+      // size grows ∝ n and the candidate join degenerates quadratic
+      // (the sf10 bench caught exactly this: a fixed 3-char suffix
+      // saturates at 1000 blocks → 64× cost for 10× data). Suffix
+      // width derives from the reference count via the same integer
+      // arithmetic the oracle's scalar subquery replays: the decimal
+      // width of count(*) ⇒ ~one key per block at any SF.
+      val w = ref.count().toString.length
       Joins.fuzzyMatch(
         dirty, "dirty_key", "dirty_name",
         ref, "s_suppkey", "s_name",
-        blockOf = n => substring(n, -3, 3), maxDist = 2)
+        blockOf = n => substring(n, -w, w), maxDist = 2)
     },
     // Chained transform (chains/transform_chain.py): step 1 computes
     // per-part stats (stats_loader), step 2 bins step 1's OUTPUT by
@@ -203,10 +211,18 @@ object ExtractionQueries {
                substr(s_name, 1, 4) || substr(s_name, 6) AS dirty_name
         FROM supplier),
       ref AS (SELECT s_suppkey AS ref_id, s_name AS ref_name FROM supplier),
+      w AS (SELECT len(CAST(COUNT(*) AS VARCHAR)) AS n FROM supplier),
+      -- block key materialized as a COLUMN before the join: a scalar
+      -- subquery inside the join condition blocks hash-join planning
+      -- and the pairing degenerates to a nested loop
+      db AS (SELECT dirty_id, dirty_name,
+                    right(dirty_name, (SELECT n FROM w)) AS blk FROM dirty),
+      rb AS (SELECT ref_id, ref_name,
+                    right(ref_name, (SELECT n FROM w)) AS blk FROM ref),
       cand AS (
         SELECT d.dirty_id, d.dirty_name, r.ref_id, r.ref_name,
                levenshtein(d.dirty_name, r.ref_name) AS dist
-        FROM dirty d JOIN ref r ON right(d.dirty_name, 3) = right(r.ref_name, 3)
+        FROM db d JOIN rb r ON d.blk = r.blk
         WHERE levenshtein(d.dirty_name, r.ref_name) <= 2),
       best AS (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY dirty_id ORDER BY dist, ref_id) AS rn
