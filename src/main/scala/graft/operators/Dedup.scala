@@ -187,6 +187,75 @@ object Dedup {
           (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
             eq => eq)).cast(DoubleType) / lit(numHashes.toDouble)).as("est_jaccard"): _*)
 
+  /** J14 — build the PERSISTED minhash index of a corpus: the
+    * rolling-ingestion artifact. Two parquet tables under `path`:
+    * `bands` — the ids-only (doc_id, band, bucket) rows of
+    * [[bandedBuckets]], each carrying its bucket occupancy so a probe
+    * can drop hot buckets without re-aggregating the index — and
+    * `shingles` — the (doc_id, sh, n_sh) hashed-shingle arrays that
+    * exact verification joins against. Cost ∝ corpus, paid ONCE; every
+    * later shard probe ([[dedupShardAgainstIndex]]) reads these files
+    * and NEVER touches the corpus text again (at lake scale, bucket
+    * both tables by doc_id so the verify join co-locates). */
+  def minhashIndexWrite(
+      corpus: DataFrame, idCol: String, textCol: String, path: String,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val shf = shingleFrame(corpus, idCol, textCol, shingleN).localCheckpoint(true)
+    val bb = bandedBuckets(
+      shf.select(col("doc_id"), minhashSignature(col("sh"), numHashes).as("sig")),
+      numHashes, bands)
+    val occ = bb.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n_bucket"))
+    bb.join(occ, Seq("band", "bucket"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/bands")
+    shf.write.mode(SaveMode.Overwrite).parquet(s"$path/shingles")
+  }
+
+  /** J14 — probe an incoming shard against a [[minhashIndexWrite]]
+    * artifact: per-shard cost ∝ shard (+ the candidate sliver of the
+    * index), the corpus is NEVER rescanned. Shard shingles/signatures
+    * compute in one checkpointed pass; band buckets equi-join the
+    * index's `bands` (corpus buckets over `maxBucket` drop via their
+    * STORED occupancy — the J2/Q17 hot-bucket contract); candidates
+    * verify EXACTLY against the index's `shingles`, and the best
+    * corpus match per shard doc folds as the map-combinable
+    * `min(struct(-jaccard, id))` (the Q17 pattern). Returns flagged
+    * shard docs `(doc_id, match_id, jaccard)`, unsorted — callers
+    * compose (e.g. anti-join to keep novel docs) and sort once. */
+  def dedupShardAgainstIndex(
+      shard: DataFrame, idCol: String, textCol: String, path: String,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      maxBucket: Int = 1000, minJaccard: Double = 0.5): DataFrame = {
+    val spark = shard.sparkSession
+    val shf = shingleFrame(shard, idCol, textCol, shingleN).localCheckpoint(true)
+    val bb = bandedBuckets(
+      shf.select(col("doc_id"), minhashSignature(col("sh"), numHashes).as("sig")),
+      numHashes, bands)
+    val idx = spark.read.parquet(s"$path/bands")
+      .where(col("n_bucket") <= maxBucket)
+    val cand = bb
+      .join(idx.select(col("doc_id").as("match_id"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select(col("doc_id"), col("match_id"))
+      .distinct()
+    val corpusSh = spark.read.parquet(s"$path/shingles")
+      .select(col("doc_id").as("match_id"), col("sh").as("sh_b"), col("n_sh").as("nb"))
+    cand
+      .join(shf.select(col("doc_id"), col("sh"), col("n_sh")), "doc_id")
+      .join(corpusSh, "match_id")
+      .select(col("doc_id"), col("match_id"),
+        (size(array_intersect(col("sh"), col("sh_b"))).cast("double") /
+          (col("n_sh") + col("nb") -
+            size(array_intersect(col("sh"), col("sh_b")))).cast("double"))
+          .as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("jaccard")).as("nj"), col("match_id"))).as("best"))
+      .select(col("doc_id"), col("best.match_id").as("match_id"),
+        (-col("best.nj")).as("jaccard"))
+  }
+
   /** 64-bit SimHash of the token stream: bit b votes +1/−1 by the
     * parity of xxhash64(token, b); the fingerprint folds the vote
     * signs MSB-first (acc·2 + bit — avoids per-column shift limits). */

@@ -84,6 +84,25 @@ object DedupQueries {
       Dedup.ngramJaccardPairs(
         Tables.documents(s, dir), "doc_id", "text", "source", n = 3, minJaccard = 0.1)
     },
+    // J14 gate — ROLLING-SHARD dedup against a PERSISTED minhash
+    // index (the production ingestion path: index cost paid once per
+    // corpus, per-shard probe cost ∝ shard, the corpus never
+    // rescanned — IncrementalDedupSpec proves the probe survives the
+    // corpus source being DELETED). Two successive shards probe the
+    // SAME build; the oracle replays both shards against the corpus
+    // with an UNBLOCKED exact inverted-gram index, so an LSH recall
+    // miss or a stale-index defect deletes a row and fails the hash
+    // (the J2/Q17 contract, applied to the index artifact).
+    "q_dedup_incremental" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val m = pmod(col("doc_id"), lit(5L))
+      val idx = s"/tmp/graft-mhidx-${java.lang.Math.abs(dir.hashCode)}"
+      Dedup.minhashIndexWrite(docs.where(m >= 2), "doc_id", "text", idx)
+      Dedup.dedupShardAgainstIndex(docs.where(m === 0), "doc_id", "text", idx)
+        .unionAll(
+          Dedup.dedupShardAgainstIndex(docs.where(m === 1), "doc_id", "text", idx))
+        .orderBy("doc_id")
+    },
     // J10 gate — substring-granularity dedup (Lee et al. 2021): every
     // duplicated 8-token span with doc/occurrence counts; the oracle
     // regroups the same windows directly, so a windowing or counting
@@ -450,6 +469,33 @@ object DedupQueries {
       FROM pairs
       WHERE CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE) >= 0.1
       ORDER BY id_a, id_b""",
+    // unblocked exact cross-join of BOTH shards vs the corpus slice —
+    // deliberately stronger than the index's banding (a recall miss
+    // fails the hash); jaccard and the (max j, min id) best-pick
+    // replay the operator's arithmetic exactly
+    "q_dedup_incremental" -> """
+      WITH g0 AS (
+        SELECT doc_id, doc_id % 5 AS m,
+          list_distinct(list_transform(generate_series(1, len(toks) - 2),
+            i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        WHERE len(toks) >= 3),
+      g AS (SELECT doc_id, m, len(sh) AS n, unnest(sh) AS gram FROM g0),
+      t AS (SELECT * FROM g WHERE m <= 1),
+      b AS (SELECT * FROM g WHERE m >= 2),
+      pairs AS (
+        SELECT t.doc_id AS doc_id, b.doc_id AS match_id,
+               COUNT(*) AS c, ANY_VALUE(t.n) AS nt, ANY_VALUE(b.n) AS nb
+        FROM t JOIN b USING (gram) GROUP BY 1, 2),
+      scored AS (
+        SELECT doc_id, match_id,
+               CAST(c AS DOUBLE) / CAST(nt + nb - c AS DOUBLE) AS jaccard
+        FROM pairs
+        WHERE CAST(c AS DOUBLE) / CAST(nt + nb - c AS DOUBLE) >= 0.5)
+      SELECT doc_id,
+             -(MAX(struct_pack(j := jaccard, nmid := -match_id)).nmid) AS match_id,
+             MAX(struct_pack(j := jaccard, nmid := -match_id)).j AS jaccard
+      FROM scored GROUP BY doc_id ORDER BY doc_id""",
     "q_span_dedup" -> """
       WITH w AS (
         SELECT doc_id,

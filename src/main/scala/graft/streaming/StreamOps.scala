@@ -311,6 +311,34 @@ object StreamOps {
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
+  /** J14 twin — rolling-ingest dedup served online: every micro-batch
+    * is one arriving shard, probed against the PERSISTED minhash index
+    * ([[graft.operators.Dedup.minhashIndexWrite]]) by the batch
+    * operator itself through `foreachBatch` — a micro-batch IS a
+    * bounded shard, so the exact-verify joins and the best-match fold
+    * run as plain batch plans and stream/batch parity holds by
+    * construction (spec-asserted). Per-batch cost ∝ batch + the
+    * candidate sliver of the index; the corpus is never rescanned and
+    * NO state store is involved — the index artifact is the state,
+    * shared by every executor, refreshable between batches by
+    * rewriting the artifact (e.g. folding accepted novel docs in).
+    * `onFlagged` receives each batch's flagged rows
+    * `(doc_id, match_id, jaccard)` with its batch id. */
+  def incrementalDedupStream(
+      shards: DataFrame, idCol: String, textCol: String, indexPath: String,
+      onFlagged: (DataFrame, Long) => Unit,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      maxBucket: Int = 1000, minJaccard: Double = 0.5)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val probe = (batch: DataFrame, batchId: Long) =>
+      onFlagged(
+        graft.operators.Dedup.dedupShardAgainstIndex(
+          batch, idCol, textCol, indexPath, shingleN, numHashes, bands,
+          maxBucket, minJaccard),
+        batchId)
+    shards.writeStream.foreachBatch(probe).start()
+  }
+
   case class SpanDecision(doc_id: Long, pos: Int, keep: Boolean)
 
   /** Per-span first-seen state for the streaming span scrub (the J12

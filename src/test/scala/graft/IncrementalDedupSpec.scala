@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** J14 — rolling-shard dedup against a persisted minhash index.
+  *
+  * 1. The probe's verdicts equal the direct cross-table operator's
+  *    (fuzzyDecontaminate) on the same shard/corpus — the index
+  *    round-trip adds plumbing, not semantics.
+  * 2. The probe never touches the corpus source: after the index is
+  *    built, the corpus parquet is DELETED and the probe still
+  *    answers — the property that makes per-shard ingestion cost
+  *    ∝ shard at 100 TB (everything the probe needs lives in the
+  *    index artifact).
+  */
+class IncrementalDedupSpec extends SparkSpec {
+
+  private def corpusRows = Seq(
+    (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+    (11L, "one two three four five six seven eight nine"),
+    (12L, "red orange yellow green blue indigo violet umbra"),
+    (13L, "lorem ipsum dolor sit amet consectetur adipiscing elit"))
+
+  private def shardRows = Seq(
+    // near-dup of 10 (one token changed at the end)
+    (1L, "alpha beta gamma delta epsilon zeta eta iota"),
+    // exact text of 11
+    (2L, "one two three four five six seven eight nine"),
+    // novel
+    (3L, "completely different tokens that match nothing here at all"))
+
+  test("index probe equals the direct cross-table operator") {
+    import spark.implicits._
+    val corpus = corpusRows.toDF("doc_id", "text")
+    val shard = shardRows.toDF("doc_id", "text")
+    val idx = s"/tmp/graft-spec-mhidx-a-${java.lang.Math.abs(hashCode)}"
+    graft.operators.Dedup.minhashIndexWrite(corpus, "doc_id", "text", idx)
+    val probed = graft.operators.Dedup
+      .dedupShardAgainstIndex(shard, "doc_id", "text", idx)
+      .orderBy("doc_id").collect()
+    val direct = graft.operators.Curation
+      .fuzzyDecontaminate(shard, corpus, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(probed.length == direct.length && probed.length >= 2,
+      s"expected matching non-trivial verdicts, got ${probed.length}/${direct.length}")
+    for ((p, d) <- probed.zip(direct)) {
+      assert(p.getLong(0) == d.getLong(0))
+      assert(p.getLong(1) == d.getLong(1), s"match id for doc ${p.getLong(0)}")
+      assert(p.getDouble(2) == d.getDouble(2), s"jaccard for doc ${p.getLong(0)}")
+    }
+    // the novel doc is not flagged
+    assert(!probed.map(_.getLong(0)).contains(3L))
+  }
+
+  test("streaming shard probe equals per-shard batch probes (micro-batch = shard)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val corpus = corpusRows.toDF("doc_id", "text")
+    val idx = s"/tmp/graft-spec-mhidx-c-${java.lang.Math.abs(hashCode)}"
+    graft.operators.Dedup.minhashIndexWrite(corpus, "doc_id", "text", idx)
+    val shard1 = shardRows.take(2)
+    val shard2 = shardRows.drop(2) :+
+      (4L, "red orange yellow green blue indigo violet ochre") // near-dup of 12
+    val expected = (
+      graft.operators.Dedup
+        .dedupShardAgainstIndex(shard1.toDF("doc_id", "text"), "doc_id", "text", idx)
+        .collect() ++
+      graft.operators.Dedup
+        .dedupShardAgainstIndex(shard2.toDF("doc_id", "text"), "doc_id", "text", idx)
+        .collect()
+    ).map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(expected.map(_._1) == Set(1L, 2L, 4L))
+    val got = scala.collection.mutable.Set[(Long, Long, Double)]()
+    val input = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.StreamOps.incrementalDedupStream(
+      input.toDF.toDF("doc_id", "text"), "doc_id", "text", idx,
+      (flagged, _) => got.synchronized {
+        got ++= flagged.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      })
+    try {
+      input.addData(shard1)
+      q.processAllAvailable()
+      input.addData(shard2)
+      q.processAllAvailable()
+      assert(got.toSet == expected)
+    } finally q.stop()
+  }
+
+  test("probe works after the corpus source is deleted") {
+    import spark.implicits._
+    val cpath = s"/tmp/graft-spec-mhidx-corpus-${java.lang.Math.abs(hashCode)}"
+    corpusRows.toDF("doc_id", "text").write.mode("overwrite").parquet(cpath)
+    val corpus = spark.read.parquet(cpath)
+    val idx = s"/tmp/graft-spec-mhidx-b-${java.lang.Math.abs(hashCode)}"
+    graft.operators.Dedup.minhashIndexWrite(corpus, "doc_id", "text", idx)
+    // corpus gone: only the index artifact remains
+    val dir = new java.io.File(cpath)
+    dir.listFiles().foreach(_.delete()); assert(dir.delete())
+    val probed = graft.operators.Dedup
+      .dedupShardAgainstIndex(
+        shardRows.toDF("doc_id", "text"), "doc_id", "text", idx)
+      .orderBy("doc_id").collect()
+    assert(probed.length == 2)
+    assert(probed.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 10L), (2L, 11L)))
+  }
+}
