@@ -190,34 +190,64 @@ object Dedup {
   /** J14 — build the PERSISTED minhash index of a corpus: the
     * rolling-ingestion artifact. Two parquet tables under `path`:
     * `bands` — the ids-only (doc_id, band, bucket) rows of
-    * [[bandedBuckets]], each carrying its bucket occupancy so a probe
-    * can drop hot buckets without re-aggregating the index — and
-    * `shingles` — the (doc_id, sh, n_sh) hashed-shingle arrays that
-    * exact verification joins against. Cost ∝ corpus, paid ONCE; every
-    * later shard probe ([[dedupShardAgainstIndex]]) reads these files
-    * and NEVER touches the corpus text again (at lake scale, bucket
-    * both tables by doc_id so the verify join co-locates). */
+    * [[bandedBuckets]], each carrying its SEGMENT-local bucket
+    * occupancy so a probe can pre-drop buckets a single write already
+    * made hot without re-aggregating the index — and `shingles` — the
+    * (doc_id, sh, n_sh) hashed-shingle arrays that exact verification
+    * joins against. Cost ∝ corpus, paid ONCE; every later shard probe
+    * ([[dedupShardAgainstIndex]]) reads these files and NEVER touches
+    * the corpus text again (at lake scale, bucket both tables by
+    * doc_id so the verify join co-locates). Grow the index with
+    * [[minhashIndexAppend]] as novel shards are accepted. */
   def minhashIndexWrite(
       corpus: DataFrame, idCol: String, textCol: String, path: String,
-      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16): Unit = {
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16): Unit =
+    writeIndexSegment(corpus, idCol, textCol, path, shingleN, numHashes,
+      bands, overwrite = true)
+
+  /** J14 — grow a [[minhashIndexWrite]] artifact with a newly accepted
+    * shard (the post-probe half of rolling ingestion: probe, keep the
+    * novel docs, fold them into the index so the NEXT shard dedups
+    * against them too). Pure parquet appends — cost ∝ shard, the
+    * existing segments are never read or rewritten. Each segment
+    * carries its own local occupancy; [[dedupShardAgainstIndex]]
+    * reconciles the GLOBAL count per candidate bucket at probe time
+    * over the candidate sliver only, so a bucket that crosses
+    * `maxBucket` across segments still drops (spec-asserted equal to a
+    * full index rebuild). */
+  def minhashIndexAppend(
+      shard: DataFrame, idCol: String, textCol: String, path: String,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16): Unit =
+    writeIndexSegment(shard, idCol, textCol, path, shingleN, numHashes,
+      bands, overwrite = false)
+
+  private def writeIndexSegment(
+      df: DataFrame, idCol: String, textCol: String, path: String,
+      shingleN: Int, numHashes: Int, bands: Int, overwrite: Boolean): Unit = {
     import org.apache.spark.sql.SaveMode
-    val shf = shingleFrame(corpus, idCol, textCol, shingleN).localCheckpoint(true)
+    val mode = if (overwrite) SaveMode.Overwrite else SaveMode.Append
+    val shf = shingleFrame(df, idCol, textCol, shingleN).localCheckpoint(true)
     val bb = bandedBuckets(
       shf.select(col("doc_id"), minhashSignature(col("sh"), numHashes).as("sig")),
       numHashes, bands)
     val occ = bb.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("n_bucket"))
     bb.join(occ, Seq("band", "bucket"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/bands")
-    shf.write.mode(SaveMode.Overwrite).parquet(s"$path/shingles")
+      .write.mode(mode).parquet(s"$path/bands")
+    shf.write.mode(mode).parquet(s"$path/shingles")
   }
 
   /** J14 — probe an incoming shard against a [[minhashIndexWrite]]
     * artifact: per-shard cost ∝ shard (+ the candidate sliver of the
     * index), the corpus is NEVER rescanned. Shard shingles/signatures
     * compute in one checkpointed pass; band buckets equi-join the
-    * index's `bands` (corpus buckets over `maxBucket` drop via their
-    * STORED occupancy — the J2/Q17 hot-bucket contract); candidates
+    * index's `bands` with a two-level hot-bucket defense (the J2/Q17
+    * contract): buckets a single segment already made hot drop BEFORE
+    * the exchange via their stored local occupancy (the skew guard —
+    * a mega-duplicate cluster never shuffles), and buckets hot only
+    * ACROSS [[minhashIndexAppend]] segments drop after it via a
+    * count window over the candidate sliver (exchange-reusing: same
+    * (band,bucket) partitioning the join just established). Candidates
     * verify EXACTLY against the index's `shingles`, and the best
     * corpus match per shard doc folds as the map-combinable
     * `min(struct(-jaccard, id))` (the Q17 pattern). Returns flagged
@@ -227,6 +257,7 @@ object Dedup {
       shard: DataFrame, idCol: String, textCol: String, path: String,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
       maxBucket: Int = 1000, minJaccard: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val spark = shard.sparkSession
     val shf = shingleFrame(shard, idCol, textCol, shingleN).localCheckpoint(true)
     val bb = bandedBuckets(
@@ -234,8 +265,15 @@ object Dedup {
       numHashes, bands)
     val idx = spark.read.parquet(s"$path/bands")
       .where(col("n_bucket") <= maxBucket)
+    val sliver = idx
+      .select(col("doc_id").as("match_id"), col("band"), col("bucket"))
+      .join(bb.select(col("band"), col("bucket")).distinct(),
+        Seq("band", "bucket"), "leftsemi")
+      .withColumn("n_glob",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+      .where(col("n_glob") <= maxBucket)
     val cand = bb
-      .join(idx.select(col("doc_id").as("match_id"), col("band"), col("bucket")),
+      .join(sliver.select(col("match_id"), col("band"), col("bucket")),
         Seq("band", "bucket"))
       .select(col("doc_id"), col("match_id"))
       .distinct()

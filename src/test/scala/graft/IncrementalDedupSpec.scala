@@ -86,6 +86,57 @@ class IncrementalDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("append grows the index: probe equals a full rebuild") {
+    import spark.implicits._
+    val a = corpusRows.toDF("doc_id", "text")
+    val b = Seq(
+      (14L, "gamma rays cross the upper atmosphere at night often"),
+      (15L, "quiet rivers carve deep canyons over geological time spans"))
+      .toDF("doc_id", "text")
+    val idxApp = s"/tmp/graft-spec-mhidx-d-${java.lang.Math.abs(hashCode)}"
+    val idxFull = s"/tmp/graft-spec-mhidx-e-${java.lang.Math.abs(hashCode)}"
+    graft.operators.Dedup.minhashIndexWrite(a, "doc_id", "text", idxApp)
+    graft.operators.Dedup.minhashIndexAppend(b, "doc_id", "text", idxApp)
+    graft.operators.Dedup.minhashIndexWrite(a.unionAll(b), "doc_id", "text", idxFull)
+    val shard = Seq(
+      // near-dup of appended 14
+      (1L, "gamma rays cross the upper atmosphere at night rarely"),
+      // near-dup of original 10
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "entirely novel content that resembles no indexed document at all"))
+      .toDF("doc_id", "text")
+    def run(p: String) = graft.operators.Dedup
+      .dedupShardAgainstIndex(shard, "doc_id", "text", p)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val appended = run(idxApp)
+    assert(appended == run(idxFull))
+    assert(appended.map(t => (t._1, t._2)) == Seq((1L, 14L), (2L, 10L)))
+  }
+
+  test("bucket hot only ACROSS segments drops at probe time, as in a rebuild") {
+    import spark.implicits._
+    val dup = "the same duplicated passage of nine tokens repeats here"
+    val a = (Seq((10L, corpusRows.head._2)) ++ (20L to 22L).map((_, dup))).toDF("doc_id", "text")
+    val b = (23L to 25L).map((_, dup)).toDF("doc_id", "text")
+    val idxApp = s"/tmp/graft-spec-mhidx-f-${java.lang.Math.abs(hashCode)}"
+    val idxFull = s"/tmp/graft-spec-mhidx-g-${java.lang.Math.abs(hashCode)}"
+    graft.operators.Dedup.minhashIndexWrite(a, "doc_id", "text", idxApp)
+    graft.operators.Dedup.minhashIndexAppend(b, "doc_id", "text", idxApp)
+    graft.operators.Dedup.minhashIndexWrite(a.unionAll(b), "doc_id", "text", idxFull)
+    val shard = Seq(
+      (1L, dup), // its buckets hold 6 members: local 3 <= 4 but global 6 > 4
+      (2L, "alpha beta gamma delta epsilon zeta eta iota")).toDF("doc_id", "text")
+    def run(p: String) = graft.operators.Dedup
+      .dedupShardAgainstIndex(shard, "doc_id", "text", p, maxBucket = 4)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val appended = run(idxApp)
+    // the mega-duplicate bucket drops in BOTH layouts (doc 1 unflagged);
+    // the cool bucket still matches (doc 2 → 10)
+    assert(appended == run(idxFull))
+    assert(appended == Seq((2L, 10L)))
+  }
+
   test("probe works after the corpus source is deleted") {
     import spark.implicits._
     val cpath = s"/tmp/graft-spec-mhidx-corpus-${java.lang.Math.abs(hashCode)}"
