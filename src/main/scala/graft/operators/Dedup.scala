@@ -246,8 +246,9 @@ object Dedup {
     * the exchange via their stored local occupancy (the skew guard —
     * a mega-duplicate cluster never shuffles), and buckets hot only
     * ACROSS [[minhashIndexAppend]] segments drop after it via a
-    * count window over the candidate sliver (exchange-reusing: same
-    * (band,bucket) partitioning the join just established). Candidates
+    * count window over the candidate sliver — costed by the sliver,
+    * never the index (and sharing the join's (band,bucket)
+    * partitioning when that join shuffles). Candidates
     * verify EXACTLY against the index's `shingles`, and the best
     * corpus match per shard doc folds as the map-combinable
     * `min(struct(-jaccard, id))` (the Q17 pattern). Returns flagged

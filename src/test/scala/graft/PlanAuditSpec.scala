@@ -448,6 +448,25 @@ class PlanAuditSpec extends SparkSpec {
       _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]))
   }
 
+  test("incremental dedup probe: hash joins only, occupancy window on the sliver") {
+    val docs = Tables.documents(spark, dir)
+    val idx = "/tmp/graft-audit-mhidx"
+    graft.operators.Dedup.minhashIndexWrite(docs, "doc_id", "text", idx)
+    val plan = executed(graft.operators.Dedup.dedupShardAgainstIndex(
+      docs.limit(50), "doc_id", "text", idx))
+    // every join in the probe is keyed (band/bucket, doc ids) — a
+    // nested-loop anywhere here is a corpus×shard blowup at scale
+    assert(!plan.exists(_.nodeName.toLowerCase.contains("nestedloop")))
+    assert(!plan.exists(_.nodeName.toLowerCase.contains("cartesian")))
+    // the cross-segment occupancy count IS present (a window over the
+    // candidate sliver) — removing it silently re-opens the
+    // appended-segment hot-bucket hole
+    assert(plan.exists(_.nodeName.contains("Window")))
+    // best-match per shard doc is the map-combinable struct-min, not a
+    // per-doc row_number sort
+    assert(plan.map(_.toString).exists(_.contains("partial_min")))
+  }
+
   test("semantic dedup pairs via a cell-keyed equi-join, never a nested loop") {
     val plan = executed(SparkEntry.queries("q_semantic_dedup")(spark, dir))
     assert(!plan.exists(_.nodeName.toLowerCase.contains("nestedloop")))
