@@ -99,12 +99,20 @@ object Bench {
     val totalMed = results.map(r => math.max(r._3, 0.0)).sum
     val spreads = results.map(_._4).sorted
     val spreadPct = if (spreads.isEmpty) 0.0 else spreads(spreads.size / 2) * 100
+    // Calib-normalized per-query medians: THE cross-round comparison
+    // column (per-query median ÷ this run's calib). Three rounds of
+    // phantom swings came from comparing raw seconds across windows;
+    // normalized values are directly comparable between any two bench
+    // artifacts regardless of how the sandbox drifted between them.
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,""" +
       s""""value_med":${fmt(totalMed)},"spread_pct":${fmt(spreadPct)},""" +
       s""""calib":${fmt(calib)},""" +
       s""""queries":${jmap(results.map(r => (r._1, r._2)))},""" +
-      s""""queries_med":${jmap(results.map(r => (r._1, r._3)))},"sf":"$sfDir"}"""
+      s""""queries_med":${jmap(results.map(r => (r._1, r._3)))},""" +
+      s""""queries_norm":${jmap(results.map(r =>
+        (r._1, if (r._3 >= 0 && calib > 0) r._3 / calib else -1.0)))},""" +
+      s""""sf":"$sfDir"}"""
     println(fullLine)
     // The driver's committed BENCH_r{N}.json harvests a tail-capped
     // window (55/122 rows in round 9), which made per-query cross-round

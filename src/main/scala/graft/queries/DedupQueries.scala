@@ -103,6 +103,30 @@ object DedupQueries {
           Dedup.dedupShardAgainstIndex(docs.where(m === 1), "doc_id", "text", idx))
         .orderBy("doc_id")
     },
+    // J14b gate — the FULL rolling-ingest loop under one hash: probe
+    // shard 0, anti-join its flagged docs to keep the novel ones,
+    // APPEND those into the index (minhashIndexAppend — the existing
+    // segments are never rewritten), then probe shard 1, which must
+    // now match both the original corpus AND shard 0's accepted docs.
+    // The oracle replays round 1 against corpus ∪ (shard-0 novel), so
+    // an append that fails to land, a stale occupancy reconcile, or an
+    // LSH recall miss in EITHER round fails the hash.
+    "q_dedup_rolling" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val m = pmod(col("doc_id"), lit(5L))
+      val idx = s"/tmp/graft-mhroll-${java.lang.Math.abs(dir.hashCode)}"
+      Dedup.minhashIndexWrite(docs.where(m >= 2), "doc_id", "text", idx)
+      val shard0 = docs.where(m === 0)
+      // flagged BEFORE the append mutates the artifact (eager)
+      val f0 = Dedup.dedupShardAgainstIndex(shard0, "doc_id", "text", idx)
+        .localCheckpoint(true)
+      Dedup.minhashIndexAppend(
+        shard0.join(f0.select("doc_id"), Seq("doc_id"), "left_anti"),
+        "doc_id", "text", idx)
+      f0.unionAll(
+          Dedup.dedupShardAgainstIndex(docs.where(m === 1), "doc_id", "text", idx))
+        .orderBy("doc_id")
+    },
     // J10 gate — substring-granularity dedup (Lee et al. 2021): every
     // duplicated 8-token span with doc/occurrence counts; the oracle
     // regroups the same windows directly, so a windowing or counting
@@ -496,6 +520,50 @@ object DedupQueries {
              -(MAX(struct_pack(j := jaccard, nmid := -match_id)).nmid) AS match_id,
              MAX(struct_pack(j := jaccard, nmid := -match_id)).j AS jaccard
       FROM scored GROUP BY doc_id ORDER BY doc_id""",
+    // round-0 replay exactly as q_dedup_incremental; round 1's corpus
+    // side additionally admits shard-0 docs NOT flagged in round 0 —
+    // the accepted-and-appended set — so the append must actually land
+    "q_dedup_rolling" -> """
+      WITH g0 AS (
+        SELECT doc_id, doc_id % 5 AS m,
+          list_distinct(list_transform(generate_series(1, len(toks) - 2),
+            i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        WHERE len(toks) >= 3),
+      g AS (SELECT doc_id, m, len(sh) AS n, unnest(sh) AS gram FROM g0),
+      p0 AS (
+        SELECT t.doc_id AS doc_id, b.doc_id AS match_id,
+               COUNT(*) AS c, ANY_VALUE(t.n) AS nt, ANY_VALUE(b.n) AS nb
+        FROM (SELECT * FROM g WHERE m = 0) t
+        JOIN (SELECT * FROM g WHERE m >= 2) b USING (gram) GROUP BY 1, 2),
+      s0 AS (
+        SELECT doc_id, match_id,
+               CAST(c AS DOUBLE) / CAST(nt + nb - c AS DOUBLE) AS jaccard
+        FROM p0
+        WHERE CAST(c AS DOUBLE) / CAST(nt + nb - c AS DOUBLE) >= 0.5),
+      r0 AS (
+        SELECT doc_id,
+               -(MAX(struct_pack(j := jaccard, nmid := -match_id)).nmid) AS match_id,
+               MAX(struct_pack(j := jaccard, nmid := -match_id)).j AS jaccard
+        FROM s0 GROUP BY doc_id),
+      p1 AS (
+        SELECT t.doc_id AS doc_id, b.doc_id AS match_id,
+               COUNT(*) AS c, ANY_VALUE(t.n) AS nt, ANY_VALUE(b.n) AS nb
+        FROM (SELECT * FROM g WHERE m = 1) t
+        JOIN (SELECT * FROM g WHERE m >= 2
+                OR (m = 0 AND doc_id NOT IN (SELECT doc_id FROM r0))) b
+        USING (gram) GROUP BY 1, 2),
+      s1 AS (
+        SELECT doc_id, match_id,
+               CAST(c AS DOUBLE) / CAST(nt + nb - c AS DOUBLE) AS jaccard
+        FROM p1
+        WHERE CAST(c AS DOUBLE) / CAST(nt + nb - c AS DOUBLE) >= 0.5),
+      r1 AS (
+        SELECT doc_id,
+               -(MAX(struct_pack(j := jaccard, nmid := -match_id)).nmid) AS match_id,
+               MAX(struct_pack(j := jaccard, nmid := -match_id)).j AS jaccard
+        FROM s1 GROUP BY doc_id)
+      SELECT * FROM r0 UNION ALL SELECT * FROM r1 ORDER BY doc_id""",
     "q_span_dedup" -> """
       WITH w AS (
         SELECT doc_id,
