@@ -221,6 +221,41 @@ object Dedup {
     writeIndexSegment(shard, idCol, textCol, path, shingleN, numHashes,
       bands, overwrite = false)
 
+  /** J14 — fold an appended index back into ONE segment: rewrite
+    * `bands` with GLOBAL occupancy (so every hot bucket is again
+    * droppable BEFORE the probe's exchange, not at the sliver window)
+    * and compact the shingle segments. Cost ∝ the index — the ids-only
+    * band rows and hashed-shingle arrays, a small fraction of corpus
+    * text — so this is the periodic maintenance job between cheap
+    * per-shard appends, not part of the ingest path. The rewrite goes
+    * through a sibling temp dir + FileSystem rename (never reads and
+    * overwrites the same files in one plan, and never materializes the
+    * index in executor memory). Probe results are unchanged by
+    * compaction (spec-asserted) — only WHERE the hot-drop happens
+    * moves. */
+  def minhashIndexCompact(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    import org.apache.spark.sql.SaveMode
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def swap(table: String, rewrite: DataFrame => DataFrame): Unit = {
+      val cur = new Path(s"$path/$table")
+      val tmp = new Path(s"$path/.${table}_compact_tmp")
+      rewrite(spark.read.parquet(cur.toString))
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      fs.delete(cur, true)
+      require(fs.rename(tmp, cur), s"compaction rename failed for $cur")
+    }
+    swap("bands", { bands =>
+      val ids = bands.select(col("doc_id"), col("band"), col("bucket"))
+      ids.join(
+        ids.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("n_bucket")),
+        Seq("band", "bucket"))
+    })
+    swap("shingles", identity)
+  }
+
   private def writeIndexSegment(
       df: DataFrame, idCol: String, textCol: String, path: String,
       shingleN: Int, numHashes: Int, bands: Int, overwrite: Boolean): Unit = {

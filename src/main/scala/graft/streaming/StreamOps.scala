@@ -339,6 +339,37 @@ object StreamOps {
     shards.writeStream.foreachBatch(probe).start()
   }
 
+  /** J14b twin — the FULL rolling-ingest loop online: each micro-batch
+    * probes the persisted index, hands its flagged rows to
+    * `onFlagged`, and APPENDS its novel (unflagged) docs to the index
+    * via [[graft.operators.Dedup.minhashIndexAppend]], so the NEXT
+    * micro-batch dedups against them too — the batch
+    * probe→keep-novel→append loop (the q_dedup_rolling gate) verbatim,
+    * one iteration per micro-batch. The flagged frame is checkpointed
+    * (∝ batch) before the append so the probe never re-runs against
+    * the already-mutated artifact; parity with per-shard batch rounds
+    * is spec-asserted, including a cross-batch match against a
+    * batch-1 novel doc. Run [[graft.operators.Dedup
+    * .minhashIndexCompact]] periodically as segments accumulate. */
+  def rollingIngestStream(
+      shards: DataFrame, idCol: String, textCol: String, indexPath: String,
+      onFlagged: (DataFrame, Long) => Unit,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      maxBucket: Int = 1000, minJaccard: Double = 0.5)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val step = (batch: DataFrame, batchId: Long) => {
+      val flagged = graft.operators.Dedup.dedupShardAgainstIndex(
+          batch, idCol, textCol, indexPath, shingleN, numHashes, bands,
+          maxBucket, minJaccard)
+        .localCheckpoint(true)
+      onFlagged(flagged, batchId)
+      graft.operators.Dedup.minhashIndexAppend(
+        batch.join(flagged.select(col("doc_id").as(idCol)), Seq(idCol), "left_anti"),
+        idCol, textCol, indexPath, shingleN, numHashes, bands)
+    }
+    shards.writeStream.foreachBatch(step).start()
+  }
+
   case class SpanDecision(doc_id: Long, pos: Int, keep: Boolean)
 
   /** Per-span first-seen state for the streaming span scrub (the J12

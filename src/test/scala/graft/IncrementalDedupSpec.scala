@@ -137,6 +137,61 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(appended == Seq((2L, 10L)))
   }
 
+  test("compaction preserves probe verdicts and restores pre-exchange hot drops") {
+    import spark.implicits._
+    val dup = "the same duplicated passage of nine tokens repeats here"
+    val a = (Seq((10L, corpusRows.head._2)) ++ (20L to 22L).map((_, dup))).toDF("doc_id", "text")
+    val b = (23L to 25L).map((_, dup)).toDF("doc_id", "text")
+    val idx = s"/tmp/graft-spec-mhidx-h-${java.lang.Math.abs(hashCode)}"
+    graft.operators.Dedup.minhashIndexWrite(a, "doc_id", "text", idx)
+    graft.operators.Dedup.minhashIndexAppend(b, "doc_id", "text", idx)
+    val shard = (shardRows.take(2) :+ (4L, dup)).toDF("doc_id", "text")
+    def run() = graft.operators.Dedup
+      .dedupShardAgainstIndex(shard, "doc_id", "text", idx, maxBucket = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val before = run()
+    graft.operators.Dedup.minhashIndexCompact(spark, idx)
+    assert(run() == before)
+    // doc 1 (near-dup of 10) flagged; doc 4 (the hot-bucket dup) dropped
+    assert(before.map(t => (t._1, t._2)) == Seq((1L, 10L)))
+    // after compaction the stored occupancy is GLOBAL: the 6-member
+    // bucket's rows now carry n_bucket=6 and drop before the exchange
+    val occ = spark.read.parquet(s"$idx/bands")
+      .groupBy("band", "bucket").agg(max("n_bucket").as("n"), count(lit(1)).as("c"))
+      .where(col("c") >= 6).select("n").collect()
+    assert(occ.nonEmpty && occ.forall(_.getLong(0) == 6L))
+  }
+
+  test("rolling ingest stream: probe, flag, append novel — next batch matches them") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val idx = s"/tmp/graft-spec-mhidx-i-${java.lang.Math.abs(hashCode)}"
+    graft.operators.Dedup.minhashIndexWrite(
+      corpusRows.toDF("doc_id", "text"), "doc_id", "text", idx)
+    val batch1 = Seq(
+      (1L, "one two three four five six seven eight nine"), // dup of 11 → flagged
+      (2L, "novel passage about mountains and weather patterns today")) // novel → appended
+    val batch2 = Seq(
+      // near-dup of batch-1's NOVEL doc — only matchable if the append landed
+      (3L, "novel passage about mountains and weather patterns here"),
+      (4L, "alpha beta gamma delta epsilon zeta eta iota")) // near-dup of 10
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    val input = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.StreamOps.rollingIngestStream(
+      input.toDF.toDF("doc_id", "text"), "doc_id", "text", idx,
+      (flagged, id) => got.synchronized {
+        got ++= flagged.collect().map(r => (id, r.getLong(0), r.getLong(1)))
+      })
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+      val byDoc = got.map(t => (t._2, t._3)).sorted.toSeq
+      assert(byDoc == Seq((1L, 11L), (3L, 2L), (4L, 10L)),
+        s"rolling verdicts diverged: $byDoc")
+    } finally q.stop()
+  }
+
   test("probe works after the corpus source is deleted") {
     import spark.implicits._
     val cpath = s"/tmp/graft-spec-mhidx-corpus-${java.lang.Math.abs(hashCode)}"
