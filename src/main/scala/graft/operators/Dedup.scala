@@ -232,7 +232,14 @@ object Dedup {
     * overwrites the same files in one plan, and never materializes the
     * index in executor memory). Probe results are unchanged by
     * compaction (spec-asserted) — only WHERE the hot-drop happens
-    * moves. */
+    * moves. Compaction is ALSO the repair path for at-least-once
+    * appends: a retried streaming micro-batch
+    * ([[graft.streaming.StreamOps.rollingIngestStream]]) can append
+    * the same shard twice, inflating occupancy counts (duplicates can
+    * only OVER-drop — conservative, never wrong matches); the rewrite
+    * collapses duplicate rows per doc before rebuilding counts, so
+    * post-compact verdicts equal a cleanly built index
+    * (spec-asserted). */
   def minhashIndexCompact(
       spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     import org.apache.spark.sql.SaveMode
@@ -247,13 +254,13 @@ object Dedup {
       require(fs.rename(tmp, cur), s"compaction rename failed for $cur")
     }
     swap("bands", { bands =>
-      val ids = bands.select(col("doc_id"), col("band"), col("bucket"))
+      val ids = bands.select(col("doc_id"), col("band"), col("bucket")).distinct()
       ids.join(
         ids.groupBy(col("band"), col("bucket"))
           .agg(count(lit(1)).as("n_bucket")),
         Seq("band", "bucket"))
     })
-    swap("shingles", identity)
+    swap("shingles", _.dropDuplicates("doc_id"))
   }
 
   private def writeIndexSegment(

@@ -349,8 +349,14 @@ object StreamOps {
     * (∝ batch) before the append so the probe never re-runs against
     * the already-mutated artifact; parity with per-shard batch rounds
     * is spec-asserted, including a cross-batch match against a
-    * batch-1 novel doc. Run [[graft.operators.Dedup
-    * .minhashIndexCompact]] periodically as segments accumulate. */
+    * batch-1 novel doc. Delivery contract (standard foreachBatch): a
+    * retried micro-batch may re-invoke `onFlagged` (use `batchId` for
+    * an idempotent sink) and may re-append its novel docs —
+    * duplicates only OVER-drop (inflated occupancy is conservative,
+    * never a wrong match) and [[graft.operators.Dedup
+    * .minhashIndexCompact]], the periodic maintenance job as segments
+    * accumulate, collapses them back to the cleanly built index
+    * (spec-asserted). */
   def rollingIngestStream(
       shards: DataFrame, idCol: String, textCol: String, indexPath: String,
       onFlagged: (DataFrame, Long) => Unit,

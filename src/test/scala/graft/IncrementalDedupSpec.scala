@@ -163,6 +163,39 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(occ.nonEmpty && occ.forall(_.getLong(0) == 6L))
   }
 
+  test("compaction repairs a double-appended (retried) shard to the clean index") {
+    import spark.implicits._
+    val b = Seq(
+      (14L, "gamma rays cross the upper atmosphere at night often"),
+      (15L, "quiet rivers carve deep canyons over geological time spans"))
+    val dirty = s"/tmp/graft-spec-mhidx-j-${java.lang.Math.abs(hashCode)}"
+    val clean = s"/tmp/graft-spec-mhidx-k-${java.lang.Math.abs(hashCode)}"
+    val a = corpusRows.toDF("doc_id", "text")
+    graft.operators.Dedup.minhashIndexWrite(a, "doc_id", "text", dirty)
+    // the same shard appends TWICE — a retried micro-batch
+    graft.operators.Dedup.minhashIndexAppend(b.toDF("doc_id", "text"), "doc_id", "text", dirty)
+    graft.operators.Dedup.minhashIndexAppend(b.toDF("doc_id", "text"), "doc_id", "text", dirty)
+    graft.operators.Dedup.minhashIndexWrite(
+      a.unionAll(b.toDF("doc_id", "text")), "doc_id", "text", clean)
+    graft.operators.Dedup.minhashIndexCompact(spark, dirty)
+    val shard = Seq(
+      (1L, "gamma rays cross the upper atmosphere at night rarely"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota")).toDF("doc_id", "text")
+    def run(p: String) = graft.operators.Dedup
+      .dedupShardAgainstIndex(shard, "doc_id", "text", p)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val repaired = run(dirty)
+    assert(repaired == run(clean))
+    assert(repaired.map(t => (t._1, t._2)) == Seq((1L, 14L), (2L, 10L)))
+    // the duplicate band/shingle rows are physically gone
+    val bandRows = spark.read.parquet(s"$dirty/bands")
+      .groupBy("doc_id", "band", "bucket").count().where(col("count") > 1).count()
+    assert(bandRows == 0)
+    assert(spark.read.parquet(s"$dirty/shingles")
+      .groupBy("doc_id").count().where(col("count") > 1).count() == 0)
+  }
+
   test("rolling ingest stream: probe, flag, append novel — next batch matches them") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
