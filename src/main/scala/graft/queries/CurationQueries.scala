@@ -22,6 +22,17 @@ object CurationQueries {
         Tables.documents(s, dir), "doc_id", "text",
         col("source") === "src0", buckets = 64, cap = 1L << 28)
     },
+    // Q18 — the LEARNED quality filter: hashed-BoW hard-sigmoid
+    // logistic unit, full-batch GD, ZERO floating point anywhere —
+    // fit on src0 as the curated seed, score + cut the wild side.
+    // The oracle replays the whole training loop epoch-by-epoch in
+    // unrolled CTEs, so a drift in any margin, gradient sum, floor
+    // division or clip on ANY epoch moves a weight and fails the hash.
+    "q_quality_classifier" -> { (s, dir) =>
+      graft.operators.Classifier.trainAndScore(
+        Tables.documents(s, dir), "doc_id", "text",
+        col("source") === "src0", buckets = 64, epochs = 4)
+    },
     // Q15 — the Gopher-threshold keep decision over the Q1 signals
     "q_quality_filter" -> { (s, dir) =>
       Curation.qualityFilter(
@@ -227,7 +238,68 @@ object CurationQueries {
     ("phones", "\\b555-[0-9]{4}\\b", "<PHONE>"),
     ("ips", "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b", "<IP>"))
 
+  /** Q18 oracle — the ENTIRE training loop unrolled: epoch k's CTEs
+    * recompute margins under w_{k-1}, hard-sigmoid errors (nonneg
+    * clamp then `>> 2` — exact floor/4), per-bucket gradient sums and
+    * the clipped floor-division update (nonnegative-offset trick:
+    * `(g + OFF*4n) // 4n - OFF` — truncation equals floor because the
+    * numerator is nonnegative, matching Math.floorDiv on the Spark
+    * driver bit-for-bit). Integer arithmetic end to end — no doubles
+    * to drift. Constants mirror Classifier: S=2^20, clip ±2S, B=64,
+    * intercept bucket 64, 4 epochs, label source='src0'. */
+  private def classifierOracleSql: String = {
+    val B = 64; val epochs = 4
+    val s = graft.operators.Classifier.S          // 1048576
+    val off = s / 4 + 1                           // |g|/(4n) <= S/4
+    val clamp = (m: String) =>
+      s"(GREATEST(CAST(0 AS BIGINT), LEAST(CAST(${4 * s} AS BIGINT), $m + ${2 * s})) >> 2)"
+    val head = s"""
+      WITH tok AS (
+        SELECT doc_id, (source = 'src0') AS y,
+               unnest(string_split(text, ' ')) AS t
+        FROM documents),
+      fb AS (
+        SELECT DISTINCT doc_id, y,
+               CAST(CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT) % $B AS INT)
+                 AS bucket
+        FROM tok
+        UNION ALL
+        SELECT doc_id, (source = 'src0') AS y, $B AS bucket FROM documents),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+      w0 AS (SELECT CAST(range AS INT) AS bucket, CAST(0 AS BIGINT) AS w
+             FROM range(${B + 1}))"""
+    val rounds = (1 to epochs).map { k =>
+      val p = k - 1
+      s""",
+      m$k AS (
+        SELECT f.doc_id, f.y, CAST(SUM(w.w) AS BIGINT) AS m
+        FROM fb f JOIN w$p w USING (bucket) GROUP BY f.doc_id, f.y),
+      e$k AS (
+        SELECT doc_id,
+               ${clamp("m")} - CASE WHEN y THEN $s ELSE 0 END AS e
+        FROM m$k),
+      g$k AS (
+        SELECT f.bucket, CAST(SUM(e.e) AS BIGINT) AS g
+        FROM fb f JOIN e$k e USING (doc_id) GROUP BY f.bucket),
+      w$k AS (
+        SELECT w.bucket,
+               GREATEST(CAST(${-2 * s} AS BIGINT), LEAST(CAST(${2 * s} AS BIGINT),
+                 w.w - (((COALESCE(g.g, 0) + $off * (4 * nn.n)) // (4 * nn.n))
+                        - $off))) AS w
+        FROM w$p w LEFT JOIN g$k g USING (bucket) CROSS JOIN nn)"""
+    }.mkString
+    head + rounds + s""",
+      ms AS (
+        SELECT f.doc_id, f.y, CAST(SUM(w.w) AS BIGINT) AS margin
+        FROM fb f JOIN w$epochs w USING (bucket) GROUP BY f.doc_id, f.y)
+      SELECT doc_id, margin,
+             ${clamp("margin")} AS score,
+             2 * ${clamp("margin")} >= $s AS kept
+      FROM ms WHERE NOT y ORDER BY doc_id"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_quality_classifier" -> classifierOracleSql,
     // Q16 — full replay: hashed buckets, smoothed quantized ratios
     // (integer products cast to double for ONE division, the §7.5.15
     // grid trick), exact weight sums, integer cross-multiplied keep.

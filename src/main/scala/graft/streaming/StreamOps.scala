@@ -84,6 +84,28 @@ object StreamOps {
           .otherwise(u * lit(cap) < col("weight") * lit(1L << 32)).as("kept"))
   }
 
+  /** Streaming learned-quality scorer: the Q18 classifier's FITTED
+    * integer weights served on an unbounded document stream through
+    * the SAME stateless scoring expression as the batch operator
+    * ([[graft.operators.Classifier.scoreExpr]] — tokenize, md5-bucket,
+    * distinct, one in-row fold against the weight-array literal: no
+    * explode, no join, no state store, append mode at any rate).
+    * Train offline, serve online — the I12 pattern applied to the
+    * learned filter; batch/stream parity holds by shared expression
+    * and is spec-asserted. */
+  def qualityClassifierStream(
+      docs: DataFrame, idCol: String, textCol: String,
+      weights: Array[Long], buckets: Int): DataFrame = {
+    require(weights.length == buckets + 1,
+      s"qualityClassifierStream: need ${buckets + 1} weights (incl. bias), " +
+        s"got ${weights.length}")
+    val m = graft.operators.Classifier.scoreExpr(col(textCol), weights, buckets)
+    val p = graft.operators.Classifier.probS(col("margin"))
+    docs.select(col(idCol), m.as("margin"))
+      .select(col(idCol), col("margin"), p.as("score"),
+        (p * lit(2L) >= lit(graft.operators.Classifier.S)).as("kept"))
+  }
+
   /** Streaming curation scrub: PII redaction + quality signals over
     * an unbounded document stream, via the SAME pure column
     * expressions as the batch operators
