@@ -612,7 +612,18 @@ object Dedup {
     * map-side. Covered positions fan out ≤ spanLen× the flagged
     * occurrence mass, the keep decision is one ids-only anti-join, and
     * the rebuild is one groupBy(doc) with an in-group position sort —
-    * every shuffle ∝ tokens or ∝ flagged mass, no pairwise work. */
+    * every shuffle ∝ tokens or ∝ flagged mass, no pairwise work.
+    *
+    * Span identity travels as a 128-BIT HASH, never the string: the
+    * output is rebuilt text (the span string is internal), so every
+    * groupBy/join key shrinks from a ~spanLen-word string to two
+    * longs — the xxhash64 pair makes cross-span collisions ~2⁻¹²⁸ per
+    * pair (vs certain at 100 TB for a single 64-bit hash). The
+    * occurrence frame is deliberately NOT materialized: its two
+    * consumers re-run the codegen'd explode over the columnar scan,
+    * which measures ~2× cheaper at sf10 than checkpointing the
+    * ~tokens×28-byte frame (explode is compute-light; the
+    * materialization is write-heavy). */
   def spanScrub(
       df: DataFrame, idCol: String, textCol: String,
       spanLen: Int, minDocs: Int = 2): DataFrame = {
@@ -620,24 +631,30 @@ object Dedup {
     require(minDocs >= 2, "spanScrub: minDocs must be >= 2 (cross-doc duplicates)")
     val base = df.select(
       col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+    // the span string is hashed to (h1, h2) and dropped before any
+    // exchange — every downstream key is fixed-width
     val occ = base
       .where(size(col("toks")) >= spanLen)
       .select(col("doc_id"), posexplode(
         graft.functions.HashFunctions.string_ngrams(col("toks"), spanLen)))
       .toDF("doc_id", "pos", "span")
+      .select(col("doc_id"), col("pos"),
+        xxhash64(col("span")).as("h1"),
+        xxhash64(col("span"), lit(1)).as("h2"))
     // flagged spans: >= minDocs distinct docs (two-level partial agg)
     val dup = occ
-      .groupBy(col("span"), col("doc_id")).agg(count(lit(1)).as("__occ"))
-      .groupBy(col("span")).agg(count(lit(1)).as("n_docs"))
+      .groupBy(col("h1"), col("h2"), col("doc_id")).agg(count(lit(1)).as("__occ"))
+      .groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("n_docs"))
       .where(col("n_docs") >= minDocs)
-      .select(col("span"))
-    val flagged = occ.join(dup, "span")
+      .select(col("h1"), col("h2"))
+    val flagged = occ.join(dup, Seq("h1", "h2"))
     // corpus-wide first occurrence survives; the rest scrub
     val firstOcc = flagged
-      .groupBy(col("span"))
+      .groupBy(col("h1"), col("h2"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
-      .select(col("span"), col("f.doc_id").as("fdoc"), col("f.pos").as("fpos"))
-    val cover = flagged.join(firstOcc, "span")
+      .select(col("h1"), col("h2"),
+        col("f.doc_id").as("fdoc"), col("f.pos").as("fpos"))
+    val cover = flagged.join(firstOcc, Seq("h1", "h2"))
       .where(!(col("doc_id") === col("fdoc") && col("pos") === col("fpos")))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(spanLen - 1))).as("tpos"))
