@@ -83,7 +83,8 @@ object Pipeline {
     // training-data curation vocabulary (the engine's LLM-pipeline
     // mandate): the high-traffic J1/Q15/Q12/Q2 operators as chainable
     // spec steps, reusing the gated operator internals verbatim
-    "exact_dedup", "quality_filter", "pii_scrub", "stratified_sample")
+    "exact_dedup", "quality_filter", "pii_scrub", "stratified_sample",
+    "quality_classifier")
 
   val knownExports: Set[String] = Set("parquet", "jsonapi", "dwc_archive")
 
@@ -363,6 +364,24 @@ object Pipeline {
         graft.operators.Curation.stratifiedSample(
           in, strSeq(st.params, "strata", tag),
           reqStr(st.params, "id", tag), num(st.params, "frac", tag))
+      case "quality_classifier" =>
+        // the Q18 learned filter as a spec step: fit on the step input
+        // (`label` = the seed predicate, a SQL boolean expression),
+        // then keep the WILD rows the model scores seed-like. The fit
+        // is a bounded iterative job at graph-BUILD time (epochs ×
+        // one map pass + a B+1-row collect — the stats-collection
+        // exception to the one-lazy-plan rule, like AQE's runtime
+        // stats); the returned plan is the lazy stateless scoring
+        // expression over the input, original columns preserved.
+        val labelEx = expr(reqStr(st.params, "label", tag))
+        val textC = reqStr(st.params, "text", tag)
+        val buckets = st.params.getOrElse("buckets", 64).toString.toInt
+        val epochs = st.params.getOrElse("epochs", 4).toString.toInt
+        val w = graft.operators.Classifier.fit(
+          in, reqStr(st.params, "id", tag), textC, labelEx, buckets, epochs)
+        val p = graft.operators.Classifier.probS(
+          graft.operators.Classifier.scoreExpr(col(textC), w, buckets))
+        in.where(!labelEx && p * lit(2L) >= lit(graft.operators.Classifier.S))
       case other =>
         fail(s"$tag: unknown op '$other'") // unreachable after validate
     }

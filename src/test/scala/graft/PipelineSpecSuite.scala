@@ -188,6 +188,39 @@ steps:
     assert(got.find(_._1 == 3L).get._2.contains("<EMAIL>"))
   }
 
+  test("quality_classifier step fits at build time and matches the operator") {
+    val corpus = Seq(
+      (0L, "seed", "lucid prose about careful work"),
+      (1L, "seed", "lucid prose on measured thought"),
+      (2L, "seed", "prose lucid and careful thought"),
+      (3L, "seed", "lucid careful measured prose work"),
+      (10L, "web", "lucid prose with careful thought here"),
+      (11L, "web", "measured lucid prose work sample"),
+      (12L, "web", "zxq qqzz vvkk jjpp wwyy"),
+      (13L, "web", "zxq vvkk qqzz wwyy jjpp zz")).toDF("doc_id", "source", "text")
+    val resolveC: String => org.apache.spark.sql.DataFrame = {
+      case "corpus" => corpus
+      case other => fail(s"unexpected table $other")
+    }
+    val spec = """
+entity: learned
+sources: [{name: c, table: corpus}]
+steps:
+  - name: kept
+    op: quality_classifier
+    params: {id: doc_id, text: text, label: "source = 'seed'", buckets: 16, epochs: 8}
+"""
+    val got = Pipeline.result(spark, spec, resolveC)
+    // original columns preserved, only wild kept-rows survive
+    assert(got.columns.toSeq == Seq("doc_id", "source", "text"))
+    val ids = got.collect().map(_.getLong(0)).sorted.toSeq
+    val want = graft.operators.Classifier.trainAndScore(
+        corpus, "doc_id", "text", col("source") === "seed", 16, 8)
+      .where(col("kept")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == want)
+    assert(ids.nonEmpty && !ids.contains(12L) && !ids.contains(13L))
+  }
+
   test("sql step sees prior steps as views under their logical names") {
     val spec = """
 entity: sqltest
