@@ -107,7 +107,7 @@ object Classifier {
     val n = feat.count()
     require(n >= 1, "qualityClassifier: empty training corpus")
     val w = Array.fill(buckets + 1)(0L)
-    for (_ <- 1 to epochs) {
+    try for (_ <- 1 to epochs) {
       val e = (probS(marginCol(col("__barr"), w)) -
         when(col("__y"), lit(S)).otherwise(lit(0L))).as("__e")
       // gradient: explode the bucket array against the per-doc error;
@@ -123,8 +123,7 @@ object Classifier {
         val d = Math.floorDiv(g, 4L * n)
         w(b) = Math.max(-Clip, Math.min(Clip, w(b) - d))
       }
-    }
-    feat.unpersist()
+    } finally feat.unpersist()
     w
   }
 
