@@ -272,9 +272,13 @@ object Dedup {
     val bb = bandedBuckets(
       shf.select(col("doc_id"), minhashSignature(col("sh"), numHashes).as("sig")),
       numHashes, bands)
-    val occ = bb.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("n_bucket"))
-    bb.join(occ, Seq("band", "bucket"))
+    // segment-local occupancy via a count window over the SAME
+    // (band, bucket) exchange the rows already need — a groupBy+join
+    // ran the signature/banding pipeline twice (no common-subplan
+    // reuse across join sides) and paid a second exchange
+    bb.withColumn("n_bucket",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bucket"))))
       .write.mode(mode).parquet(s"$path/bands")
     shf.write.mode(mode).parquet(s"$path/shingles")
   }
