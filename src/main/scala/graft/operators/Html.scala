@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HTML → training-text extraction (the WET-extraction stage a web
+  * corpus pipeline runs before ANY of the curation/dedup operators —
+  * CommonCrawl's WARC→WET step, trafilatura/jusText's line-density
+  * heuristic; ref has no counterpart, this is LLM-pipeline surface).
+  *
+  * Everything is pure codegen'd column algebra — regexp_replace /
+  * split / higher-order functions — so the pass is map-only: at 100 TB
+  * it streams through the corpus with ZERO shuffle, and the regex
+  * vocabulary is held to the RE2 ∩ java.util.regex dialect (the Q12
+  * contract) so the DuckDB oracle replays it byte-for-byte.
+  *
+  * Pipeline per document:
+  *   1. drop `<script>`/`<style>` BLOCKS (non-greedy `(?is)`, so a
+  *      literal "</p>" inside a script never fabricates a line break);
+  *   2. block-level close tags + `<br>` become newlines → lines;
+  *   3. per line: count `<a` anchors, strip all tags, decode the six
+  *      common HTML entities (`&amp;` LAST — the standard chained-
+  *      unescape order), collapse runs of spaces/tabs;
+  *   4. boilerplate cut: keep a line iff it has ≥ `minWords` words AND
+  *      link density ≤ 1/2 — expressed as `2·links ≤ words`, integer
+  *      arithmetic so the decision is exact on every engine (nav bars
+  *      and footers are mostly anchors; body text is not).
+  *
+  * The per-line regex work runs ONCE per line: the struct-building
+  * `transform` is kept in its own projection (CollapseProject leaves a
+  * non-cheap expression referenced 5× in place), and the keep/count
+  * consumers only touch struct fields.
+  */
+object Html {
+
+  /** Six-entity chained unescape; `&amp;` decoded last so escaped
+    * entities (`&amp;lt;`) come out as their literal text — the
+    * standard order for replace-chain unescaping. */
+  private def unescape(c: Column): Column = {
+    val pre = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ")
+    val partial = pre.foldLeft(c) { case (acc, (e, r)) => regexp_replace(acc, e, r) }
+    regexp_replace(partial, "&amp;", "&")
+  }
+
+  private val blockStrip = "(?is)<(?:script|style)[^>]*>.*?</(?:script|style)>"
+  private val lineBreaks = "(?i)</(?:p|div|li|h[1-6]|tr|td|table|ul|ol|title)>|<br[^>]*>"
+  private val anchorPat  = "(?i)<a[ >]"
+  private val tagPat     = "<[^>]*>"
+
+  /** Extract per-document training text + extraction stats from a raw
+    * HTML column. Output: (id, content, n_lines, n_kept, n_links,
+    * n_words) — `content` is the kept lines joined by '\n'. */
+  def htmlExtract(df: DataFrame, idCol: String, htmlCol: String,
+                  minWords: Int = 3): DataFrame = {
+    val lined = regexp_replace(
+      regexp_replace(col(htmlCol), blockStrip, " "), lineBreaks, "\n")
+    // one struct per line, regex chain evaluated once per line
+    val lineStructs = transform(split(lined, "\n"), ln => {
+      val txt = trim(regexp_replace(
+        unescape(regexp_replace(ln, tagPat, " ")), "[ \t]+", " "))
+      struct(
+        txt.as("txt"),
+        regexp_count(ln, lit(anchorPat)).cast("long").as("links"))
+    })
+    val withWords = transform(lineStructs, s => struct(
+      s.getField("txt").as("txt"),
+      s.getField("links").as("links"),
+      when(s.getField("txt") === "", lit(0L))
+        .otherwise(size(split(s.getField("txt"), " ")).cast("long")).as("words")))
+
+    def keepPred(s: Column): Column =
+      s.getField("words") >= minWords &&
+        s.getField("links") * 2 <= s.getField("words")
+
+    df.select(col(idCol), withWords.as("__ls"))
+      .select(
+        col(idCol),
+        array_join(transform(filter(col("__ls"), keepPred _),
+          (s: Column) => s.getField("txt")), "\n").as("content"),
+        size(filter(col("__ls"),
+          (s: Column) => s.getField("words") > 0)).cast("long").as("n_lines"),
+        size(filter(col("__ls"), keepPred _)).cast("long").as("n_kept"),
+        aggregate(col("__ls"), lit(0L),
+          (a: Column, s: Column) => a + s.getField("links")).as("n_links"),
+        aggregate(filter(col("__ls"), keepPred _), lit(0L),
+          (a: Column, s: Column) => a + s.getField("words")).as("n_words"))
+  }
+}

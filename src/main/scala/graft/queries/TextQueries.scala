@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.Tables
 import org.apache.spark.sql.functions._
-import graft.operators.{Chain, TextAnalysis}
+import graft.operators.{Chain, Html, TextAnalysis}
 
 /** Batch 3a: text-analysis operators (SURVEY.md §2 L) on `documents`.
   * All four are single-scan column pipelines (no UDFs) — at 100 TB they
@@ -35,6 +35,32 @@ object TextQueries {
       TextAnalysis.lmFluency(
         Tables.documents(s, dir), "doc_id", "text",
         col("source") === "src1")
+    },
+    // L9 — HTML → training-text extraction (the WARC→WET stage): the
+    // corpus is plain text, so the query SYNTHESIZES deterministic
+    // doc_id-derived HTML (title/style/script head, nav + footer link
+    // bars, headings, entity-laden paragraphs — the Q12 inject pattern),
+    // runs the real extraction (block strip, line split, tag strip,
+    // entity decode, integer link-density boilerplate cut), and the
+    // oracle replays BOTH synthesis and extraction — the full extracted
+    // text is row-hashed, so a drift in any regex, the unescape order,
+    // or the keep rule moves a row.
+    "q_html_extract" -> { (s, dir) =>
+      val d = col("doc_id").cast("string")
+      val html = concat(
+        lit("<html><head><title>Doc "), d,
+        lit("</title><style>body { color: #222; }</style>"),
+        lit("<script>if (1 < 2 && 3 > 1) { var x = \"</p>\"; }</script></head><body>"),
+        lit("<div id=\"nav\"><a href=\"/\">Home</a> <a href=\"/about\">About</a>"),
+        when(col("doc_id") % 3 === 0, lit("<a href=\"/faq\">FAQ</a>")).otherwise(lit("")),
+        lit("</div><h1>Doc "), d, lit("</h1><p>"), col("text"),
+        lit(" Tom &amp; Jerry say 1 &lt; 2 &quot;ok&quot; it&#39;s fine A&nbsp;B</p>"),
+        lit("<p>Figure "), (col("doc_id") % 7).cast("string"),
+        lit("</p><div class=\"footer\"><a href=\"/terms\">Terms</a> "
+          + "<a href=\"/privacy\">Privacy</a> 2026</div></body></html>"))
+      Html.htmlExtract(
+        Tables.documents(s, dir).select(col("doc_id"), html.as("html")),
+        "doc_id", "html")
     },
     // End-to-end corpus curation — the LLM-pipeline stages composed as
     // ONE Catalyst plan via Chain: score quality → language-ID → keep
@@ -160,6 +186,56 @@ object TextQueries {
       SELECT md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint,
              COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
       FROM documents GROUP BY 1 ORDER BY 1""",
+    // Replays the HTML synthesis and the whole extraction pipeline in
+    // DuckDB's RE2 dialect: identical block-strip / line-break / tag
+    // patterns (held to the RE2 ∩ Java dialect), the same six-entity
+    // chained unescape with &amp; last, and the integer 2·links ≤ words
+    // keep rule — full content string row-hashed.
+    "q_html_extract" -> """
+      WITH h AS (
+        SELECT doc_id,
+          '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+          || '</title><style>body { color: #222; }</style>'
+          || '<script>if (1 < 2 && 3 > 1) { var x = "</p>"; }</script></head><body>'
+          || '<div id="nav"><a href="/">Home</a> <a href="/about">About</a>'
+          || CASE WHEN doc_id % 3 = 0 THEN '<a href="/faq">FAQ</a>' ELSE '' END
+          || '</div><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
+          || ' Tom &amp; Jerry say 1 &lt; 2 &quot;ok&quot; it&#39;s fine A&nbsp;B</p>'
+          || '<p>Figure ' || CAST(doc_id % 7 AS VARCHAR)
+          || '</p><div class="footer"><a href="/terms">Terms</a> <a href="/privacy">Privacy</a> 2026</div></body></html>'
+          AS html
+        FROM documents),
+      lined AS (
+        SELECT doc_id, regexp_replace(regexp_replace(html,
+            '(?is)<(?:script|style)[^>]*>.*?</(?:script|style)>', ' ', 'g'),
+            '(?i)</(?:p|div|li|h[1-6]|tr|td|table|ul|ol|title)>|<br[^>]*>', chr(10), 'g') AS s
+        FROM h),
+      t1 AS (
+        SELECT doc_id, list_transform(string_split(s, chr(10)), ln -> struct_pack(
+          txt := trim(regexp_replace(
+            replace(replace(replace(replace(replace(replace(
+              regexp_replace(ln, '<[^>]*>', ' ', 'g'),
+              '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',''''),'&nbsp;',' '),'&amp;','&'),
+            '[ \t]+', ' ', 'g')),
+          links := CAST(len(regexp_extract_all(ln, '(?i)<a[ >]')) AS BIGINT))) AS a
+        FROM lined),
+      t2 AS (
+        SELECT doc_id, list_transform(a, s -> struct_pack(
+          txt := s.txt, links := s.links,
+          words := CASE WHEN s.txt = '' THEN CAST(0 AS BIGINT)
+                        ELSE CAST(len(string_split(s.txt, ' ')) AS BIGINT) END)) AS ls
+        FROM t1)
+      SELECT doc_id,
+        array_to_string(list_transform(
+          list_filter(ls, s -> s.words >= 3 AND s.links * 2 <= s.words),
+          s -> s.txt), chr(10)) AS content,
+        CAST(len(list_filter(ls, s -> s.words > 0)) AS BIGINT) AS n_lines,
+        CAST(len(list_filter(ls, s -> s.words >= 3 AND s.links * 2 <= s.words)) AS BIGINT) AS n_kept,
+        CAST(coalesce(list_sum(list_transform(ls, s -> s.links)), 0) AS BIGINT) AS n_links,
+        CAST(coalesce(list_sum(list_transform(
+          list_filter(ls, s -> s.words >= 3 AND s.links * 2 <= s.words),
+          s -> s.words)), 0) AS BIGINT) AS n_words
+      FROM t2 ORDER BY doc_id""",
     "q_lm_fluency" -> """
       WITH tk AS (
         SELECT doc_id, source, string_split(text, ' ') AS a FROM documents),

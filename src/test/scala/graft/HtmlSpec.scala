@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.Html
+import org.apache.spark.sql.Row
+
+/** Unit coverage for the HTML → training-text extraction operator
+  * (the gate replays the same pipeline against DuckDB; this spec pins
+  * the line-level semantics on hand-built cases).
+  */
+class HtmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def extract(html: String): Row =
+    Html.htmlExtract(Seq((1L, html)).toDF("id", "html"), "id", "html")
+      .collect().head
+
+  test("script and style blocks vanish, even when they contain closing tags") {
+    val r = extract(
+      "<html><head><style>p { a: 1; }</style>" +
+        "<script>var s = \"</p> fake line\";</script></head>" +
+        "<body><p>real body text here</p></body></html>")
+    assert(r.getAs[String]("content") === "real body text here")
+    assert(r.getAs[Long]("n_kept") === 1L)
+  }
+
+  test("nav and footer link bars are cut by integer link density, body kept") {
+    val r = extract(
+      "<div><a href=\"/\">Home</a> <a href=\"/a\">About</a></div>" +
+        "<p>one two three four five</p>" +
+        "<div><a href=\"/t\">Terms</a> <a href=\"/p\">Privacy</a> 2026</div>")
+    assert(r.getAs[String]("content") === "one two three four five")
+    assert(r.getAs[Long]("n_lines") === 3L)
+    assert(r.getAs[Long]("n_kept") === 1L)
+    assert(r.getAs[Long]("n_links") === 4L)
+    assert(r.getAs[Long]("n_words") === 5L)
+  }
+
+  test("a line with links is kept when text dominates (2*links <= words)") {
+    val r = extract("<p>read the <a href=\"/d\">docs</a> for much more detail</p>")
+    assert(r.getAs[Long]("n_kept") === 1L)
+    assert(r.getAs[String]("content") === "read the docs for much more detail")
+  }
+
+  test("entities decode in the standard chained order, &amp; last") {
+    val r = extract("<p>x &amp;lt; stays literal but 1 &lt; 2 and Tom &amp; Jerry decode</p>")
+    assert(r.getAs[String]("content") ===
+      "x &lt; stays literal but 1 < 2 and Tom & Jerry decode")
+  }
+
+  test("short headings fall to minWords; empty lines never count") {
+    val r = extract("<h1>Title</h1><p>a proper paragraph of text</p><div>  </div>")
+    assert(r.getAs[Long]("n_lines") === 2L)
+    assert(r.getAs[Long]("n_kept") === 1L)
+  }
+
+  test("br tags break lines and nbsp becomes a plain space") {
+    val r = extract("<p>first half line<br/>second half A&nbsp;B line</p>")
+    assert(r.getAs[String]("content") === "first half line\nsecond half A B line")
+    assert(r.getAs[Long]("n_kept") === 2L)
+  }
+}
