@@ -143,6 +143,13 @@ object GraftFunctions {
     ColumnBridge.column(
       QuantVecSum(ColumnBridge.expression(v), scale).toAggregateExpression())
 
+  /** Mergeable elementwise min/max aggregate over a vector column
+    * (see [[VecMinMax]]) — the stats pass of int8 scalar
+    * quantization. */
+  def vec_min_max(v: Column): Column =
+    ColumnBridge.column(
+      VecMinMax(ColumnBridge.expression(v)).toAggregateExpression())
+
   /** Codegen'd product-quantization encode against a driver-side
     * codebook (see [[PqEncode]]). Not SQL-registered for the same
     * reason as `nearest_centroid`. */

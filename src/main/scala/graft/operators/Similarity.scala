@@ -480,4 +480,65 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
       .orderBy("query_id", "rank")
   }
+
+  /** K8 — int8 SCALAR quantization of an embedding column (the
+    * store-compressed layout: 4× less scan IO than float32 at 100 TB,
+    * the compression ladder's first rung below PQ's 32×). One
+    * mergeable [[graft.functions.VecMinMax]] stats pass (exchange =
+    * two dim-length arrays per partition — never a dim×N explode)
+    * broadcast back over the scan; `code_i = clamp(floor((x−mn_i)·255
+    * / (mx_i−mn_i)))` with float→double widening and one IEEE
+    * multiply+divide per element — deterministic and engine-portable,
+    * so codes are exact integers from here on. At cluster scale the
+    * coded corpus is written once (like the IVF index) and every
+    * query batch reads codes only. */
+  def int8Quantize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val stats = df.agg(
+      graft.functions.GraftFunctions.vec_min_max(col(vecCol)).as("s"))
+      .select(col("s.mins").as("__mins"), col("s.maxs").as("__maxs"))
+    df.crossJoin(broadcast(stats))
+      .select(
+        col(idCol),
+        transform(col(vecCol), (x, i) => {
+          val mn = element_at(col("__mins"), i + 1)
+          val mx = element_at(col("__maxs"), i + 1)
+          when(mx === mn, lit(0L)).otherwise(
+            least(greatest(
+              floor((x.cast("double") - mn) * 255.0 / (mx - mn)),
+              lit(0L)), lit(255L)))
+        }).as("code"))
+  }
+
+  /** K8 gate body — top-k retrieval ENTIRELY in the quantized integer
+    * domain: both sides coded under the corpus stats (the stored
+    * index's stats, as a real SQ index serves them — the two
+    * broadcast stats subplans dedupe via exchange reuse), score =
+    * integer squared-L2 distance between codes, ascending (the FAISS
+    * SQ8 metric: per-dim affine-invariant, unlike a raw code dot
+    * product whose min-shift term would distort ranks; exact — no
+    * fold-order concerns), per-query top-k window. Same
+    * broadcast-queries/corpus-never-shuffles shape as
+    * [[bruteForceTopK]]. */
+  def int8TopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int): DataFrame = {
+    val codes = int8Quantize(corpus, idCol, vecCol)
+    // queries are coded under CORPUS stats (filter the shared code
+    // plan, never re-fit stats on the query slice)
+    val qc = codes.where(queryPred)
+      .select(col(idCol).as("query_id"), col("code").as("qc"))
+    codes.select(col(idCol).as("neighbor_id"), col("code").as("cc"))
+      .crossJoin(broadcast(qc))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("neighbor_id"),
+        aggregate(zip_with(col("qc"), col("cc"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("dist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("dist").asc, col("neighbor_id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
+      .orderBy("query_id", "rank")
+  }
 }

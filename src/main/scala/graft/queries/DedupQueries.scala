@@ -208,6 +208,20 @@ object DedupQueries {
       Similarity.bruteForceTopK(
         emb, emb.where(col("vec_id") < 8), "vec_id", "embedding", k = 10)
     },
+    // K8 gate — int8 scalar-quantized retrieval: ONE mergeable
+    // VecMinMax stats pass (exchange = two dim-length arrays), codes
+    // from one IEEE multiply+divide per element (float→double widening
+    // exact on both engines), then the ENTIRE search in the integer
+    // domain — squared-L2 code distances and ranks are exact, so the
+    // oracle replays
+    // the stats, the code formula, and the integer top-k verbatim; a
+    // drift in min/max merging, the clamp, or the quantizer moves a
+    // code and the hash fails.
+    "q_ann_int8" -> { (s, dir) =>
+      Similarity.int8TopK(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        col("vec_id") < 8, k = 10)
+    },
     // K7 gate — FILTERED ANN (metadata-constrained retrieval, the
     // vector-DB "filtered search" pattern): the corpus predicate
     // composes with the top-k and pushes into the parquet scan
@@ -674,6 +688,36 @@ object DedupQueries {
       JOIN embeddings eb ON eb.vec_id = b.vec_id
       WHERE cosine > 0.4 ORDER BY id_a, id_b""",
     "q_ann_cosine" -> annTopKSql,
+    // K8 — the full scalar-quantization replay: per-dim float min/max,
+    // the identical clamp(floor((x−mn)·255/(mx−mn))) code formula in
+    // double arithmetic, then integer dot-product top-k (exact domain,
+    // no fold-order concerns)
+    "q_ann_int8" -> """
+      WITH stats AS (
+        SELECT i, MIN(v) AS mn, MAX(v) AS mx FROM (
+          SELECT unnest(embedding) AS v,
+                 unnest(range(1, len(embedding) + 1)) AS i
+          FROM embeddings) GROUP BY i),
+      codes AS (
+        SELECT vec_id, list(
+          CASE WHEN mx = mn THEN CAST(0 AS BIGINT) ELSE
+            LEAST(GREATEST(CAST(FLOOR(
+              (CAST(embedding[i] AS DOUBLE) - CAST(mn AS DOUBLE)) * 255.0
+              / (CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE))) AS BIGINT), 0), 255)
+          END ORDER BY i) AS code
+        FROM embeddings, stats GROUP BY vec_id),
+      q AS (SELECT vec_id AS query_id, code AS qc FROM codes WHERE vec_id < 8),
+      p AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+          CAST(list_sum(list_transform(range(1, len(c.code) + 1),
+            i -> (q.qc[i] - c.code[i]) * (q.qc[i] - c.code[i]))) AS BIGINT) AS dist
+        FROM codes c, q WHERE c.vec_id <> q.query_id),
+      r AS (SELECT query_id, neighbor_id, dist,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY dist ASC, neighbor_id) AS INT) AS rank
+            FROM p)
+      SELECT query_id, rank, neighbor_id, dist FROM r
+      WHERE rank <= 10 ORDER BY query_id, rank""",
     // the K1 oracle with the corpus-side WHERE — the filter is the
     // only delta, so any pushdown/compose defect changes rows
     "q_ann_filtered" -> s"""

@@ -120,4 +120,59 @@ class ClusteredRecallSpec extends SparkSpec {
     val rate = nFound.toDouble / nTruth
     assert(rate >= 0.8, s"SemDeDup found $nFound of $nTruth true pairs ($rate)")
   }
+
+  test("int8 scalar quantization: recall@10 >= 0.8 vs exact float L2") {
+    // ground truth under the SAME metric (L2, the SQ8 contract):
+    // quantization fidelity is the claim, not metric equivalence
+    val e = corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val l2 = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (s, x) => s + x)
+    val q = e.where(col("vec_id") % perCluster === 0 && col("vec_id") < (8L * perCluster))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val truth = e.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        l2(col("qv"), col("v")).as("d"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("d").asc, col("neighbor_id"))))
+      .where(col("rank") <= 10)
+    val approx = Similarity.int8TopK(
+      corpus, "vec_id", "embedding",
+      col("vec_id") % perCluster === 0 && col("vec_id") < (8L * perCluster), k = 10)
+    val hits = truth.join(approx.select("query_id", "neighbor_id"),
+      Seq("query_id", "neighbor_id"), "leftsemi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    val recalls = truth.groupBy("query_id").agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("query_id"), "left")
+      .select(coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_true"))
+      .collect().map(_.getDouble(0))
+    val mean = recalls.sum / recalls.length
+    assert(recalls.length == 8 && mean >= 0.8,
+      s"int8 mean recall $mean: ${recalls.mkString(",")}")
+  }
+
+  test("int8 codes are bounded and the stats aggregate matches an explode replay") {
+    val codes = Similarity.int8Quantize(corpus, "vec_id", "embedding")
+    val bad = codes.where(exists(col("code"),
+      c => c < 0L || c > 255L)).count()
+    assert(bad === 0L, "codes out of [0,255]")
+    // VecMinMax vs the dim-explode groupBy it replaces
+    val agg = corpus.agg(
+      graft.functions.GraftFunctions.vec_min_max(col("embedding")).as("s"))
+      .select(col("s.mins").as("mins"), col("s.maxs").as("maxs"))
+      .collect().head
+    val exploded = corpus
+      .select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("i")
+      .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
+      .orderBy("i").collect()
+    val mins = agg.getSeq[Double](0)
+    val maxs = agg.getSeq[Double](1)
+    assert(exploded.length === mins.length)
+    exploded.foreach { r =>
+      val i = r.getInt(0)
+      assert(r.getDouble(1) === mins(i) && r.getDouble(2) === maxs(i))
+    }
+  }
 }
