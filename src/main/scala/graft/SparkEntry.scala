@@ -23,12 +23,14 @@ object SparkEntry {
       TextQueries.all ++ DedupQueries.all ++ EventQueries.all ++
       GeoQueries.all ++ FormatQueries.all ++ EcoQueries.all ++
       ClassObjectQueries.all ++ MultimodalQueries.all ++ CurationQueries.all ++
-      PipelineQueries.all ++ RetrievalQueries.all ++ BpeQueries.all
+      PipelineQueries.all ++ RetrievalQueries.all ++ BpeQueries.all ++
+      GraphQueries.all
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ HierarchyQueries.oracles ++ ExtractionQueries.oracles ++
       TextQueries.oracles ++ DedupQueries.oracles ++ EventQueries.oracles ++
       GeoQueries.oracles ++ FormatQueries.oracles ++ EcoQueries.oracles ++
       ClassObjectQueries.oracles ++ MultimodalQueries.oracles ++ CurationQueries.oracles ++
-      PipelineQueries.oracles ++ RetrievalQueries.oracles ++ BpeQueries.oracles
+      PipelineQueries.oracles ++ RetrievalQueries.oracles ++ BpeQueries.oracles ++
+      GraphQueries.oracles
 }

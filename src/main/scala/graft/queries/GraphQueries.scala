@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Graph
+
+/** SURVEY.md §2 S — link-graph authority scoring on a deterministic
+  * doc-id-derived link graph (the corpus has no URL graph, so the gate
+  * synthesizes one — the Q12/M1 inject pattern: three out-links per
+  * document via affine maps mod N, every edge replayable in SQL).
+  */
+object GraphQueries {
+
+  /** (multiplier, offset) per synthesized out-link. */
+  private val linkMaps = Seq((7L, 3L), (131L, 17L), (9973L, 101L))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1 — PageRank: the full power iteration (3 rounds, damping 17/20,
+    // 2^20 fixed-point grid) runs in exact integer arithmetic, and the
+    // oracle replays every round in unrolled materialized CTEs — a
+    // drift in any share floor-division, damping floor, or a lost edge
+    // in any round moves a rank and fails the hash.
+    "q_pagerank" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      // dense ids ⇒ N = max+1; the 1-row max broadcasts into the edge
+      // synthesis (the ChainRefs scalar pattern — still one lazy plan)
+      val n = docs.agg((max("doc_id") + 1).as("n"))
+      val edges = docs.crossJoin(broadcast(n)).select(
+        col("doc_id").as("src"),
+        explode(array(linkMaps.map { case (m, o) =>
+          (col("doc_id") * m + o) % col("n")
+        }: _*)).as("dst"))
+      Graph.pageRank(edges, "src", "dst", iters = 3)
+        .withColumnRenamed("node", "doc_id")
+    },
+  )
+
+  val oracles: Map[String, String] = {
+    val edgeSql = linkMaps.map { case (m, o) =>
+      s"SELECT doc_id AS src, (doc_id * $m + $o) % n AS dst FROM documents, nn"
+    }.mkString(" UNION ALL ")
+    // one round: contributions keyed by src, floor-divided shares,
+    // damped floor-divided inflow over the full node set
+    def round(prev: String, cur: String): String = s"""
+      s_$cur AS MATERIALIZED (
+        SELECT e.dst, CAST(SUM($prev.rank // od.out_c) AS BIGINT) AS inflow
+        FROM e JOIN $prev ON e.src = $prev.node
+               JOIN od ON e.src = od.src
+        GROUP BY e.dst),
+      $cur AS MATERIALIZED (
+        SELECT node, CAST((3 * 1048576) // 20
+          + (17 * COALESCE(inflow, 0)) // 20 AS BIGINT) AS rank
+        FROM nodes LEFT JOIN s_$cur ON node = dst)"""
+    Map(
+      "q_pagerank" -> s"""
+        WITH nn AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+        e AS MATERIALIZED ($edgeSql),
+        nodes AS MATERIALIZED (
+          SELECT DISTINCT x AS node FROM (
+            SELECT src AS x FROM e UNION ALL SELECT dst FROM e)),
+        od AS MATERIALIZED (
+          SELECT src, COUNT(*) AS out_c FROM e GROUP BY src),
+        r0 AS MATERIALIZED (
+          SELECT node, CAST(1048576 AS BIGINT) AS rank FROM nodes),
+        ${round("r0", "r1")},
+        ${round("r1", "r2")},
+        ${round("r2", "r3")}
+        SELECT node AS doc_id, rank FROM r3 ORDER BY node""",
+    )
+  }
+}

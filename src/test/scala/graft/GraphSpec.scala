@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+/** PageRank unit coverage: an in-test exact integer reference (same
+  * floor-division arithmetic) replays the iteration over hand-built
+  * graphs; the driver gate replays it again in DuckDB at corpus scale.
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val S = 1L << 20
+
+  /** Driver-side exact replay of the operator's contract. */
+  private def reference(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val out = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val base = Math.floorDiv(3 * S, 20)
+    var r = nodes.map(_ -> S).toMap
+    (0 until iters).foreach { _ =>
+      val inflow = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => Math.floorDiv(r(s), out(s)) }.sum).toMap
+      r = nodes.map(n =>
+        n -> (base + Math.floorDiv(17 * inflow.getOrElse(n, 0L), 20))).toMap
+    }
+    r
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    Graph.pageRank(edges.toDF("s", "d"), "s", "d", iters = iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("star graph: hub absorbs spoke mass, exact integer match") {
+    val edges = (1L to 9L).map(i => (i, 0L)) // 9 spokes -> hub 0
+    val got = run(edges, 3)
+    assert(got === reference(edges, 3))
+    assert(got(0L) > got(1L) * 3, "hub must dominate spokes")
+    // spokes have no in-links at all: they sit exactly on the base
+    assert(got(1L) === Math.floorDiv(3 * S, 20))
+  }
+
+  test("cycle graph is symmetric and conserves the uniform fixed shape") {
+    val n = 6L
+    val edges = (0L until n).map(i => (i, (i + 1) % n))
+    val got = run(edges, 4)
+    assert(got === reference(edges, 4))
+    assert(got.values.toSet.size === 1, "cycle ranks must all be equal")
+  }
+
+  test("dangling nodes receive rank but leak their own mass") {
+    // 0 -> 1 -> 2, 2 dangling; plus 0 -> 2
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L))
+    val got = run(edges, 3)
+    assert(got === reference(edges, 3))
+    assert(got(2L) > got(1L) && got(1L) > got(0L))
+  }
+
+  test("result is invariant under input partitioning") {
+    val edges = (0L until 50L).flatMap(i => Seq((i, (i * 7 + 3) % 50), (i, (i * 13 + 1) % 50)))
+    val df1 = edges.toDF("s", "d").repartition(1)
+    val df13 = edges.toDF("s", "d").repartition(13, col("d"))
+    val a = Graph.pageRank(df1, "s", "d", iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Graph.pageRank(df13, "s", "d", iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b)
+  }
+}
