@@ -221,6 +221,43 @@ object Dedup {
     writeIndexSegment(shard, idCol, textCol, path, shingleN, numHashes,
       bands, overwrite = false)
 
+  /** J16 — forget documents from a [[minhashIndexWrite]] artifact (the
+    * right-to-be-forgotten path a 100 TB ingest lake must serve):
+    * appends the ids to a `tombstones` table — cost ∝ the delete set,
+    * the index segments are NEVER touched on the ingest path. Probes
+    * ([[dedupShardAgainstIndex]]) anti-join candidates against the
+    * tombstones (ids-only, broadcast-sized between compactions), so a
+    * deleted document stops matching IMMEDIATELY; the next
+    * [[minhashIndexCompact]] purges its rows physically and clears the
+    * tombstone table. Stored segment-local occupancy stays stale until
+    * compaction — counts can only be too HIGH, so the pre-exchange hot
+    * drop is conservative (the same at-least-once contract as retried
+    * appends: over-dropping a hot bucket, never a wrong match). */
+  def minhashIndexDelete(ids: DataFrame, idCol: String, path: String): Unit =
+    ids.select(col(idCol).cast("long").as("doc_id")).distinct()
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$path/tombstones")
+
+  /** Live tombstone set of an index, empty frame if none recorded. */
+  private def indexTombstones(
+      spark: org.apache.spark.sql.SparkSession, path: String): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Drop tombstoned docs from an index-side frame (no-op without
+    * tombstones). The delete set is ids-only and bounded by the
+    * compaction cadence — Spark broadcasts it. */
+  private def dropTombstoned(
+      frame: DataFrame, docCol: String, path: String): DataFrame =
+    indexTombstones(frame.sparkSession, path) match {
+      case Some(tomb) => frame.join(
+        broadcast(tomb.select(col("doc_id").as(docCol))), Seq(docCol), "left_anti")
+      case None => frame
+    }
+
   /** J14 — fold an appended index back into ONE segment: rewrite
     * `bands` with GLOBAL occupancy (so every hot bucket is again
     * droppable BEFORE the probe's exchange, not at the sliver window)
@@ -254,13 +291,19 @@ object Dedup {
       require(fs.rename(tmp, cur), s"compaction rename failed for $cur")
     }
     swap("bands", { bands =>
-      val ids = bands.select(col("doc_id"), col("band"), col("bucket")).distinct()
+      val ids = dropTombstoned(
+        bands.select(col("doc_id"), col("band"), col("bucket")).distinct(),
+        "doc_id", path)
       ids.join(
         ids.groupBy(col("band"), col("bucket"))
           .agg(count(lit(1)).as("n_bucket")),
         Seq("band", "bucket"))
     })
-    swap("shingles", _.dropDuplicates("doc_id"))
+    swap("shingles", sh =>
+      dropTombstoned(sh.dropDuplicates("doc_id"), "doc_id", path))
+    // tombstones are now physically applied — clear them so future
+    // probes stop paying the anti-join
+    fs.delete(new Path(s"$path/tombstones"), true)
   }
 
   private def writeIndexSegment(
@@ -310,8 +353,13 @@ object Dedup {
     val bb = bandedBuckets(
       shf.select(col("doc_id"), minhashSignature(col("sh"), numHashes).as("sig")),
       numHashes, bands)
-    val idx = spark.read.parquet(s"$path/bands")
-      .where(col("n_bucket") <= maxBucket)
+    // tombstoned docs (minhashIndexDelete) leave the match space NOW,
+    // before the sliver window, so n_glob counts live rows only; the
+    // stored n_bucket pre-drop can only be conservatively high until
+    // the next compaction purges the rows physically
+    val idx = dropTombstoned(
+      spark.read.parquet(s"$path/bands").where(col("n_bucket") <= maxBucket),
+      "doc_id", path)
     val sliver = idx
       .select(col("doc_id").as("match_id"), col("band"), col("bucket"))
       .join(bb.select(col("band"), col("bucket")).distinct(),
@@ -324,7 +372,8 @@ object Dedup {
         Seq("band", "bucket"))
       .select(col("doc_id"), col("match_id"))
       .distinct()
-    val corpusSh = spark.read.parquet(s"$path/shingles")
+    val corpusSh = dropTombstoned(spark.read.parquet(s"$path/shingles"),
+        "doc_id", path)
       .select(col("doc_id").as("match_id"), col("sh").as("sh_b"), col("n_sh").as("nb"))
     cand
       .join(shf.select(col("doc_id"), col("sh"), col("n_sh")), "doc_id")

@@ -103,6 +103,29 @@ object DedupQueries {
           Dedup.dedupShardAgainstIndex(docs.where(m === 1), "doc_id", "text", idx))
         .orderBy("doc_id")
     },
+    // J16 gate — right-to-be-forgotten on the persisted index: build,
+    // DELETE the doc_id≡7 (mod 10) slice (tombstones — segments
+    // untouched), probe shard 0 with tombstones LIVE, compact (physical
+    // purge + tombstone clear), probe shard 1 post-compaction. Both
+    // probes sit under ONE hash against an oracle whose corpus side
+    // simply excludes the deleted docs — so a tombstone leak (deleted
+    // doc still matching), an over-delete, or a compaction that loses
+    // live rows all fail the hash.
+    "q_dedup_forget" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val m = pmod(col("doc_id"), lit(5L))
+      val idx = s"/tmp/graft-mhforget-${java.lang.Math.abs(dir.hashCode)}"
+      Dedup.minhashIndexWrite(docs.where(m >= 2), "doc_id", "text", idx)
+      Dedup.minhashIndexDelete(
+        docs.where(pmod(col("doc_id"), lit(10L)) === 7), "doc_id", idx)
+      // flagged with tombstones still pending (eager, pre-compaction)
+      val f0 = Dedup.dedupShardAgainstIndex(docs.where(m === 0), "doc_id", "text", idx)
+        .localCheckpoint(true)
+      Dedup.minhashIndexCompact(s, idx)
+      f0.unionAll(
+          Dedup.dedupShardAgainstIndex(docs.where(m === 1), "doc_id", "text", idx))
+        .orderBy("doc_id")
+    },
     // J14b gate — the FULL rolling-ingest loop under one hash: probe
     // shard 0, anti-join its flagged docs to keep the novel ones,
     // APPEND those into the index (minhashIndexAppend — the existing
@@ -521,6 +544,32 @@ object DedupQueries {
       g AS (SELECT doc_id, m, len(sh) AS n, unnest(sh) AS gram FROM g0),
       t AS (SELECT * FROM g WHERE m <= 1),
       b AS (SELECT * FROM g WHERE m >= 2),
+      pairs AS (
+        SELECT t.doc_id AS doc_id, b.doc_id AS match_id,
+               COUNT(*) AS c, ANY_VALUE(t.n) AS nt, ANY_VALUE(b.n) AS nb
+        FROM t JOIN b USING (gram) GROUP BY 1, 2),
+      scored AS (
+        SELECT doc_id, match_id,
+               CAST(c AS DOUBLE) / CAST(nt + nb - c AS DOUBLE) AS jaccard
+        FROM pairs
+        WHERE CAST(c AS DOUBLE) / CAST(nt + nb - c AS DOUBLE) >= 0.5)
+      SELECT doc_id,
+             -(MAX(struct_pack(j := jaccard, nmid := -match_id)).nmid) AS match_id,
+             MAX(struct_pack(j := jaccard, nmid := -match_id)).j AS jaccard
+      FROM scored GROUP BY doc_id ORDER BY doc_id""",
+    // the q_dedup_incremental replay with the deleted slice excluded
+    // from the corpus side — deletion must be COMPLETE (a tombstone
+    // leak adds a row) and EXACT (an over-delete removes one)
+    "q_dedup_forget" -> """
+      WITH g0 AS (
+        SELECT doc_id, doc_id % 5 AS m,
+          list_distinct(list_transform(generate_series(1, len(toks) - 2),
+            i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        WHERE len(toks) >= 3),
+      g AS (SELECT doc_id, m, len(sh) AS n, unnest(sh) AS gram FROM g0),
+      t AS (SELECT * FROM g WHERE m <= 1),
+      b AS (SELECT * FROM g WHERE m >= 2 AND doc_id % 10 <> 7),
       pairs AS (
         SELECT t.doc_id AS doc_id, b.doc_id AS match_id,
                COUNT(*) AS c, ANY_VALUE(t.n) AS nt, ANY_VALUE(b.n) AS nb

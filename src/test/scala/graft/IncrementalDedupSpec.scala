@@ -242,4 +242,41 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(probed.length == 2)
     assert(probed.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 10L), (2L, 11L)))
   }
+
+  test("deleting a doc stops its matches immediately; compaction equals a fresh build") {
+    import spark.implicits._
+    val corpus = corpusRows.toDF("doc_id", "text")
+    val shard = shardRows.toDF("doc_id", "text")
+    val idx = s"/tmp/graft-spec-mhidx-d-${java.lang.Math.abs(hashCode)}"
+    graft.operators.Dedup.minhashIndexWrite(corpus, "doc_id", "text", idx)
+    // doc 10 forgotten: shard doc 1 (its near-dup) must stop matching
+    // on the VERY NEXT probe, while doc 2 -> 11 survives
+    graft.operators.Dedup.minhashIndexDelete(
+      Seq(10L).toDF("doc_id"), "doc_id", idx)
+    val live = graft.operators.Dedup
+      .dedupShardAgainstIndex(shard, "doc_id", "text", idx)
+      .orderBy("doc_id").collect()
+    assert(live.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 11L)))
+    // compaction purges physically and clears the tombstones; verdicts
+    // must equal an index built WITHOUT doc 10 from scratch
+    graft.operators.Dedup.minhashIndexCompact(spark, idx)
+    assert(!new java.io.File(s"$idx/tombstones").exists(), "tombstones not cleared")
+    val fresh = s"/tmp/graft-spec-mhidx-e-${java.lang.Math.abs(hashCode)}"
+    graft.operators.Dedup.minhashIndexWrite(
+      corpus.where(col("doc_id") =!= 10L), "doc_id", "text", fresh)
+    val afterCompact = graft.operators.Dedup
+      .dedupShardAgainstIndex(shard, "doc_id", "text", idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val rebuilt = graft.operators.Dedup
+      .dedupShardAgainstIndex(shard, "doc_id", "text", fresh)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(afterCompact == rebuilt && afterCompact.map(_._1) == Set(2L))
+    // forgetting an id that was never indexed is a harmless no-op
+    graft.operators.Dedup.minhashIndexDelete(
+      Seq(999L).toDF("doc_id"), "doc_id", idx)
+    val noop = graft.operators.Dedup
+      .dedupShardAgainstIndex(shard, "doc_id", "text", idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(noop == Set((2L, 11L)))
+  }
 }
