@@ -50,18 +50,28 @@ object Graph {
     var ranks = nodes.withColumn("rank", lit(scale))
     var t = 0
     while (t < iters) {
-      val inflow = e
-        .join(ranks.join(outDeg, col("node") === col("src"))
-          .select(col("node").as("src"), expr("rank div out_c").as("share")), "src")
-        .groupBy("dst").agg(sum("share").as("inflow"))
-      ranks = nodes
-        .join(inflow, col("node") === col("dst"), "left")
-        .select(col("node"),
-          (lit(base) + expr(s"($dampNum * coalesce(inflow, CAST(0 AS BIGINT))) div $dampDen"))
-            .as("rank"))
+      ranks = iterate(e, nodes, outDeg, ranks, base, dampNum, dampDen)
         .localCheckpoint() // truncate the per-iteration lineage (§7.1)
       t += 1
     }
     ranks.orderBy("node")
+  }
+
+  /** One power-iteration round, un-materialized — the loop body, also
+    * the plan PlanAuditSpec audits (the checkpoint in [[pageRank]]
+    * executes each round's plan eagerly, so the returned frame's own
+    * plan no longer shows the iteration shape). */
+  private[graft] def iterate(
+      e: DataFrame, nodes: DataFrame, outDeg: DataFrame, ranks: DataFrame,
+      base: Long, dampNum: Long, dampDen: Long): DataFrame = {
+    val inflow = e
+      .join(ranks.join(outDeg, col("node") === col("src"))
+        .select(col("node").as("src"), expr("rank div out_c").as("share")), "src")
+      .groupBy("dst").agg(sum("share").as("inflow"))
+    nodes
+      .join(inflow, col("node") === col("dst"), "left")
+      .select(col("node"),
+        (lit(base) + expr(s"($dampNum * coalesce(inflow, CAST(0 AS BIGINT))) div $dampDen"))
+          .as("rank"))
   }
 }

@@ -106,6 +106,19 @@ object StreamOps {
         (p * lit(2L) >= lit(graft.operators.Classifier.S)).as("kept"))
   }
 
+  /** Streaming HTML → text extraction: the L9 WET stage applied to a
+    * live crawl stream through the SAME pure column algebra as the
+    * batch operator ([[graft.operators.Html.htmlExtract]] — regexes,
+    * entity chain, integer link-density cut). Stateless map-only
+    * append mode (no watermark, no state store, no join), so raw HTML
+    * never lands in the lake — only extracted text plus extraction
+    * stats. Batch/stream parity is spec-asserted (shared code ⇒
+    * row-for-row identical). */
+  def htmlExtractStream(
+      docs: DataFrame, idCol: String, htmlCol: String,
+      minWords: Int = 3): DataFrame =
+    graft.operators.Html.htmlExtract(docs, idCol, htmlCol, minWords)
+
   /** Streaming curation scrub: PII redaction + quality signals over
     * an unbounded document stream, via the SAME pure column
     * expressions as the batch operators

@@ -478,4 +478,64 @@ class PlanAuditSpec extends SparkSpec {
       p.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec] ||
       p.isInstanceOf[BroadcastHashJoinExec]))
   }
+
+  test("html extraction is map-only: zero shuffles before the presentation order") {
+    val plan = executed(SparkEntry.queries("q_html_extract")(spark, dir))
+    // the whole WET stage is per-row column algebra — at 100 TB it
+    // must stream through the corpus with no exchange at all except
+    // the gate's own output ordering
+    assert(shuffles(plan) <= 1)
+    assert(!plan.exists(_.nodeName.contains("Generate"))) // no line explode
+  }
+
+  test("int8 ann: bounded broadcast expansions only, corpus never shuffles") {
+    val plan = executed(SparkEntry.queries("q_ann_int8")(spark, dir))
+    // the stats (1 row) and query (≤8 rows) sides ride in as BROADCAST
+    // expansions over the corpus scan — the K1 shape; what must never
+    // appear is an unbroadcast cartesian or a corpus-keyed exchange
+    // beyond the top-k rank partitioning + presentation sort
+    assert(!plan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]))
+    // stats single-partition agg(s) + top-k rank exchange +
+    // presentation sort — nothing corpus-keyed beyond those
+    assert(shuffles(plan) <= 4, "int8 search grew unexpected exchanges")
+    // the top-k is a bounded heap before the rank exchange, not a
+    // full per-query sort of the corpus
+    assert(plan.exists(_.nodeName.contains("WindowGroupLimit")))
+  }
+
+  test("pagerank iteration: keyed joins and partial aggregation, no nested loop") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val e = docs.select(col("doc_id").as("src"),
+      ((col("doc_id") * 7 + 3) % 500).as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_c"))
+    val r0 = nodes.withColumn("rank", lit(1L << 20))
+    val plan = executed(
+      graft.operators.Graph.iterate(e, nodes, outDeg, r0, 157286L, 17L, 20L))
+    assert(!plan.exists(_.nodeName.toLowerCase.contains("cartesian")))
+    assert(!plan.exists(_.nodeName.toLowerCase.contains("nestedloop")))
+    // contributions fold with map-side partial aggregation (sum of
+    // shares keyed by dst) — the per-iteration exchange carries
+    // partials, not raw edge rows
+    assert(plan.map(_.toString).exists(_.contains("partial_sum")))
+  }
+
+  test("forget probe keeps hash joins; the tombstone filter is a broadcast anti-join") {
+    val docs = Tables.documents(spark, dir)
+    val idx = "/tmp/graft-audit-mhforget"
+    graft.operators.Dedup.minhashIndexWrite(docs, "doc_id", "text", idx)
+    graft.operators.Dedup.minhashIndexDelete(
+      docs.where(org.apache.spark.sql.functions.col("doc_id") % 10 === 7)
+        .select("doc_id"), "doc_id", idx)
+    val plan = executed(graft.operators.Dedup.dedupShardAgainstIndex(
+      docs.limit(50), "doc_id", "text", idx))
+    assert(!plan.exists(_.nodeName.toLowerCase.contains("nestedloop")))
+    assert(!plan.exists(_.nodeName.toLowerCase.contains("cartesian")))
+    // deletion must not change the probe's exchange structure: the
+    // tombstone set rides in as broadcast anti-joins (ids-only)
+    assert(plan.count(p => p.nodeName.contains("BroadcastHashJoin")) >= 1)
+  }
 }

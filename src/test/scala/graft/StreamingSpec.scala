@@ -212,6 +212,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HTML extraction matches the batch WET stage row-for-row") {
+    val pages = Seq(
+      (1L, "<html><head><style>p{x}</style></head><body>" +
+        "<div><a href=\"/\">Home</a> <a href=\"/a\">About</a></div>" +
+        "<p>genuine article text with many words</p>" +
+        "<div><a href=\"/t\">Terms</a> <a href=\"/p\">Priv</a> 2026</div></body></html>"),
+      (2L, "<p>first block of words here</p><script>var x = \"</p>\";</script>" +
+        "<p>Tom &amp; Jerry say 1 &lt; 2 today</p>"))
+    val input = MemoryStream[(Long, String)](spark)
+    val extracted = StreamOps.htmlExtractStream(
+      input.toDF.toDF("doc_id", "html"), "doc_id", "html")
+    val q = extracted.writeStream.format("memory").queryName("html_out")
+      .outputMode("append").start()
+    try {
+      input.addData(pages.take(1): _*)
+      q.processAllAvailable()
+      input.addData(pages.drop(1): _*)
+      q.processAllAvailable()
+      val got = spark.table("html_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+      val batch = graft.operators.Html.htmlExtract(
+        pages.toDF("doc_id", "html"), "doc_id", "html")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+      assert(got == batch)
+      assert(got.map(_._1) == Set(1L, 2L))
+      assert(got.find(_._1 == 2L).get._2 ===
+        "first block of words here\nTom & Jerry say 1 < 2 today")
+    } finally q.stop()
+  }
+
   test("streaming importance tagger matches the batch resample weights and keeps") {
     val corpus = Seq(
       (1L, "spark shuffle exchange partition spark shuffle", true),
