@@ -48,32 +48,49 @@ object Html {
   private val anchorPat  = "(?i)<a[ >]"
   private val tagPat     = "<[^>]*>"
 
-  /** Extract per-document training text + extraction stats from a raw
-    * HTML column. Output: (id, content, n_lines, n_kept, n_links,
-    * n_words) — `content` is the kept lines joined by '\n'. */
-  def htmlExtract(df: DataFrame, idCol: String, htmlCol: String,
-                  minWords: Int = 3): DataFrame = {
+  /** Per-line (txt, links, words) structs for an HTML column — the
+    * shared body of [[htmlExtract]] and [[htmlExtractText]]. */
+  private def lineStructs(html: Column): Column = {
     val lined = regexp_replace(
-      regexp_replace(col(htmlCol), blockStrip, " "), lineBreaks, "\n")
+      regexp_replace(html, blockStrip, " "), lineBreaks, "\n")
     // one struct per line, regex chain evaluated once per line
-    val lineStructs = transform(split(lined, "\n"), ln => {
+    val base = transform(split(lined, "\n"), ln => {
       val txt = trim(regexp_replace(
         unescape(regexp_replace(ln, tagPat, " ")), "[ \t]+", " "))
       struct(
         txt.as("txt"),
         regexp_count(ln, lit(anchorPat)).cast("long").as("links"))
     })
-    val withWords = transform(lineStructs, s => struct(
+    transform(base, s => struct(
       s.getField("txt").as("txt"),
       s.getField("links").as("links"),
       when(s.getField("txt") === "", lit(0L))
         .otherwise(size(split(s.getField("txt"), " ")).cast("long")).as("words")))
+  }
 
-    def keepPred(s: Column): Column =
-      s.getField("words") >= minWords &&
-        s.getField("links") * 2 <= s.getField("words")
+  private def keepPredFor(minWords: Int)(s: Column): Column =
+    s.getField("words") >= minWords &&
+      s.getField("links") * 2 <= s.getField("words")
 
-    df.select(col(idCol), withWords.as("__ls"))
+  /** The extraction applied IN PLACE: the html column replaced by its
+    * extracted text, every other column preserved — the chainable
+    * pipeline-step shape (the piiScrubText convention), feeding the
+    * downstream curation vocabulary whose operators expect plain
+    * text. Still map-only. */
+  def htmlExtractText(df: DataFrame, htmlCol: String,
+                      minWords: Int = 3): DataFrame =
+    df.withColumn(htmlCol,
+      array_join(transform(filter(lineStructs(col(htmlCol)),
+        keepPredFor(minWords) _), (s: Column) => s.getField("txt")), "\n"))
+
+  /** Extract per-document training text + extraction stats from a raw
+    * HTML column. Output: (id, content, n_lines, n_kept, n_links,
+    * n_words) — `content` is the kept lines joined by '\n'. */
+  def htmlExtract(df: DataFrame, idCol: String, htmlCol: String,
+                  minWords: Int = 3): DataFrame = {
+    def keepPred(s: Column): Column = keepPredFor(minWords)(s)
+
+    df.select(col(idCol), lineStructs(col(htmlCol)).as("__ls"))
       .select(
         col(idCol),
         array_join(transform(filter(col("__ls"), keepPred _),

@@ -84,7 +84,7 @@ object Pipeline {
     // mandate): the high-traffic J1/Q15/Q12/Q2 operators as chainable
     // spec steps, reusing the gated operator internals verbatim
     "exact_dedup", "quality_filter", "pii_scrub", "stratified_sample",
-    "quality_classifier")
+    "quality_classifier", "html_extract")
 
   val knownExports: Set[String] = Set("parquet", "jsonapi", "dwc_archive")
 
@@ -364,6 +364,12 @@ object Pipeline {
         graft.operators.Curation.stratifiedSample(
           in, strSeq(st.params, "strata", tag),
           reqStr(st.params, "id", tag), num(st.params, "frac", tag))
+      case "html_extract" =>
+        // the L9 WET stage in place: the html column becomes its
+        // extracted text, so downstream curation steps see plain text
+        graft.operators.Html.htmlExtractText(
+          in, reqStr(st.params, "html", tag),
+          st.params.getOrElse("minWords", 3).toString.toInt)
       case "quality_classifier" =>
         // the Q18 learned filter as a spec step: fit on the step input
         // (`label` = the seed predicate, a SQL boolean expression),

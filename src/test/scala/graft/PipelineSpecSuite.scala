@@ -188,6 +188,34 @@ steps:
     assert(got.find(_._1 == 3L).get._2.contains("<EMAIL>"))
   }
 
+  test("html_extract step strips boilerplate in place ahead of the curation chain") {
+    val pages = Seq(
+      (1L, "<html><body><div><a href=\"/\">Home</a> <a href=\"/a\">About</a></div>" +
+        "<p>the quick brown fox jumps over a lazy dog today</p></body></html>"),
+      (2L, "<p>Tom &amp; Jerry say 1 &lt; 2 in this long line of words</p>" +
+        "<div><a href=\"/t\">Terms</a> <a href=\"/p\">Priv</a> 2026</div>"))
+      .toDF("doc_id", "html")
+    val resolveP: String => org.apache.spark.sql.DataFrame = {
+      case "pages" => pages
+      case other => fail(s"unexpected table $other")
+    }
+    val spec = """
+entity: wet
+sources: [{name: p, table: pages}]
+steps:
+  - name: extracted
+    op: html_extract
+    params: {html: html}
+"""
+    val got = Pipeline.result(spark, spec, resolveP)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val want = graft.operators.Html.htmlExtractText(pages, "html")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    assert(got(0)._2 == "the quick brown fox jumps over a lazy dog today")
+    assert(got(1)._2 == "Tom & Jerry say 1 < 2 in this long line of words")
+  }
+
   test("quality_classifier step fits at build time and matches the operator") {
     val corpus = Seq(
       (0L, "seed", "lucid prose about careful work"),
