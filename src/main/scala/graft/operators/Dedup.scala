@@ -311,6 +311,15 @@ object Dedup {
       shingleN: Int, numHashes: Int, bands: Int, overwrite: Boolean): Unit = {
     import org.apache.spark.sql.SaveMode
     val mode = if (overwrite) SaveMode.Overwrite else SaveMode.Append
+    if (overwrite) {
+      // a rebuilt index starts clean: a tombstone table left by a
+      // prior generation (e.g. a crash between delete and compact)
+      // must not phantom-delete docs from the NEW index
+      import org.apache.hadoop.fs.Path
+      val t = new Path(s"$path/tombstones")
+      t.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+        .delete(t, true)
+    }
     val shf = shingleFrame(df, idCol, textCol, shingleN).localCheckpoint(true)
     val bb = bandedBuckets(
       shf.select(col("doc_id"), minhashSignature(col("sh"), numHashes).as("sig")),

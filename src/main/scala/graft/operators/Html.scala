@@ -83,6 +83,29 @@ object Html {
       array_join(transform(filter(lineStructs(col(htmlCol)),
         keepPredFor(minWords) _), (s: Column) => s.getField("txt")), "\n"))
 
+  /** Outbound links with their anchor text — the edge SOURCE for the
+    * link-graph authority pass ([[Graph.pageRank]]): WARC → (WET text
+    * via [[htmlExtract]]) + (link graph via this) is the full
+    * web-corpus front end. One row per `<a href="...">` in document
+    * order: (id, link_no, href, anchor) — anchors get the same tag
+    * strip / entity decode / whitespace collapse as extracted lines.
+    * Map-only (rows ∝ links); double-quoted hrefs only, per the
+    * RE2 ∩ Java dialect contract (no backreferences to support other
+    * quoting). */
+  def htmlLinks(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val pat = "(?is)<a\\s[^>]*href=\"([^\"]*)\"[^>]*>(.*?)</a>"
+    val links = zip_with(
+      regexp_extract_all(col(htmlCol), lit(pat), lit(1)),
+      regexp_extract_all(col(htmlCol), lit(pat), lit(2)),
+      (h, a) => struct(
+        h.as("href"),
+        trim(regexp_replace(
+          unescape(regexp_replace(a, tagPat, " ")), "[ \t]+", " ")).as("anchor")))
+    df.select(col(idCol), posexplode(links).as(Seq("__p", "__l")))
+      .select(col(idCol), (col("__p") + 1).as("link_no"),
+        col("__l.href").as("href"), col("__l.anchor").as("anchor"))
+  }
+
   /** Extract per-document training text + extraction stats from a raw
     * HTML column. Output: (id, content, n_lines, n_kept, n_links,
     * n_words) — `content` is the kept lines joined by '\n'. */

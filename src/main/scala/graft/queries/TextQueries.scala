@@ -62,6 +62,29 @@ object TextQueries {
         Tables.documents(s, dir).select(col("doc_id"), html.as("html")),
         "doc_id", "html")
     },
+    // L10 — outbound-link extraction from the SAME synthesized HTML as
+    // L9: one row per anchor in document order, href + cleaned anchor
+    // text — the edge source that feeds the S1 link-graph authority
+    // pass. The oracle replays synthesis and the group-wise
+    // regexp_extract_all verbatim.
+    "q_html_links" -> { (s, dir) =>
+      val d = col("doc_id").cast("string")
+      val html = concat(
+        lit("<html><head><title>Doc "), d,
+        lit("</title><style>body { color: #222; }</style>"),
+        lit("<script>if (1 < 2 && 3 > 1) { var x = \"</p>\"; }</script></head><body>"),
+        lit("<div id=\"nav\"><a href=\"/\">Home</a> <a href=\"/about\">About</a>"),
+        when(col("doc_id") % 3 === 0, lit("<a href=\"/faq\">FAQ</a>")).otherwise(lit("")),
+        lit("</div><h1>Doc "), d, lit("</h1><p>"), col("text"),
+        lit(" Tom &amp; Jerry say 1 &lt; 2 &quot;ok&quot; it&#39;s fine A&nbsp;B</p>"),
+        lit("<p>Figure "), (col("doc_id") % 7).cast("string"),
+        lit("</p><div class=\"footer\"><a href=\"/terms\">Terms</a> "
+          + "<a href=\"/privacy\">Privacy</a> 2026</div></body></html>"))
+      Html.htmlLinks(
+        Tables.documents(s, dir).select(col("doc_id"), html.as("html")),
+        "doc_id", "html")
+        .orderBy("doc_id", "link_no")
+    },
     // End-to-end corpus curation — the LLM-pipeline stages composed as
     // ONE Catalyst plan via Chain: score quality → language-ID → keep
     // good English docs → exact-dedup (keep min doc_id per text hash)
@@ -236,6 +259,36 @@ object TextQueries {
           list_filter(ls, s -> s.words >= 3 AND s.links * 2 <= s.words),
           s -> s.words)), 0) AS BIGINT) AS n_words
       FROM t2 ORDER BY doc_id""",
+    // group-wise regexp_extract_all over the replayed synthesis; the
+    // anchor cleanup chain matches the line cleanup verbatim
+    "q_html_links" -> """
+      WITH h AS (
+        SELECT doc_id,
+          '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+          || '</title><style>body { color: #222; }</style>'
+          || '<script>if (1 < 2 && 3 > 1) { var x = "</p>"; }</script></head><body>'
+          || '<div id="nav"><a href="/">Home</a> <a href="/about">About</a>'
+          || CASE WHEN doc_id % 3 = 0 THEN '<a href="/faq">FAQ</a>' ELSE '' END
+          || '</div><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
+          || ' Tom &amp; Jerry say 1 &lt; 2 &quot;ok&quot; it&#39;s fine A&nbsp;B</p>'
+          || '<p>Figure ' || CAST(doc_id % 7 AS VARCHAR)
+          || '</p><div class="footer"><a href="/terms">Terms</a> <a href="/privacy">Privacy</a> 2026</div></body></html>'
+          AS html
+        FROM documents),
+      t AS (
+        SELECT doc_id,
+          regexp_extract_all(html, '(?is)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>', 1) AS hs,
+          regexp_extract_all(html, '(?is)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>', 2) AS an
+        FROM h),
+      u AS (
+        SELECT doc_id, unnest(generate_series(1, len(hs))) AS i, hs, an FROM t)
+      SELECT doc_id, CAST(i AS INT) AS link_no, hs[i] AS href,
+        trim(regexp_replace(
+          replace(replace(replace(replace(replace(replace(
+            regexp_replace(an[i], '<[^>]*>', ' ', 'g'),
+            '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',''''),'&nbsp;',' '),'&amp;','&'),
+          '[ \t]+', ' ', 'g')) AS anchor
+      FROM u ORDER BY doc_id, link_no""",
     "q_lm_fluency" -> """
       WITH tk AS (
         SELECT doc_id, source, string_split(text, ' ') AS a FROM documents),

@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.Html
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
 
 /** Unit coverage for the HTML → training-text extraction operator
   * (the gate replays the same pipeline against DuckDB; this spec pins
@@ -57,5 +58,30 @@ class HtmlSpec extends SparkSpec {
     val r = extract("<p>first half line<br/>second half A&nbsp;B line</p>")
     assert(r.getAs[String]("content") === "first half line\nsecond half A B line")
     assert(r.getAs[Long]("n_kept") === 2L)
+  }
+
+  test("link extraction keeps document order and cleans anchor text") {
+    val rows = Html.htmlLinks(
+      Seq((1L, "<div><a href=\"/a\">First &amp; Co</a> text " +
+        "<a class=\"x\" href=\"/b\"><b>Second</b> link</a></div>" +
+        "<p>no links here</p>"))
+        .toDF("id", "html"), "id", "html")
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getString(3)))
+    assert(rows.toSeq === Seq((1, "/a", "First & Co"), (2, "/b", "Second link")))
+  }
+
+  test("the web front end composes: extract links, rank the graph they form") {
+    // four pages: everyone links to page 0 (the hub), page 0 links to 1
+    val pages = (0L to 3L).map { i =>
+      val tgt = if (i == 0L) 1L else 0L
+      (i, s"""<p>page $i body text</p><a href="/page/$tgt">go</a>""")
+    }
+    val links = Html.htmlLinks(pages.toDF("id", "html"), "id", "html")
+    val edges = links.select(col("id").as("src"),
+      regexp_extract(col("href"), "/page/(\\d+)", 1).cast("long").as("dst"))
+    val ranks = graft.operators.Graph.pageRank(edges, "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks(0L) > ranks(1L) && ranks(1L) > ranks(2L))
+    assert(ranks(2L) === ranks(3L))
   }
 }

@@ -278,5 +278,15 @@ class IncrementalDedupSpec extends SparkSpec {
       .dedupShardAgainstIndex(shard, "doc_id", "text", idx)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(noop == Set((2L, 11L)))
+    // a REBUILT index must not inherit stale tombstones (crash between
+    // delete and compact): stale 10L is pending on idx right now —
+    // overwrite and probe; doc 10's match must be back
+    graft.operators.Dedup.minhashIndexDelete(Seq(10L).toDF("doc_id"), "doc_id", idx)
+    graft.operators.Dedup.minhashIndexWrite(corpus, "doc_id", "text", idx)
+    val rebuilt2 = graft.operators.Dedup
+      .dedupShardAgainstIndex(shard, "doc_id", "text", idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rebuilt2 == Set((1L, 10L), (2L, 11L)),
+      "fresh index inherited phantom tombstones")
   }
 }
