@@ -106,6 +106,34 @@ object Html {
         col("__l.href").as("href"), col("__l.anchor").as("anchor"))
   }
 
+  /** Canonical URL — the dedup/join key a crawl frontier and a
+    * URL-level dedup pass group by (two fetches of `HTTP://WWW.X.COM:80
+    * /a#top` and `http://x.com/a` are the same page). Pure chained
+    * regex/string algebra in the RE2 ∩ Java dialect: trim → strip
+    * fragment → lowercase the scheme://host[:port] prefix → drop the
+    * default port (:80 http / :443 https) → drop a leading `www.` →
+    * ensure a non-empty path. Deliberately NOT full RFC 3986 dot-
+    * segment resolution (iterative — not one-pass column algebra);
+    * crawl pipelines apply this same pragmatic subset. */
+  def urlNormalize(url: Column): Column = {
+    val noFrag = regexp_replace(trim(url), "(?s)#.*", "")
+    val prefix = lower(regexp_extract(noFrag, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*).*", 1))
+    val rest = regexp_extract(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*(.*)", 1)
+    val noPort = regexp_replace(
+      regexp_replace(prefix, "^(http://[^/:]*):80$", "$1"),
+      "^(https://[^/:]*):443$", "$1")
+    val noWww = regexp_replace(noPort, "^(https?://)www\\.", "$1")
+    // a URL with no scheme://host prefix passes through untouched
+    // (relative href — resolution needs the base URL, not a rewrite)
+    when(prefix === "", trim(url))
+      .otherwise(concat(noWww, when(rest === "", lit("/")).otherwise(rest)))
+  }
+
+  /** Lowercased host of an absolute URL ('' for relative hrefs) — the
+    * domain key per-domain quality/topk/mixing operators group by. */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(trim(url), "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*).*", 1))
+
   /** Extract per-document training text + extraction stats from a raw
     * HTML column. Output: (id, content, n_lines, n_kept, n_links,
     * n_words) — `content` is the kept lines joined by '\n'. */

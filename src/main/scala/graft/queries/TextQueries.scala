@@ -85,6 +85,26 @@ object TextQueries {
         "doc_id", "html")
         .orderBy("doc_id", "link_no")
     },
+    // L11 — canonical-URL key: messy doc_id-derived URLs (scheme/host
+    // case, www, default ports, fragments, empty paths) normalized to
+    // the key a crawl frontier dedups on, plus the domain key. The
+    // oracle replays synthesis and every normalization stage (the only
+    // dialect delta is \1 vs $1 in the replacement string).
+    "q_url_normalize" -> { (s, dir) =>
+      val d = col("doc_id")
+      val url = concat(
+        when(d % 2 === 0, lit("HTTP")).otherwise(lit("https")), lit("://"),
+        when(d % 3 === 0, lit("WWW.")).otherwise(lit("")),
+        lit("Site"), (d % 20).cast("string"), lit(".Example.COM"),
+        when(d % 2 === 0, lit(":80")).otherwise(lit(":443")),
+        when(d % 4 === 0, lit("")).otherwise(concat(lit("/Path/"), d.cast("string"))),
+        when(d % 5 === 0, concat(lit("#Frag"), d.cast("string"))).otherwise(lit("")))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        Html.urlNormalize(url).as("canon"),
+        Html.urlHost(url).as("host"))
+        .orderBy("doc_id")
+    },
     // End-to-end corpus curation — the LLM-pipeline stages composed as
     // ONE Catalyst plan via Chain: score quality → language-ID → keep
     // good English docs → exact-dedup (keep min doc_id per text hash)
@@ -289,6 +309,38 @@ object TextQueries {
             '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',''''),'&nbsp;',' '),'&amp;','&'),
           '[ \t]+', ' ', 'g')) AS anchor
       FROM u ORDER BY doc_id, link_no""",
+    // every normalization stage replayed; RE2's \1 replacement is the
+    // Java $1 — the patterns themselves are shared verbatim
+    "q_url_normalize" -> """
+      WITH u AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END || '://' ||
+          CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
+          'Site' || CAST(doc_id % 20 AS VARCHAR) || '.Example.COM' ||
+          CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END ||
+          CASE WHEN doc_id % 4 = 0 THEN '' ELSE '/Path/' || CAST(doc_id AS VARCHAR) END ||
+          CASE WHEN doc_id % 5 = 0 THEN '#Frag' || CAST(doc_id AS VARCHAR) ELSE '' END
+          AS url
+        FROM documents),
+      n AS (
+        SELECT doc_id, url, regexp_replace(trim(url), '(?s)#.*', '') AS nofrag FROM u),
+      p AS (
+        SELECT doc_id, url,
+          lower(regexp_extract(nofrag, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*).*', 1)) AS pre,
+          regexp_extract(nofrag, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*(.*)', 1) AS rest
+        FROM n),
+      q AS (
+        SELECT doc_id, url, pre, rest,
+          regexp_replace(regexp_replace(pre,
+            '^(http://[^/:]*):80$', '\1'), '^(https://[^/:]*):443$', '\1') AS noport
+        FROM p)
+      SELECT doc_id,
+        CASE WHEN pre = '' THEN trim(url)
+             ELSE regexp_replace(noport, '^(https?://)www\.', '\1')
+                  || CASE WHEN rest = '' THEN '/' ELSE rest END END AS canon,
+        lower(regexp_extract(trim(url),
+          '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*).*', 1)) AS host
+      FROM q ORDER BY doc_id""",
     "q_lm_fluency" -> """
       WITH tk AS (
         SELECT doc_id, source, string_split(text, ' ') AS a FROM documents),

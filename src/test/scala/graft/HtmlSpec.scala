@@ -70,6 +70,26 @@ class HtmlSpec extends SparkSpec {
     assert(rows.toSeq === Seq((1, "/a", "First & Co"), (2, "/b", "Second link")))
   }
 
+  test("url normalization: case, www, default ports, fragments, empty paths") {
+    val cases = Seq(
+      ("HTTP://WWW.Example.COM:80#top", "http://example.com/"),
+      ("https://Example.com:443/A/B#x", "https://example.com/A/B"),
+      ("https://example.com:8443/a", "https://example.com:8443/a"), // non-default port kept
+      ("http://www.example.com/Path", "http://example.com/Path"),   // path case preserved
+      ("  http://example.com  ", "http://example.com/"),
+      ("/relative/path#frag", "/relative/path#frag"))               // passthrough
+    val got = Html.urlNormalize(col("u"))
+    val rows = cases.map(_._1).toDF("u").select(got.as("c"))
+      .collect().map(_.getString(0))
+    rows.zip(cases).foreach { case (gotC, (in, want)) =>
+      assert(gotC === want, s"normalize($in)")
+    }
+    val hosts = cases.map(_._1).toDF("u")
+      .select(Html.urlHost(col("u")).as("h")).collect().map(_.getString(0))
+    assert(hosts.toSeq === Seq("www.example.com", "example.com",
+      "example.com", "www.example.com", "example.com", ""))
+  }
+
   test("the web front end composes: extract links, rank the graph they form") {
     // four pages: everyone links to page 0 (the hub), page 0 links to 1
     val pages = (0L to 3L).map { i =>
