@@ -84,7 +84,8 @@ object Pipeline {
     // mandate): the high-traffic J1/Q15/Q12/Q2 operators as chainable
     // spec steps, reusing the gated operator internals verbatim
     "exact_dedup", "quality_filter", "pii_scrub", "stratified_sample",
-    "quality_classifier", "html_extract")
+    "quality_classifier", "html_extract", "html_links", "url_normalize",
+    "pagerank", "index_dedup")
 
   val knownExports: Set[String] = Set("parquet", "jsonapi", "dwc_archive")
 
@@ -370,6 +371,38 @@ object Pipeline {
         graft.operators.Html.htmlExtractText(
           in, reqStr(st.params, "html", tag),
           st.params.getOrElse("minWords", 3).toString.toInt)
+      case "html_links" =>
+        // L10: one row per outbound anchor — feeds a pagerank step
+        graft.operators.Html.htmlLinks(
+          in, reqStr(st.params, "id", tag), reqStr(st.params, "html", tag))
+      case "url_normalize" =>
+        // L11 in place: the url column becomes its canonical form,
+        // plus the extracted domain key as a new column
+        val u = reqStr(st.params, "url", tag)
+        in.withColumn(u, graft.operators.Html.urlNormalize(col(u)))
+          .withColumn(st.params.getOrElse("hostColumn", "host").toString,
+            graft.operators.Html.urlHost(col(u)))
+      case "pagerank" =>
+        // S1: the step input IS the edge list
+        graft.operators.Graph.pageRank(
+          in, reqStr(st.params, "src", tag), reqStr(st.params, "dst", tag),
+          iters = st.params.getOrElse("iters", 3).toString.toInt)
+      case "index_dedup" =>
+        // J14/J16: probe the step input against a persisted minhash
+        // index; mode 'drop' (default) keeps novel docs — the rolling
+        // curation shape — 'flag' returns the verdicts themselves
+        val id = reqStr(st.params, "id", tag)
+        val flagged = graft.operators.Dedup.dedupShardAgainstIndex(
+          in, id, reqStr(st.params, "text", tag),
+          reqStr(st.params, "path", tag),
+          minJaccard = st.params.get("minJaccard")
+            .map(_.toString.toDouble).getOrElse(0.5))
+        st.params.getOrElse("mode", "drop").toString match {
+          case "flag" => flagged
+          case "drop" => in.join(
+            flagged.select(col("doc_id").as(id)), Seq(id), "left_anti")
+          case other => fail(s"$tag: index_dedup mode must be flag|drop, got '$other'")
+        }
       case "quality_classifier" =>
         // the Q18 learned filter as a spec step: fit on the step input
         // (`label` = the seed predicate, a SQL boolean expression),

@@ -86,6 +86,35 @@ class IncrementalDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a delete between micro-batches takes effect on the very next probe") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val corpus = corpusRows.toDF("doc_id", "text")
+    val idx = s"/tmp/graft-spec-mhidx-f-${java.lang.Math.abs(hashCode)}"
+    graft.operators.Dedup.minhashIndexWrite(corpus, "doc_id", "text", idx)
+    val got = scala.collection.mutable.Set[(Long, Long, Long)]() // (batch, doc, match)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.StreamOps.incrementalDedupStream(
+      input.toDF.toDF("doc_id", "text"), "doc_id", "text", idx,
+      (flagged, batchId) => got.synchronized {
+        got ++= flagged.collect().map(r => (batchId, r.getLong(0), r.getLong(1)))
+      })
+    try {
+      input.addData(Seq((1L, "alpha beta gamma delta epsilon zeta eta iota")))
+      q.processAllAvailable()
+      assert(got.toSet == Set((0L, 1L, 10L)))
+      // right-to-be-forgotten lands between batches: doc 10 deleted
+      graft.operators.Dedup.minhashIndexDelete(
+        Seq(10L).toDF("doc_id"), "doc_id", idx)
+      input.addData(Seq(
+        (2L, "alpha beta gamma delta epsilon zeta eta mu"), // near-dup of deleted 10
+        (3L, "one two three four five six seven eight nine"))) // exact of live 11
+      q.processAllAvailable()
+      assert(got.toSet == Set((0L, 1L, 10L), (1L, 3L, 11L)),
+        s"deleted doc still matching (or live doc lost): $got")
+    } finally q.stop()
+  }
+
   test("append grows the index: probe equals a full rebuild") {
     import spark.implicits._
     val a = corpusRows.toDF("doc_id", "text")

@@ -216,6 +216,76 @@ steps:
     assert(got(1)._2 == "Tom & Jerry say 1 < 2 in this long line of words")
   }
 
+  test("web front-end steps compose: links -> url_normalize -> pagerank in one spec") {
+    // 4 pages, each linking to page 0 except page 0 -> 1; hrefs messy
+    // (case, default port, fragment) so url_normalize must produce
+    // clean join keys before the graph builds
+    val pages = (0L to 3L).map { i =>
+      val t = if (i == 0L) 1L else 0L
+      (i, s"""<p>page body</p><a href="HTTP://Site$t.Example.COM:80/#x">go</a>""")
+    }.toDF("doc_id", "html")
+    val resolveW: String => org.apache.spark.sql.DataFrame = {
+      case "pages" => pages
+      case other => fail(s"unexpected table $other")
+    }
+    // pagerank keys are longs: the edges step extracts the site
+    // ordinal from the CANONICAL host (www/port/case all normalized
+    // away by url_normalize — the extract would not match otherwise)
+    val spec = """
+entity: webrank
+sources: [{name: p, table: pages}]
+steps:
+  - name: links
+    op: html_links
+    params: {id: doc_id, html: html}
+  - name: canon
+    op: url_normalize
+    params: {url: href, hostColumn: dst_host}
+  - name: edges
+    op: select
+    params:
+      columns:
+        - "doc_id AS src"
+        - "CAST(regexp_extract(dst_host, 'site(\\\\d+)', 1) AS LONG) AS dst"
+  - name: ranked
+    op: pagerank
+    params: {src: src, dst: dst, iters: 3}
+"""
+    val ranks = Pipeline.result(spark, spec, resolveW)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks(0L) > ranks(1L) && ranks(1L) > ranks(2L) && ranks(2L) === ranks(3L))
+  }
+
+  test("index_dedup step drops near-dups of the persisted index, flag mode returns verdicts") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "one two three four five six seven eight nine")).toDF("doc_id", "text")
+    val idx = s"/tmp/graft-spec-pipeidx-${java.lang.Math.abs(hashCode)}"
+    graft.operators.Dedup.minhashIndexWrite(corpus, "doc_id", "text", idx)
+    val shard = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta iota"), // near-dup of 10
+      (3L, "totally novel content that matches nothing in the index at all"))
+      .toDF("doc_id", "text")
+    val resolveS: String => org.apache.spark.sql.DataFrame = {
+      case "shard" => shard
+      case other => fail(s"unexpected table $other")
+    }
+    def spec(mode: String) = s"""
+entity: ingest
+sources: [{name: s, table: shard}]
+steps:
+  - name: probed
+    op: index_dedup
+    params: {id: doc_id, text: text, path: '$idx', mode: $mode}
+"""
+    val kept = Pipeline.result(spark, spec("drop"), resolveS)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(3L))
+    val flagged = Pipeline.result(spark, spec("flag"), resolveS)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(flagged === Set((1L, 10L)))
+  }
+
   test("quality_classifier step fits at build time and matches the operator") {
     val corpus = Seq(
       (0L, "seed", "lucid prose about careful work"),
