@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -169,6 +170,45 @@ object TextAnalysis {
       .select(col(idCol), col("n_bigrams"), col("score_sum"),
         (col("score_sum").cast(DoubleType) /
           col("n_bigrams").cast(DoubleType)).as("fluency"))
+      .orderBy(col(idCol))
+  }
+
+  /** L12 — the CCNet SELECTION step (Wenzek et al. 2020 §4.3): corpus
+    * split into head/middle/tail thirds by LM fluency, so downstream
+    * mixing can keep the head, resample the middle, drop the tail.
+    *
+    * Buckets come from VALUE thresholds, not per-row ranks: the
+    * distinct-fluency histogram folds once (exchange ∝ distinct score
+    * classes — the A6 exact-comparator posture; at cluster scale feed
+    * the two edges from the A6 quantile sketch instead and skip the
+    * histogram entirely), cumulative counts in descending-fluency
+    * order pick the boundary VALUES at integer ranks ceil(n/3) and
+    * ceil(2n/3) (pure integer arithmetic — `(n+2) div 3`), and the
+    * 1-row edge frame broadcasts back over the scored corpus for a
+    * map-side CASE. Docs sharing a fluency value share a bucket (the
+    * straddling value folds into the earlier bucket) — deterministic
+    * on every engine, no rank tie-break needed. */
+  def fluencyBuckets(
+      df: DataFrame, idCol: String, textCol: String, refPred: Column,
+      grid: Long = 1L << 20): DataFrame = {
+    // consumed by BOTH the histogram and the final assignment — pay
+    // the gram-stream joins once (the shared-checkpoint pattern)
+    val fl = lmFluency(df, idCol, textCol, refPred, grid).localCheckpoint(true)
+    val counts = fl.groupBy(col("fluency").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val staged = counts
+      .withColumn("__cum", sum(col("__c")).over(
+        Window.orderBy(col("__v").desc)))
+      .withColumn("__n", sum(col("__c")).over(
+        Window.partitionBy()))
+    val edges = staged.agg(
+      max(when(col("__cum") >= expr("(__n + 2) div 3"), col("__v"))).as("__b1"),
+      max(when(col("__cum") >= expr("(2 * __n + 2) div 3"), col("__v"))).as("__b2"))
+    fl.crossJoin(broadcast(edges))
+      .select(col(idCol), col("n_bigrams"), col("score_sum"), col("fluency"),
+        when(col("fluency") >= col("__b1"), lit("head"))
+          .when(col("fluency") >= col("__b2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
       .orderBy(col(idCol))
   }
 

@@ -105,6 +105,17 @@ object TextQueries {
         Html.urlHost(url).as("host"))
         .orderBy("doc_id")
     },
+    // L12 — CCNet head/middle/tail selection over the L8 fluency
+    // scores: boundary VALUES picked at integer ranks ceil(n/3) /
+    // ceil(2n/3) of the descending distinct-fluency histogram, docs
+    // bucketed by a broadcast map-side CASE. The oracle replays the L8
+    // fit AND the histogram/edge/bucket arithmetic — a drift in either
+    // layer relabels a row.
+    "q_fluency_buckets" -> { (s, dir) =>
+      TextAnalysis.fluencyBuckets(
+        Tables.documents(s, dir), "doc_id", "text",
+        col("source") === "src1")
+    },
     // End-to-end corpus curation — the LLM-pipeline stages composed as
     // ONE Catalyst plan via Chain: score quality → language-ID → keep
     // good English docs → exact-dedup (keep min doc_id per text hash)
@@ -147,6 +158,50 @@ object TextQueries {
   private def lst(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ",", "]")
   private def hits(ws: Seq[String]) =
     s"CAST(len(list_filter(toks, x -> list_contains(${lst(ws)}, x))) AS BIGINT)"
+
+  /** Shared CTE chain of the L8 bigram-LM replay (fit, quantized
+    * probabilities, back-off, per-bigram scores) — consumed by both
+    * q_lm_fluency and q_fluency_buckets. */
+  private val lmFluencyCtes: String = """
+      WITH tk AS (
+        SELECT doc_id, source, string_split(text, ' ') AS a FROM documents),
+
+      bg AS (
+        SELECT doc_id, source,
+               unnest(list_transform(range(1, len(a)),
+                 i -> a[i] || ' ' || a[i+1])) AS gram
+        FROM tk WHERE len(a) >= 2),
+      ref AS (
+        SELECT gram, string_split(gram, ' ')[1] AS w1
+        FROM bg WHERE source = 'src1'),
+      vv AS (
+        SELECT COUNT(DISTINCT w) AS v FROM (
+          SELECT unnest(string_split(text, ' ')) AS w
+          FROM documents WHERE source = 'src1') WHERE w <> ''),
+      prefix AS (SELECT w1, COUNT(*) AS c1 FROM ref GROUP BY w1),
+      model AS (
+        SELECT gram,
+               CAST(FLOOR(CAST(2*c12+1 AS DOUBLE) / CAST(2*c1+v AS DOUBLE)
+                 * 1048576.0 + 0.5) AS BIGINT) AS q
+        FROM (SELECT gram, w1, COUNT(*) AS c12 FROM ref GROUP BY gram, w1) m
+        JOIN prefix USING (w1), vv),
+      pfloor AS (
+        SELECT w1,
+               CAST(FLOOR(1.0 / CAST(2*c1+v AS DOUBLE)
+                 * 1048576.0 + 0.5) AS BIGINT) AS q1
+        FROM prefix, vv),
+      cand AS (
+        SELECT doc_id, gram, string_split(gram, ' ')[1] AS w1
+        FROM bg WHERE source <> 'src1'),
+      scored AS (
+        SELECT c.doc_id,
+               COALESCE(m.q, p.q1,
+                 (SELECT CAST(FLOOR(1.0 / CAST(v AS DOUBLE)
+                    * 1048576.0 + 0.5) AS BIGINT) FROM vv)) AS qe
+        FROM cand c
+        LEFT JOIN model m USING (gram)
+        LEFT JOIN pfloor p USING (w1))
+      """
 
   val oracles: Map[String, String] = Map(
     "q_text_quality" -> s"""
@@ -341,48 +396,37 @@ object TextQueries {
         lower(regexp_extract(trim(url),
           '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*).*', 1)) AS host
       FROM q ORDER BY doc_id""",
-    "q_lm_fluency" -> """
-      WITH tk AS (
-        SELECT doc_id, source, string_split(text, ' ') AS a FROM documents),
-      bg AS (
-        SELECT doc_id, source,
-               unnest(list_transform(range(1, len(a)),
-                 i -> a[i] || ' ' || a[i+1])) AS gram
-        FROM tk WHERE len(a) >= 2),
-      ref AS (
-        SELECT gram, string_split(gram, ' ')[1] AS w1
-        FROM bg WHERE source = 'src1'),
-      vv AS (
-        SELECT COUNT(DISTINCT w) AS v FROM (
-          SELECT unnest(string_split(text, ' ')) AS w
-          FROM documents WHERE source = 'src1') WHERE w <> ''),
-      prefix AS (SELECT w1, COUNT(*) AS c1 FROM ref GROUP BY w1),
-      model AS (
-        SELECT gram,
-               CAST(FLOOR(CAST(2*c12+1 AS DOUBLE) / CAST(2*c1+v AS DOUBLE)
-                 * 1048576.0 + 0.5) AS BIGINT) AS q
-        FROM (SELECT gram, w1, COUNT(*) AS c12 FROM ref GROUP BY gram, w1) m
-        JOIN prefix USING (w1), vv),
-      pfloor AS (
-        SELECT w1,
-               CAST(FLOOR(1.0 / CAST(2*c1+v AS DOUBLE)
-                 * 1048576.0 + 0.5) AS BIGINT) AS q1
-        FROM prefix, vv),
-      cand AS (
-        SELECT doc_id, gram, string_split(gram, ' ')[1] AS w1
-        FROM bg WHERE source <> 'src1'),
-      scored AS (
-        SELECT c.doc_id,
-               COALESCE(m.q, p.q1,
-                 (SELECT CAST(FLOOR(1.0 / CAST(v AS DOUBLE)
-                    * 1048576.0 + 0.5) AS BIGINT) FROM vv)) AS qe
-        FROM cand c
-        LEFT JOIN model m USING (gram)
-        LEFT JOIN pfloor p USING (w1))
+    "q_lm_fluency" -> s"""
+      $lmFluencyCtes
       SELECT doc_id, COUNT(*) AS n_bigrams,
              CAST(SUM(qe) AS BIGINT) AS score_sum,
              CAST(CAST(SUM(qe) AS BIGINT) AS DOUBLE) /
                CAST(COUNT(*) AS DOUBLE) AS fluency
       FROM scored GROUP BY doc_id ORDER BY doc_id""",
+    // the L8 replay extended by the histogram/edge/bucket arithmetic:
+    // integer ranks ((n+2)//3), descending cumulative counts over
+    // DISTINCT fluency values, value-threshold CASE
+    "q_fluency_buckets" -> s"""
+      $lmFluencyCtes,
+      fl AS (
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               CAST(SUM(qe) AS BIGINT) AS score_sum,
+               CAST(CAST(SUM(qe) AS BIGINT) AS DOUBLE) /
+                 CAST(COUNT(*) AS DOUBLE) AS fluency
+        FROM scored GROUP BY doc_id),
+      h AS (SELECT fluency AS v, COUNT(*) AS c FROM fl GROUP BY fluency),
+      st AS (SELECT v, c,
+               SUM(c) OVER (ORDER BY v DESC) AS cum,
+               SUM(c) OVER () AS n FROM h),
+      e AS (SELECT
+              MAX(CASE WHEN cum >= (n + 2) // 3 THEN v END) AS b1,
+              MAX(CASE WHEN cum >= (2 * n + 2) // 3 THEN v END) AS b2
+            FROM st)
+      SELECT doc_id, n_bigrams, score_sum, fluency,
+             CASE WHEN fluency >= b1 THEN 'head'
+                  WHEN fluency >= b2 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM fl, e ORDER BY doc_id""",
+
   )
 }

@@ -90,6 +90,24 @@ class HtmlSpec extends SparkSpec {
       "example.com", "www.example.com", "example.com", ""))
   }
 
+  test("url normalization is idempotent over the synthesis grid") {
+    // canonical forms must be fixed points — a second pass that still
+    // rewrites would make the dedup key unstable across re-crawls
+    val d = col("id")
+    val url = concat(
+      when(d % 2 === 0, lit("HTTP")).otherwise(lit("https")), lit("://"),
+      when(d % 3 === 0, lit("WWW.")).otherwise(lit("")),
+      lit("Site"), (d % 20).cast("string"), lit(".Example.COM"),
+      when(d % 2 === 0, lit(":80")).otherwise(lit(":443")),
+      when(d % 4 === 0, lit("")).otherwise(concat(lit("/Path/"), d.cast("string"))),
+      when(d % 5 === 0, concat(lit("#Frag"), d.cast("string"))).otherwise(lit("")))
+    val bad = (0L until 500L).toDF("id")
+      .select(Html.urlNormalize(url).as("c1"))
+      .select(col("c1"), Html.urlNormalize(col("c1")).as("c2"))
+      .where(col("c1") =!= col("c2")).count()
+    assert(bad === 0L)
+  }
+
   test("the web front end composes: extract links, rank the graph they form") {
     // four pages: everyone links to page 0 (the hub), page 0 links to 1
     val pages = (0L to 3L).map { i =>

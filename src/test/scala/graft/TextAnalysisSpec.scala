@@ -66,4 +66,24 @@ class TextAnalysisSpec extends SparkSpec {
     // OOV bigrams score the strictly-positive smoothed floor, not zero
     assert(got(11L) > 0.0)
   }
+
+  test("fluency buckets: thirds by value thresholds, monotone across buckets") {
+    // 1 reference doc + 9 candidates with strictly decreasing overlap
+    val ref = Seq((0L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10", true))
+    val cands = (1 to 9).map { i =>
+      val known = (1 to (10 - i)).map(j => s"w$j")
+      val oov = (1 to i).map(j => s"x${i}_$j")
+      (i.toLong, (known ++ oov).mkString(" "), false)
+    }
+    val df = (ref ++ cands).toDF("doc_id", "text", "ref")
+    val got = TextAnalysis.fluencyBuckets(df, "doc_id", "text", col("ref"))
+      .collect().map(r => (r.getLong(0), r.getDouble(3), r.getString(4)))
+    assert(got.length === 9)
+    val byBucket = got.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byBucket.keySet === Set("head", "middle", "tail"))
+    assert(byBucket("head").size === 3 && byBucket("middle").size === 3
+      && byBucket("tail").size === 3)
+    assert(byBucket("head").min >= byBucket("middle").max)
+    assert(byBucket("middle").min >= byBucket("tail").max)
+  }
 }
