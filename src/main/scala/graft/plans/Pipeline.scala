@@ -85,7 +85,7 @@ object Pipeline {
     // spec steps, reusing the gated operator internals verbatim
     "exact_dedup", "quality_filter", "pii_scrub", "stratified_sample",
     "quality_classifier", "html_extract", "html_links", "url_normalize",
-    "pagerank", "index_dedup")
+    "pagerank", "index_dedup", "fluency_buckets")
 
   val knownExports: Set[String] = Set("parquet", "jsonapi", "dwc_archive")
 
@@ -403,6 +403,13 @@ object Pipeline {
             flagged.select(col("doc_id").as(id)), Seq(id), "left_anti")
           case other => fail(s"$tag: index_dedup mode must be flag|drop, got '$other'")
         }
+      case "fluency_buckets" =>
+        // L12: the CCNet selection step — `ref` is the SQL predicate
+        // naming the clean reference slice; emits candidates with
+        // fluency + head/middle/tail bucket
+        graft.operators.TextAnalysis.fluencyBuckets(
+          in, reqStr(st.params, "id", tag), reqStr(st.params, "text", tag),
+          expr(reqStr(st.params, "ref", tag)))
       case "quality_classifier" =>
         // the Q18 learned filter as a spec step: fit on the step input
         // (`label` = the seed predicate, a SQL boolean expression),

@@ -286,6 +286,32 @@ steps:
     assert(flagged === Set((1L, 10L)))
   }
 
+  test("fluency_buckets step matches the direct operator") {
+    val corpus = (Seq((0L, "w1 w2 w3 w4 w5 w6 w7 w8", "ref")) ++
+      (1 to 6).map { i =>
+        val known = (1 to (8 - i)).map(j => s"w$j")
+        (i.toLong, (known ++ (1 to i).map(j => s"z${i}_$j")).mkString(" "), "wild")
+      }).toDF("doc_id", "text", "src")
+    val resolveF: String => org.apache.spark.sql.DataFrame = {
+      case "corpus" => corpus
+      case other => fail(s"unexpected table $other")
+    }
+    val spec = """
+entity: ccnet
+sources: [{name: c, table: corpus}]
+steps:
+  - name: buckets
+    op: fluency_buckets
+    params: {id: doc_id, text: text, ref: "src = 'ref'"}
+"""
+    val got = Pipeline.result(spark, spec, resolveF)
+      .collect().map(r => (r.getLong(0), r.getString(4))).toSet
+    val want = graft.operators.TextAnalysis.fluencyBuckets(
+      corpus, "doc_id", "text", col("src") === "ref")
+      .collect().map(r => (r.getLong(0), r.getString(4))).toSet
+    assert(got === want && got.map(_._1) === (1L to 6L).toSet)
+  }
+
   test("quality_classifier step fits at build time and matches the operator") {
     val corpus = Seq(
       (0L, "seed", "lucid prose about careful work"),
