@@ -24,7 +24,7 @@ object SparkEntry {
       GeoQueries.all ++ FormatQueries.all ++ EcoQueries.all ++
       ClassObjectQueries.all ++ MultimodalQueries.all ++ CurationQueries.all ++
       PipelineQueries.all ++ RetrievalQueries.all ++ BpeQueries.all ++
-      GraphQueries.all
+      GraphQueries.all ++ GraphQueries.allHits
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ HierarchyQueries.oracles ++ ExtractionQueries.oracles ++

@@ -57,6 +57,62 @@ object Graph {
     ranks.orderBy("node")
   }
 
+  /** S2 — HITS hubs & authorities (Kleinberg 1999): the link-graph
+    * twin of [[pageRank]] for corpora where PORTALS (hub pages whose
+    * outlinks concentrate on good content) matter as much as
+    * endpoints. Same exact-integer contract: scores on the `scale`
+    * grid, and per-round normalization by the OVERFLOW-FREE floor
+    * rule `x div max(1, X_max div scale)` — dividing by a per-round
+    * constant instead of forming `scale·x/X_max` keeps every
+    * intermediate ≤ N·scale (a `scale²·N` product would overflow
+    * int64 at ~10⁷ nodes), stays weakly monotone (ranks never
+    * invert), and replays exactly in any engine with integer floor
+    * division. Two exchanges per half-round (keyed join + keyed agg);
+    * edges/nodes checkpointed once; score frames ∝ nodes. */
+  def hits(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3, scale: Long = 1L << 20): DataFrame = {
+    require(iters >= 1 && scale > 0)
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    def normalized(raw: DataFrame, c: String): DataFrame = {
+      // 1-row max broadcast back (exchange = one long per partition)
+      val mx = raw.agg(max(col(c)).as("__mx"))
+      raw.crossJoin(broadcast(mx))
+        .select(col("node"),
+          expr(s"$c div greatest(CAST(1 AS BIGINT), __mx div $scale)").as(c))
+    }
+    var scores = nodes.select(
+      col("node"), lit(scale).as("hub"), lit(scale).as("auth"))
+    var t = 0
+    while (t < iters) {
+      // authority: sum of in-link hub scores over the live hub frame
+      val rawAuth = nodes.join(
+          e.join(scores.select(col("node").as("src"), col("hub")), "src")
+            .groupBy("dst").agg(sum("hub").as("auth"))
+            .withColumnRenamed("dst", "node"),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("auth"), lit(0L)).as("auth"))
+      val auth = normalized(rawAuth, "auth").localCheckpoint()
+      // hub: sum of out-link authority scores (the refreshed ones)
+      val rawHub = nodes.join(
+          e.join(auth.select(col("node").as("dst"), col("auth")), "dst")
+            .groupBy("src").agg(sum("auth").as("hub"))
+            .withColumnRenamed("src", "node"),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("hub"), lit(0L)).as("hub"))
+      val hub = normalized(rawHub, "hub").localCheckpoint()
+      scores = nodes.join(hub, "node").join(auth, "node").localCheckpoint()
+      t += 1
+    }
+    scores.select(col("node"), col("hub"), col("auth")).orderBy("node")
+  }
+
   /** One power-iteration round, un-materialized — the loop body, also
     * the plan PlanAuditSpec audits (the checkpoint in [[pageRank]]
     * executes each round's plan eagerly, so the returned frame's own

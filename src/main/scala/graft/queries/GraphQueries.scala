@@ -36,6 +36,26 @@ object GraphQueries {
     },
   )
 
+  private val hitsIters = 2
+
+  val allHits: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S2 — HITS on the same synthesized link graph: every half-round
+    // (authority sum, overflow-free floor normalization, hub sum,
+    // normalization) replays in unrolled CTEs — a drift in any join,
+    // sum, max, or floor division in any half-round moves a score.
+    "q_hits" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.agg((max("doc_id") + 1).as("n"))
+      val edges = docs.crossJoin(broadcast(n)).select(
+        col("doc_id").as("src"),
+        explode(array(linkMaps.map { case (m, o) =>
+          (col("doc_id") * m + o) % col("n")
+        }: _*)).as("dst"))
+      Graph.hits(edges, "src", "dst", iters = hitsIters)
+        .withColumnRenamed("node", "doc_id")
+    },
+  )
+
   val oracles: Map[String, String] = {
     val edgeSql = linkMaps.map { case (m, o) =>
       s"SELECT doc_id AS src, (doc_id * $m + $o) % n AS dst FROM documents, nn"
@@ -52,7 +72,39 @@ object GraphQueries {
         SELECT node, CAST((3 * 1048576) // 20
           + (17 * COALESCE(inflow, 0)) // 20 AS BIGINT) AS rank
         FROM nodes LEFT JOIN s_$cur ON node = dst)"""
+    // one HITS half-round: keyed sum over the edge list, then the
+    // overflow-free normalization x // GREATEST(1, max // S)
+    def half(src: String, dst: String, prev: String, prevCol: String,
+             cur: String, curCol: String): String = s"""
+      r_$cur AS MATERIALIZED (
+        SELECT node, COALESCE(s, CAST(0 AS BIGINT)) AS $curCol
+        FROM nodes LEFT JOIN (
+          SELECT e.$dst AS node, CAST(SUM(p.$prevCol) AS BIGINT) AS s
+          FROM e JOIN $prev p ON e.$src = p.node GROUP BY e.$dst) x
+        USING (node)),
+      m_$cur AS MATERIALIZED (SELECT MAX($curCol) AS mx FROM r_$cur),
+      $cur AS MATERIALIZED (
+        SELECT node, $curCol // GREATEST(CAST(1 AS BIGINT),
+          (SELECT mx FROM m_$cur) // 1048576) AS $curCol
+        FROM r_$cur)"""
+    val hitsRounds = (0 until hitsIters).map { t =>
+      val ph = if (t == 0) "h0" else s"h$t"
+      half("src", "dst", ph, "hub", s"a${t + 1}", "auth") + "," +
+        half("dst", "src", s"a${t + 1}", "auth", s"h${t + 1}", "hub")
+    }.mkString(",")
     Map(
+      "q_hits" -> s"""
+        WITH nn AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+        e AS MATERIALIZED ($edgeSql),
+        nodes AS MATERIALIZED (
+          SELECT DISTINCT x AS node FROM (
+            SELECT src AS x FROM e UNION ALL SELECT dst FROM e)),
+        h0 AS MATERIALIZED (
+          SELECT node, CAST(1048576 AS BIGINT) AS hub FROM nodes),
+        $hitsRounds
+        SELECT h.node AS doc_id, h.hub, a.auth
+        FROM h$hitsIters h JOIN a$hitsIters a USING (node)
+        ORDER BY doc_id""",
       "q_pagerank" -> s"""
         WITH nn AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
         e AS MATERIALIZED ($edgeSql),

@@ -56,6 +56,47 @@ class GraphSpec extends SparkSpec {
     assert(got(2L) > got(1L) && got(1L) > got(0L))
   }
 
+  /** Driver-side exact replay of the HITS contract. */
+  private def hitsReference(
+      edges: Seq[(Long, Long)], iters: Int): Map[Long, (Long, Long)] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    def norm(m: Map[Long, Long]): Map[Long, Long] = {
+      val mx = m.values.max
+      val g = math.max(1L, Math.floorDiv(mx, S))
+      m.view.mapValues(Math.floorDiv(_, g)).toMap
+    }
+    var h = nodes.map(_ -> S).toMap
+    var a = nodes.map(_ -> S).toMap
+    (0 until iters).foreach { _ =>
+      a = norm(nodes.map(v =>
+        v -> edges.filter(_._2 == v).map(e => h(e._1)).sum).toMap)
+      h = norm(nodes.map(u =>
+        u -> edges.filter(_._1 == u).map(e => a(e._2)).sum).toMap)
+    }
+    nodes.map(v => v -> (h(v), a(v))).toMap
+  }
+
+  test("hits: spokes are hubs, the hub node is the authority, exact integer match") {
+    val edges = (1L to 9L).map(i => (i, 0L)) // 9 spokes all -> node 0
+    val got = Graph.hits(edges.toDF("s", "d"), "s", "d", iters = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === hitsReference(edges, 2))
+    assert(got(0L)._2 > got(1L)._2, "node 0 must dominate authority")
+    assert(got(1L)._1 > got(0L)._1, "spokes must dominate hub score")
+    assert(got(1L) === got(9L), "spokes are symmetric")
+  }
+
+  test("hits is invariant under input partitioning") {
+    val edges = (0L until 40L).flatMap(i => Seq((i, (i * 7 + 3) % 40), (i, (i * 13 + 1) % 40)))
+    val a = Graph.hits(edges.toDF("s", "d").repartition(1), "s", "d", iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = Graph.hits(edges.toDF("s", "d").repartition(7, col("s")), "s", "d", iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a === b && a.nonEmpty)
+    assert(hitsReference(edges, 2).toSet ===
+      a.map(t => t._1 -> (t._2, t._3)))
+  }
+
   test("result is invariant under input partitioning") {
     val edges = (0L until 50L).flatMap(i => Seq((i, (i * 7 + 3) % 50), (i, (i * 13 + 1) % 50)))
     val df1 = edges.toDF("s", "d").repartition(1)
