@@ -501,7 +501,7 @@ object Dedup {
     * pairs with exact hamming = popcount(hi⊕hi) + popcount(lo⊕lo).
     * Any pair within hamming ≤ 3 shares a chunk — guaranteed recall
     * at the default threshold. */
-  private def mineHammingPairs(
+  private[graft] def mineHammingPairs(
       simDf: DataFrame, maxHamming: Int, maxBucket: Int): DataFrame = {
     val chunked = simDf.select(
       col("doc_id"), col("hi"), col("lo"),

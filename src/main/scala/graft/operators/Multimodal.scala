@@ -351,6 +351,59 @@ object Multimodal {
     }
   }
 
+  /** M2 — average-hash (aHash) perceptual fingerprint of image rows:
+    * decode the REAL container bytes, per-pixel integer gray
+    * `(r+g+b) div 3`, threshold at the integer mean `Σgray div 64`,
+    * fold MSB-first into 64 bits carried as (hi, lo) 32-bit halves —
+    * the J3 engine-portable fingerprint shape, so the SAME pigeonhole
+    * chunk miner ([[Dedup.mineHammingPairs]]) finds every pair within
+    * hamming ≤ 3 with one shuffle. All arithmetic integer ⇒ the
+    * DuckDB oracle replays the hash from the pixel formulas while the
+    * engine computes it through the actual PNG round trip. Expects
+    * 8×8 thumbnails (run [[resize]] first for larger images — aHash
+    * is DEFINED on the downsampled thumbnail). Map-only, one decode
+    * per row, content never survives the stage. */
+  def imageAHash(ds: Dataset[MediaRecord]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.filter(_.meta.media_type == "image").map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.content))
+        require(img != null, s"undecodable image for media ${r.media_id}")
+        require(img.getWidth == 8 && img.getHeight == 8,
+          s"aHash expects an 8x8 thumbnail, got " +
+            s"${img.getWidth}x${img.getHeight} for media ${r.media_id} — resize first")
+        val grays = new Array[Int](64)
+        var s = 0L
+        var k = 0
+        while (k < 64) {
+          val rgb = img.getRGB(k % 8, k / 8)
+          grays(k) = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
+          s += grays(k)
+          k += 1
+        }
+        val mean = s / 64
+        var hi = 0L; var lo = 0L
+        k = 0
+        while (k < 64) {
+          if (grays(k) >= mean) {
+            if (k < 32) hi |= 1L << (31 - k) else lo |= 1L << (63 - k)
+          }
+          k += 1
+        }
+        (r.media_id, hi, lo)
+      }
+    }.toDF("doc_id", "hi", "lo")
+  }
+
+  /** M2 — image near-dup pairs: [[imageAHash]] fingerprints mined by
+    * the shared SimHash chunk-pigeonhole machinery (guaranteed recall
+    * for hamming ≤ 3, one (chunk, key) shuffle, hot-bucket cap). */
+  def imagePhashPairs(
+      ds: Dataset[MediaRecord], maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame =
+    Dedup.mineHammingPairs(imageAHash(ds), maxHamming, maxBucket)
+
   /** Frame sampling for video-typed rows: up to `k` evenly spaced
     * frames, each a REAL standalone PNG extracted by the [[Apng]]
     * container walk (decodable downstream by [[JvmMediaCodec

@@ -54,6 +54,39 @@ object MultimodalQueries {
       }.toDF("media_id", "frame_idx", "n_px", "px_sum")
         .orderBy("media_id", "frame_idx")
     },
+    // M2 — image near-dup dedup through REAL decode: every doc yields
+    // three PNGs — the base formula image, a byte-identical re-encode
+    // under a new id (the reposted-image case, hamming 0), and a
+    // "retouch" with pixel 0's red channel nudged ±3 (gray shifts by
+    // exactly 1 — the near-dup case). aHash = integer gray mean
+    // threshold, so the oracle replays fingerprints from the pixel
+    // FORMULAS and enumerates ALL pairs with hamming ≤ 3 unblocked,
+    // while the engine computes them through actual PNG bytes and the
+    // pigeonhole miner — a decode defect, a hash-fold drift, or an
+    // LSH recall miss each changes the pair list.
+    "q_image_phash" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+      val mediaRows = docs.mapPartitions { ids =>
+        ids.flatMap { id =>
+          val base = Multimodal.Synth.imagePixels(id)
+          val retouched = base.clone()
+          val r0 = (retouched(0) >> 16) & 0xFF
+          val nr0 = if (r0 >= 128) r0 - 3 else r0 + 3
+          retouched(0) = (nr0 << 16) | (retouched(0) & 0xFFFF)
+          val meta = Multimodal.MediaMeta("image", 8, 8, 0L)
+          Seq(
+            Multimodal.MediaRecord(id, meta,
+              Multimodal.Encode.png(8, 8, base)),
+            Multimodal.MediaRecord(id + 1000000L, meta,
+              Multimodal.Encode.png(8, 8, base)),
+            Multimodal.MediaRecord(id + 2000000L, meta,
+              Multimodal.Encode.png(8, 8, retouched)))
+        }
+      }
+      Multimodal.imagePhashPairs(mediaRows, maxHamming = 3, maxBucket = 1000)
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -100,5 +133,36 @@ object MultimodalQueries {
              CAST((SELECT SUM((v.doc_id*7 + f.src*19 + r.range*13) % 256)
                    FROM range(192) r) AS BIGINT) AS px_sum
       FROM v, f ORDER BY 1, 2""",
+    // fingerprints from the pixel FORMULAS (the engine decodes real
+    // PNGs), pairs enumerated UNBLOCKED — strictly stronger than the
+    // pigeonhole blocking, so a recall miss deletes a row
+    "q_image_phash" -> """
+      WITH im AS (
+        SELECT doc_id AS base, k.kind, doc_id + k.kind * 1000000 AS media_id
+        FROM documents, (SELECT unnest([0, 1, 2]) AS kind) k),
+      px AS (
+        SELECT media_id, p.range AS p,
+          CASE WHEN kind = 2 AND p.range = 0 THEN
+            CASE WHEN (base * 7) % 256 >= 128
+                 THEN (base * 7) % 256 - 3 ELSE (base * 7) % 256 + 3 END
+          ELSE (base * 7 + (p.range * 3) * 13) % 256 END AS r,
+          (base * 7 + (p.range * 3 + 1) * 13) % 256 AS g,
+          (base * 7 + (p.range * 3 + 2) * 13) % 256 AS b
+        FROM im, range(64) p),
+      gr AS (SELECT media_id, p, (r + g + b) // 3 AS gray FROM px),
+      mn AS (SELECT media_id, SUM(gray) // 64 AS mean FROM gr GROUP BY 1),
+      fp AS (
+        SELECT gr.media_id,
+          CAST(SUM(CASE WHEN gray >= mean AND p < 32
+                        THEN POWER(2, 31 - p) ELSE 0 END) AS BIGINT) AS hi,
+          CAST(SUM(CASE WHEN gray >= mean AND p >= 32
+                        THEN POWER(2, 63 - p) ELSE 0 END) AS BIGINT) AS lo
+        FROM gr JOIN mn USING (media_id) GROUP BY 1),
+      pairs AS (
+        SELECT a.media_id AS id_a, b.media_id AS id_b,
+               CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming
+        FROM fp a JOIN fp b ON a.media_id < b.media_id)
+      SELECT id_a, id_b, hamming FROM pairs
+      WHERE hamming <= 3 ORDER BY id_a, id_b""",
   )
 }

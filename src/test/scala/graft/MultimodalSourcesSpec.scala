@@ -200,4 +200,43 @@ class MultimodalSourcesSpec extends SparkSpec {
     assert(pruned.count() == 1)
     assert(scan.contains("PartitionFilters") || scan.contains("name#"))
   }
+
+  test("image aHash: re-encodes collide exactly, a gray-preserving retouch stays near") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val id = 5L
+    val base = Multimodal.Synth.imagePixels(id)
+    val retouched = base.clone()
+    val r0 = (retouched(0) >> 16) & 0xFF
+    val nr0 = if (r0 >= 128) r0 - 3 else r0 + 3
+    retouched(0) = (nr0 << 16) | (retouched(0) & 0xFFFF)
+    val meta = Multimodal.MediaMeta("image", 8, 8, 0L)
+    val rows = Seq(
+      Multimodal.MediaRecord(1L, meta, Multimodal.Encode.png(8, 8, base)),
+      Multimodal.MediaRecord(2L, meta, Multimodal.Encode.png(8, 8, base)),
+      Multimodal.MediaRecord(3L, meta, Multimodal.Encode.png(8, 8, retouched)))
+      .toDS()
+    val h = Multimodal.imageAHash(rows).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(h(1L) === h(2L), "identical pixels must hash identically through the codec")
+    // decode-vs-formula parity: recompute the expected hash from Synth
+    val grays = (0 until 64).map { p =>
+      def ch(c: Int) = (((id * 7 + (p * 3 + c) * 13) % 256).toInt + 256) % 256
+      (ch(0) + ch(1) + ch(2)) / 3
+    }
+    val mean = grays.map(_.toLong).sum / 64
+    var hi = 0L; var lo = 0L
+    (0 until 64).foreach { k =>
+      if (grays(k) >= mean) {
+        if (k < 32) hi |= 1L << (31 - k) else lo |= 1L << (63 - k)
+      }
+    }
+    assert(h(1L) === (hi, lo), "PNG round trip must reproduce the formula hash")
+    val ham = java.lang.Long.bitCount(h(1L)._1 ^ h(3L)._1) +
+      java.lang.Long.bitCount(h(1L)._2 ^ h(3L)._2)
+    assert(ham <= 2, s"±3 single-channel retouch drifted to hamming $ham")
+    val pairs = Multimodal.imagePhashPairs(rows)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.contains((1L, 2L, 0)))
+  }
 }
