@@ -113,6 +113,65 @@ object Graph {
     scores.select(col("node"), col("hub"), col("auth")).orderBy("node")
   }
 
+  /** S3 — synchronous label-propagation community detection (Raghavan
+    * et al. 2007): the clustering twin of [[pageRank]]/[[hits]], used
+    * to group a link graph into site/topic communities (mirror farms,
+    * boilerplate rings) before per-community dedup or quality priors.
+    *
+    * Deterministic contract (no engine agrees on ASYNC LPA, so the
+    * synchronous variant is the one an oracle can replay): every node
+    * starts labeled with its own id; each round every node adopts the
+    * most frequent label among its neighbors over the UNDIRECTED edge
+    * multiset (each directed edge contributes both directions, with
+    * multiplicity), ties broken by smallest label, isolated nodes keep
+    * their label. The argmax folds as the map-combinable
+    * `min(struct(-cnt, lbl))` — counts are positive longs, so the
+    * sign-flip is exact and the round is partition-order-free.
+    *
+    * Shuffle economics per round: ONE exchange keys the neighbor list
+    * by `nbr` to pick up live labels, one keyed count by (node,label),
+    * one keyed argmax by node — the label frame (∝ nodes) is what
+    * iterates; the edge list is materialized once. At cluster scale
+    * pre-bucket the neighbor table by `nbr` and the first exchange of
+    * every round disappears (the [[pageRank]] posture). */
+  def labelPropagation(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1)
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .localCheckpoint()
+    val nbrs = e.select(col("src").as("node"), col("dst").as("nbr"))
+      .union(e.select(col("dst").as("node"), col("src").as("nbr")))
+      .localCheckpoint()
+    val nodes = nbrs.select("node").distinct().localCheckpoint()
+
+    var labels = nodes.withColumn("lbl", col("node"))
+    var t = 0
+    while (t < iters) {
+      labels = propagateOnce(nbrs, nodes, labels).localCheckpoint()
+      t += 1
+    }
+    labels.orderBy("node")
+  }
+
+  /** One synchronous LPA round, un-materialized (the PlanAuditSpec
+    * hook, as with [[iterate]]). `labels` must carry (node, lbl). */
+  private[graft] def propagateOnce(
+      nbrs: DataFrame, nodes: DataFrame, labels: DataFrame): DataFrame = {
+    val counts = nbrs
+      .join(labels.select(col("node").as("nbr"), col("lbl")), "nbr")
+      .groupBy("node", "lbl").agg(count(lit(1)).as("cnt"))
+    val best = counts
+      .groupBy("node")
+      .agg(min(struct((-col("cnt")).as("nc"), col("lbl"))).as("b"))
+      .select(col("node"), col("b.lbl").as("new_lbl"))
+    nodes
+      .join(labels, "node")
+      .join(best, Seq("node"), "left")
+      .select(col("node"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+  }
+
   /** One power-iteration round, un-materialized — the loop body, also
     * the plan PlanAuditSpec audits (the checkpoint in [[pageRank]]
     * executes each round's plan eagerly, so the returned frame's own

@@ -15,23 +15,41 @@ object GraphQueries {
   /** (multiplier, offset) per synthesized out-link. */
   private val linkMaps = Seq((7L, 3L), (131L, 17L), (9973L, 101L))
 
+  /** The shared synthesized edge list: three affine out-links per doc
+    * mod N, N broadcast from the 1-row max (one lazy plan). */
+  private def synthEdges(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val n = docs.agg((max("doc_id") + 1).as("n"))
+    docs.crossJoin(broadcast(n)).select(
+      col("doc_id").as("src"),
+      explode(array(linkMaps.map { case (m, o) =>
+        (col("doc_id") * m + o) % col("n")
+      }: _*)).as("dst"))
+  }
+
+  private val lpaIters = 3
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S3 — label-propagation communities on the same synthesized link
+    // graph: 3 synchronous rounds, undirected neighbor multiset,
+    // (max count, min label) tie-break — the oracle replays every
+    // round's count/argmax in unrolled CTEs, so a lost neighbor, a
+    // tie-break inversion or a stale-label read in ANY round moves a
+    // community assignment and fails the row hash.
+    "q_label_prop" -> { (s, dir) =>
+      Graph.labelPropagation(synthEdges(s, dir), "src", "dst", iters = lpaIters)
+        .withColumnRenamed("node", "doc_id")
+        .withColumnRenamed("lbl", "community")
+    },
     // S1 — PageRank: the full power iteration (3 rounds, damping 17/20,
     // 2^20 fixed-point grid) runs in exact integer arithmetic, and the
     // oracle replays every round in unrolled materialized CTEs — a
     // drift in any share floor-division, damping floor, or a lost edge
     // in any round moves a rank and fails the hash.
     "q_pagerank" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir).select(col("doc_id"))
       // dense ids ⇒ N = max+1; the 1-row max broadcasts into the edge
       // synthesis (the ChainRefs scalar pattern — still one lazy plan)
-      val n = docs.agg((max("doc_id") + 1).as("n"))
-      val edges = docs.crossJoin(broadcast(n)).select(
-        col("doc_id").as("src"),
-        explode(array(linkMaps.map { case (m, o) =>
-          (col("doc_id") * m + o) % col("n")
-        }: _*)).as("dst"))
-      Graph.pageRank(edges, "src", "dst", iters = 3)
+      Graph.pageRank(synthEdges(s, dir), "src", "dst", iters = 3)
         .withColumnRenamed("node", "doc_id")
     },
   )
@@ -44,14 +62,7 @@ object GraphQueries {
     // normalization) replays in unrolled CTEs — a drift in any join,
     // sum, max, or floor division in any half-round moves a score.
     "q_hits" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir).select(col("doc_id"))
-      val n = docs.agg((max("doc_id") + 1).as("n"))
-      val edges = docs.crossJoin(broadcast(n)).select(
-        col("doc_id").as("src"),
-        explode(array(linkMaps.map { case (m, o) =>
-          (col("doc_id") * m + o) % col("n")
-        }: _*)).as("dst"))
-      Graph.hits(edges, "src", "dst", iters = hitsIters)
+      Graph.hits(synthEdges(s, dir), "src", "dst", iters = hitsIters)
         .withColumnRenamed("node", "doc_id")
     },
   )
@@ -92,7 +103,36 @@ object GraphQueries {
       half("src", "dst", ph, "hub", s"a${t + 1}", "auth") + "," +
         half("dst", "src", s"a${t + 1}", "auth", s"h${t + 1}", "hub")
     }.mkString(",")
+    // one synchronous LPA round: neighbor-label counts, then the
+    // (max count, min label) argmax, isolated nodes keep their label
+    def lpaRound(prev: String, cur: String): String = s"""
+      c_$cur AS MATERIALIZED (
+        SELECT nb.node, p.lbl, COUNT(*) AS cnt
+        FROM nb JOIN $prev p ON nb.nbr = p.node
+        GROUP BY nb.node, p.lbl),
+      b_$cur AS MATERIALIZED (
+        SELECT node, lbl FROM (
+          SELECT node, lbl, ROW_NUMBER() OVER (
+            PARTITION BY node ORDER BY cnt DESC, lbl ASC) AS rn
+          FROM c_$cur) WHERE rn = 1),
+      $cur AS MATERIALIZED (
+        SELECT n.node, COALESCE(b.lbl, p.lbl) AS lbl
+        FROM nodes n JOIN $prev p USING (node)
+        LEFT JOIN b_$cur b USING (node))"""
+    val lpaRounds = (0 until lpaIters)
+      .map(t => lpaRound(s"l$t", s"l${t + 1}")).mkString(",")
     Map(
+      "q_label_prop" -> s"""
+        WITH nn AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+        e AS MATERIALIZED ($edgeSql),
+        nb AS MATERIALIZED (
+          SELECT src AS node, dst AS nbr FROM e
+          UNION ALL SELECT dst, src FROM e),
+        nodes AS MATERIALIZED (SELECT DISTINCT node FROM nb),
+        l0 AS MATERIALIZED (SELECT node, node AS lbl FROM nodes),
+        $lpaRounds
+        SELECT node AS doc_id, lbl AS community FROM l$lpaIters
+        ORDER BY doc_id""",
       "q_hits" -> s"""
         WITH nn AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
         e AS MATERIALIZED ($edgeSql),

@@ -97,6 +97,63 @@ class GraphSpec extends SparkSpec {
       a.map(t => t._1 -> (t._2, t._3)))
   }
 
+  /** Driver-side exact replay of the synchronous-LPA contract:
+    * undirected neighbor multiset, (max count, min label) tie-break,
+    * isolated nodes keep their label. */
+  private def lpaReference(
+      edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val nbrs = edges.flatMap { case (s, d) => Seq((s, d), (d, s)) }
+    val nodes = nbrs.map(_._1).distinct
+    var lbl = nodes.map(n => n -> n).toMap
+    (0 until iters).foreach { _ =>
+      val next = nodes.map { n =>
+        val counts = nbrs.filter(_._1 == n).map(p => lbl(p._2))
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        n -> (if (counts.isEmpty) lbl(n)
+              else counts.toSeq.minBy { case (l, c) => (-c, l) }._1)
+      }.toMap
+      lbl = next
+    }
+    lbl
+  }
+
+  private def runLpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    Graph.labelPropagation(edges.toDF("s", "d"), "s", "d", iters = iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("lpa: two triangles with a bridge converge to two communities") {
+    // triangle {0,1,2}, triangle {10,11,12}, bridge 2-10
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (2L, 10L))
+    val got = runLpa(edges, 3)
+    assert(got === lpaReference(edges, 3))
+    // each triangle's nodes agree with each other on a community
+    assert(got(0L) === got(1L))
+    assert(got(11L) === got(12L))
+  }
+
+  test("lpa: tie-break picks the smallest label and rounds are synchronous") {
+    // path 0-1-2: node 1 sees {0, 2} equally often -> label 0 wins;
+    // synchronous round 1: 0->1's old label (1), 1->0, 2->1
+    val edges = Seq((0L, 1L), (1L, 2L))
+    val got1 = runLpa(edges, 1)
+    assert(got1 === Map(0L -> 1L, 1L -> 0L, 2L -> 1L))
+    assert(got1 === lpaReference(edges, 1))
+    val got2 = runLpa(edges, 2)
+    assert(got2 === lpaReference(edges, 2))
+  }
+
+  test("lpa is invariant under input partitioning") {
+    val edges = (0L until 60L).map(i => (i, (i * 7 + 3) % 60))
+    val a = Graph.labelPropagation(edges.toDF("s", "d").repartition(1), "s", "d", iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Graph.labelPropagation(
+        edges.toDF("s", "d").repartition(7, col("d")), "s", "d", iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b && a.nonEmpty)
+    assert(lpaReference(edges, 3).toSet === a.map(t => t._1 -> t._2))
+  }
+
   test("result is invariant under input partitioning") {
     val edges = (0L until 50L).flatMap(i => Seq((i, (i * 7 + 3) % 50), (i, (i * 13 + 1) % 50)))
     val df1 = edges.toDF("s", "d").repartition(1)
