@@ -154,4 +154,34 @@ object Html {
         aggregate(filter(col("__ls"), keepPred _), lit(0L),
           (a: Column, s: Column) => a + s.getField("words")).as("n_words"))
   }
+
+  /** L13 — anchor-text aggregation: the classic web-retrieval signal
+    * (what OTHER pages call a page describes it better than the page
+    * itself — Brin & Page 1998 §2.2; web corpora also use it as a
+    * per-URL quality/topic prior). Input is a [[htmlLinks]]-shaped
+    * link table with a RESOLVED target column; output is the top-`k`
+    * anchor terms per target: (target, term, cnt, rank).
+    *
+    * Shape: one keyed partial-agg exchange on (target, term) — the hot
+    * static-nav terms ("home", "terms") combine map-side, so the hot
+    * key cost is ∝ partitions, not rows — then a (cnt DESC, term ASC)
+    * row_number per target whose `rank <= k` filter Spark rewrites to
+    * a WindowGroupLimit: each shuffle side keeps only k rows per
+    * target before the final sort. Nothing is corpus-proportional
+    * after the first agg; at 100 TB the term table is ∝ distinct
+    * (target, term), orders of magnitude smaller than the link list. */
+  def anchorTerms(links: DataFrame, targetCol: String, anchorCol: String,
+                  k: Int): DataFrame = {
+    require(k >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val terms = links
+      .select(col(targetCol).as("target"),
+        explode(split(lower(col(anchorCol)), " ")).as("term"))
+      .where(col("term") =!= "")
+    terms.groupBy("target", "term").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("target")
+          .orderBy(col("cnt").desc, col("term"))).cast("int"))
+      .where(col("rank") <= k)
+  }
 }

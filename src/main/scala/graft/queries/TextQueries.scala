@@ -105,6 +105,32 @@ object TextQueries {
         Html.urlHost(url).as("host"))
         .orderBy("doc_id")
     },
+    // L13 — anchor-text aggregation: per-doc pages on 20 hosts emit
+    // two hot static nav anchors, an entity-bearing FAQ anchor on
+    // every third doc, and one varying anchor (the doc's first two
+    // words) pointing at a cross-doc /doc/N page; links resolve
+    // against the doc's host, normalize (fragment strip), and fold to
+    // top-3 anchor terms per target URL. The oracle replays synthesis,
+    // extraction, the anchor cleanup chain, resolution AND the
+    // count/rank argmax — a lost link, a bad entity decode, or a
+    // tie-break inversion moves a row.
+    "q_anchor_text" -> { (s, dir) =>
+      val d = col("doc_id")
+      val firstWords = concat_ws(" ", slice(split(col("text"), " "), 1, 2))
+      val html = concat(
+        lit("<html><body><div><a href=\"/\">Home</a> <a href=\"/About#top\">About Us</a>"),
+        when(d % 3 === 0, lit("<a href=\"/faq\">FAQ &amp; Help</a>")).otherwise(lit("")),
+        lit("</div><p><a href=\"/doc/"), ((d * 13 + 7) % 50).cast("string"),
+        lit("\">"), firstWords, lit("</a> "), col("text"), lit("</p></body></html>"))
+      val links = Html.htmlLinks(
+        Tables.documents(s, dir).select(d, html.as("html")), "doc_id", "html")
+      val host = concat(lit("https://site"), (col("doc_id") % 20).cast("string"),
+        lit(".example.com"))
+      Html.anchorTerms(
+        links.withColumn("target", Html.urlNormalize(concat(host, col("href")))),
+        "target", "anchor", k = 3)
+        .orderBy("target", "rank")
+    },
     // L12 — CCNet head/middle/tail selection over the L8 fluency
     // scores: boundary VALUES picked at integer ranks ceil(n/3) /
     // ceil(2n/3) of the descending distinct-fluency histogram, docs
@@ -364,6 +390,42 @@ object TextQueries {
             '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',''''),'&nbsp;',' '),'&amp;','&'),
           '[ \t]+', ' ', 'g')) AS anchor
       FROM u ORDER BY doc_id, link_no""",
+    // synthesis + link extraction + the verbatim anchor cleanup chain,
+    // then resolution and the (cnt DESC, term) rank replayed group-wise
+    "q_anchor_text" -> """
+      WITH h AS (
+        SELECT doc_id,
+          '<html><body><div><a href="/">Home</a> <a href="/About#top">About Us</a>'
+          || CASE WHEN doc_id % 3 = 0 THEN '<a href="/faq">FAQ &amp; Help</a>' ELSE '' END
+          || '</div><p><a href="/doc/' || CAST((doc_id * 13 + 7) % 50 AS VARCHAR)
+          || '">' || array_to_string(string_split(text, ' ')[1:2], ' ')
+          || '</a> ' || text || '</p></body></html>' AS html,
+          text
+        FROM documents),
+      t AS (
+        SELECT doc_id,
+          regexp_extract_all(html, '(?is)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>', 1) AS hs,
+          regexp_extract_all(html, '(?is)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>', 2) AS an
+        FROM h),
+      u AS (
+        SELECT doc_id, unnest(generate_series(1, len(hs))) AS i, hs, an FROM t),
+      l AS (
+        SELECT
+          'https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example.com'
+            || regexp_replace(hs[i], '(?s)#.*', '') AS target,
+          lower(trim(regexp_replace(
+            replace(replace(replace(replace(replace(replace(
+              regexp_replace(an[i], '<[^>]*>', ' ', 'g'),
+              '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',''''),'&nbsp;',' '),'&amp;','&'),
+            '[ \t]+', ' ', 'g'))) AS anchor
+        FROM u),
+      w AS (SELECT target, unnest(string_split(anchor, ' ')) AS term FROM l),
+      c AS (
+        SELECT target, term, COUNT(*) AS cnt FROM w
+        WHERE term <> '' GROUP BY target, term)
+      SELECT target, term, cnt, CAST(ROW_NUMBER() OVER (
+          PARTITION BY target ORDER BY cnt DESC, term) AS INT) AS rank
+      FROM c QUALIFY rank <= 3 ORDER BY target, rank""",
     // every normalization stage replayed; RE2's \1 replacement is the
     // Java $1 — the patterns themselves are shared verbatim
     "q_url_normalize" -> """

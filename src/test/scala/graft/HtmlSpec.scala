@@ -108,6 +108,34 @@ class HtmlSpec extends SparkSpec {
     assert(bad === 0L)
   }
 
+  test("anchor terms aggregate per target with (count desc, term) rank") {
+    // three pages link to /x with anchors; one links to /y
+    val links = Seq(
+      ("https://a.com/x", "Great Search Engine"),
+      ("https://a.com/x", "great engine"),
+      ("https://a.com/x", "search"),
+      ("https://a.com/y", "other page")).toDF("target", "anchor")
+    val got = Html.anchorTerms(links, "target", "anchor", k = 2)
+      .orderBy("target", "rank")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    // /x counts: engine 2, great 2, search 2 -> rank by term asc
+    assert(got.toSeq === Seq(
+      ("https://a.com/x", "engine", 2L, 1),
+      ("https://a.com/x", "great", 2L, 2),
+      ("https://a.com/y", "other", 1L, 1),
+      ("https://a.com/y", "page", 1L, 2)))
+  }
+
+  test("anchor term rank filter compiles to a window group limit") {
+    val links = (0L until 100L).map(i =>
+      (s"https://h${i % 5}.com/", s"word${i % 7} word${i % 3}"))
+      .toDF("target", "anchor")
+    val plan = Html.anchorTerms(links, "target", "anchor", k = 3)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-k per target must push the limit below the window:\n$plan")
+  }
+
   test("the web front end composes: extract links, rank the graph they form") {
     // four pages: everyone links to page 0 (the hub), page 0 links to 1
     val pages = (0L to 3L).map { i =>
