@@ -404,6 +404,63 @@ object Multimodal {
       maxBucket: Int = 1000): DataFrame =
     Dedup.mineHammingPairs(imageAHash(ds), maxHamming, maxBucket)
 
+  /** M3 — audio fingerprint through REAL WAV decode: the sample-sign
+    * aHash (bit j set iff sample j ≥ the clip's floor-mean) — the
+    * 1-bit-per-unit robust-hash shape of Haitsma & Kalker 2002
+    * reduced to the same engine-portable (hi, lo) fingerprint as
+    * [[imageAHash]], so the SAME pigeonhole miner serves audio.
+    * Expects fixed 64-sample clips (the audio analog of the 8×8
+    * thumbnail contract — frame/resample longer audio upstream).
+    * The decode is a genuine `javax.sound.sampled` container parse
+    * (RIFF chunk walk, either endianness); all arithmetic is integer
+    * with floor division, so the DuckDB oracle replays the
+    * fingerprint from the sample formulas. Map-only, one decode per
+    * row, content never survives the stage. */
+  def audioAHash(ds: Dataset[MediaRecord]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.filter(_.meta.media_type == "audio").map { r =>
+        val in = AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(r.content))
+        val samples = try {
+          val fmt = in.getFormat
+          require(fmt.getSampleSizeInBits == 16, s"expected PCM-16, got $fmt")
+          val raw = in.readAllBytes()
+          val big = fmt.isBigEndian
+          Array.tabulate(raw.length / 2) { i =>
+            val b0 = raw(2 * i).toInt; val b1 = raw(2 * i + 1).toInt
+            if (big) ((b0 << 8) | (b1 & 0xFF)).toShort.toInt
+            else ((b1 << 8) | (b0 & 0xFF)).toShort.toInt
+          }
+        } finally in.close()
+        require(samples.length == 64,
+          s"audio aHash expects 64-sample clips, got ${samples.length} " +
+            s"for media ${r.media_id} — frame/resample first")
+        var s = 0L
+        var k = 0
+        while (k < 64) { s += samples(k); k += 1 }
+        val mean = Math.floorDiv(s, 64L)
+        var hi = 0L; var lo = 0L
+        k = 0
+        while (k < 64) {
+          if (samples(k) >= mean) {
+            if (k < 32) hi |= 1L << (31 - k) else lo |= 1L << (63 - k)
+          }
+          k += 1
+        }
+        (r.media_id, hi, lo)
+      }
+    }.toDF("doc_id", "hi", "lo")
+  }
+
+  /** M3 — audio near-dup pairs: [[audioAHash]] fingerprints mined by
+    * the shared chunk-pigeonhole machinery (guaranteed recall for
+    * hamming ≤ 3, one (chunk, key) shuffle, hot-bucket cap). */
+  def audioFingerprintPairs(
+      ds: Dataset[MediaRecord], maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame =
+    Dedup.mineHammingPairs(audioAHash(ds), maxHamming, maxBucket)
+
   /** Frame sampling for video-typed rows: up to `k` evenly spaced
     * frames, each a REAL standalone PNG extracted by the [[Apng]]
     * container walk (decodable downstream by [[JvmMediaCodec

@@ -60,34 +60,97 @@ object MultimodalQueries {
     // "retouch" with pixel 0's red channel nudged ±3 (gray shifts by
     // exactly 1 — the near-dup case). aHash = integer gray mean
     // threshold, so the oracle replays fingerprints from the pixel
-    // FORMULAS and enumerates ALL pairs with hamming ≤ 3 unblocked,
-    // while the engine computes them through actual PNG bytes and the
-    // pigeonhole miner — a decode defect, a hash-fold drift, or an
-    // LSH recall miss each changes the pair list.
+    // FORMULAS while the engine computes them through actual PNG
+    // bytes and the pigeonhole miner — a decode defect, a hash-fold
+    // drift, or an LSH recall miss each changes the pair list.
+    //
+    // Channel formula: t = (id*2654435761 + k*69069) % 2^24, channel
+    // = (t² div 4096) % 256 — the middle-square step is the mixing
+    // that matters: a formula LINEAR in id collapses the aHash to a
+    // few hundred phase-shifted ramp patterns (measured: 95 distinct
+    // fingerprints over 1500 media), whose identical-pair count grows
+    // ∝ n² and overflows both the pair output and the miner's
+    // hot-bucket cap at sf10; with the quadratic mixer the pair set
+    // is the planted triples plus O(1) birthday coincidences
+    // (measured: pairs ∝ n across sf0.01→sf0.1). t ≤ 2^24 keeps t²
+    // int64-exact on every engine. Media ids stride ×4 (id*4 + kind)
+    // so clone-offset doc ids never collide with a variant's id at
+    // any scale.
     "q_image_phash" -> { (s, dir) =>
       import s.implicits._
       val docs = Tables.documents(s, dir)
         .select(col("doc_id").cast("long")).as[Long]
       val mediaRows = docs.mapPartitions { ids =>
         ids.flatMap { id =>
-          val base = Multimodal.Synth.imagePixels(id)
+          val base = Array.tabulate(64) { p =>
+            def ch(c: Int): Int = {
+              val t = (id * 2654435761L + (p * 3 + c) * 69069L) % 16777216L
+              ((t * t / 4096) % 256).toInt
+            }
+            (ch(0) << 16) | (ch(1) << 8) | ch(2)
+          }
           val retouched = base.clone()
           val r0 = (retouched(0) >> 16) & 0xFF
           val nr0 = if (r0 >= 128) r0 - 3 else r0 + 3
           retouched(0) = (nr0 << 16) | (retouched(0) & 0xFFFF)
           val meta = Multimodal.MediaMeta("image", 8, 8, 0L)
           Seq(
-            Multimodal.MediaRecord(id, meta,
+            Multimodal.MediaRecord(id * 4, meta,
               Multimodal.Encode.png(8, 8, base)),
-            Multimodal.MediaRecord(id + 1000000L, meta,
+            Multimodal.MediaRecord(id * 4 + 1, meta,
               Multimodal.Encode.png(8, 8, base)),
-            Multimodal.MediaRecord(id + 2000000L, meta,
+            Multimodal.MediaRecord(id * 4 + 2, meta,
               Multimodal.Encode.png(8, 8, retouched)))
         }
       }
       Multimodal.imagePhashPairs(mediaRows, maxHamming = 3, maxBucket = 1000)
     },
+    // M3 — audio near-dup dedup through REAL decode: every doc yields
+    // three WAVs — a base 64-sample PCM-16 clip, a byte-identical
+    // re-encode under a new id (the reposted-clip case, hamming 0),
+    // and a variant with sample 0 shifted ±256 (the clipped-intro
+    // case — mean moves by 4, so only boundary samples flip). The
+    // fingerprint is the sample-sign aHash over the RIFF-decoded PCM;
+    // the oracle replays it from the sample formulas (same div-128
+    // non-linear mixer as M2 — distinct docs, distinct clips).
+    "q_audio_fingerprint" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+      val mediaRows = docs.mapPartitions { ids =>
+        ids.flatMap { id =>
+          val base = Array.tabulate(64) { j =>
+            val t = (id * 2654435761L + j * 40503L) % 16777216L
+            ((t * t / 4096) % 4096 - 2048).toShort
+          }
+          val tweaked = base.clone()
+          val s0 = tweaked(0).toInt
+          tweaked(0) = (if (s0 + 256 > 2047) s0 - 256 else s0 + 256).toShort
+          val meta = Multimodal.MediaMeta("audio", 0, 0, 8L)
+          Seq(
+            Multimodal.MediaRecord(id * 4, meta,
+              Multimodal.Encode.wavPcm16(base, 8000)),
+            Multimodal.MediaRecord(id * 4 + 1, meta,
+              Multimodal.Encode.wavPcm16(base, 8000)),
+            Multimodal.MediaRecord(id * 4 + 2, meta,
+              Multimodal.Encode.wavPcm16(tweaked, 8000)))
+        }
+      }
+      Multimodal.audioFingerprintPairs(mediaRows, maxHamming = 3, maxBucket = 1000)
+    },
   )
+
+  /** The M2 middle-square channel replay: t = (base·M + k·69069) mod
+    * 2^24, channel = (t² div 4096) mod 256 — shared by every channel
+    * site in the q_image_phash oracle. */
+  private def sqImg(k: String): String =
+    s"((((base * 2654435761 + ($k) * 69069) % 16777216) * " +
+      s"((base * 2654435761 + ($k) * 69069) % 16777216)) // 4096) % 256"
+
+  /** The M3 audio twin: sample = (t² div 4096) mod 4096 − 2048. */
+  private def sqAud(j: String): String =
+    s"((((base * 2654435761 + ($j) * 40503) % 16777216) * " +
+      s"((base * 2654435761 + ($j) * 40503) % 16777216)) // 4096) % 4096 - 2048"
 
   val oracles: Map[String, String] = Map(
     // Mirrors Multimodal.Synth: image channel k of doc d is
@@ -134,20 +197,25 @@ object MultimodalQueries {
                    FROM range(192) r) AS BIGINT) AS px_sum
       FROM v, f ORDER BY 1, 2""",
     // fingerprints from the pixel FORMULAS (the engine decodes real
-    // PNGs), pairs enumerated UNBLOCKED — strictly stronger than the
-    // pigeonhole blocking, so a recall miss deletes a row
-    "q_image_phash" -> """
+    // PNGs); the pair join goes through the 16-bit-chunk equality —
+    // NOT a recall-lossy blocking but an exact rewrite: 4 disjoint
+    // chunks and ≤3 differing bits force ≥1 equal chunk (pigeonhole),
+    // so the chunk join ∪ distinct equals the unblocked ≤3 set while
+    // staying runnable at sf10 (the unblocked cross join is O(n²)
+    // in the oracle engine).
+    "q_image_phash" -> s"""
       WITH im AS (
-        SELECT doc_id AS base, k.kind, doc_id + k.kind * 1000000 AS media_id
+        SELECT doc_id AS base, k.kind, doc_id * 4 + k.kind AS media_id
         FROM documents, (SELECT unnest([0, 1, 2]) AS kind) k),
       px AS (
         SELECT media_id, p.range AS p,
           CASE WHEN kind = 2 AND p.range = 0 THEN
-            CASE WHEN (base * 7) % 256 >= 128
-                 THEN (base * 7) % 256 - 3 ELSE (base * 7) % 256 + 3 END
-          ELSE (base * 7 + (p.range * 3) * 13) % 256 END AS r,
-          (base * 7 + (p.range * 3 + 1) * 13) % 256 AS g,
-          (base * 7 + (p.range * 3 + 2) * 13) % 256 AS b
+            CASE WHEN ${sqImg("0")} >= 128
+                 THEN ${sqImg("0")} - 3
+                 ELSE ${sqImg("0")} + 3 END
+          ELSE ${sqImg("p.range * 3")} END AS r,
+          ${sqImg("p.range * 3 + 1")} AS g,
+          ${sqImg("p.range * 3 + 2")} AS b
         FROM im, range(64) p),
       gr AS (SELECT media_id, p, (r + g + b) // 3 AS gray FROM px),
       mn AS (SELECT media_id, SUM(gray) // 64 AS mean FROM gr GROUP BY 1),
@@ -158,11 +226,55 @@ object MultimodalQueries {
           CAST(SUM(CASE WHEN gray >= mean AND p >= 32
                         THEN POWER(2, 63 - p) ELSE 0 END) AS BIGINT) AS lo
         FROM gr JOIN mn USING (media_id) GROUP BY 1),
-      pairs AS (
-        SELECT a.media_id AS id_a, b.media_id AS id_b,
-               CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming
-        FROM fp a JOIN fp b ON a.media_id < b.media_id)
-      SELECT id_a, id_b, hamming FROM pairs
-      WHERE hamming <= 3 ORDER BY id_a, id_b""",
+      ch AS (
+        SELECT media_id, hi, lo, c.range AS chunk,
+          CASE c.range WHEN 0 THEN (hi >> 16) & 65535 WHEN 1 THEN hi & 65535
+                       WHEN 2 THEN (lo >> 16) & 65535 ELSE lo & 65535 END AS ckey
+        FROM fp, range(4) c)
+      SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+        CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming
+      FROM ch a JOIN ch b
+        ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.media_id < b.media_id
+      WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+      ORDER BY id_a, id_b""",
+    // sample formulas replayed, sign-vs-floor-mean fingerprint, then
+    // the same pigeonhole-exact chunk join as q_image_phash
+    "q_audio_fingerprint" -> s"""
+      WITH au AS (
+        SELECT doc_id AS base, k.kind, doc_id * 4 + k.kind AS media_id
+        FROM documents, (SELECT unnest([0, 1, 2]) AS kind) k),
+      sm AS (
+        SELECT media_id, j.range AS j,
+          CASE WHEN kind = 2 AND j.range = 0 THEN
+            CASE WHEN ${sqAud("0")} + 256 > 2047
+                 THEN ${sqAud("0")} - 256
+                 ELSE ${sqAud("0")} + 256 END
+          ELSE ${sqAud("j.range")} END AS s
+        FROM au, range(64) j),
+      -- signed sample sum: DuckDB's // TRUNCATES toward zero on
+      -- negatives while the engine's floorDiv floors, so the floor is
+      -- spelled out (−63 pre-bias for negative sums); the image
+      -- oracle's sums are nonnegative and needs no bias
+      mn AS (SELECT media_id,
+               (SUM(s) + CASE WHEN SUM(s) < 0 THEN -63 ELSE 0 END) // 64 AS mean
+             FROM sm GROUP BY 1),
+      fp AS (
+        SELECT sm.media_id,
+          CAST(SUM(CASE WHEN s >= mean AND j < 32
+                        THEN POWER(2, 31 - j) ELSE 0 END) AS BIGINT) AS hi,
+          CAST(SUM(CASE WHEN s >= mean AND j >= 32
+                        THEN POWER(2, 63 - j) ELSE 0 END) AS BIGINT) AS lo
+        FROM sm JOIN mn USING (media_id) GROUP BY 1),
+      ch AS (
+        SELECT media_id, hi, lo, c.range AS chunk,
+          CASE c.range WHEN 0 THEN (hi >> 16) & 65535 WHEN 1 THEN hi & 65535
+                       WHEN 2 THEN (lo >> 16) & 65535 ELSE lo & 65535 END AS ckey
+        FROM fp, range(4) c)
+      SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+        CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming
+      FROM ch a JOIN ch b
+        ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.media_id < b.media_id
+      WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+      ORDER BY id_a, id_b""",
   )
 }

@@ -239,4 +239,46 @@ class MultimodalSourcesSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(pairs.contains((1L, 2L, 0)))
   }
+
+  test("audio aHash survives the WAV round trip and matches the formula") {
+    val id = 123L
+    val base = Array.tabulate(64) { j =>
+      val t = (id * 2654435761L + j * 40503L) % 16777216L
+      (t * t / 4096 % 4096 - 2048).toShort
+    }
+    val tweaked = base.clone()
+    tweaked(0) = (tweaked(0) + 256).toShort
+    val meta = Multimodal.MediaMeta("audio", 0, 0, 8L)
+    val rows = Seq(
+      Multimodal.MediaRecord(1L, meta, Multimodal.Encode.wavPcm16(base, 8000)),
+      Multimodal.MediaRecord(2L, meta, Multimodal.Encode.wavPcm16(base, 8000)),
+      Multimodal.MediaRecord(3L, meta, Multimodal.Encode.wavPcm16(tweaked, 8000)))
+      .toDS()
+    val h = Multimodal.audioAHash(rows).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(h(1L) === h(2L), "identical samples must hash identically through the codec")
+    // decode-vs-formula parity: recompute the expected hash driver-side
+    val mean = Math.floorDiv(base.map(_.toLong).sum, 64L)
+    var hi = 0L; var lo = 0L
+    (0 until 64).foreach { k =>
+      if (base(k) >= mean) {
+        if (k < 32) hi |= 1L << (31 - k) else lo |= 1L << (63 - k)
+      }
+    }
+    assert(h(1L) === (hi, lo), "WAV round trip must reproduce the formula hash")
+    val pairs = Multimodal.audioFingerprintPairs(rows)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.contains((1L, 2L, 0)))
+  }
+
+  test("audio aHash rejects clips that are not 64 samples") {
+    val meta = Multimodal.MediaMeta("audio", 0, 0, 8L)
+    val rows = Seq(Multimodal.MediaRecord(
+      1L, meta, Multimodal.Encode.wavPcm16(Array.fill[Short](32)(5), 8000))).toDS()
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.audioAHash(rows).collect()
+    }
+    assert(e.getMessage.contains("64-sample") ||
+      Option(e.getCause).exists(_.getMessage.contains("64-sample")))
+  }
 }
