@@ -671,4 +671,54 @@ object Curation {
         sum(col("__sz")).as("tokens"))
       .orderBy(col(groupCol), col("bin"))
   }
+
+  /** Q20 — deterministic epoch shuffle + token-budget shard layout:
+    * order the corpus by a seeded hash of the id (the reproducible
+    * "global shuffle" every training run needs — same seed, same
+    * order, any cluster size), then assign each document the shard
+    * holding its starting token offset (shard = tokens-before div
+    * `budget`) — the writer-side contract of fixed-token training
+    * shards (GPT-3/Pile-style sharded epochs). Output: (id, n_tokens,
+    * tok_offset, shard_id), where `tok_offset` is the document's global start
+    * position in the shuffled token stream.
+    *
+    * The global running sum is NOT a single-partition window (the
+    * naive ORDER BY over the corpus — one reducer at 100 TB). The
+    * shuffle key's top bits split the keyspace into `buckets`
+    * order-preserving ranges: per-bucket token totals (one partial
+    * agg, `buckets` rows) prefix-sum in a window over bucket ids only,
+    * broadcast back, and each bucket computes its INTERNAL running sum
+    * in parallel — the classic two-level scan: exchange cost is one
+    * keyed repartition by bucket plus a `buckets`-row side plan, and
+    * no task ever sees more than ~1/buckets of the corpus.
+    *
+    * Seeded key: ((id + seed) · 2654435761) mod 2^31 — int64-exact at
+    * any id, replayable in any engine; ties broken by id (exact
+    * total order, partition-count-free). */
+  def shardShuffle(
+      df: DataFrame, idCol: String, sizeExpr: Column,
+      budget: Long, seed: Long = 0L, buckets: Int = 1024): DataFrame = {
+    require(budget > 0 && buckets > 0)
+    val key = ((col(idCol) + lit(seed)) * lit(2654435761L)) % lit(2147483648L)
+    // order-preserving range id; integer `div` — Spark's `/` is double
+    val b = expr(s"(__key * $buckets) div 2147483648")
+    val rows = df.select(
+      col(idCol), sizeExpr.as("n_tokens"), key.as("__key"))
+      .withColumn("__b", b)
+    val bucketBase = rows.groupBy("__b").agg(sum("n_tokens").as("__bt"))
+      .withColumn("__base",
+        coalesce(sum(col("__bt")).over(
+          Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .drop("__bt")
+    val inBucket = Window.partitionBy("__b").orderBy(col("__key"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    rows
+      .join(broadcast(bucketBase), "__b")
+      .withColumn("tok_offset",
+        col("__base") + coalesce(sum(col("n_tokens")).over(inBucket), lit(0L)))
+      .withColumn("shard_id", expr(s"tok_offset div $budget"))
+      .select(col(idCol), col("n_tokens"), col("tok_offset"), col("shard_id"))
+      .orderBy(idCol)
+  }
 }

@@ -56,6 +56,17 @@ object CurationQueries {
         Tables.documents(s, dir), "source", "doc_id",
         size(split(col("text"), " ")).cast("long"), budget = 256L)
     },
+    // Q20 — deterministic epoch shuffle + token-budget shard layout:
+    // row-level gate (doc_id, n_tokens, tok_offset, shard_id) — the
+    // two-level distributed prefix sum must equal the oracle's ONE
+    // global running-sum window exactly; a bucket boundary error, a
+    // tie-break drift or an off-by-one in the carry shifts an offset.
+    "q_shard_shuffle" -> { (s, dir) =>
+      Curation.shardShuffle(
+        Tables.documents(s, dir), "doc_id",
+        size(split(col("text"), " ")).cast("long"),
+        budget = 4096L, seed = 7L)
+    },
     "q_ngram_topk" -> { (s, dir) =>
       Curation.ngramTopK(Tables.documents(s, dir), "text", n = 2, k = 100)
     },
@@ -384,6 +395,21 @@ object CurationQueries {
         FROM d)
       SELECT source, bin, COUNT(*) AS n_docs, CAST(SUM(sz) AS BIGINT) AS tokens
       FROM b GROUP BY source, bin ORDER BY source, bin""",
+    // ONE global running-sum window over the seeded-hash order — the
+    // single-node equivalent of the engine's two-level prefix sum
+    "q_shard_shuffle" -> """
+      WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               ((doc_id + 7) * 2654435761) % 2147483648 AS hkey
+        FROM documents),
+      o AS (
+        SELECT doc_id, n_tokens,
+          CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY hkey, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+        FROM t)
+      SELECT doc_id, n_tokens, tok_offset, tok_offset // 4096 AS shard_id
+      FROM o ORDER BY doc_id""",
     "q_ngram_topk" -> """
       WITH c AS (
         SELECT bigram AS ngram, COUNT(*) AS cnt FROM (

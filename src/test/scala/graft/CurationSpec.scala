@@ -369,4 +369,36 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(out.toSeq == Seq((10L, 3L, 1.0)))
   }
+
+  test("shardShuffle: two-level prefix sum equals the single-order running sum") {
+    val df = (0L until 500L).map(i => (i, s"doc $i " + ("w " * (i % 37).toInt).trim))
+      .toDF("doc_id", "text")
+    val sz = size(split(col("text"), " ")).cast("long")
+    val got = Curation.shardShuffle(df, "doc_id", sz, budget = 100L, seed = 7L, buckets = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // driver-side replay: one global order by (key, id)
+    val rows = got.map { case (id, n, _, _) => (id, n) }
+    val key = (id: Long) => ((id + 7L) * 2654435761L) % 2147483648L
+    var cum = 0L
+    val expect = rows.sortBy { case (id, _) => (key(id), id) }.map { case (id, n) =>
+      val off = cum; cum += n
+      (id, n, off, off / 100L)
+    }.sortBy(_._1)
+    assert(got.sortBy(_._1).toSeq === expect.toSeq)
+    // offsets tile the token stream exactly: max offset + its tokens = total
+    val total = rows.map(_._2).sum
+    assert(got.map(t => t._3 + t._2).max === total)
+  }
+
+  test("shardShuffle is invariant under input partitioning and bucket count") {
+    val df = (0L until 300L).map(i => (i, ("x " * (i % 11 + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    val sz = size(split(col("text"), " ")).cast("long")
+    def run(d: org.apache.spark.sql.DataFrame, buckets: Int) =
+      Curation.shardShuffle(d, "doc_id", sz, budget = 64L, seed = 3L, buckets = buckets)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    val a = run(df.repartition(1), 8)
+    val b = run(df.repartition(13), 64)
+    assert(a === b && a.nonEmpty)
+  }
 }
