@@ -523,6 +523,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.map(_.toString).exists(_.contains("partial_sum")))
   }
 
+  test("lpa round: keyed joins and partial aggregation carry the label counts") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val e = docs.select(col("doc_id").as("src"),
+      ((col("doc_id") * 7 + 3) % 500).as("dst"))
+    val nbrs = e.select(col("src").as("node"), col("dst").as("nbr"))
+      .union(e.select(col("dst").as("node"), col("src").as("nbr")))
+    val nodes = nbrs.select("node").distinct()
+    val l0 = nodes.withColumn("lbl", col("node"))
+    val plan = executed(graft.operators.Graph.propagateOnce(nbrs, nodes, l0))
+    assert(!plan.exists(_.nodeName.toLowerCase.contains("cartesian")))
+    assert(!plan.exists(_.nodeName.toLowerCase.contains("nestedloop")))
+    // neighbor-label counts fold map-side before the (node,lbl)
+    // exchange, and the per-node argmax folds as a partial min(struct)
+    assert(plan.map(_.toString).exists(_.contains("partial_count")))
+    assert(plan.map(_.toString).exists(_.contains("partial_min")))
+  }
+
+  test("shard shuffle: bucket carries broadcast back, corpus shuffles once per level") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir)
+    val plan = executed(graft.operators.Curation.shardShuffle(
+      docs, "doc_id", size(split(col("text"), " ")).cast("long"),
+      budget = 4096L, seed = 7L))
+    assert(!plan.exists(_.nodeName.toLowerCase.contains("nestedloop")))
+    assert(!plan.exists(_.nodeName.toLowerCase.contains("cartesian")))
+    // per-bucket base offsets join back as a broadcast (buckets-row
+    // side) — the corpus itself must never shuffle for this join
+    assert(plan.count(_.isInstanceOf[BroadcastHashJoinExec]) >= 1)
+    // corpus-sized exchanges: the bucket-window repartition and the
+    // presentation sort; the bucket-totals agg and its 1024-row window
+    // add two more bounded ones. Anything beyond says the prefix sum
+    // degenerated into extra corpus passes.
+    assert(shuffles(plan) <= 4, s"expected <= 4 exchanges:\n${plan.mkString("\n")}")
+  }
+
   test("forget probe keeps hash joins; the tombstone filter is a broadcast anti-join") {
     val docs = Tables.documents(spark, dir)
     val idx = "/tmp/graft-audit-mhforget"
