@@ -155,6 +155,44 @@ object Html {
           (a: Column, s: Column) => a + s.getField("words")).as("n_words"))
   }
 
+  /** L14 — blocklist URL filtering (the first cut every web-corpus
+    * pipeline applies: adult/spam domain blocklists plus per-site path
+    * rules — RefinedWeb §3.1, CCNet's URL filtering). Rules are a
+    * DataFrame (rule_id, host_suffix, path_prefix nullable): a rule
+    * matches a URL when its host equals the suffix or ends with
+    * "." + suffix (label-boundary suffix semantics), and — when
+    * path_prefix is set — the canonical path starts with it.
+    *
+    * Scale shape: the host explodes into its label-boundary suffixes
+    * (≤ label count per row, a small constant) and matches rules by
+    * EQUI-join on the suffix — never a LIKE/regex scan per rule, so a
+    * multi-million-rule blocklist joins in one exchange (or
+    * broadcasts when small; Spark picks by size). Verdict folds as a
+    * map-combinable min(rule_id) per URL. Output: (id, canon,
+    * blocked, rule_id) — rule_id NULL when unblocked. */
+  def urlFilter(df: DataFrame, idCol: String, urlCol: String,
+                rules: DataFrame): DataFrame = {
+    val base = df.select(
+      col(idCol),
+      urlNormalize(col(urlCol)).as("canon"),
+      urlHost(col(urlCol)).as("host"))
+      .withColumn("path",
+        regexp_extract(col("canon"), "^[a-z][a-z0-9+.-]*://[^/]*(/.*)$", 1))
+    val parts = split(col("host"), "\\.")
+    val sufs = transform(sequence(lit(0), size(parts) - 1),
+      i => array_join(slice(parts, i + 1, size(parts)), "."))
+    val hits = base
+      .withColumn("suffix", explode(sufs))
+      .join(rules, col("suffix") === col("host_suffix"))
+      .where(col("path_prefix").isNull ||
+        col("path").startsWith(col("path_prefix")))
+      .groupBy(idCol).agg(min(col("rule_id")).as("rule_id"))
+    base.join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("canon"),
+        col("rule_id").isNotNull.as("blocked"), col("rule_id"))
+      .orderBy(idCol)
+  }
+
   /** L13 — anchor-text aggregation: the classic web-retrieval signal
     * (what OTHER pages call a page describes it better than the page
     * itself — Brin & Page 1998 §2.2; web corpora also use it as a

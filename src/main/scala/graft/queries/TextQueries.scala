@@ -131,6 +131,31 @@ object TextQueries {
         "target", "anchor", k = 3)
         .orderBy("target", "rank")
     },
+    // L14 — blocklist URL filtering over the L11 synthesis grid: two
+    // domain rules, one never-matching TLD rule, one path-prefix rule;
+    // the engine matches via suffix-explode + equi-join (the
+    // million-rule scale shape), the oracle replays the SEMANTICS
+    // (label-boundary LIKE + starts_with) — equal by construction,
+    // so an explode boundary bug or a prefix-rule leak moves a row.
+    "q_url_filter" -> { (s, dir) =>
+      import s.implicits._
+      val d = col("doc_id")
+      val url = concat(
+        when(d % 2 === 0, lit("HTTP")).otherwise(lit("https")), lit("://"),
+        when(d % 3 === 0, lit("WWW.")).otherwise(lit("")),
+        lit("Site"), (d % 20).cast("string"), lit(".Example.COM"),
+        when(d % 2 === 0, lit(":80")).otherwise(lit(":443")),
+        when(d % 4 === 0, lit("")).otherwise(concat(lit("/Path/"), d.cast("string"))),
+        when(d % 5 === 0, concat(lit("#Frag"), d.cast("string"))).otherwise(lit("")))
+      val rules = Seq(
+        (0L, "site3.example.com", Option.empty[String]),
+        (1L, "site7.example.com", Option.empty[String]),
+        (2L, "example.net", Option.empty[String]),
+        (3L, "site5.example.com", Some("/Path/1")))
+        .toDF("rule_id", "host_suffix", "path_prefix")
+      Html.urlFilter(
+        Tables.documents(s, dir).select(d, url.as("url")), "doc_id", "url", rules)
+    },
     // L12 — CCNet head/middle/tail selection over the L8 fluency
     // scores: boundary VALUES picked at integer ranks ceil(n/3) /
     // ceil(2n/3) of the descending distinct-fluency histogram, docs
@@ -458,6 +483,59 @@ object TextQueries {
         lower(regexp_extract(trim(url),
           '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*).*', 1)) AS host
       FROM q ORDER BY doc_id""",
+    // the L11 canon/host replay + the rule semantics as label-boundary
+    // LIKE and starts_with against the same VALUES rule table
+    "q_url_filter" -> """
+      WITH u AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END || '://' ||
+          CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
+          'Site' || CAST(doc_id % 20 AS VARCHAR) || '.Example.COM' ||
+          CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END ||
+          CASE WHEN doc_id % 4 = 0 THEN '' ELSE '/Path/' || CAST(doc_id AS VARCHAR) END ||
+          CASE WHEN doc_id % 5 = 0 THEN '#Frag' || CAST(doc_id AS VARCHAR) ELSE '' END
+          AS url
+        FROM documents),
+      n AS (
+        SELECT doc_id, url, regexp_replace(trim(url), '(?s)#.*', '') AS nofrag FROM u),
+      p AS (
+        SELECT doc_id, url,
+          lower(regexp_extract(nofrag, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*).*', 1)) AS pre,
+          regexp_extract(nofrag, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*(.*)', 1) AS rest
+        FROM n),
+      q AS (
+        SELECT doc_id, url, pre, rest,
+          regexp_replace(regexp_replace(pre,
+            '^(http://[^/:]*):80$', '\1'), '^(https://[^/:]*):443$', '\1') AS noport
+        FROM p),
+      h AS (
+        SELECT doc_id,
+          CASE WHEN pre = '' THEN trim(url)
+               ELSE regexp_replace(noport, '^(https?://)www\.', '\1')
+                    || CASE WHEN rest = '' THEN '/' ELSE rest END END AS canon,
+          lower(regexp_extract(trim(url),
+            '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*).*', 1)) AS host
+        FROM q),
+      h2 AS (
+        SELECT doc_id, canon, host,
+          regexp_extract(canon, '^[a-z][a-z0-9+.-]*://[^/]*(/.*)$', 1) AS path
+        FROM h),
+      r AS (
+        SELECT * FROM (VALUES
+          (CAST(0 AS BIGINT), 'site3.example.com', CAST(NULL AS VARCHAR)),
+          (CAST(1 AS BIGINT), 'site7.example.com', CAST(NULL AS VARCHAR)),
+          (CAST(2 AS BIGINT), 'example.net', CAST(NULL AS VARCHAR)),
+          (CAST(3 AS BIGINT), 'site5.example.com', '/Path/1'))
+          AS t(rule_id, host_suffix, path_prefix)),
+      m AS (
+        SELECT doc_id, MIN(rule_id) AS rule_id
+        FROM h2 JOIN r
+          ON (host = host_suffix OR host LIKE '%.' || host_suffix)
+         AND (path_prefix IS NULL OR starts_with(path, path_prefix))
+        GROUP BY doc_id)
+      SELECT h2.doc_id, canon, m.rule_id IS NOT NULL AS blocked, m.rule_id
+      FROM h2 LEFT JOIN m ON h2.doc_id = m.doc_id
+      ORDER BY h2.doc_id""",
     "q_lm_fluency" -> s"""
       $lmFluencyCtes
       SELECT doc_id, COUNT(*) AS n_bigrams,

@@ -108,6 +108,30 @@ class HtmlSpec extends SparkSpec {
     assert(bad === 0L)
   }
 
+  test("url filter: label-boundary suffix semantics and path-prefix rules") {
+    val urls = Seq(
+      (1L, "https://bad.example.com/x"),        // suffix of rule 0
+      (2L, "https://notbad.example.com/x"),     // NOT a label-boundary match
+      (3L, "https://sub.bad.example.com/y"),    // deeper suffix still matches
+      (4L, "https://ok.example.com/ads/banner"),// path rule
+      (5L, "https://ok.example.com/site"),      // same host, other path
+      (6L, "HTTPS://BAD.Example.COM:443/z#f"))  // matches after normalization
+      .toDF("id", "url")
+    val rules = Seq(
+      (0L, "bad.example.com", Option.empty[String]),
+      (1L, "ok.example.com", Some("/ads/")))
+      .toDF("rule_id", "host_suffix", "path_prefix")
+    val got = Html.urlFilter(urls, "id", "url", rules)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(2), if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(got(1L) === ((true, 0L)))
+    assert(got(2L) === ((false, -1L)))
+    assert(got(3L) === ((true, 0L)))
+    assert(got(4L) === ((true, 1L)))
+    assert(got(5L) === ((false, -1L)))
+    assert(got(6L) === ((true, 0L)))
+  }
+
   test("anchor terms aggregate per target with (count desc, term) rank") {
     // three pages link to /x with anchors; one links to /y
     val links = Seq(
