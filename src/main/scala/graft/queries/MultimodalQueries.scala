@@ -64,28 +64,29 @@ object MultimodalQueries {
     // bytes and the pigeonhole miner — a decode defect, a hash-fold
     // drift, or an LSH recall miss each changes the pair list.
     //
-    // Channel formula: t = (id*2654435761 + k*69069) % 2^24, channel
-    // = (t² div 4096) % 256 — the middle-square step is the mixing
-    // that matters: a formula LINEAR in id collapses the aHash to a
-    // few hundred phase-shifted ramp patterns (measured: 95 distinct
-    // fingerprints over 1500 media), whose identical-pair count grows
-    // ∝ n² and overflows both the pair output and the miner's
-    // hot-bucket cap at sf10; with the quadratic mixer the pair set
-    // is the planted triples plus O(1) birthday coincidences
-    // (measured: pairs ∝ n across sf0.01→sf0.1). t ≤ 2^24 keeps t²
-    // int64-exact on every engine. Media ids stride ×4 (id*4 + kind)
-    // so clone-offset doc ids never collide with a variant's id at
-    // any scale.
+    // Channel formula: channel k of doc d = the first md5 byte of
+    // "d_k" — CRYPTOGRAPHIC mixing is load-bearing here, not a
+    // flourish: every arithmetic formula tried (linear, div-mixer,
+    // middle-square, multiply-shift) stays near-arithmetic in k or
+    // correlates across the ×100 clone offsets, collapsing the aHash
+    // to shared sign-patterns whose pair count grows ∝ n² (middle-
+    // square measured 22.5M pairs at sf10 vs ~1.5M planted, with
+    // buckets over the miner's cap). md5 is bit-identical in every
+    // engine, so the oracle replays it verbatim and the pair set
+    // stays the planted triples plus birthday noise (~2^-64/pair) at
+    // ANY scale. Media ids stride ×4 (id*4 + kind) so clone-offset
+    // doc ids never collide with a variant's id.
     "q_image_phash" -> { (s, dir) =>
       import s.implicits._
       val docs = Tables.documents(s, dir)
         .select(col("doc_id").cast("long")).as[Long]
       val mediaRows = docs.mapPartitions { ids =>
+        val md = java.security.MessageDigest.getInstance("MD5")
         ids.flatMap { id =>
           val base = Array.tabulate(64) { p =>
             def ch(c: Int): Int = {
-              val t = (id * 2654435761L + (p * 3 + c) * 69069L) % 16777216L
-              ((t * t / 4096) % 256).toInt
+              val d = md.digest(s"${id}_${p * 3 + c}".getBytes("US-ASCII"))
+              d(0) & 0xFF
             }
             (ch(0) << 16) | (ch(1) << 8) | ch(2)
           }
@@ -111,17 +112,19 @@ object MultimodalQueries {
     // and a variant with sample 0 shifted ±256 (the clipped-intro
     // case — mean moves by 4, so only boundary samples flip). The
     // fingerprint is the sample-sign aHash over the RIFF-decoded PCM;
-    // the oracle replays it from the sample formulas (same div-128
-    // non-linear mixer as M2 — distinct docs, distinct clips).
+    // sample j of doc d = first 3 md5 hex digits of "d~j" − 2048
+    // (cryptographic mixing for the same n² reason as M2 above).
     "q_audio_fingerprint" -> { (s, dir) =>
       import s.implicits._
       val docs = Tables.documents(s, dir)
         .select(col("doc_id").cast("long")).as[Long]
       val mediaRows = docs.mapPartitions { ids =>
+        val md = java.security.MessageDigest.getInstance("MD5")
         ids.flatMap { id =>
           val base = Array.tabulate(64) { j =>
-            val t = (id * 2654435761L + j * 40503L) % 16777216L
-            ((t * t / 4096) % 4096 - 2048).toShort
+            val d = md.digest(s"${id}~$j".getBytes("US-ASCII"))
+            val v = ((d(0) & 0xFF) << 4) | ((d(1) & 0xF0) >> 4)
+            (v - 2048).toShort
           }
           val tweaked = base.clone()
           val s0 = tweaked(0).toInt
@@ -140,17 +143,17 @@ object MultimodalQueries {
     },
   )
 
-  /** The M2 middle-square channel replay: t = (base·M + k·69069) mod
-    * 2^24, channel = (t² div 4096) mod 256 — shared by every channel
+  /** The M2 channel replay — first md5 byte of "base_k" (hex-parsed;
+    * md5 hex is bit-identical across engines). Shared by every channel
     * site in the q_image_phash oracle. */
   private def sqImg(k: String): String =
-    s"((((base * 2654435761 + ($k) * 69069) % 16777216) * " +
-      s"((base * 2654435761 + ($k) * 69069) % 16777216)) // 4096) % 256"
+    s"('0x' || substr(md5(CAST(base AS VARCHAR) || '_' || " +
+      s"CAST(($k) AS VARCHAR)), 1, 2))::BIGINT"
 
-  /** The M3 audio twin: sample = (t² div 4096) mod 4096 − 2048. */
+  /** The M3 audio twin: first 3 md5 hex digits of "base~j" − 2048. */
   private def sqAud(j: String): String =
-    s"((((base * 2654435761 + ($j) * 40503) % 16777216) * " +
-      s"((base * 2654435761 + ($j) * 40503) % 16777216)) // 4096) % 4096 - 2048"
+    s"('0x' || substr(md5(CAST(base AS VARCHAR) || '~' || " +
+      s"CAST(($j) AS VARCHAR)), 1, 3))::BIGINT - 2048"
 
   val oracles: Map[String, String] = Map(
     // Mirrors Multimodal.Synth: image channel k of doc d is

@@ -438,11 +438,15 @@ object TextQueries {
         SELECT
           'https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example.com'
             || regexp_replace(hs[i], '(?s)#.*', '') AS target,
+          -- trim(x, ' '): bare trim strips the whole Unicode space
+          -- category (NEL/NBSP — present as clone-tag suffixes at
+          -- sf10) while the engine's trim strips 0x20 only; the
+          -- explicit one-char set keeps tagged words tagged
           lower(trim(regexp_replace(
             replace(replace(replace(replace(replace(replace(
               regexp_replace(an[i], '<[^>]*>', ' ', 'g'),
               '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',''''),'&nbsp;',' '),'&amp;','&'),
-            '[ \t]+', ' ', 'g'))) AS anchor
+            '[ \t]+', ' ', 'g'), ' ')) AS anchor
         FROM u),
       w AS (SELECT target, unnest(string_split(anchor, ' ')) AS term FROM l),
       c AS (

@@ -242,9 +242,10 @@ class MultimodalSourcesSpec extends SparkSpec {
 
   test("audio aHash survives the WAV round trip and matches the formula") {
     val id = 123L
+    val md = java.security.MessageDigest.getInstance("MD5")
     val base = Array.tabulate(64) { j =>
-      val t = (id * 2654435761L + j * 40503L) % 16777216L
-      (t * t / 4096 % 4096 - 2048).toShort
+      val d = md.digest(s"${id}~$j".getBytes("US-ASCII"))
+      (((d(0) & 0xFF) << 4 | (d(1) & 0xF0) >> 4) - 2048).toShort
     }
     val tweaked = base.clone()
     tweaked(0) = (tweaked(0) + 256).toShort
