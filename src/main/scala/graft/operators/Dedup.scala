@@ -501,9 +501,13 @@ object Dedup {
     * pairs with exact hamming = popcount(hi⊕hi) + popcount(lo⊕lo).
     * Any pair within hamming ≤ 3 shares a chunk — guaranteed recall
     * at the default threshold. */
-  private[graft] def mineHammingPairs(
-      simDf: DataFrame, maxHamming: Int, maxBucket: Int): DataFrame = {
-    val chunked = simDf.select(
+  /** The shared 16-bit chunk explosion behind every hamming miner —
+    * batch ([[mineHammingPairs]]) and stream
+    * ([[graft.streaming.StreamOps.fingerprintPairStream]]) bucket with
+    * the SAME expressions by construction (the J2/J8 shared-signature
+    * posture). Output: (doc_id, hi, lo, chunk, ckey). */
+  private[graft] def hammingChunks(simDf: DataFrame): DataFrame =
+    simDf.select(
       col("doc_id"), col("hi"), col("lo"),
       explode(array(
         struct(lit(0).as("chunk"),
@@ -513,6 +517,14 @@ object Dedup {
           shiftright(col("lo"), 16).bitwiseAND(lit(0xFFFFL)).as("ckey")),
         struct(lit(3).as("chunk"), col("lo").bitwiseAND(lit(0xFFFFL)).as("ckey"))))
         .as("cb"))
+      .select(col("doc_id"), col("hi"), col("lo"),
+        col("cb.chunk").as("chunk"), col("cb.ckey").as("ckey"))
+
+  private[graft] def mineHammingPairs(
+      simDf: DataFrame, maxHamming: Int, maxBucket: Int): DataFrame = {
+    val chunked = hammingChunks(simDf)
+      .select(col("doc_id"), col("hi"), col("lo"),
+        struct(col("chunk"), col("ckey")).as("cb"))
     chunked
       .groupBy(col("cb.chunk"), col("cb.ckey"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("hi"), col("lo"))))

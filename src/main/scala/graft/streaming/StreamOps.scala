@@ -359,6 +359,86 @@ object StreamOps {
     * rewriting the artifact (e.g. folding accepted novel docs in).
     * `onFlagged` receives each batch's flagged rows
     * `(doc_id, match_id, jaccard)` with its batch id. */
+  case class HammingPair(id_a: Long, id_b: Long, hamming: Int)
+
+  /** Per-bucket state for [[fingerprintPairStream]]: fingerprints of
+    * current members; a new arrival pairs against every member within
+    * `maxHamming` (exact popcount at emission — unlike the minhash
+    * twin, a hamming bucket key is a LOSSY pigeonhole, so the
+    * filter must run before anything is emitted). Over-cap buckets
+    * stop pairing (the batch miner's drop, stream-safely); re-delivered
+    * ids are ignored (idempotent under at-least-once). */
+  class HammingBucketProcessor(
+      maxHamming: Int, maxBucket: Int, ttl: Option[java.time.Duration])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        (Int, Long), (Int, Long, Long, Long, Long), HammingPair] {
+    @transient private var members:
+      org.apache.spark.sql.streaming.ListState[(Long, Long, Long)] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      members = getHandle.getListState[(Long, Long, Long)](
+        "members",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        ttl.map(d => new org.apache.spark.sql.streaming.TTLConfig(d))
+          .getOrElse(org.apache.spark.sql.streaming.TTLConfig.NONE))
+
+    override def handleInputRows(
+        key: (Int, Long), rows: Iterator[(Int, Long, Long, Long, Long)],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[HammingPair] = {
+      val current = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      val it = members.get()
+      while (it.hasNext) current += it.next()
+      val out = Seq.newBuilder[HammingPair]
+      rows.foreach { case (_, _, id, hi, lo) =>
+        if (!current.exists(_._1 == id) && current.size < maxBucket) {
+          current.foreach { case (mid, mhi, mlo) =>
+            val ham = java.lang.Long.bitCount(mhi ^ hi) +
+              java.lang.Long.bitCount(mlo ^ lo)
+            if (ham <= maxHamming)
+              out += HammingPair(math.min(mid, id), math.max(mid, id), ham)
+          }
+          current += ((id, hi, lo))
+          members.appendValue((id, hi, lo))
+        }
+      }
+      out.result().iterator
+    }
+  }
+
+  /** I13 — streaming media-fingerprint near-dup pairs: the unbounded
+    * twin of [[graft.operators.Dedup.mineHammingPairs]] for the M2/M3
+    * image/audio fingerprints, sharing [[graft.operators.Dedup
+    * .hammingChunks]]' chunk expressions verbatim (stream and batch
+    * bucket identically, by construction). Input is a fingerprint
+    * frame (doc_id, hi, lo) — compute it on the stream with
+    * [[graft.operators.Multimodal.imageAHash]]/[[graft.operators
+    * .Multimodal.audioAHash]] (stateless mapPartitions chains onto a
+    * streaming Dataset). A pair surfaces the moment the second member
+    * of a pigeonhole bucket arrives; exact hamming is enforced at
+    * emission (a chunk bucket is lossy — the batch miner filters after
+    * expansion, a stream must filter before it emits). With `ttl` set,
+    * membership expires after the horizon, so state stays bounded on
+    * an unbounded ingest. Pairs may repeat across chunks/batches —
+    * consumers `dropDuplicates(id_a, id_b)` (the J8 contract). */
+  def fingerprintPairStream(
+      fp: DataFrame, maxHamming: Int = 3, maxBucket: Int = 1000,
+      ttl: Option[java.time.Duration] = None): Dataset[HammingPair] = {
+    import fp.sparkSession.implicits._
+    graft.operators.Dedup.hammingChunks(fp)
+      .select(col("chunk"), col("ckey"), col("doc_id"), col("hi"), col("lo"))
+      .as[(Int, Long, Long, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .transformWithState(
+        new HammingBucketProcessor(maxHamming, maxBucket, ttl),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   def incrementalDedupStream(
       shards: DataFrame, idCol: String, textCol: String, indexPath: String,
       onFlagged: (DataFrame, Long) => Unit,

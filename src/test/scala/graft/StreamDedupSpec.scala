@@ -90,6 +90,60 @@ class StreamDedupSpec extends SparkSpec {
     }
   }
 
+  test("streaming fingerprint dedup matches the batch hamming miner across batches") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // synthetic audio fingerprints: triples (base, exact copy, near
+    // variant) per id — the M3 planted structure, fingerprints
+    // computed through the REAL WAV codec path
+    val media = (0L until 40L).flatMap { id =>
+      val base = Array.tabulate(64) { j =>
+        val t = (id * 2654435761L + j * 40503L) % 16777216L
+        (t * t / 4096 % 4096 - 2048).toShort
+      }
+      val tweaked = base.clone()
+      tweaked(0) = (tweaked(0) + (if (tweaked(0) > 1791) -256 else 256)).toShort
+      val meta = graft.operators.Multimodal.MediaMeta("audio", 0, 0, 8L)
+      Seq(
+        graft.operators.Multimodal.MediaRecord(id * 4, meta,
+          graft.operators.Multimodal.Encode.wavPcm16(base, 8000)),
+        graft.operators.Multimodal.MediaRecord(id * 4 + 1, meta,
+          graft.operators.Multimodal.Encode.wavPcm16(base, 8000)),
+        graft.operators.Multimodal.MediaRecord(id * 4 + 2, meta,
+          graft.operators.Multimodal.Encode.wavPcm16(tweaked, 8000)))
+    }
+    val fpBatch = graft.operators.Multimodal.audioAHash(media.toDS())
+    val batchPairs = graft.operators.Dedup
+      .mineHammingPairs(fpBatch, maxHamming = 3, maxBucket = 1000)
+      .select("id_a", "id_b", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(batchPairs.nonEmpty)
+    val input = MemoryStream[(Long, Long, Long)](spark)
+    val q = StreamOps.fingerprintPairStream(
+        input.toDF.toDF("doc_id", "hi", "lo"))
+      .writeStream.format("memory").queryName("fp_out")
+      .outputMode("append").start()
+    try {
+      val fps = fpBatch.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val (first, second) = fps.splitAt(fps.length / 2)
+      input.addData(first.toSeq)
+      q.processAllAvailable()
+      input.addData(second.toSeq) // cross-batch pairs need surviving state
+      q.processAllAvailable()
+      val streamPairs = spark.table("fp_out")
+        .select("id_a", "id_b", "hamming").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(streamPairs == batchPairs)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming span scrub matches batch J12 on a one-batch replay") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
