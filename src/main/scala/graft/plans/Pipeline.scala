@@ -85,7 +85,8 @@ object Pipeline {
     // spec steps, reusing the gated operator internals verbatim
     "exact_dedup", "quality_filter", "pii_scrub", "stratified_sample",
     "quality_classifier", "html_extract", "html_links", "url_normalize",
-    "pagerank", "index_dedup", "fluency_buckets")
+    "pagerank", "index_dedup", "fluency_buckets",
+    "label_prop", "url_filter", "anchor_text", "shard_shuffle")
 
   val knownExports: Set[String] = Set("parquet", "jsonapi", "dwc_archive")
 
@@ -387,6 +388,44 @@ object Pipeline {
         graft.operators.Graph.pageRank(
           in, reqStr(st.params, "src", tag), reqStr(st.params, "dst", tag),
           iters = st.params.getOrElse("iters", 3).toString.toInt)
+      case "label_prop" =>
+        // S3: community labels over the step input's edge list
+        graft.operators.Graph.labelPropagation(
+          in, reqStr(st.params, "src", tag), reqStr(st.params, "dst", tag),
+          iters = st.params.getOrElse("iters", 3).toString.toInt)
+      case "url_filter" =>
+        // L14: blocklist cut; rules ride in the spec as
+        // [{id, host, prefix?}]; mode 'drop' (default) keeps clean
+        // rows — the curation shape — 'flag' returns the verdicts
+        val id = reqStr(st.params, "id", tag)
+        val ruleRows = seqOfMaps(st.params, "rules", tag).map { m =>
+          (m.getOrElse("id", fail(s"$tag: rule needs id")).toString.toLong,
+            reqStr(m, "host", tag), m.get("prefix").map(_.toString))
+        }
+        val spark = in.sparkSession
+        import spark.implicits._
+        val rules = ruleRows.toDF("rule_id", "host_suffix", "path_prefix")
+        val verdicts = graft.operators.Html.urlFilter(
+          in, id, reqStr(st.params, "url", tag), rules)
+        st.params.getOrElse("mode", "drop").toString match {
+          case "flag" => verdicts
+          case "drop" => in.join(
+            verdicts.where(col("blocked")).select(col(id)), Seq(id), "left_anti")
+          case other => fail(s"$tag: url_filter mode must be flag|drop, got '$other'")
+        }
+      case "anchor_text" =>
+        // L13: top-k anchor terms per resolved target over link rows
+        graft.operators.Html.anchorTerms(
+          in, reqStr(st.params, "target", tag), reqStr(st.params, "anchor", tag),
+          k = st.params.getOrElse("k", 3).toString.toInt)
+      case "shard_shuffle" =>
+        // Q20: deterministic epoch shuffle + shard layout; `tokens` is
+        // a SQL expression for the per-row token count
+        graft.operators.Curation.shardShuffle(
+          in, reqStr(st.params, "id", tag),
+          expr(reqStr(st.params, "tokens", tag)).cast("long"),
+          budget = reqStr(st.params, "budget", tag).toLong,
+          seed = st.params.getOrElse("seed", 0L).toString.toLong)
       case "index_dedup" =>
         // J14/J16: probe the step input against a persisted minhash
         // index; mode 'drop' (default) keeps novel docs — the rolling

@@ -158,6 +158,44 @@ steps:
     params: {by: [doc_id]}
 """
 
+  /** Web-compliance spec: the L11→L14 front end as chainable steps —
+    * the URL synthesis is the q_url_filter grid verbatim, so its
+    * oracle replays this spec too. */
+  private val webSpec = """
+entity: webfilter
+sources: [{name: d, table: documents}]
+steps:
+  - name: urls
+    op: select
+    input: d
+    params:
+      columns:
+        - "doc_id"
+        - "concat(CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END, '://',
+                  CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END,
+                  'Site', CAST(doc_id % 20 AS STRING), '.Example.COM',
+                  CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END,
+                  CASE WHEN doc_id % 4 = 0 THEN '' ELSE concat('/Path/', CAST(doc_id AS STRING)) END,
+                  CASE WHEN doc_id % 5 = 0 THEN concat('#Frag', CAST(doc_id AS STRING)) ELSE '' END) AS url"
+  - name: canon
+    op: url_normalize
+    params: {url: url}
+  - name: verdicts
+    op: url_filter
+    params:
+      id: doc_id
+      url: url
+      mode: flag
+      rules:
+        - {id: 0, host: site3.example.com}
+        - {id: 1, host: site7.example.com}
+        - {id: 2, host: example.net}
+        - {id: 3, host: site5.example.com, prefix: /Path/1}
+  - name: ordered
+    op: sort
+    params: {by: [doc_id]}
+"""
+
   private def resolver(s: SparkSession, dir: String): String => DataFrame =
     name => Tables(s, dir, name)
 
@@ -191,9 +229,20 @@ steps:
     "q_pipeline_curate" -> { (s, dir) =>
       Pipeline.result(s, curateSpec, resolver(s, dir))
     },
+    // R5 gate — the web-compliance chain as ONE spec: synthesize messy
+    // URLs → url_normalize in place (idempotence makes the later
+    // re-normalize inside url_filter a no-op, spec-held) → blocklist
+    // verdicts in flag mode; the oracle re-derives canon/host/verdict
+    // from the raw table, so a step-bridge defect changes rows.
+    "q_pipeline_web" -> { (s, dir) =>
+      Pipeline.result(s, webSpec, resolver(s, dir))
+    },
   )
 
   val oracles: Map[String, String] = Map(
+    // the spec chains the L11→L14 ops on the q_url_filter synthesis
+    // grid verbatim — one oracle serves both gates
+    "q_pipeline_web" -> TextQueries.oracles("q_url_filter"),
     "q_pipeline_run" -> """
       SELECT c_nationkey AS nation_key, COUNT(1) AS n_orders,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue

@@ -256,6 +256,82 @@ steps:
     assert(ranks(0L) > ranks(1L) && ranks(1L) > ranks(2L) && ranks(2L) === ranks(3L))
   }
 
+  test("url_filter step drops blocked rows; anchor_text and label_prop chain on links") {
+    // three pages on two hosts; bad.example.com is blocklisted
+    val pages = Seq(
+      (0L, """<a href="https://ok.example.com/a">alpha beta</a>"""),
+      (1L, """<a href="https://ok.example.com/a">alpha gamma</a>"""),
+      (2L, """<a href="https://bad.example.com/x">zap</a>"""))
+      .toDF("doc_id", "html")
+    val resolveW: String => org.apache.spark.sql.DataFrame = {
+      case "pages" => pages
+      case other => fail(s"unexpected table $other")
+    }
+    val spec = """
+entity: webcompliance
+sources: [{name: p, table: pages}]
+steps:
+  - name: links
+    op: html_links
+    params: {id: doc_id, html: html}
+  - name: clean
+    op: url_filter
+    params:
+      id: doc_id
+      url: href
+      rules: [{id: 0, host: bad.example.com}]
+  - name: terms
+    op: anchor_text
+    params: {target: href, anchor: anchor, k: 2}
+"""
+    val terms = Pipeline.result(spark, spec, resolveW)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // doc 2's blocked link is gone; alpha counted twice on the ok target
+    assert(terms === Set(
+      ("https://ok.example.com/a", "alpha", 2L),
+      ("https://ok.example.com/a", "beta", 1L)))
+
+    // label_prop over an edge-list spec: two triangles, one bridge
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (2L, 10L)).toDF("s", "d")
+    val resolveE: String => org.apache.spark.sql.DataFrame = {
+      case "edges" => edges
+      case other => fail(s"unexpected table $other")
+    }
+    val lpSpec = """
+entity: communities
+sources: [{name: e, table: edges}]
+steps:
+  - name: labeled
+    op: label_prop
+    params: {src: s, dst: d, iters: 3}
+"""
+    val labels = Pipeline.result(spark, lpSpec, resolveE)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(0L) === labels(1L) && labels(11L) === labels(12L))
+
+    // shard_shuffle as the terminal layout step
+    val docs = (0L until 50L).map(i => (i, ("w " * (i % 7 + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    val resolveD: String => org.apache.spark.sql.DataFrame = {
+      case "docs" => docs
+      case other => fail(s"unexpected table $other")
+    }
+    val shardSpec = """
+entity: shards
+sources: [{name: d, table: docs}]
+steps:
+  - name: laid_out
+    op: shard_shuffle
+    params: {id: doc_id, tokens: "size(split(text, ' '))", budget: "32", seed: 5}
+"""
+    val out = Pipeline.result(spark, shardSpec, resolveD)
+    val direct = graft.operators.Curation.shardShuffle(
+      docs, "doc_id", org.apache.spark.sql.functions.expr("size(split(text, ' '))").cast("long"),
+      budget = 32L, seed = 5L)
+    assert(out.collect().toSeq === direct.collect().toSeq)
+  }
+
   test("index_dedup step drops near-dups of the persisted index, flag mode returns verdicts") {
     val corpus = Seq(
       (10L, "alpha beta gamma delta epsilon zeta eta theta"),
