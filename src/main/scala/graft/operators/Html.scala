@@ -193,6 +193,60 @@ object Html {
       .orderBy(idCol)
   }
 
+  /** L15 — robots.txt → blocklist rules (RFC 9309 subset): the
+    * compliance source every polite crawler parses before fetching.
+    * Input: one robots.txt body per host. A `Disallow:` line yields a
+    * (host, path_prefix) rule iff the group it belongs to — the run
+    * of consecutive `User-agent:` lines nearest above it (RFC 9309
+    * §2.1: a UA run shares one rule group) — names `*` (per-bot
+    * groups are ignored; this engine crawls as `*`). Empty
+    * `Disallow:` (allow-all), comments and non-field lines drop.
+    * Output (rule_id, host_suffix, path_prefix) feeds [[urlFilter]]
+    * directly; `rule_id` is the first 15 md5 hex digits of
+    * `host:line_no` — deterministic, engine-replayable, no global
+    * ordering pass. (Note [[urlFilter]]'s suffix semantics are a
+    * superset of strict per-authority robots scope; feed exact-host
+    * URL tables or accept subdomain inheritance.)
+    *
+    * Shape: lines posexplode (rows ∝ robots lines, KB per host), two
+    * per-host windows (bounded by FILE size, never corpus size) to
+    * resolve UA runs and carry the governing run forward, then one
+    * (host, run) equi-join of disallow lines against star-runs —
+    * no range join, no global window. */
+  def robotsRules(df: DataFrame, hostCol: String, robotsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fieldPat = "(?i)^\\s*(user-agent|disallow)\\s*:\\s*(\\S*)\\s*$"
+    val lines = df.select(
+      col(hostCol).as("host"),
+      posexplode(split(col(robotsCol), "\n")).as(Seq("line_no", "line")))
+      .withColumn("line", regexp_replace(col("line"), "#.*", ""))
+      .withColumn("field", lower(regexp_extract(col("line"), fieldPat, 1)))
+      .withColumn("value", regexp_extract(col("line"), fieldPat, 2))
+      .where(col("field") =!= "")
+    val byLine = Window.partitionBy("host").orderBy("line_no")
+    val carry = byLine.rowsBetween(Window.unboundedPreceding, 0)
+    // run head: a UA line not directly preceded (among FIELD lines)
+    // by another UA line starts a new group
+    val runs = lines
+      .withColumn("prev_field", lag("field", 1).over(byLine))
+      .withColumn("run_head",
+        when(col("field") === "user-agent" && (
+          col("prev_field").isNull || col("prev_field") =!= "user-agent"),
+          col("line_no")))
+      .withColumn("run_id", last("run_head", ignoreNulls = true).over(carry))
+    // star groups: (host, run) where any UA line of the run names *
+    val starRuns = runs
+      .where(col("field") === "user-agent" && col("value") === "*")
+      .select(col("host"), col("run_id")).distinct()
+    runs
+      .where(col("field") === "disallow" && col("value") =!= "")
+      .join(starRuns, Seq("host", "run_id"), "leftsemi")
+      .select(
+        expr("CAST(CONV(substring(md5(concat(host, ':', CAST(line_no AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+          .as("rule_id"),
+        col("host").as("host_suffix"), col("value").as("path_prefix"))
+  }
+
   /** L13 — anchor-text aggregation: the classic web-retrieval signal
     * (what OTHER pages call a page describes it better than the page
     * itself — Brin & Page 1998 §2.2; web corpora also use it as a

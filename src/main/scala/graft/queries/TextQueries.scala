@@ -156,6 +156,38 @@ object TextQueries {
       Html.urlFilter(
         Tables.documents(s, dir).select(d, url.as("url")), "doc_id", "url", rules)
     },
+    // L15 — robots.txt compliance end to end: per-host robots bodies
+    // (a decoy Googlebot group that must be IGNORED, a star run
+    // extended by a second UA line on even hosts — shifting the
+    // Disallow line numbers — an empty allow-all Disallow) parse into
+    // rules that filter the L11 URL grid. The oracle does NOT replay
+    // the parser: it enumerates the semantically-expected rule set
+    // from the synthesis structure (including the md5 rule ids at the
+    // KNOWN line numbers), so a parser defect — decoy group leak,
+    // run-extension miss, line-number drift — changes verdicts or
+    // attribution ids and fails the hash.
+    "q_robots_filter" -> { (s, dir) =>
+      val d = col("doc_id")
+      val url = concat(
+        when(d % 2 === 0, lit("HTTP")).otherwise(lit("https")), lit("://"),
+        when(d % 3 === 0, lit("WWW.")).otherwise(lit("")),
+        lit("Site"), (d % 20).cast("string"), lit(".Example.COM"),
+        when(d % 2 === 0, lit(":80")).otherwise(lit(":443")),
+        when(d % 4 === 0, lit("")).otherwise(concat(lit("/Path/"), d.cast("string"))),
+        when(d % 5 === 0, concat(lit("#Frag"), d.cast("string"))).otherwise(lit("")))
+      val hosts = Tables.documents(s, dir).select((d % 20).as("hn")).distinct()
+        .select(
+          concat(lit("site"), col("hn").cast("string"), lit(".example.com")).as("host"),
+          concat(
+            lit("# robots\nUser-agent: Googlebot\nDisallow: /\nUser-agent: *\n"),
+            when(col("hn") % 2 === 0, lit("User-agent: HelperBot\n")).otherwise(lit("")),
+            lit("Disallow: /Path/1\n"),
+            when(col("hn") % 3 === 0, lit("Disallow: /Path/2\n")).otherwise(lit("")),
+            lit("Disallow:\n")).as("robots"))
+      Html.urlFilter(
+        Tables.documents(s, dir).select(d, url.as("url")), "doc_id", "url",
+        Html.robotsRules(hosts, "host", "robots"))
+    },
     // L12 — CCNet head/middle/tail selection over the L8 fluency
     // scores: boundary VALUES picked at integer ranks ceil(n/3) /
     // ceil(2n/3) of the descending distinct-fluency histogram, docs
@@ -487,6 +519,66 @@ object TextQueries {
         lower(regexp_extract(trim(url),
           '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*).*', 1)) AS host
       FROM q ORDER BY doc_id""",
+    // the expected rule set derived from the robots synthesis
+    // STRUCTURE (not a parser replay — parser defects must surface),
+    // md5 rule ids at the known line numbers, then the L14 semantics
+    "q_robots_filter" -> """
+      WITH u AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END || '://' ||
+          CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
+          'Site' || CAST(doc_id % 20 AS VARCHAR) || '.Example.COM' ||
+          CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END ||
+          CASE WHEN doc_id % 4 = 0 THEN '' ELSE '/Path/' || CAST(doc_id AS VARCHAR) END ||
+          CASE WHEN doc_id % 5 = 0 THEN '#Frag' || CAST(doc_id AS VARCHAR) ELSE '' END
+          AS url
+        FROM documents),
+      n AS (
+        SELECT doc_id, url, regexp_replace(trim(url), '(?s)#.*', '') AS nofrag FROM u),
+      p AS (
+        SELECT doc_id, url,
+          lower(regexp_extract(nofrag, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*).*', 1)) AS pre,
+          regexp_extract(nofrag, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*(.*)', 1) AS rest
+        FROM n),
+      q AS (
+        SELECT doc_id, url, pre, rest,
+          regexp_replace(regexp_replace(pre,
+            '^(http://[^/:]*):80$', '\1'), '^(https://[^/:]*):443$', '\1') AS noport
+        FROM p),
+      h AS (
+        SELECT doc_id,
+          CASE WHEN pre = '' THEN trim(url)
+               ELSE regexp_replace(noport, '^(https?://)www\.', '\1')
+                    || CASE WHEN rest = '' THEN '/' ELSE rest END END AS canon,
+          lower(regexp_extract(trim(url),
+            '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*).*', 1)) AS host
+        FROM q),
+      h2 AS (
+        SELECT doc_id, canon, host,
+          regexp_extract(canon, '^[a-z][a-z0-9+.-]*://[^/]*(/.*)$', 1) AS path
+        FROM h),
+      hostt AS (SELECT DISTINCT doc_id % 20 AS hn FROM documents),
+      r AS (
+        SELECT ('0x' || substr(md5('site' || CAST(hn AS VARCHAR) || '.example.com:'
+                 || CAST(CASE WHEN hn % 2 = 0 THEN 5 ELSE 4 END AS VARCHAR)), 1, 15))::BIGINT AS rule_id,
+               'site' || CAST(hn AS VARCHAR) || '.example.com' AS host_suffix,
+               '/Path/1' AS path_prefix
+        FROM hostt
+        UNION ALL
+        SELECT ('0x' || substr(md5('site' || CAST(hn AS VARCHAR) || '.example.com:'
+                 || CAST(CASE WHEN hn % 2 = 0 THEN 6 ELSE 5 END AS VARCHAR)), 1, 15))::BIGINT,
+               'site' || CAST(hn AS VARCHAR) || '.example.com',
+               '/Path/2'
+        FROM hostt WHERE hn % 3 = 0),
+      m AS (
+        SELECT doc_id, MIN(rule_id) AS rule_id
+        FROM h2 JOIN r
+          ON (host = host_suffix OR host LIKE '%.' || host_suffix)
+         AND starts_with(path, path_prefix)
+        GROUP BY doc_id)
+      SELECT h2.doc_id, canon, m.rule_id IS NOT NULL AS blocked, m.rule_id
+      FROM h2 LEFT JOIN m ON h2.doc_id = m.doc_id
+      ORDER BY h2.doc_id""",
     // the L11 canon/host replay + the rule semantics as label-boundary
     // LIKE and starts_with against the same VALUES rule table
     "q_url_filter" -> """

@@ -108,6 +108,53 @@ class HtmlSpec extends SparkSpec {
     assert(bad === 0L)
   }
 
+  test("robots rules: star groups only, UA runs share rules, comments and empties drop") {
+    val robots =
+      """# welcome
+        |User-agent: Googlebot
+        |Disallow: /google-only/
+        |User-agent: *
+        |User-agent: Bingbot
+        |Disallow: /private/
+        |Disallow: /tmp/ # inline comment
+        |Disallow:
+        |noise line
+        |Disallow: /late/
+        |""".stripMargin
+    val df = Seq(
+      ("a.com", robots),
+      ("b.com", "User-agent: Googlebot\nDisallow: /x/\n"), // no * group
+      ("c.com", "Disallow: /orphan/\nUser-agent: *\nDisallow: /ok/\n"))
+      .toDF("host", "robots")
+    val got = Html.robotsRules(df, "host", "robots")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSet
+    // a.com: the */Bingbot run governs /private/, /tmp/ and /late/
+    // (no new UA starts in between); the Googlebot rule, the empty
+    // Disallow and b.com's bot-specific rule all drop; c.com's
+    // pre-group orphan drops, /ok/ survives
+    assert(got === Set(
+      ("a.com", "/private/"), ("a.com", "/tmp/"), ("a.com", "/late/"),
+      ("c.com", "/ok/")))
+    // rule ids are distinct and deterministic
+    val ids = Html.robotsRules(df, "host", "robots")
+      .collect().map(_.getLong(0))
+    assert(ids.distinct.length === ids.length)
+    assert(ids.toSet === Html.robotsRules(df.repartition(5), "host", "robots")
+      .collect().map(_.getLong(0)).toSet)
+  }
+
+  test("robots rules feed the url filter end to end") {
+    val df = Seq(("shop.example", "User-agent: *\nDisallow: /cart/\n"))
+      .toDF("host", "robots")
+    val rules = Html.robotsRules(df, "host", "robots")
+    val urls = Seq(
+      (1L, "https://shop.example/cart/123"),
+      (2L, "https://shop.example/item/9")).toDF("id", "url")
+    val got = Html.urlFilter(urls, "id", "url", rules)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got === Map(1L -> true, 2L -> false))
+  }
+
   test("url filter: label-boundary suffix semantics and path-prefix rules") {
     val urls = Seq(
       (1L, "https://bad.example.com/x"),        // suffix of rule 0
