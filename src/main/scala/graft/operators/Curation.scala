@@ -672,6 +672,37 @@ object Curation {
       .orderBy(col(groupCol), col("bin"))
   }
 
+  /** Q21 — blocklist-term document filter (the C4 "bad words" cut,
+    * Raffel 2020 §2.2: drop any page containing a listed term; also
+    * the compliance backstop for takedown term lists). Terms are a
+    * DATAFRAME (`term` column) — at production scale a multi-thousand
+    *-row list that must NOT become a per-term regex alternation over
+    * the corpus: each document explodes to its DISTINCT words once
+    * (array_distinct in-row first, so a hot word costs one probe, not
+    * its multiplicity), equi-joins the term list, and folds to a
+    * per-doc verdict — (id, n_hits distinct terms hit, first_term
+    * alphabetically, the deterministic attribution). One exchange ∝
+    * distinct (doc, word) pairs; the term side broadcasts when small
+    * (Spark sizes it). Matching is exact-token (the C4 rule), not
+    * substring — pair with [[graft.operators.Dedup]] span ops for
+    * phrase lists. */
+  def termFilter(
+      df: DataFrame, idCol: String, textCol: String,
+      terms: DataFrame): DataFrame = {
+    val hits = df
+      .select(col(idCol),
+        explode(array_distinct(split(col(textCol), " "))).as("__w"))
+      .join(terms.select(col("term").as("__w")), "__w")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_hits"), min("__w").as("first_term"))
+    df.join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        col("n_hits").isNotNull.as("blocked"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("first_term"))
+      .orderBy(idCol)
+  }
+
   /** Q20 — deterministic epoch shuffle + token-budget shard layout:
     * order the corpus by a seeded hash of the id (the reproducible
     * "global shuffle" every training run needs — same seed, same

@@ -67,6 +67,15 @@ object CurationQueries {
         size(split(col("text"), " ")).cast("long"),
         budget = 4096L, seed = 7L)
     },
+    // Q21 — C4-style blocklist-term cut: exact-token verdicts with
+    // distinct-hit counts and alphabetical first-term attribution;
+    // row-level gate — a tokenization or dedup-before-join drift
+    // changes n_hits, a join defect changes verdicts
+    "q_term_filter" -> { (s, dir) =>
+      import s.implicits._
+      val terms = Seq("spark", "window", "zz_missing").toDF("term")
+      Curation.termFilter(Tables.documents(s, dir), "doc_id", "text", terms)
+    },
     "q_ngram_topk" -> { (s, dir) =>
       Curation.ngramTopK(Tables.documents(s, dir), "text", n = 2, k = 100)
     },
@@ -395,6 +404,20 @@ object CurationQueries {
         FROM d)
       SELECT source, bin, COUNT(*) AS n_docs, CAST(SUM(sz) AS BIGINT) AS tokens
       FROM b GROUP BY source, bin ORDER BY source, bin""",
+    // distinct-word explode + exact-token join, the same dedup-first
+    // shape; left join preserves unblocked rows
+    "q_term_filter" -> """
+      WITH w AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        FROM documents),
+      t AS (SELECT * FROM (VALUES ('spark'), ('window'), ('zz_missing')) AS t(term)),
+      m AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits, MIN(w) AS first_term
+        FROM w JOIN t ON w = term GROUP BY doc_id)
+      SELECT d.doc_id, m.n_hits IS NOT NULL AS blocked,
+             COALESCE(m.n_hits, 0) AS n_hits, m.first_term
+      FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+      ORDER BY d.doc_id""",
     // ONE global running-sum window over the seeded-hash order — the
     // single-node equivalent of the engine's two-level prefix sum
     "q_shard_shuffle" -> """

@@ -370,6 +370,24 @@ class CurationSpec extends SparkSpec {
     assert(out.toSeq == Seq((10L, 3L, 1.0)))
   }
 
+  test("termFilter: exact tokens only, distinct hit counts, alphabetical attribution") {
+    val docs = Seq(
+      (1L, "clean words only here"),
+      (2L, "bad bad bad word"),            // hot term counts ONCE
+      (3L, "worse and bad together"),      // two distinct hits
+      (4L, "badge is not bad-ge or bad2")) // substrings must NOT match
+      .toDF("doc_id", "text")
+    val terms = Seq("bad", "worse").toDF("term")
+    val got = Curation.termFilter(docs, "doc_id", "text", terms)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2),
+        if (r.isNullAt(3)) "" else r.getString(3)))
+    assert(got.toSeq === Seq(
+      (1L, false, 0L, ""),
+      (2L, true, 1L, "bad"),
+      (3L, true, 2L, "bad"),
+      (4L, false, 0L, "")))
+  }
+
   test("shardShuffle: two-level prefix sum equals the single-order running sum") {
     val df = (0L until 500L).map(i => (i, s"doc $i " + ("w " * (i % 37).toInt).trim))
       .toDF("doc_id", "text")
