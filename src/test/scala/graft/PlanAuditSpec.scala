@@ -559,6 +559,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(plan) <= 4, s"expected <= 4 exchanges:\n${plan.mkString("\n")}")
   }
 
+  test("url filter: suffix equi-join only, rules broadcast, no per-rule scan") {
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    import spark0.implicits._
+    val urls = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      concat(lit("https://site"), (col("doc_id") % 20).cast("string"),
+        lit(".example.com/p/"), col("doc_id").cast("string")).as("url"))
+    val rules = Seq((0L, "site3.example.com", Option.empty[String]))
+      .toDF("rule_id", "host_suffix", "path_prefix")
+    val plan = executed(
+      graft.operators.Html.urlFilter(urls, "doc_id", "url", rules))
+    assert(!plan.exists(_.nodeName.toLowerCase.contains("nestedloop")))
+    assert(!plan.exists(_.nodeName.toLowerCase.contains("cartesian")))
+    // both the rule match and the verdict join ride as broadcasts —
+    // the corpus never shuffles for either
+    assert(plan.count(_.isInstanceOf[BroadcastHashJoinExec]) >= 2)
+  }
+
+  test("robots parsing: windows partition by host, never a global ordering pass") {
+    import org.apache.spark.sql.functions._
+    val hosts = Tables.documents(spark, dir)
+      .select((col("doc_id") % 20).as("hn")).distinct()
+      .select(
+        concat(lit("site"), col("hn").cast("string"), lit(".example.com")).as("host"),
+        lit("User-agent: *\nDisallow: /x/\n").as("robots"))
+    val df = graft.operators.Html.robotsRules(hosts, "host", "robots")
+    // every window in the optimized plan is keyed by host — an empty
+    // partition spec would serialize the whole rule table
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach(w =>
+      assert(w.partitionSpec.nonEmpty, s"unpartitioned window:\n$w"))
+    val plan = executed(df)
+    assert(!plan.exists(_.nodeName.toLowerCase.contains("nestedloop")))
+  }
+
   test("forget probe keeps hash joins; the tombstone filter is a broadcast anti-join") {
     val docs = Tables.documents(spark, dir)
     val idx = "/tmp/graft-audit-mhforget"
