@@ -25,7 +25,7 @@ object MultimodalQueries {
   def media(s: SparkSession, dir: String): org.apache.spark.sql.Dataset[MediaRecord] =
     Multimodal.syntheticMedia(Tables.documents(s, dir), "doc_id", "text")
 
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+  private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_features" -> { (s, dir) =>
       Multimodal.extractFeatures(media(s, dir))
         .groupBy(col("media_type"))
@@ -143,6 +143,63 @@ object MultimodalQueries {
     },
   )
 
+  /** M2b — the full thumbnail-dedup CHAIN: 16×16 source PNGs →
+    * [[Multimodal.resize]] (real ImageIO decode, nearest-neighbor
+    * resample, PNG re-encode) → 8×8 aHash → pigeonhole pairs. This
+    * puts resize itself on the oracle-verified path: the oracle
+    * replays the thumbnail pixel (x, y) as the channel formula at
+    * SOURCE pixel (2x, 2y) — a resample-index drift, a channel-order
+    * swap in the re-encode, or a decode defect in EITHER codec pass
+    * moves a fingerprint. Same planted triple structure as M2; the
+    * md5 key uses a distinct "t" separator so the corpora are
+    * independent. */
+  private val thumbChain0: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_image_thumb_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+      val mediaRows = docs.mapPartitions { ids =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        ids.flatMap { id =>
+          val base = Array.tabulate(256) { p =>
+            def ch(c: Int): Int = {
+              val d = md.digest(s"${id}t${p * 3 + c}".getBytes("US-ASCII"))
+              d(0) & 0xFF
+            }
+            (ch(0) << 16) | (ch(1) << 8) | ch(2)
+          }
+          val retouched = base.clone()
+          val r0 = (retouched(0) >> 16) & 0xFF
+          val nr0 = if (r0 >= 128) r0 - 3 else r0 + 3
+          retouched(0) = (nr0 << 16) | (retouched(0) & 0xFFFF)
+          val meta = Multimodal.MediaMeta("image", 16, 16, 0L)
+          Seq(
+            Multimodal.MediaRecord(id * 4, meta,
+              Multimodal.Encode.png(16, 16, base)),
+            Multimodal.MediaRecord(id * 4 + 1, meta,
+              Multimodal.Encode.png(16, 16, base)),
+            Multimodal.MediaRecord(id * 4 + 2, meta,
+              Multimodal.Encode.png(16, 16, retouched)))
+        }
+      }
+      val thumbs = Multimodal.resize(mediaRows, 8, 8)
+      val recs = thumbs.map(t => Multimodal.MediaRecord(
+        t.media_id, Multimodal.MediaMeta("image", 8, 8, 0L), t.content))
+      graft.operators.Dedup.mineHammingPairs(
+        Multimodal.imageAHash(recs), maxHamming = 3, maxBucket = 1000)
+    },
+  )
+
+  val all: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++ thumbChain0
+
+  /** The M2b thumbnail replay: thumb pixel p = (y·8+x) samples source
+    * pixel (2x, 2y) = srcp, channel k = srcp·3+c via the "t"-keyed
+    * md5. */
+  private def sqThumb(k: String): String =
+    s"('0x' || substr(md5(CAST(base AS VARCHAR) || 't' || " +
+      s"CAST(($k) AS VARCHAR)), 1, 2))::BIGINT"
+
   /** The M2 channel replay — first md5 byte of "base_k" (hex-parsed;
     * md5 hex is bit-identical across engines). Shared by every channel
     * site in the q_image_phash oracle. */
@@ -221,6 +278,47 @@ object MultimodalQueries {
           ${sqImg("p.range * 3 + 2")} AS b
         FROM im, range(64) p),
       gr AS (SELECT media_id, p, (r + g + b) // 3 AS gray FROM px),
+      mn AS (SELECT media_id, SUM(gray) // 64 AS mean FROM gr GROUP BY 1),
+      fp AS (
+        SELECT gr.media_id,
+          CAST(SUM(CASE WHEN gray >= mean AND p < 32
+                        THEN POWER(2, 31 - p) ELSE 0 END) AS BIGINT) AS hi,
+          CAST(SUM(CASE WHEN gray >= mean AND p >= 32
+                        THEN POWER(2, 63 - p) ELSE 0 END) AS BIGINT) AS lo
+        FROM gr JOIN mn USING (media_id) GROUP BY 1),
+      ch AS (
+        SELECT media_id, hi, lo, c.range AS chunk,
+          CASE c.range WHEN 0 THEN (hi >> 16) & 65535 WHEN 1 THEN hi & 65535
+                       WHEN 2 THEN (lo >> 16) & 65535 ELSE lo & 65535 END AS ckey
+        FROM fp, range(4) c)
+      SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+        CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming
+      FROM ch a JOIN ch b
+        ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.media_id < b.media_id
+      WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+      ORDER BY id_a, id_b""",
+    // the resize chain replayed arithmetically: thumb pixel (x,y) =
+    // the "t"-keyed channel formula at SOURCE pixel (2x, 2y); then
+    // the M2 gray/mean/fingerprint/chunk-join pipeline verbatim
+    "q_image_thumb_dedup" -> s"""
+      WITH im AS (
+        SELECT doc_id AS base, k.kind, doc_id * 4 + k.kind AS media_id
+        FROM documents, (SELECT unnest([0, 1, 2]) AS kind) k),
+      px AS (
+        SELECT media_id, p.range AS p,
+          ((p.range // 8) * 2) * 16 + (p.range % 8) * 2 AS srcp
+        FROM im, range(64) p),
+      px2 AS (
+        SELECT im.media_id, px.p,
+          CASE WHEN im.kind = 2 AND px.srcp = 0 THEN
+            CASE WHEN ${sqThumb("0")} >= 128
+                 THEN ${sqThumb("0")} - 3
+                 ELSE ${sqThumb("0")} + 3 END
+          ELSE ${sqThumb("px.srcp * 3")} END AS r,
+          ${sqThumb("px.srcp * 3 + 1")} AS g,
+          ${sqThumb("px.srcp * 3 + 2")} AS b
+        FROM im JOIN px USING (media_id)),
+      gr AS (SELECT media_id, p, (r + g + b) // 3 AS gray FROM px2),
       mn AS (SELECT media_id, SUM(gray) // 64 AS mean FROM gr GROUP BY 1),
       fp AS (
         SELECT gr.media_id,
