@@ -359,6 +359,44 @@ object StreamOps {
     * rewriting the artifact (e.g. folding accepted novel docs in).
     * `onFlagged` receives each batch's flagged rows
     * `(doc_id, match_id, jaccard)` with its batch id. */
+  /** I16 — streaming URL compliance: the L14 blocklist verdicts on an
+    * unbounded URL stream (live crawl-frontier filtering). The rule
+    * list folds into a LITERAL struct array at stream build (the
+    * I12/I13 fitted-literal posture — train/compile offline, serve
+    * online): each row normalizes its URL and folds the array in-row
+    * for the min-rule_id match — no join, no state store, stateless
+    * append mode, so batch/stream parity holds by shared semantics
+    * (spec-asserted). Bounded by construction: a rule list past the
+    * literal bound must use the batch suffix-explode join instead —
+    * loudly enforced, never silently truncated. */
+  def urlFilterStream(
+      df: DataFrame, idCol: String, urlCol: String,
+      rules: DataFrame, maxRules: Int = 10000): DataFrame = {
+    val collected = rules
+      .select(col("rule_id").cast("long"), col("host_suffix"), col("path_prefix"))
+      .limit(maxRules + 1).collect()
+    require(collected.length <= maxRules,
+      s"urlFilterStream: rule list exceeds the $maxRules literal bound — " +
+        "use the batch Html.urlFilter join for unbounded lists")
+    val ruleSeq = collected.toSeq.map(r =>
+      (r.getLong(0), r.getString(1), Option(r.getString(2)).getOrElse("")))
+    val rulesLit = typedLit(ruleSeq)
+    val canon = graft.operators.Html.urlNormalize(col(urlCol))
+    val host = graft.operators.Html.urlHost(col(urlCol))
+    def matches(r: Column, h: Column, p: Column): Column =
+      (h === r.getField("_2") || h.endsWith(concat(lit("."), r.getField("_2")))) &&
+        (r.getField("_3") === "" || p.startsWith(r.getField("_3")))
+    val ruleId = aggregate(rulesLit, lit(null).cast("long"),
+      (acc, r) => when(matches(r, col("__h"), col("__p")) &&
+          (acc.isNull || r.getField("_1") < acc), r.getField("_1"))
+        .otherwise(acc))
+    df.select(col(idCol), canon.as("canon"), host.as("__h"))
+      .withColumn("__p", regexp_extract(col("canon"), "^[a-z][a-z0-9+.-]*://[^/]*(/.*)$", 1))
+      .withColumn("rule_id", ruleId)
+      .select(col(idCol), col("canon"),
+        col("rule_id").isNotNull.as("blocked"), col("rule_id"))
+  }
+
   case class HammingPair(id_a: Long, id_b: Long, hamming: Int)
 
   /** Per-bucket state for [[fingerprintPairStream]]: fingerprints of

@@ -308,4 +308,46 @@ class StreamingSpec extends SparkSpec {
       assert(got.contains((3L, 2, 0, "double <EMAIL> <EMAIL>", 3)))
     } finally q.stop()
   }
+
+  test("streaming url filter matches the batch blocklist verdicts row for row") {
+    val urls = (0L until 200L).map { i =>
+      (i, s"HTTP://WWW.Site${i % 10}.Example.COM:80/Path/$i#frag")
+    }
+    val rules = Seq(
+      (0L, "site3.example.com", Option.empty[String]),
+      (1L, "site7.example.com", Some("/Path/1")))
+      .toDF("rule_id", "host_suffix", "path_prefix")
+    val batch = graft.operators.Html.urlFilter(
+      urls.toDF("id", "url"), "id", "url", rules)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    val q = StreamOps.urlFilterStream(
+        input.toDF.toDF("id", "url"), "id", "url", rules)
+      .writeStream.format("memory").queryName("uf_out")
+      .outputMode("append").start()
+    try {
+      val (a, b) = urls.splitAt(100)
+      input.addData(a)
+      q.processAllAvailable()
+      input.addData(b)
+      q.processAllAvailable()
+      val stream = spark.table("uf_out")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+      assert(stream === batch && batch.exists(_._3))
+    } finally q.stop()
+  }
+
+  test("streaming url filter refuses an over-bound rule list loudly") {
+    val rules = (0L until 50L).map(i => (i, s"h$i.com", Option.empty[String]))
+      .toDF("rule_id", "host_suffix", "path_prefix")
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.urlFilterStream(
+        Seq((1L, "https://a.com/")).toDF("id", "url"), "id", "url",
+        rules, maxRules = 10)
+    }
+    assert(e.getMessage.contains("literal bound"))
+  }
 }
