@@ -133,10 +133,15 @@ object Bench {
       val cost = r._1.length + 10
       if (used + cost <= budget) { kept :+= ((r._1, r._2)); used += cost }
     }
+    // the capped line SAYS it is capped and names its complete
+    // companion, so a reader of the committed BENCH_r{N}.json alone
+    // knows the row count and where the full per-query map lives
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,""" +
       s""""value_med":${fmt(totalMed)},"spread_pct":${fmt(spreadPct)},""" +
       s""""calib":${fmt(calib)},""" +
+      s""""n_queries":${results.size},"queries_kept":${kept.size},""" +
+      s""""full":"$outFile",""" +
       s""""queries":${jmap(kept.sortBy(_._1))},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -723,14 +723,19 @@ object Curation {
     * keyed repartition by bucket plus a `buckets`-row side plan, and
     * no task ever sees more than ~1/buckets of the corpus.
     *
-    * Seeded key: ((id + seed) · 2654435761) mod 2^31 — int64-exact at
-    * any id, replayable in any engine; ties broken by id (exact
-    * total order, partition-count-free). */
+    * Seeded key: (((id + seed) mod 2^31) · 2654435761) mod 2^31 — the
+    * pre-multiply reduction bounds the product by 2^31 · 2654435761
+    * ≈ 5.7e18 < 2^63, so the arithmetic is int64-exact at ANY id
+    * (the unreduced form overflows silently past |id + seed| ≈
+    * 3.47e9, where Spark wraps and DuckDB raises); replayable in any
+    * engine; ties broken by id (exact total order,
+    * partition-count-free). */
   def shardShuffle(
       df: DataFrame, idCol: String, sizeExpr: Column,
       budget: Long, seed: Long = 0L, buckets: Int = 1024): DataFrame = {
     require(budget > 0 && buckets > 0)
-    val key = ((col(idCol) + lit(seed)) * lit(2654435761L)) % lit(2147483648L)
+    val key = (pmod(col(idCol) + lit(seed), lit(2147483648L)) *
+      lit(2654435761L)) % lit(2147483648L)
     // order-preserving range id; integer `div` — Spark's `/` is double
     val b = expr(s"(__key * $buckets) div 2147483648")
     val rows = df.select(

@@ -165,16 +165,23 @@ object Dedup {
     * J2 gate) score ONLY the survivors via [[estimateJaccard]],
     * instead of paying the two signature joins over every candidate. */
   private[graft] def minhashCandidatePairsFromSig(
-      sigDf: DataFrame, numHashes: Int, bands: Int, maxBucket: Int): DataFrame =
-    bandedBuckets(sigDf, numHashes, bands)
+      sigDf: DataFrame, numHashes: Int, bands: Int, maxBucket: Int): DataFrame = {
+    val buckets = bandedBuckets(sigDf, numHashes, bands)
       .groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(col("doc_id"))).as("members"))
-      .where(size(col("members")) > 1 && size(col("members")) <= maxBucket)
+      .where(size(col("members")) > 1)
+    // the cap drop is LOUD: dropped buckets/pairs ride the plan's own
+    // pass as an observed metric and WARN at completion (CapMetrics)
+    CapMetrics.observeDrops(buckets, "minhash",
+        size(col("members")) > maxBucket,
+        size(col("members")).cast("long") * (size(col("members")) - 1) / 2)
+      .where(size(col("members")) <= maxBucket)
       .select(explode(flatten(transform(col("members"), (m, i) =>
         transform(slice(col("members"), i + lit(2), size(col("members"))),
           m2 => struct(m.as("id_a"), m2.as("id_b")))))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct() // dedup pairs BEFORE the (wider) verify join
+  }
 
   /** Attach the minhash jaccard estimate to (id_a, id_b) pairs. */
   private[graft] def estimateJaccard(
@@ -204,6 +211,54 @@ object Dedup {
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16): Unit =
     writeIndexSegment(corpus, idCol, textCol, path, shingleN, numHashes,
       bands, overwrite = true)
+
+  /** [[minhashIndexWrite]] iff `path` does not already hold the index
+    * of exactly this corpus — the production artifact posture: an
+    * index is built ONCE and amortized across every later probe, so a
+    * query that would otherwise charge the one-time build to each run
+    * (a per-window benchmark, a restarted probe job) reuses the
+    * persisted artifact instead. Identity is a corpus fingerprint
+    * (row count + id sum + id xxhash-fold, plus the index
+    * parameters) written as a marker INSIDE the artifact after a
+    * successful build — ids-only and one column-pruned agg to check,
+    * never a text scan; callers whose text can change under a fixed
+    * id set own that invalidation (delete the path). A fingerprint
+    * mismatch or missing marker rebuilds from scratch; probes against
+    * a reused artifact are byte-equivalent to a fresh build (the
+    * marker is written only after both tables land). */
+  def minhashIndexEnsure(
+      corpus: DataFrame, idCol: String, textCol: String, path: String,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = corpus.sparkSession
+    // order-free id-set fold: XOR of per-id hashes — never overflows
+    // (ANSI mode makes a sum of full-range xxhash64 values throw),
+    // order-insensitive, and any single id change flips the fold
+    val row = corpus.agg(
+      count(lit(1)),
+      expr(s"bit_xor(xxhash64(`$idCol`))")).head()
+    val fp = s"${row.getLong(0)}:${row.getLong(1)}:" +
+      s"$shingleN:$numHashes:$bands"
+    val marker = new Path(s"$path/_fingerprint")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh = fs.exists(marker) && {
+      val in = fs.open(marker)
+      try {
+        val b = new Array[Byte](256)
+        val n = math.max(in.read(b), 0)
+        new String(b, 0, n, "UTF-8") == fp
+      } finally in.close()
+    }
+    if (!fresh) {
+      // marker drops FIRST so a crash mid-rebuild can never leave a
+      // stale fingerprint vouching for half-written tables
+      fs.delete(marker, false)
+      writeIndexSegment(corpus, idCol, textCol, path, shingleN, numHashes,
+        bands, overwrite = true)
+      val out = fs.create(marker, true)
+      try out.write(fp.getBytes("UTF-8")) finally out.close()
+    }
+  }
 
   /** J14 — grow a [[minhashIndexWrite]] artifact with a newly accepted
     * shard (the post-probe half of rolling ingestion: probe, keep the
@@ -314,11 +369,22 @@ object Dedup {
     if (overwrite) {
       // a rebuilt index starts clean: a tombstone table left by a
       // prior generation (e.g. a crash between delete and compact)
-      // must not phantom-delete docs from the NEW index
+      // must not phantom-delete docs from the NEW index — and a stale
+      // [[minhashIndexEnsure]] fingerprint must not vouch for tables
+      // another builder is about to replace
       import org.apache.hadoop.fs.Path
       val t = new Path(s"$path/tombstones")
       t.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
         .delete(t, true)
+    }
+    // any segment write (re-build OR append) changes what the index
+    // matches — the [[minhashIndexEnsure]] fingerprint must not keep
+    // vouching for the previous contents
+    locally {
+      import org.apache.hadoop.fs.Path
+      val m = new Path(s"$path/_fingerprint")
+      m.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+        .delete(m, false)
     }
     val shf = shingleFrame(df, idCol, textCol, shingleN).localCheckpoint(true)
     val bb = bandedBuckets(
@@ -359,9 +425,18 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val spark = shard.sparkSession
     val shf = shingleFrame(shard, idCol, textCol, shingleN).localCheckpoint(true)
+    // the band-bucket frame feeds TWO consumers (the sliver's semi
+    // join and the candidate join); without materialization the
+    // O(shingles × numHashes) signature pass runs twice (no
+    // common-subplan reuse across join sides — the minhashCandidates
+    // lesson). persist(), not another eager checkpoint: lazy, so no
+    // extra job at shard scale, and the frame is 3 ints × 16 rows per
+    // doc — executor-memory-trivial; ContextCleaner reclaims it when
+    // the probe's frame goes out of scope.
     val bb = bandedBuckets(
       shf.select(col("doc_id"), minhashSignature(col("sh"), numHashes).as("sig")),
       numHashes, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // tombstoned docs (minhashIndexDelete) leave the match space NOW,
     // before the sliver window, so n_glob counts live rows only; the
     // stored n_bucket pre-drop can only be conservatively high until
@@ -525,11 +600,16 @@ object Dedup {
     val chunked = hammingChunks(simDf)
       .select(col("doc_id"), col("hi"), col("lo"),
         struct(col("chunk"), col("ckey")).as("cb"))
-    chunked
+    val buckets = chunked
       .groupBy(col("cb.chunk"), col("cb.ckey"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("hi"), col("lo"))))
         .as("members"))
-      .where(size(col("members")) > 1 && size(col("members")) <= maxBucket)
+      .where(size(col("members")) > 1)
+    // loud cap drop: see CapMetrics (observed metric + WARN line)
+    CapMetrics.observeDrops(buckets, "hamming",
+        size(col("members")) > maxBucket,
+        size(col("members")).cast("long") * (size(col("members")) - 1) / 2)
+      .where(size(col("members")) <= maxBucket)
       .select(explode(flatten(transform(col("members"), (m, i) =>
         transform(slice(col("members"), i + lit(2), size(col("members"))), m2 =>
           struct(

@@ -39,6 +39,35 @@ object Graph {
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .localCheckpoint() // re-joined every iteration: pay the source scan once
+    pageRankLoop(e, iters, scale, dampNum, dampDen)
+  }
+
+  /** [[pageRank]] over a `src`-BUCKETED edge table
+    * ([[graft.sources.Writers.bucketedTable]]) — the cluster-scale
+    * posture the fixed-iter doc promises, made real: the edge frame is
+    * deliberately NOT checkpointed (a checkpoint erases the table's
+    * bucketing `outputPartitioning`), so every iteration's rank⋈edge
+    * join co-locates on the bucket layout in place and the
+    * EDGE-PROPORTIONAL exchange disappears from every round — only the
+    * ∝nodes share frame shuffles to match the buckets
+    * (GraphBucketingSpec proves the one-fewer-exchange plan). The
+    * trade: each round re-scans the bucketed parquet instead of a
+    * checkpoint — exactly right when edges dwarf memory (the 100 TB
+    * case), wrong for toy graphs (use [[pageRank]]). */
+  def pageRankBucketed(
+      spark: org.apache.spark.sql.SparkSession, edgeTable: String,
+      srcCol: String, dstCol: String,
+      iters: Int = 3, scale: Long = 1L << 20,
+      dampNum: Long = 17, dampDen: Long = 20): DataFrame = {
+    require(iters >= 1 && dampNum > 0 && dampNum < dampDen && scale > 0)
+    val e = spark.table(edgeTable)
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    pageRankLoop(e, iters, scale, dampNum, dampDen)
+  }
+
+  private def pageRankLoop(
+      e: DataFrame, iters: Int, scale: Long,
+      dampNum: Long, dampDen: Long): DataFrame = {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
@@ -52,6 +81,56 @@ object Graph {
     while (t < iters) {
       ranks = iterate(e, nodes, outDeg, ranks, base, dampNum, dampDen)
         .localCheckpoint() // truncate the per-iteration lineage (§7.1)
+      t += 1
+    }
+    ranks.orderBy("node")
+  }
+
+  /** [[pageRank]] run to a FIXED POINT instead of a fixed round count
+    * — what a production link-graph job actually does (Page 1999 §2.6
+    * iterates to tolerance). Stops when the largest per-node rank
+    * move of a round is ≤ `tol` grid units; the per-round convergence
+    * check is one node-keyed join of two checkpointed ∝nodes frames
+    * + a 1-row max — noise next to the round's own exchanges. LOUD
+    * at `maxIters` (the ancestorClosure posture: an operator that
+    * silently returns an unconverged answer is a wrong-answer
+    * machine); damping < 1 contracts the iteration, so divergence
+    * only means tol/maxIters were mis-sized — say so. The fixed-iter
+    * [[pageRank]] remains the gate/oracle contract (an unrolled-CTE
+    * oracle needs a static round count); ranks from this variant are
+    * identical to [[pageRank]] run for the same number of rounds
+    * (spec-asserted). */
+  def pageRankConverged(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      tol: Long = 1L << 8, maxIters: Int = 50, scale: Long = 1L << 20,
+      dampNum: Long = 17, dampDen: Long = 20): DataFrame = {
+    require(tol >= 0 && maxIters >= 1 && dampNum > 0 && dampNum < dampDen && scale > 0)
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_c"))
+      .localCheckpoint()
+    val base = Math.floorDiv((dampDen - dampNum) * scale, dampDen)
+
+    var ranks = nodes.withColumn("rank", lit(scale)).localCheckpoint()
+    var t = 0
+    var delta = Long.MaxValue
+    while (delta > tol) {
+      require(t < maxIters,
+        s"pageRankConverged: still moving $delta > tol=$tol grid units after " +
+          s"$maxIters rounds — raise maxIters or tol (damping contracts, so " +
+          "this is a sizing problem, not divergence)")
+      val next = iterate(e, nodes, outDeg, ranks, base, dampNum, dampDen)
+        .localCheckpoint()
+      delta = next
+        .join(ranks.select(col("node"), col("rank").as("__prev")), "node")
+        .agg(coalesce(max(abs(col("rank") - col("__prev"))), lit(0L)))
+        .head().getLong(0)
+      ranks = next
       t += 1
     }
     ranks.orderBy("node")
@@ -150,6 +229,46 @@ object Graph {
     var t = 0
     while (t < iters) {
       labels = propagateOnce(nbrs, nodes, labels).localCheckpoint()
+      t += 1
+    }
+    labels.orderBy("node")
+  }
+
+  /** [[labelPropagation]] run until NO label changes (the natural LPA
+    * fixed point — Raghavan 2007 §3 stops when every node already
+    * holds a majority label). The per-round check is a node-keyed
+    * join of two checkpointed ∝nodes frames + a count. LOUD at
+    * `maxIters`: synchronous LPA can 2-cycle on bipartite structure
+    * (the known oscillation), and an operator that silently returns a
+    * mid-oscillation labeling is a wrong-answer machine — the error
+    * message says which failure mode to suspect. Fixed-iter
+    * [[labelPropagation]] remains the gate/oracle contract. */
+  def labelPropagationConverged(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIters: Int = 50): DataFrame = {
+    require(maxIters >= 1)
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .localCheckpoint()
+    val nbrs = e.select(col("src").as("node"), col("dst").as("nbr"))
+      .union(e.select(col("dst").as("node"), col("src").as("nbr")))
+      .localCheckpoint()
+    val nodes = nbrs.select("node").distinct().localCheckpoint()
+
+    var labels = nodes.withColumn("lbl", col("node")).localCheckpoint()
+    var t = 0
+    var changed = Long.MaxValue
+    while (changed > 0) {
+      require(t < maxIters,
+        s"labelPropagationConverged: $changed labels still changing after " +
+          s"$maxIters rounds — either raise maxIters or the graph oscillates " +
+          "(synchronous LPA 2-cycles on bipartite structure; use the " +
+          "fixed-iter labelPropagation and pick a round parity)")
+      val next = propagateOnce(nbrs, nodes, labels).localCheckpoint()
+      changed = next
+        .join(labels.select(col("node"), col("lbl").as("__prev")), "node")
+        .where(col("lbl") =!= col("__prev")).count()
+      labels = next
       t += 1
     }
     labels.orderBy("node")

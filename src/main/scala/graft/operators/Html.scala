@@ -106,31 +106,80 @@ object Html {
         col("__l.href").as("href"), col("__l.anchor").as("anchor"))
   }
 
+  /** Percent-encoding normalization of a path+query string (RFC 3986
+    * §2.3 + §6.2.2): `%XX` escapes of UNRESERVED octets
+    * (ALPHA / DIGIT / `-` `.` `_` `~`) decode to the literal
+    * character (`%41` → `A`), every other well-formed escape
+    * normalizes to UPPERCASE hex (`%2f` → `%2F` — reserved octets
+    * must stay encoded or the path structure changes), and a
+    * malformed `%` sequence passes through byte-identically (crawl
+    * URLs are full of them; a normalizer must not corrupt). Pure
+    * higher-order column algebra — split on `%`, one `aggregate`
+    * fold, `unhex` for the decode — so the pass stays map-only and
+    * codegen-adjacent; idempotent by construction (decoded output
+    * contains no decodable escapes, uppercased hex is a fixed
+    * point). */
+  private[graft] def pctNormalize(s: Column): Column = {
+    val parts = split(s, "%", -1)
+    val folded = aggregate(
+      slice(parts, lit(2), size(parts)), element_at(parts, 1),
+      (acc: Column, p: Column) => {
+        val hex = upper(p.substr(lit(1), lit(2)))
+        val tail = p.substr(lit(3), length(p))
+        val code = conv(hex, 16, 10).cast("int")
+        val unreserved =
+          (code >= 0x41 && code <= 0x5A) || (code >= 0x61 && code <= 0x7A) ||
+            (code >= 0x30 && code <= 0x39) ||
+            code.isin(0x2D, 0x2E, 0x5F, 0x7E)
+        concat(acc,
+          when(!hex.rlike("^[0-9A-F]{2}$"), concat(lit("%"), p))
+            .when(unreserved, concat(unhex(hex).cast("string"), tail))
+            .otherwise(concat(lit("%"), hex, tail)))
+      })
+    when(size(parts) === 1, s).otherwise(folded)
+  }
+
   /** Canonical URL — the dedup/join key a crawl frontier and a
     * URL-level dedup pass group by (two fetches of `HTTP://WWW.X.COM:80
     * /a#top` and `http://x.com/a` are the same page). Pure chained
     * regex/string algebra in the RE2 ∩ Java dialect: trim → strip
     * fragment → lowercase the scheme://host[:port] prefix → drop the
     * default port (:80 http / :443 https) → drop a leading `www.` →
-    * ensure a non-empty path. Deliberately NOT full RFC 3986 dot-
-    * segment resolution (iterative — not one-pass column algebra);
-    * crawl pipelines apply this same pragmatic subset. */
+    * fold a NON-ASCII host to its punycode form ([[graft.functions
+    * .IdnAscii]] — the ASCII common case never leaves column
+    * algebra) → percent-normalize the path+query
+    * ([[pctNormalize]]) → ensure a non-empty path. Deliberately NOT
+    * full RFC 3986 dot-segment resolution (iterative — not one-pass
+    * column algebra); crawl pipelines apply this same pragmatic
+    * subset. */
   def urlNormalize(url: Column): Column = {
     val noFrag = regexp_replace(trim(url), "(?s)#.*", "")
     val prefix = lower(regexp_extract(noFrag, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*).*", 1))
-    val rest = regexp_extract(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*(.*)", 1)
+    val rest = pctNormalize(
+      regexp_extract(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*(.*)", 1))
     val noPort = regexp_replace(
       regexp_replace(prefix, "^(http://[^/:]*):80$", "$1"),
       "^(https://[^/:]*):443$", "$1")
     val noWww = regexp_replace(noPort, "^(https?://)www\\.", "$1")
+    // IDN host folding, gated so ASCII hosts stay in pure column
+    // algebra and the expression only runs on the rare non-ASCII row
+    val scheme = regexp_extract(noWww, "^([a-z][a-z0-9+.-]*://)", 1)
+    val hostPart = regexp_extract(noWww, "^[a-z][a-z0-9+.-]*://([^:/]*)", 1)
+    val portPart = regexp_extract(noWww, "^[a-z][a-z0-9+.-]*://[^:/]*(.*)$", 1)
+    val asciiHost = when(hostPart.rlike("^[\\x00-\\x7F]*$"), hostPart)
+      .otherwise(graft.functions.IdnAscii(hostPart))
+    val canonPrefix = concat(scheme, asciiHost, portPart)
     // a URL with no scheme://host prefix passes through untouched
     // (relative href — resolution needs the base URL, not a rewrite)
     when(prefix === "", trim(url))
-      .otherwise(concat(noWww, when(rest === "", lit("/")).otherwise(rest)))
+      .otherwise(concat(canonPrefix, when(rest === "", lit("/")).otherwise(rest)))
   }
 
   /** Lowercased host of an absolute URL ('' for relative hrefs) — the
-    * domain key per-domain quality/topk/mixing operators group by. */
+    * domain key per-domain quality/topk/mixing operators group by.
+    * Deliberately NOT IDN-folded (rule lists and domain keys are
+    * ASCII in practice; the canonical DEDUP key — [[urlNormalize]]'s
+    * output — is where punycode folding lives). */
   def urlHost(url: Column): Column =
     lower(regexp_extract(trim(url), "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*).*", 1))
 
@@ -167,9 +216,58 @@ object Html {
     * (≤ label count per row, a small constant) and matches rules by
     * EQUI-join on the suffix — never a LIKE/regex scan per rule, so a
     * multi-million-rule blocklist joins in one exchange (or
-    * broadcasts when small; Spark picks by size). Verdict folds as a
-    * map-combinable min(rule_id) per URL. Output: (id, canon,
-    * blocked, rule_id) — rule_id NULL when unblocked. */
+    * broadcasts when small; Spark picks by size). Two verdict modes,
+    * selected by the rules schema: without an `allow` column every
+    * rule blocks and the verdict folds as a map-combinable
+    * min(rule_id) per URL (rule_id NULL when unblocked); WITH an
+    * `allow` boolean column (what [[robotsRules]] emits) the verdict
+    * is RFC 9309 longest-match — the matching rule with the longest
+    * pattern decides, Allow beats Disallow on an exact-length tie,
+    * and `path_prefix` may carry `*` wildcards and a trailing `$`
+    * anchor (§2.2.3). Output: (id, canon, blocked, rule_id) —
+    * rule_id is the DECIDING rule in allow mode (also when it
+    * allows), NULL only when no rule matched. */
+  /** RFC 9309 §2.2.3 path pattern → regex in the RE2 ∩ Java shared
+    * dialect: literal segments between `*`s are `\Q…\E`-quoted, `*`
+    * becomes `.*`, a TRAILING `$` anchors the end (elsewhere `$` is a
+    * literal path octet, quoted). Plain prefixes (no `*`, no trailing
+    * `$`) never reach this — the matcher keeps them on the
+    * `startsWith` fast path. Patterns containing the two-octet
+    * sequence `\E` are outside the quoting profile (unheard of in a
+    * URL path; they would unbalance `\Q…\E` on any engine). */
+  private[graft] def robotsPatternRegex(pat: Column): Column = {
+    val anchored = pat.endsWith("$")
+    val core = when(anchored, pat.substr(lit(1), length(pat) - 1)).otherwise(pat)
+    val quoted = transform(split(core, "\\*", -1),
+      s => when(s === "", lit("")).otherwise(concat(lit("\\Q"), s, lit("\\E"))))
+    concat(lit("^"), array_join(quoted, ".*"),
+      when(anchored, lit("$")).otherwise(lit("")))
+  }
+
+  /** Core match pass shared by both verdict modes: URLs normalize,
+    * hosts explode into label-boundary suffixes, rules join by
+    * EQUI-key, then the path predicate runs per matched row —
+    * `startsWith` for plain prefixes (the overwhelmingly common case,
+    * no regex in the hot loop), the compiled RFC 9309 wildcard regex
+    * otherwise. The regex COLUMN is computed rules-side (∝ rules, not
+    * corpus) before the join. */
+  private def urlRuleMatches(base: DataFrame, rules: DataFrame): DataFrame = {
+    val parts = split(col("host"), "\\.")
+    val sufs = transform(sequence(lit(0), size(parts) - 1),
+      i => array_join(slice(parts, i + 1, size(parts)), "."))
+    val wild = col("path_prefix").contains("*") ||
+      col("path_prefix").endsWith("$")
+    val rulesN = rules.withColumn("__rx",
+      when(col("path_prefix").isNotNull && wild,
+        robotsPatternRegex(col("path_prefix"))))
+    base
+      .withColumn("suffix", explode(sufs))
+      .join(rulesN, col("suffix") === col("host_suffix"))
+      .where(col("path_prefix").isNull ||
+        when(col("__rx").isNull, col("path").startsWith(col("path_prefix")))
+          .otherwise(regexp_like(col("path"), col("__rx"))))
+  }
+
   def urlFilter(df: DataFrame, idCol: String, urlCol: String,
                 rules: DataFrame): DataFrame = {
     val base = df.select(
@@ -178,44 +276,62 @@ object Html {
       urlHost(col(urlCol)).as("host"))
       .withColumn("path",
         regexp_extract(col("canon"), "^[a-z][a-z0-9+.-]*://[^/]*(/.*)$", 1))
-    val parts = split(col("host"), "\\.")
-    val sufs = transform(sequence(lit(0), size(parts) - 1),
-      i => array_join(slice(parts, i + 1, size(parts)), "."))
-    val hits = base
-      .withColumn("suffix", explode(sufs))
-      .join(rules, col("suffix") === col("host_suffix"))
-      .where(col("path_prefix").isNull ||
-        col("path").startsWith(col("path_prefix")))
-      .groupBy(idCol).agg(min(col("rule_id")).as("rule_id"))
-    base.join(hits, Seq(idCol), "left")
+    val matched = urlRuleMatches(base, rules)
+    // verdicts key on (id, canon), not id alone: with a non-unique
+    // id column (e.g. per-link rows keyed by doc_id) an id-keyed
+    // verdict would mark every sibling URL of one blocked row
+    val hits =
+      if (!rules.columns.contains("allow"))
+        // blocklist mode: every rule is a block; min(rule_id) attributes
+        matched.groupBy(col(idCol), col("canon"))
+          .agg(min(col("rule_id")).as("rule_id"), lit(true).as("__blk"))
+      else
+        // RFC 9309 longest-match mode (§2.2.2): among matching rules
+        // the LONGEST pattern decides (octet length of the raw
+        // pattern); Allow wins an exact-length tie; smaller rule_id
+        // breaks a full tie deterministically. The argmax is one
+        // map-combinable max(struct(...)) — no window, no second pass.
+        matched.groupBy(col(idCol), col("canon"))
+          .agg(max(struct(
+            coalesce(length(col("path_prefix")), lit(0)).as("spec"),
+            col("allow").as("allow"),
+            (-col("rule_id")).as("nrid"))).as("w"))
+          .select(col(idCol), col("canon"),
+            (-col("w.nrid")).as("rule_id"), (!col("w.allow")).as("__blk"))
+    base.join(hits, Seq(idCol, "canon"), "left")
       .select(col(idCol), col("canon"),
-        col("rule_id").isNotNull.as("blocked"), col("rule_id"))
-      .orderBy(idCol)
+        coalesce(col("__blk"), lit(false)).as("blocked"), col("rule_id"))
+      .orderBy(col(idCol), col("canon"))
   }
 
-  /** L15 — robots.txt → blocklist rules (RFC 9309 subset): the
-    * compliance source every polite crawler parses before fetching.
-    * Input: one robots.txt body per host. A `Disallow:` line yields a
-    * (host, path_prefix) rule iff the group it belongs to — the run
-    * of consecutive `User-agent:` lines nearest above it (RFC 9309
-    * §2.1: a UA run shares one rule group) — names `*` (per-bot
-    * groups are ignored; this engine crawls as `*`). Empty
-    * `Disallow:` (allow-all), comments and non-field lines drop.
-    * Output (rule_id, host_suffix, path_prefix) feeds [[urlFilter]]
-    * directly; `rule_id` is the first 15 md5 hex digits of
-    * `host:line_no` — deterministic, engine-replayable, no global
-    * ordering pass. (Note [[urlFilter]]'s suffix semantics are a
-    * superset of strict per-authority robots scope; feed exact-host
-    * URL tables or accept subdomain inheritance.)
+  /** L15 — robots.txt → rules (RFC 9309): the compliance source every
+    * polite crawler parses before fetching. Input: one robots.txt
+    * body per host. A `Disallow:`/`Allow:` line yields a (host,
+    * pattern, allow) rule iff the group it belongs to — the run of
+    * consecutive `User-agent:` lines nearest above it (RFC 9309 §2.1:
+    * a UA run shares one rule group) — names `*` (per-bot groups are
+    * ignored; this engine crawls as `*`). Patterns pass through with
+    * their `*` wildcards and trailing `$` anchors intact —
+    * [[urlFilter]] compiles and applies them with §2.2.2
+    * longest-match precedence (Allow wins an exact-length tie).
+    * Empty values (allow-all `Disallow:` / no-op `Allow:`), comments
+    * and non-field lines drop. Output (rule_id, host_suffix,
+    * path_prefix, allow) feeds [[urlFilter]] directly — the `allow`
+    * column is what switches it into longest-match mode; `rule_id`
+    * is the first 15 md5 hex digits of `host:line_no` —
+    * deterministic, engine-replayable, no global ordering pass. (Note
+    * [[urlFilter]]'s suffix semantics are a superset of strict
+    * per-authority robots scope; feed exact-host URL tables or accept
+    * subdomain inheritance.)
     *
     * Shape: lines posexplode (rows ∝ robots lines, KB per host), two
     * per-host windows (bounded by FILE size, never corpus size) to
     * resolve UA runs and carry the governing run forward, then one
-    * (host, run) equi-join of disallow lines against star-runs —
+    * (host, run) equi-join of rule lines against star-runs —
     * no range join, no global window. */
   def robotsRules(df: DataFrame, hostCol: String, robotsCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val fieldPat = "(?i)^\\s*(user-agent|disallow)\\s*:\\s*(\\S*)\\s*$"
+    val fieldPat = "(?i)^\\s*(user-agent|disallow|allow)\\s*:\\s*(\\S*)\\s*$"
     val lines = df.select(
       col(hostCol).as("host"),
       posexplode(split(col(robotsCol), "\n")).as(Seq("line_no", "line")))
@@ -239,12 +355,13 @@ object Html {
       .where(col("field") === "user-agent" && col("value") === "*")
       .select(col("host"), col("run_id")).distinct()
     runs
-      .where(col("field") === "disallow" && col("value") =!= "")
+      .where(col("field").isin("disallow", "allow") && col("value") =!= "")
       .join(starRuns, Seq("host", "run_id"), "leftsemi")
       .select(
         expr("CAST(CONV(substring(md5(concat(host, ':', CAST(line_no AS STRING))), 1, 15), 16, 10) AS BIGINT)")
           .as("rule_id"),
-        col("host").as("host_suffix"), col("value").as("path_prefix"))
+        col("host").as("host_suffix"), col("value").as("path_prefix"),
+        (col("field") === "allow").as("allow"))
   }
 
   /** L13 — anchor-text aggregation: the classic web-retrieval signal

@@ -373,24 +373,78 @@ object Multimodal {
         require(img.getWidth == 8 && img.getHeight == 8,
           s"aHash expects an 8x8 thumbnail, got " +
             s"${img.getWidth}x${img.getHeight} for media ${r.media_id} — resize first")
-        val grays = new Array[Int](64)
-        var s = 0L
+        val pixels = new Array[Int](64)
         var k = 0
         while (k < 64) {
-          val rgb = img.getRGB(k % 8, k / 8)
-          grays(k) = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
-          s += grays(k)
+          pixels(k) = img.getRGB(k % 8, k / 8)
           k += 1
         }
-        val mean = s / 64
-        var hi = 0L; var lo = 0L
-        k = 0
-        while (k < 64) {
-          if (grays(k) >= mean) {
-            if (k < 32) hi |= 1L << (31 - k) else lo |= 1L << (63 - k)
+        val (hi, lo) = aHashOf(pixels)
+        (r.media_id, hi, lo)
+      }
+    }.toDF("doc_id", "hi", "lo")
+  }
+
+  /** The aHash fold over 64 packed-RGB pixels (row-major 8×8): integer
+    * gray `(r+g+b) div 3`, threshold at the integer mean, MSB-first
+    * (hi, lo) halves. ONE implementation shared by [[imageAHash]]
+    * (post-decode pixels) and [[thumbAHash]] (resample-buffer pixels),
+    * so the fused fast path is fingerprint-equal to the two-codec
+    * chain by construction, not by parallel maintenance. */
+  private def aHashOf(pixels: Array[Int]): (Long, Long) = {
+    val grays = new Array[Int](64)
+    var s = 0L
+    var k = 0
+    while (k < 64) {
+      val rgb = pixels(k)
+      grays(k) = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
+      s += grays(k)
+      k += 1
+    }
+    val mean = s / 64
+    var hi = 0L; var lo = 0L
+    k = 0
+    while (k < 64) {
+      if (grays(k) >= mean) {
+        if (k < 32) hi |= 1L << (31 - k) else lo |= 1L << (63 - k)
+      }
+      k += 1
+    }
+    (hi, lo)
+  }
+
+  /** M2b fast path — fingerprint the 8×8 RESAMPLE BUFFER directly:
+    * one decode of the original, the [[resize]] nearest-neighbor index
+    * arithmetic in-loop, then [[aHashOf]] on the resampled ints —
+    * skipping the PNG re-encode AND the thumbnail re-decode the
+    * two-pass chain (resize → [[imageAHash]]) pays. Fingerprint-equal
+    * to the two-pass chain by construction: PNG is lossless for
+    * packed RGB, so the re-decoded thumbnail pixels ARE the resample
+    * buffer (MultimodalSpec asserts the equality on real codec round
+    * trips). Use when thumbnails aren't persisted — a dedup pass that
+    * only wants the pairs halves its codec work; keep the two-pass
+    * chain when the thumbnail artifact itself is a product. */
+  def thumbAHash(ds: Dataset[MediaRecord], outW: Int = 8, outH: Int = 8): DataFrame = {
+    require(outW * outH == 64, s"aHash is defined on 64 pixels, got ${outW}x$outH")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.filter(r => r.meta.media_type == "image" && r.content.nonEmpty).map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.content))
+        require(img != null, s"undecodable image for media ${r.media_id}")
+        val inW = img.getWidth; val inH = img.getHeight
+        val out = new Array[Int](outW * outH)
+        var y = 0
+        while (y < outH) {
+          val sy = (y.toLong * inH / outH).toInt
+          var x = 0
+          while (x < outW) {
+            out(y * outW + x) = img.getRGB((x.toLong * inW / outW).toInt, sy) & 0xffffff
+            x += 1
           }
-          k += 1
+          y += 1
         }
+        val (hi, lo) = aHashOf(out)
         (r.media_id, hi, lo)
       }
     }.toDF("doc_id", "hi", "lo")

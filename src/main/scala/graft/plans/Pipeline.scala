@@ -64,7 +64,8 @@ object Pipeline {
 
   final case class RelationSpec(ref: String, key: String, refKey: String)
   final case class SourceSpec(
-      name: String, table: String, relation: Option[RelationSpec])
+      name: String, table: String, relation: Option[RelationSpec],
+      format: String = "table")
   final case class StepSpec(
       name: String, op: String, input: Option[String],
       params: Map[String, Any])
@@ -90,6 +91,14 @@ object Pipeline {
 
   val knownExports: Set[String] = Set("parquet", "jsonapi", "dwc_archive")
 
+  /** Source formats: `table` resolves through the registry boundary
+    * (catalog/parquet), `warc` reads the named path as crawl-archive
+    * files ([[graft.sources.Warc.responses]] — (url, status, mime,
+    * html) rows, one executor task per file) so a spec can start at
+    * the raw CommonCrawl input and chain straight into
+    * `html_extract`/`html_links`. */
+  val knownSourceFormats: Set[String] = Set("table", "warc")
+
   // ---------------------------------------------------------------- parse
 
   /** Parse a YAML/JSON pipeline document (SnakeYAML — YAML 1.2 is a
@@ -109,7 +118,8 @@ object Pipeline {
             reqStr(rm, "ref", s"source '$name' relation"),
             reqStr(rm, "key", s"source '$name' relation"),
             reqStr(rm, "refKey", s"source '$name' relation"))
-        })
+        },
+        m.get("format").map(_.toString).getOrElse("table"))
     }
     val steps = seqOfMaps(root, "steps", "pipeline root").map { m =>
       val name = reqStr(m, "name", "step")
@@ -141,6 +151,10 @@ object Pipeline {
     require(all.distinct.size == all.size,
       s"pipeline '${spec.entity}': duplicate source/step names in $all")
     spec.sources.foreach { s =>
+      require(knownSourceFormats.contains(s.format),
+        s"pipeline '${spec.entity}': source '${s.name}' uses unknown format " +
+          s"'${s.format}' — known formats: " +
+          s"${knownSourceFormats.toSeq.sorted.mkString(", ")}")
       s.relation.foreach { r =>
         require(srcNames.takeWhile(_ != s.name).contains(r.ref),
           s"pipeline '${spec.entity}': source '${s.name}' relation " +
@@ -197,7 +211,10 @@ object Pipeline {
     validate(spec)
     val sourceCtx = spec.sources.foldLeft(Map.empty[String, DataFrame]) {
       case (ctx, s) =>
-        val base = resolveTable(s.table)
+        val base = s.format match {
+          case "warc" => graft.sources.Warc.responses(spark, s.table)
+          case _ => resolveTable(s.table)
+        }
         val loaded = s.relation match {
           case None => base // direct_reference
           case Some(r) => // join_table: dataset rows joined to the ref
@@ -405,12 +422,19 @@ object Pipeline {
         val spark = in.sparkSession
         import spark.implicits._
         val rules = ruleRows.toDF("rule_id", "host_suffix", "path_prefix")
-        val verdicts = graft.operators.Html.urlFilter(
-          in, id, reqStr(st.params, "url", tag), rules)
+        val urlC = reqStr(st.params, "url", tag)
+        val verdicts = graft.operators.Html.urlFilter(in, id, urlC, rules)
         st.params.getOrElse("mode", "drop").toString match {
           case "flag" => verdicts
-          case "drop" => in.join(
-            verdicts.where(col("blocked")).select(col(id)), Seq(id), "left_anti")
+          // verdicts are per-(id, canon) — anti-join on BOTH so a
+          // blocked URL never drops a clean sibling row of the same
+          // id (link tables repeat doc_id per link)
+          case "drop" => in
+            .withColumn("__canon", graft.operators.Html.urlNormalize(col(urlC)))
+            .join(verdicts.where(col("blocked"))
+              .select(col(id), col("canon").as("__canon")),
+              Seq(id, "__canon"), "left_anti")
+            .drop("__canon")
           case other => fail(s"$tag: url_filter mode must be flag|drop, got '$other'")
         }
       case "anchor_text" =>

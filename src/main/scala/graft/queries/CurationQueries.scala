@@ -192,12 +192,12 @@ object CurationQueries {
 
   /** (minWords, minDistinctFrac, maxTopShare) for q_quality_filter —
     * shared by the query and its oracle predicate. */
-  private val qualityThresholds = (30, 0.35, 0.12)
+  private[queries] val qualityThresholds = (30, 0.35, 0.12)
 
   /** The Q1 signals computation as a composable SELECT (no ORDER BY)
     * — q_quality_signals wraps it with a sort, q_quality_filter with
     * the threshold predicate. */
-  private lazy val qualitySignalsSql: String = """
+  private[queries] lazy val qualitySignalsSql: String = """
       WITH w AS (
         SELECT doc_id, len(string_split(text, ' ')) AS n_words,
                unnest(string_split(text, ' ')) AS word
@@ -424,7 +424,8 @@ object CurationQueries {
       WITH t AS (
         SELECT doc_id,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-               ((doc_id + 7) * 2654435761) % 2147483648 AS hkey
+               ((((doc_id + 7) % 2147483648 + 2147483648) % 2147483648)
+                 * 2654435761) % 2147483648 AS hkey
         FROM documents),
       o AS (
         SELECT doc_id, n_tokens,

@@ -52,6 +52,33 @@ object GraphQueries {
       Graph.pageRank(synthEdges(s, dir), "src", "dst", iters = 3)
         .withColumnRenamed("node", "doc_id")
     },
+    // S3+Q15 COMPOSED — per-community corpus profiling, the stated
+    // PURPOSE of label propagation in a curation lake (find the
+    // communities, then process each one): LPA communities joined to
+    // the Gopher quality signals, aggregated per community to (size,
+    // survivors of the Q15 cut, token mass) — integer-exact
+    // aggregates, so the hash gates the COMPOSITION (a drift in any
+    // LPA round, any signal, or the threshold predicate moves a row),
+    // not just each operator alone. One extra exchange over LPA
+    // itself: the doc_id-keyed join is node-proportional and the
+    // final agg is ∝communities.
+    "q_community_profile" -> { (s, dir) =>
+      val com = Graph.labelPropagation(synthEdges(s, dir), "src", "dst", iters = lpaIters)
+        .withColumnRenamed("node", "doc_id")
+        .withColumnRenamed("lbl", "community")
+      val sig = graft.operators.Curation.repetitionSignals(
+        Tables.documents(s, dir), Seq("doc_id"), "text")
+      val (minW, minD, maxT) = CurationQueries.qualityThresholds
+      val kept = col("n_words") >= minW &&
+        col("distinct_word_frac") >= minD && col("top_word_share") <= maxT
+      sig.join(com, "doc_id")
+        .groupBy("community")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(kept, lit(1L)).otherwise(lit(0L))).as("n_kept"),
+          sum(col("n_words").cast("long")).as("sum_words"))
+        .orderBy("community")
+    },
   )
 
   private val hitsIters = 2
@@ -159,6 +186,32 @@ object GraphQueries {
         ${round("r1", "r2")},
         ${round("r2", "r3")}
         SELECT node AS doc_id, rank FROM r3 ORDER BY node""",
+      // the LPA rounds verbatim, the Q15 signals body verbatim (nested
+      // WITH — DuckDB scopes it to the CTE), then the composed
+      // per-community aggregate; integer-exact throughout
+      "q_community_profile" -> s"""
+        WITH nn AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+        e AS MATERIALIZED ($edgeSql),
+        nb AS MATERIALIZED (
+          SELECT src AS node, dst AS nbr FROM e
+          UNION ALL SELECT dst, src FROM e),
+        nodes AS MATERIALIZED (SELECT DISTINCT node FROM nb),
+        l0 AS MATERIALIZED (SELECT node, node AS lbl FROM nodes),
+        $lpaRounds,
+        sig AS MATERIALIZED (${CurationQueries.qualitySignalsSql}),
+        kd AS (
+          SELECT s.doc_id, s.n_words,
+            CASE WHEN s.n_words >= ${CurationQueries.qualityThresholds._1}
+              AND s.distinct_word_frac >= ${CurationQueries.qualityThresholds._2}
+              AND s.top_word_share <= ${CurationQueries.qualityThresholds._3}
+              THEN 1 ELSE 0 END AS kept
+          FROM sig s)
+        SELECT l.lbl AS community,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(kd.kept) AS BIGINT) AS n_kept,
+          CAST(SUM(kd.n_words) AS BIGINT) AS sum_words
+        FROM l$lpaIters l JOIN kd ON l.node = kd.doc_id
+        GROUP BY 1 ORDER BY community""",
     )
   }
 }

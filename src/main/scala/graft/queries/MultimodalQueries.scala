@@ -153,40 +153,60 @@ object MultimodalQueries {
     * moves a fingerprint. Same planted triple structure as M2; the
     * md5 key uses a distinct "t" separator so the corpora are
     * independent. */
+  /** The M2b gate corpus: per doc a 16×16 base PNG, an exact re-encode
+    * dup, and a gray-preserving ±3 retouch — real container bytes from
+    * the md5 "t"-keyed channel formulas. Shared by the two-pass and
+    * fused thumb gates so they dedup the SAME planted structure. */
+  private def thumbCorpus(
+      s: SparkSession, dir: String): org.apache.spark.sql.Dataset[Multimodal.MediaRecord] = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long")).as[Long]
+    docs.mapPartitions { ids =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      ids.flatMap { id =>
+        val base = Array.tabulate(256) { p =>
+          def ch(c: Int): Int = {
+            val d = md.digest(s"${id}t${p * 3 + c}".getBytes("US-ASCII"))
+            d(0) & 0xFF
+          }
+          (ch(0) << 16) | (ch(1) << 8) | ch(2)
+        }
+        val retouched = base.clone()
+        val r0 = (retouched(0) >> 16) & 0xFF
+        val nr0 = if (r0 >= 128) r0 - 3 else r0 + 3
+        retouched(0) = (nr0 << 16) | (retouched(0) & 0xFFFF)
+        val meta = Multimodal.MediaMeta("image", 16, 16, 0L)
+        Seq(
+          Multimodal.MediaRecord(id * 4, meta,
+            Multimodal.Encode.png(16, 16, base)),
+          Multimodal.MediaRecord(id * 4 + 1, meta,
+            Multimodal.Encode.png(16, 16, base)),
+          Multimodal.MediaRecord(id * 4 + 2, meta,
+            Multimodal.Encode.png(16, 16, retouched)))
+      }
+    }
+  }
+
   private val thumbChain0: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_image_thumb_dedup" -> { (s, dir) =>
       import s.implicits._
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id").cast("long")).as[Long]
-      val mediaRows = docs.mapPartitions { ids =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        ids.flatMap { id =>
-          val base = Array.tabulate(256) { p =>
-            def ch(c: Int): Int = {
-              val d = md.digest(s"${id}t${p * 3 + c}".getBytes("US-ASCII"))
-              d(0) & 0xFF
-            }
-            (ch(0) << 16) | (ch(1) << 8) | ch(2)
-          }
-          val retouched = base.clone()
-          val r0 = (retouched(0) >> 16) & 0xFF
-          val nr0 = if (r0 >= 128) r0 - 3 else r0 + 3
-          retouched(0) = (nr0 << 16) | (retouched(0) & 0xFFFF)
-          val meta = Multimodal.MediaMeta("image", 16, 16, 0L)
-          Seq(
-            Multimodal.MediaRecord(id * 4, meta,
-              Multimodal.Encode.png(16, 16, base)),
-            Multimodal.MediaRecord(id * 4 + 1, meta,
-              Multimodal.Encode.png(16, 16, base)),
-            Multimodal.MediaRecord(id * 4 + 2, meta,
-              Multimodal.Encode.png(16, 16, retouched)))
-        }
-      }
-      val thumbs = Multimodal.resize(mediaRows, 8, 8)
+      val thumbs = Multimodal.resize(thumbCorpus(s, dir), 8, 8)
       val recs = thumbs.map(t => Multimodal.MediaRecord(
         t.media_id, Multimodal.MediaMeta("image", 8, 8, 0L), t.content))
       graft.operators.Dedup.mineHammingPairs(
         Multimodal.imageAHash(recs), maxHamming = 3, maxBucket = 1000)
+    },
+    // M2b-f — the FUSED fast path over the same corpus: one decode,
+    // resample buffer hashed directly (no thumbnail re-encode or
+    // re-decode). The oracle is the IDENTICAL replay — the fused
+    // chain must land the exact fingerprints of the two-codec chain,
+    // so the fusion's correctness (not just its speed) sits under the
+    // hash; the two-pass gate above keeps both codec passes verified.
+    "q_image_thumb_fused" -> { (s, dir) =>
+      graft.operators.Dedup.mineHammingPairs(
+        Multimodal.thumbAHash(thumbCorpus(s, dir), 8, 8),
+        maxHamming = 3, maxBucket = 1000)
     },
   )
 
@@ -212,7 +232,7 @@ object MultimodalQueries {
     s"('0x' || substr(md5(CAST(base AS VARCHAR) || '~' || " +
       s"CAST(($j) AS VARCHAR)), 1, 3))::BIGINT - 2048"
 
-  val oracles: Map[String, String] = Map(
+  private val oracles0: Map[String, String] = Map(
     // Mirrors Multimodal.Synth: image channel k of doc d is
     // (d*7 + k*13) % 256 over 8*8*3 = 192 channels; audio sample j is
     // ((d*11 + j*17) % 4096) - 2048 over 64 samples (WAV byte length
@@ -378,4 +398,10 @@ object MultimodalQueries {
       WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
       ORDER BY id_a, id_b""",
   )
+
+  /** The fused thumb gate answers to the SAME replay as the two-pass
+    * chain — identical fingerprints is the entire correctness claim
+    * of the fusion. */
+  val oracles: Map[String, String] =
+    oracles0 + ("q_image_thumb_fused" -> oracles0("q_image_thumb_dedup"))
 }

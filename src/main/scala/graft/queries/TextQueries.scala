@@ -12,6 +12,25 @@ import graft.operators.{Chain, Html, TextAnalysis}
   */
 object TextQueries {
 
+  /** The deterministic doc_id-derived page shared by the L9/L10/W1
+    * gates (title/style/script head, nav + footer link bars, headings,
+    * entity-laden paragraphs — the Q12 inject pattern); the oracles
+    * replay it in SQL verbatim. */
+  private[queries] def synthHtml: org.apache.spark.sql.Column = {
+    val d = col("doc_id").cast("string")
+    concat(
+      lit("<html><head><title>Doc "), d,
+      lit("</title><style>body { color: #222; }</style>"),
+      lit("<script>if (1 < 2 && 3 > 1) { var x = \"</p>\"; }</script></head><body>"),
+      lit("<div id=\"nav\"><a href=\"/\">Home</a> <a href=\"/about\">About</a>"),
+      when(col("doc_id") % 3 === 0, lit("<a href=\"/faq\">FAQ</a>")).otherwise(lit("")),
+      lit("</div><h1>Doc "), d, lit("</h1><p>"), col("text"),
+      lit(" Tom &amp; Jerry say 1 &lt; 2 &quot;ok&quot; it&#39;s fine A&nbsp;B</p>"),
+      lit("<p>Figure "), (col("doc_id") % 7).cast("string"),
+      lit("</p><div class=\"footer\"><a href=\"/terms\">Terms</a> "
+        + "<a href=\"/privacy\">Privacy</a> 2026</div></body></html>"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_quality" -> { (s, dir) =>
       TextAnalysis.quality(Tables.documents(s, dir), "doc_id", "text")
@@ -46,21 +65,38 @@ object TextQueries {
     // text is row-hashed, so a drift in any regex, the unescape order,
     // or the keep rule moves a row.
     "q_html_extract" -> { (s, dir) =>
-      val d = col("doc_id").cast("string")
-      val html = concat(
-        lit("<html><head><title>Doc "), d,
-        lit("</title><style>body { color: #222; }</style>"),
-        lit("<script>if (1 < 2 && 3 > 1) { var x = \"</p>\"; }</script></head><body>"),
-        lit("<div id=\"nav\"><a href=\"/\">Home</a> <a href=\"/about\">About</a>"),
-        when(col("doc_id") % 3 === 0, lit("<a href=\"/faq\">FAQ</a>")).otherwise(lit("")),
-        lit("</div><h1>Doc "), d, lit("</h1><p>"), col("text"),
-        lit(" Tom &amp; Jerry say 1 &lt; 2 &quot;ok&quot; it&#39;s fine A&nbsp;B</p>"),
-        lit("<p>Figure "), (col("doc_id") % 7).cast("string"),
-        lit("</p><div class=\"footer\"><a href=\"/terms\">Terms</a> "
-          + "<a href=\"/privacy\">Privacy</a> 2026</div></body></html>"))
       Html.htmlExtract(
-        Tables.documents(s, dir).select(col("doc_id"), html.as("html")),
+        Tables.documents(s, dir).select(col("doc_id"), synthHtml.as("html")),
         "doc_id", "html")
+    },
+    // W1 — WARC container round trip (the real CommonCrawl front-end
+    // format): the gate writes the L9 synthesis corpus as ACTUAL
+    // multi-member-gzip .warc.gz crawl files (distributed, one file
+    // per partition, warcinfo + framed HTTP response records), reads
+    // them back through the per-file distributed parser, and runs the
+    // L9 extraction on the recovered pages — url/status/mime from the
+    // WARC+HTTP headers and the FULL extracted text are row-hashed, so
+    // a defect in gzip member handling, Content-Length framing, header
+    // parsing, or HTTP body splitting moves a row. The oracle replays
+    // synthesis + extraction from `documents` and never sees a WARC
+    // byte (the GeoTiff/M1 synthesize-then-decode posture).
+    "q_warc_extract" -> { (s, dir) =>
+      val tag = java.lang.Math.abs(dir.hashCode)
+      val path = s"/tmp/graft-warc-$tag"
+      val url = concat(lit("https://site"), (col("doc_id") % 20).cast("string"),
+        lit(".example.com/doc/"), col("doc_id").cast("string"))
+      val pages = Tables.documents(s, dir)
+        .select(col("doc_id"), url.as("url"), synthHtml.as("html"))
+        .repartition(8, pmod(col("doc_id"), lit(8)))
+        .sortWithinPartitions("doc_id")
+      graft.sources.Warc.writeFiles(pages, "url", "html", path)
+      val resp = graft.sources.Warc.responses(s, s"$path/*.warc.gz")
+        .select(
+          regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+          col("url"), col("http_status"), col("mime"), col("html"))
+      resp.select("doc_id", "url", "http_status", "mime")
+        .join(Html.htmlExtract(resp, "doc_id", "html"), "doc_id")
+        .orderBy("doc_id")
     },
     // L10 — outbound-link extraction from the SAME synthesized HTML as
     // L9: one row per anchor in document order, href + cleaned anchor
@@ -68,20 +104,8 @@ object TextQueries {
     // pass. The oracle replays synthesis and the group-wise
     // regexp_extract_all verbatim.
     "q_html_links" -> { (s, dir) =>
-      val d = col("doc_id").cast("string")
-      val html = concat(
-        lit("<html><head><title>Doc "), d,
-        lit("</title><style>body { color: #222; }</style>"),
-        lit("<script>if (1 < 2 && 3 > 1) { var x = \"</p>\"; }</script></head><body>"),
-        lit("<div id=\"nav\"><a href=\"/\">Home</a> <a href=\"/about\">About</a>"),
-        when(col("doc_id") % 3 === 0, lit("<a href=\"/faq\">FAQ</a>")).otherwise(lit("")),
-        lit("</div><h1>Doc "), d, lit("</h1><p>"), col("text"),
-        lit(" Tom &amp; Jerry say 1 &lt; 2 &quot;ok&quot; it&#39;s fine A&nbsp;B</p>"),
-        lit("<p>Figure "), (col("doc_id") % 7).cast("string"),
-        lit("</p><div class=\"footer\"><a href=\"/terms\">Terms</a> "
-          + "<a href=\"/privacy\">Privacy</a> 2026</div></body></html>"))
       Html.htmlLinks(
-        Tables.documents(s, dir).select(col("doc_id"), html.as("html")),
+        Tables.documents(s, dir).select(col("doc_id"), synthHtml.as("html")),
         "doc_id", "html")
         .orderBy("doc_id", "link_no")
     },
@@ -92,12 +116,18 @@ object TextQueries {
     // dialect delta is \1 vs $1 in the replacement string).
     "q_url_normalize" -> { (s, dir) =>
       val d = col("doc_id")
+      // round 11 grows the grid: an IDN host every 11th doc (punycode
+      // folding) and a %-escape cluster every 7th doc (unreserved
+      // decode %41→A/%7e→~, reserved uppercase %2f→%2F, malformed %zz
+      // byte-preserved)
       val url = concat(
         when(d % 2 === 0, lit("HTTP")).otherwise(lit("https")), lit("://"),
         when(d % 3 === 0, lit("WWW.")).otherwise(lit("")),
-        lit("Site"), (d % 20).cast("string"), lit(".Example.COM"),
+        when(d % 11 === 0, lit("MüNCHEN.Example.COM"))
+          .otherwise(concat(lit("Site"), (d % 20).cast("string"), lit(".Example.COM"))),
         when(d % 2 === 0, lit(":80")).otherwise(lit(":443")),
         when(d % 4 === 0, lit("")).otherwise(concat(lit("/Path/"), d.cast("string"))),
+        when(d % 7 === 1, lit("/q%41%2f%7e%zz")).otherwise(lit("")),
         when(d % 5 === 0, concat(lit("#Frag"), d.cast("string"))).otherwise(lit("")))
       Tables.documents(s, dir).select(
         col("doc_id"),
@@ -166,6 +196,42 @@ object TextQueries {
     // KNOWN line numbers), so a parser defect — decoy group leak,
     // run-extension miss, line-number drift — changes verdicts or
     // attribution ids and fails the hash.
+    // L16 — FULL RFC 9309 verdict semantics (round 11, closing the
+    // round-10 "Disallow-prefix subset" gap): Allow overrides, `*`
+    // wildcards, `$` end anchors, longest-match precedence with the
+    // Allow-wins tie rule. The oracle enumerates the expected verdict
+    // and DECIDING-rule id per planted path class semantically — it
+    // replays neither the parser nor the matcher, so a wildcard
+    // compile bug, a specificity inversion, or a tie going to
+    // Disallow moves a row.
+    "q_robots_allow" -> { (s, dir) =>
+      val d = col("doc_id")
+      val body = Seq(
+        "User-agent: Googlebot", "Disallow: /",
+        "User-agent: *",
+        "Disallow: /private/", "Allow: /private/public/",
+        "Disallow: /*.pdf$", "Allow: /docs/*/view",
+        "Disallow: /tie/", "Allow: /tie/",
+        "Disallow:").mkString("\n") + "\n"
+      val hosts = Tables.documents(s, dir).select((d % 20).as("hn")).distinct()
+        .select(
+          concat(lit("site"), col("hn").cast("string"), lit(".example.com")).as("host"),
+          lit(body).as("robots"))
+      val rules = Html.robotsRules(hosts, "host", "robots")
+      val ds = d.cast("string")
+      val path = when(d % 8 === 0, concat(lit("/private/x"), ds))
+        .when(d % 8 === 1, concat(lit("/private/public/y"), ds))
+        .when(d % 8 === 2, concat(lit("/report"), ds, lit(".pdf")))
+        .when(d % 8 === 3, concat(lit("/report"), ds, lit(".pdf?x=1")))
+        .when(d % 8 === 4, concat(lit("/docs/a"), ds, lit("/view")))
+        .when(d % 8 === 5, concat(lit("/docs/a"), ds, lit("/edit")))
+        .when(d % 8 === 6, concat(lit("/private/file"), ds, lit(".pdf")))
+        .otherwise(concat(lit("/tie/t"), ds))
+      val url = concat(lit("https://site"), (d % 20).cast("string"),
+        lit(".example.com"), path)
+      Html.urlFilter(
+        Tables.documents(s, dir).select(d, url.as("url")), "doc_id", "url", rules)
+    },
     "q_robots_filter" -> { (s, dir) =>
       val d = col("doc_id")
       val url = concat(
@@ -417,6 +483,59 @@ object TextQueries {
           list_filter(ls, s -> s.words >= 3 AND s.links * 2 <= s.words),
           s -> s.words)), 0) AS BIGINT) AS n_words
       FROM t2 ORDER BY doc_id""",
+    // W1 replays the L9 synthesis + extraction and adds the url /
+    // status / mime the engine recovers from actual WARC+HTTP bytes;
+    // the oracle never touches a container byte, so any framing or
+    // header-parse defect on the engine side moves a row
+    "q_warc_extract" -> """
+      WITH h AS (
+        SELECT doc_id,
+          'https://site' || CAST(doc_id % 20 AS VARCHAR)
+            || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+          '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+          || '</title><style>body { color: #222; }</style>'
+          || '<script>if (1 < 2 && 3 > 1) { var x = "</p>"; }</script></head><body>'
+          || '<div id="nav"><a href="/">Home</a> <a href="/about">About</a>'
+          || CASE WHEN doc_id % 3 = 0 THEN '<a href="/faq">FAQ</a>' ELSE '' END
+          || '</div><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
+          || ' Tom &amp; Jerry say 1 &lt; 2 &quot;ok&quot; it&#39;s fine A&nbsp;B</p>'
+          || '<p>Figure ' || CAST(doc_id % 7 AS VARCHAR)
+          || '</p><div class="footer"><a href="/terms">Terms</a> <a href="/privacy">Privacy</a> 2026</div></body></html>'
+          AS html
+        FROM documents),
+      lined AS (
+        SELECT doc_id, url, regexp_replace(regexp_replace(html,
+            '(?is)<(?:script|style)[^>]*>.*?</(?:script|style)>', ' ', 'g'),
+            '(?i)</(?:p|div|li|h[1-6]|tr|td|table|ul|ol|title)>|<br[^>]*>', chr(10), 'g') AS s
+        FROM h),
+      t1 AS (
+        SELECT doc_id, url, list_transform(string_split(s, chr(10)), ln -> struct_pack(
+          txt := trim(regexp_replace(
+            replace(replace(replace(replace(replace(replace(
+              regexp_replace(ln, '<[^>]*>', ' ', 'g'),
+              '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',''''),'&nbsp;',' '),'&amp;','&'),
+            '[ \t]+', ' ', 'g')),
+          links := CAST(len(regexp_extract_all(ln, '(?i)<a[ >]')) AS BIGINT))) AS a
+        FROM lined),
+      t2 AS (
+        SELECT doc_id, url, list_transform(a, s -> struct_pack(
+          txt := s.txt, links := s.links,
+          words := CASE WHEN s.txt = '' THEN CAST(0 AS BIGINT)
+                        ELSE CAST(len(string_split(s.txt, ' ')) AS BIGINT) END)) AS ls
+        FROM t1)
+      SELECT doc_id, url,
+        CAST(200 AS INT) AS http_status,
+        'text/html; charset=utf-8' AS mime,
+        array_to_string(list_transform(
+          list_filter(ls, s -> s.words >= 3 AND s.links * 2 <= s.words),
+          s -> s.txt), chr(10)) AS content,
+        CAST(len(list_filter(ls, s -> s.words > 0)) AS BIGINT) AS n_lines,
+        CAST(len(list_filter(ls, s -> s.words >= 3 AND s.links * 2 <= s.words)) AS BIGINT) AS n_kept,
+        CAST(coalesce(list_sum(list_transform(ls, s -> s.links)), 0) AS BIGINT) AS n_links,
+        CAST(coalesce(list_sum(list_transform(
+          list_filter(ls, s -> s.words >= 3 AND s.links * 2 <= s.words),
+          s -> s.words)), 0) AS BIGINT) AS n_words
+      FROM t2 ORDER BY doc_id""",
     // group-wise regexp_extract_all over the replayed synthesis; the
     // anchor cleanup chain matches the line cleanup verbatim
     "q_html_links" -> """
@@ -494,9 +613,11 @@ object TextQueries {
         SELECT doc_id,
           CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END || '://' ||
           CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
-          'Site' || CAST(doc_id % 20 AS VARCHAR) || '.Example.COM' ||
+          CASE WHEN doc_id % 11 = 0 THEN 'MüNCHEN.Example.COM'
+               ELSE 'Site' || CAST(doc_id % 20 AS VARCHAR) || '.Example.COM' END ||
           CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END ||
           CASE WHEN doc_id % 4 = 0 THEN '' ELSE '/Path/' || CAST(doc_id AS VARCHAR) END ||
+          CASE WHEN doc_id % 7 = 1 THEN '/q%41%2f%7e%zz' ELSE '' END ||
           CASE WHEN doc_id % 5 = 0 THEN '#Frag' || CAST(doc_id AS VARCHAR) ELSE '' END
           AS url
         FROM documents),
@@ -511,17 +632,62 @@ object TextQueries {
         SELECT doc_id, url, pre, rest,
           regexp_replace(regexp_replace(pre,
             '^(http://[^/:]*):80$', '\1'), '^(https://[^/:]*):443$', '\1') AS noport
-        FROM p)
+        FROM p),
+      c AS (
+        SELECT doc_id, url, pre,
+          CASE WHEN pre = '' THEN trim(url)
+               ELSE regexp_replace(noport, '^(https?://)www\.', '\1')
+                    || CASE WHEN rest = '' THEN '/' ELSE rest END END AS canon0
+        FROM q)
+      -- the %-cluster and the IDN host are PLANTED literals, so the
+      -- oracle states their expected normalized forms directly
+      -- (parser-independent: %41→A, %2f→%2F, %7e→~, %zz preserved;
+      -- münchen → its punycode) instead of replaying the algorithms
       SELECT doc_id,
-        CASE WHEN pre = '' THEN trim(url)
-             ELSE regexp_replace(noport, '^(https?://)www\.', '\1')
-                  || CASE WHEN rest = '' THEN '/' ELSE rest END END AS canon,
+        replace(
+          CASE WHEN doc_id % 11 = 0
+               THEN replace(canon0, 'münchen.example.com', 'xn--mnchen-3ya.example.com')
+               ELSE canon0 END,
+          '/q%41%2f%7e%zz', '/qA%2F~%zz') AS canon,
         lower(regexp_extract(trim(url),
           '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*).*', 1)) AS host
-      FROM q ORDER BY doc_id""",
+      FROM c ORDER BY doc_id""",
     // the expected rule set derived from the robots synthesis
     // STRUCTURE (not a parser replay — parser defects must surface),
     // md5 rule ids at the known line numbers, then the L14 semantics
+    // the oracle states the RFC 9309 outcome per planted path class
+    // directly (verdict + deciding-rule line number), independent of
+    // parser and matcher; line numbers are fixed (0-based): 3
+    // Disallow /private/, 4 Allow /private/public/, 5 Disallow
+    // /*.pdf$, 6 Allow /docs/*/view, 7 Disallow /tie/, 8 Allow /tie/
+    "q_robots_allow" -> """
+      WITH u AS (
+        SELECT doc_id, doc_id % 8 AS m, doc_id % 20 AS hn,
+          CASE doc_id % 8
+            WHEN 0 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+            WHEN 1 THEN '/private/public/y' || CAST(doc_id AS VARCHAR)
+            WHEN 2 THEN '/report' || CAST(doc_id AS VARCHAR) || '.pdf'
+            WHEN 3 THEN '/report' || CAST(doc_id AS VARCHAR) || '.pdf?x=1'
+            WHEN 4 THEN '/docs/a' || CAST(doc_id AS VARCHAR) || '/view'
+            WHEN 5 THEN '/docs/a' || CAST(doc_id AS VARCHAR) || '/edit'
+            WHEN 6 THEN '/private/file' || CAST(doc_id AS VARCHAR) || '.pdf'
+            ELSE '/tie/t' || CAST(doc_id AS VARCHAR) END AS path
+        FROM documents),
+      v AS (
+        SELECT doc_id, m,
+          'https://site' || CAST(hn AS VARCHAR) || '.example.com' || path AS canon,
+          'site' || CAST(hn AS VARCHAR) || '.example.com' AS host
+        FROM u)
+      SELECT doc_id, canon,
+        m IN (0, 2, 6) AS blocked,
+        CASE
+          WHEN m IN (0, 6) THEN ('0x' || substr(md5(host || ':3'), 1, 15))::BIGINT
+          WHEN m = 1 THEN ('0x' || substr(md5(host || ':4'), 1, 15))::BIGINT
+          WHEN m = 2 THEN ('0x' || substr(md5(host || ':5'), 1, 15))::BIGINT
+          WHEN m = 4 THEN ('0x' || substr(md5(host || ':6'), 1, 15))::BIGINT
+          WHEN m = 7 THEN ('0x' || substr(md5(host || ':8'), 1, 15))::BIGINT
+          ELSE NULL END AS rule_id
+      FROM v ORDER BY doc_id""",
     "q_robots_filter" -> """
       WITH u AS (
         SELECT doc_id,

@@ -277,41 +277,67 @@ object StreamOps {
 
   /** Per-(band, bucket) membership state for the streaming minhash
     * dedup: each arriving doc pairs with every member already in its
-    * bucket, then joins the bucket. `maxBucket` caps both state and
-    * emission per bucket (the batch miner DROPS over-cap buckets
-    * outright; a stream cannot retract emitted pairs, so it stops
-    * pairing instead — boilerplate mega-buckets go quiet either way).
-    * Re-delivered ids are ignored (idempotent under at-least-once). */
+    * bucket, then joins the bucket. `maxBucket` mirrors the batch
+    * miner's over-cap DROP as a tombstone: the arrival that would
+    * exceed the cap kills the bucket — its state clears to one
+    * boolean, the current micro-batch's pairs for it are suppressed,
+    * and it stays permanently quiet (so a boilerplate mega-bucket
+    * costs O(1) per arrival forever after). Within one micro-batch
+    * this is EXACTLY the batch semantics; across batches, pairs a
+    * previous batch already emitted cannot be retracted in append
+    * mode — the one documented divergence (those pairs carry exact
+    * verified distances, so consumers lose no precision; they see a
+    * prefix the batch miner would have dropped for skew, not for
+    * wrongness). Re-delivered ids are ignored (idempotent under
+    * at-least-once). */
   class MinhashBucketProcessor(maxBucket: Int, ttl: Option[java.time.Duration])
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         (Int, Long), (Int, Long, Long), MinhashCandidate] {
     @transient private var members: org.apache.spark.sql.streaming.ListState[Long] = _
+    @transient private var dead: org.apache.spark.sql.streaming.ValueState[Boolean] = _
 
     override def init(
         outputMode: org.apache.spark.sql.streaming.OutputMode,
-        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      val ttlConf = ttl.map(d => new org.apache.spark.sql.streaming.TTLConfig(d))
+        .getOrElse(org.apache.spark.sql.streaming.TTLConfig.NONE)
       members = getHandle.getListState[Long](
-        "members", org.apache.spark.sql.Encoders.scalaLong,
-        ttl.map(d => new org.apache.spark.sql.streaming.TTLConfig(d))
-          .getOrElse(org.apache.spark.sql.streaming.TTLConfig.NONE))
+        "members", org.apache.spark.sql.Encoders.scalaLong, ttlConf)
+      dead = getHandle.getValueState[Boolean](
+        "dead", org.apache.spark.sql.Encoders.scalaBoolean, ttlConf)
+    }
 
     override def handleInputRows(
         key: (Int, Long), rows: Iterator[(Int, Long, Long)],
         timers: org.apache.spark.sql.streaming.TimerValues): Iterator[MinhashCandidate] = {
-      val current = scala.collection.mutable.ArrayBuffer.empty[Long]
-      val it = members.get()
-      while (it.hasNext) current += it.next()
-      val out = Seq.newBuilder[MinhashCandidate]
-      rows.foreach { case (band, _, id) =>
-        if (!current.contains(id) && current.size < maxBucket) {
-          current.foreach { m =>
-            out += MinhashCandidate(math.min(m, id), math.max(m, id), band)
+      if (dead.exists()) Iterator.empty
+      else {
+        val current = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val it = members.get()
+        while (it.hasNext) current += it.next()
+        val out = Seq.newBuilder[MinhashCandidate]
+        var alive = true
+        rows.foreach { case (band, _, id) =>
+          if (alive && !current.contains(id)) {
+            if (current.size >= maxBucket) {
+              alive = false
+              dead.update(true)
+              members.clear()
+              out.clear()
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"skew cap: minhash bucket $key exceeded maxBucket=$maxBucket — " +
+                  "tombstoned (no further candidate pairs from this bucket)")
+            } else {
+              current.foreach { m =>
+                out += MinhashCandidate(math.min(m, id), math.max(m, id), band)
+              }
+              current += id
+              members.appendValue(id)
+            }
           }
-          current += id
-          members.appendValue(id)
         }
+        if (alive) out.result().iterator else Iterator.empty
       }
-      out.result().iterator
     }
   }
 
@@ -403,48 +429,74 @@ object StreamOps {
     * current members; a new arrival pairs against every member within
     * `maxHamming` (exact popcount at emission — unlike the minhash
     * twin, a hamming bucket key is a LOSSY pigeonhole, so the
-    * filter must run before anything is emitted). Over-cap buckets
-    * stop pairing (the batch miner's drop, stream-safely); re-delivered
-    * ids are ignored (idempotent under at-least-once). */
+    * filter must run before anything is emitted). `maxBucket` mirrors
+    * the batch miner's over-cap DROP as a tombstone (see
+    * [[MinhashBucketProcessor]]): the arrival that would exceed the
+    * cap kills the bucket — state clears, the current micro-batch's
+    * pairs for it are suppressed (exact batch parity when the bucket
+    * goes hot within one batch), and it stays permanently quiet.
+    * Pairs emitted by EARLIER batches cannot be retracted in append
+    * mode — the one documented divergence; they carry exact verified
+    * hamming, so precision is unaffected. Re-delivered ids are
+    * ignored (idempotent under at-least-once). */
   class HammingBucketProcessor(
       maxHamming: Int, maxBucket: Int, ttl: Option[java.time.Duration])
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         (Int, Long), (Int, Long, Long, Long, Long), HammingPair] {
     @transient private var members:
       org.apache.spark.sql.streaming.ListState[(Long, Long, Long)] = _
+    @transient private var dead: org.apache.spark.sql.streaming.ValueState[Boolean] = _
 
     override def init(
         outputMode: org.apache.spark.sql.streaming.OutputMode,
-        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      val ttlConf = ttl.map(d => new org.apache.spark.sql.streaming.TTLConfig(d))
+        .getOrElse(org.apache.spark.sql.streaming.TTLConfig.NONE)
       members = getHandle.getListState[(Long, Long, Long)](
         "members",
         org.apache.spark.sql.Encoders.tuple(
           org.apache.spark.sql.Encoders.scalaLong,
           org.apache.spark.sql.Encoders.scalaLong,
           org.apache.spark.sql.Encoders.scalaLong),
-        ttl.map(d => new org.apache.spark.sql.streaming.TTLConfig(d))
-          .getOrElse(org.apache.spark.sql.streaming.TTLConfig.NONE))
+        ttlConf)
+      dead = getHandle.getValueState[Boolean](
+        "dead", org.apache.spark.sql.Encoders.scalaBoolean, ttlConf)
+    }
 
     override def handleInputRows(
         key: (Int, Long), rows: Iterator[(Int, Long, Long, Long, Long)],
         timers: org.apache.spark.sql.streaming.TimerValues): Iterator[HammingPair] = {
-      val current = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-      val it = members.get()
-      while (it.hasNext) current += it.next()
-      val out = Seq.newBuilder[HammingPair]
-      rows.foreach { case (_, _, id, hi, lo) =>
-        if (!current.exists(_._1 == id) && current.size < maxBucket) {
-          current.foreach { case (mid, mhi, mlo) =>
-            val ham = java.lang.Long.bitCount(mhi ^ hi) +
-              java.lang.Long.bitCount(mlo ^ lo)
-            if (ham <= maxHamming)
-              out += HammingPair(math.min(mid, id), math.max(mid, id), ham)
+      if (dead.exists()) Iterator.empty
+      else {
+        val current = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        val it = members.get()
+        while (it.hasNext) current += it.next()
+        val out = Seq.newBuilder[HammingPair]
+        var alive = true
+        rows.foreach { case (_, _, id, hi, lo) =>
+          if (alive && !current.exists(_._1 == id)) {
+            if (current.size >= maxBucket) {
+              alive = false
+              dead.update(true)
+              members.clear()
+              out.clear()
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"skew cap: hamming bucket $key exceeded maxBucket=$maxBucket — " +
+                  "tombstoned (no further pairs from this bucket)")
+            } else {
+              current.foreach { case (mid, mhi, mlo) =>
+                val ham = java.lang.Long.bitCount(mhi ^ hi) +
+                  java.lang.Long.bitCount(mlo ^ lo)
+                if (ham <= maxHamming)
+                  out += HammingPair(math.min(mid, id), math.max(mid, id), ham)
+              }
+              current += ((id, hi, lo))
+              members.appendValue((id, hi, lo))
+            }
           }
-          current += ((id, hi, lo))
-          members.appendValue((id, hi, lo))
         }
+        if (alive) out.result().iterator else Iterator.empty
       }
-      out.result().iterator
     }
   }
 
@@ -473,7 +525,10 @@ object StreamOps {
       .groupByKey(r => (r._1, r._2))
       .transformWithState(
         new HammingBucketProcessor(maxHamming, maxBucket, ttl),
-        org.apache.spark.sql.streaming.TimeMode.None(),
+        // a non-None TTLConfig is only legal under ProcessingTime —
+        // Spark's validateTTLConfig throws at query start otherwise
+        if (ttl.isDefined) org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+        else org.apache.spark.sql.streaming.TimeMode.None(),
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
 

@@ -396,7 +396,8 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     // driver-side replay: one global order by (key, id)
     val rows = got.map { case (id, n, _, _) => (id, n) }
-    val key = (id: Long) => ((id + 7L) * 2654435761L) % 2147483648L
+    val key = (id: Long) =>
+      (Math.floorMod(id + 7L, 2147483648L) * 2654435761L) % 2147483648L
     var cum = 0L
     val expect = rows.sortBy { case (id, _) => (key(id), id) }.map { case (id, n) =>
       val off = cum; cum += n
@@ -406,6 +407,22 @@ class CurationSpec extends SparkSpec {
     // offsets tile the token stream exactly: max offset + its tokens = total
     val total = rows.map(_._2).sum
     assert(got.map(t => t._3 + t._2).max === total)
+  }
+
+  test("shardShuffle: seeded key is int64-exact past the unreduced overflow point") {
+    // |id + seed| > ~3.47e9 overflows the UNREDUCED (id+seed)*2654435761
+    // form; the pre-multiply mod-2^31 reduction must keep these exact
+    val ids = Seq(3500000000L, 5000000000L, 9000000000000L, Long.MaxValue - 7L)
+    val df = ids.map(i => (i, "a b c")).toDF("doc_id", "text")
+    val got = Curation.shardShuffle(df, "doc_id", lit(3L), budget = 4L, seed = 7L, buckets = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val key = (id: Long) =>
+      (Math.floorMod(id + 7L, 2147483648L) * 2654435761L) % 2147483648L
+    var cum = 0L
+    val expect = ids.sortBy(i => (key(i), i)).map { i =>
+      val o = cum; cum += 3L; (i, o)
+    }.sortBy(_._1)
+    assert(got.sortBy(_._1).toSeq === expect)
   }
 
   test("shardShuffle is invariant under input partitioning and bucket count") {

@@ -90,6 +90,25 @@ class HtmlSpec extends SparkSpec {
       "example.com", "www.example.com", "example.com", ""))
   }
 
+  test("url normalization: percent-escapes and IDN hosts") {
+    val cases = Seq(
+      // unreserved octets decode; reserved stay encoded but uppercase
+      ("https://example.com/q%41%62%2f%3a", "https://example.com/qAb%2F%3A"),
+      ("https://example.com/a?x=%7e%2D", "https://example.com/a?x=~-"),
+      // malformed escapes pass through byte-identically
+      ("https://example.com/a%zz%4", "https://example.com/a%zz%4"),
+      ("https://example.com/100%", "https://example.com/100%"),
+      // IDN host folds to punycode; ASCII hosts untouched
+      ("https://MüNCHEN.example.com/a", "https://xn--mnchen-3ya.example.com/a"),
+      ("https://www.münchen.example.com:443/a", "https://xn--mnchen-3ya.example.com/a"),
+      ("https://xn--mnchen-3ya.example.com/a", "https://xn--mnchen-3ya.example.com/a"))
+    val rows = cases.map(_._1).toDF("u")
+      .select(Html.urlNormalize(col("u")).as("c")).collect().map(_.getString(0))
+    rows.zip(cases).foreach { case (gotC, (in, want)) =>
+      assert(gotC === want, s"normalize($in)")
+    }
+  }
+
   test("url normalization is idempotent over the synthesis grid") {
     // canonical forms must be fixed points — a second pass that still
     // rewrites would make the dedup key unstable across re-crawls
@@ -97,9 +116,11 @@ class HtmlSpec extends SparkSpec {
     val url = concat(
       when(d % 2 === 0, lit("HTTP")).otherwise(lit("https")), lit("://"),
       when(d % 3 === 0, lit("WWW.")).otherwise(lit("")),
-      lit("Site"), (d % 20).cast("string"), lit(".Example.COM"),
+      when(d % 11 === 0, lit("MüNCHEN.Example.COM"))
+        .otherwise(concat(lit("Site"), (d % 20).cast("string"), lit(".Example.COM"))),
       when(d % 2 === 0, lit(":80")).otherwise(lit(":443")),
       when(d % 4 === 0, lit("")).otherwise(concat(lit("/Path/"), d.cast("string"))),
+      when(d % 7 === 1, lit("/q%41%2f%7e%zz")).otherwise(lit("")),
       when(d % 5 === 0, concat(lit("#Frag"), d.cast("string"))).otherwise(lit("")))
     val bad = (0L until 500L).toDF("id")
       .select(Html.urlNormalize(url).as("c1"))
@@ -177,6 +198,47 @@ class HtmlSpec extends SparkSpec {
     assert(got(4L) === ((true, 1L)))
     assert(got(5L) === ((false, -1L)))
     assert(got(6L) === ((true, 0L)))
+  }
+
+  test("RFC 9309 allow/wildcard longest-match verdicts") {
+    val robots = Seq(("h.example",
+      "User-agent: *\nDisallow: /private/\nAllow: /private/public/\n" +
+        "Disallow: /*.pdf$\nAllow: /docs/*/view\nDisallow: /tie/\nAllow: /tie/\n"))
+      .toDF("host", "robots")
+    val rules = Html.robotsRules(robots, "host", "robots")
+    assert(rules.where(col("allow")).count() === 3)
+    val urls = Seq(
+      (0L, "https://h.example/private/x"),        // disallow prefix
+      (1L, "https://h.example/private/public/y"), // longer Allow overrides
+      (2L, "https://h.example/report.pdf"),       // '*' wildcard + '$' anchor
+      (3L, "https://h.example/report.pdf?x=1"),   // '$' anchor must miss
+      (4L, "https://h.example/docs/a/view"),      // mid-wildcard allow
+      (5L, "https://h.example/docs/a/edit"),      // no rule matches
+      (6L, "https://h.example/tie/t"),            // exact-length tie → Allow
+      (7L, "https://h.example/private/file.pdf")) // longest pattern (Disallow) wins
+      .toDF("id", "url")
+    val got = Html.urlFilter(urls, "id", "url", rules)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got === Map(0L -> true, 1L -> false, 2L -> true, 3L -> false,
+      4L -> false, 5L -> false, 6L -> false, 7L -> true))
+  }
+
+  test("url filter verdicts are per-URL under a non-unique id column") {
+    // link tables repeat doc_id per link: one blocked URL must not
+    // mark its clean siblings blocked (verdicts key on (id, canon))
+    val urls = Seq(
+      (1L, "https://bad.example.com/x"),
+      (1L, "https://clean.example.org/y"),
+      (1L, "https://clean.example.org/z"),
+      (2L, "https://clean.example.org/w")).toDF("id", "url")
+    val rules = Seq((0L, "bad.example.com", Option.empty[String]))
+      .toDF("rule_id", "host_suffix", "path_prefix")
+    val got = Html.urlFilter(urls, "id", "url", rules)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getBoolean(2)).toMap
+    assert(got((1L, "https://bad.example.com/x")) === true)
+    assert(got((1L, "https://clean.example.org/y")) === false)
+    assert(got((1L, "https://clean.example.org/z")) === false)
+    assert(got((2L, "https://clean.example.org/w")) === false)
   }
 
   test("anchor terms aggregate per target with (count desc, term) rank") {

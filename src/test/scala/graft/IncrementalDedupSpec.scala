@@ -52,6 +52,48 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(!probed.map(_.getLong(0)).contains(3L))
   }
 
+  test("ensure builds once, skips the identical corpus, rebuilds on change") {
+    import spark.implicits._
+    val corpus = corpusRows.toDF("doc_id", "text")
+    val shard = shardRows.toDF("doc_id", "text")
+    val idx = s"/tmp/graft-spec-mhens-${java.lang.Math.abs(hashCode)}"
+    def bandFiles = {
+      val d = new java.io.File(s"$idx/bands")
+      Option(d.listFiles).map(_.filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified)).toSet).getOrElse(Set.empty)
+    }
+    graft.operators.Dedup.minhashIndexEnsure(corpus, "doc_id", "text", idx)
+    val built = bandFiles
+    assert(built.nonEmpty)
+    val firstProbe = graft.operators.Dedup
+      .dedupShardAgainstIndex(shard, "doc_id", "text", idx)
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    // same corpus → the artifact is REUSED (no file rewrites), and the
+    // probe answers identically
+    graft.operators.Dedup.minhashIndexEnsure(corpus, "doc_id", "text", idx)
+    assert(bandFiles === built, "ensure must not rebuild an up-to-date index")
+    assert(graft.operators.Dedup
+      .dedupShardAgainstIndex(shard, "doc_id", "text", idx)
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq === firstProbe)
+    // changed corpus (one doc dropped) → fingerprint mismatch → rebuild,
+    // and the dropped doc no longer matches
+    graft.operators.Dedup.minhashIndexEnsure(
+      corpus.where(col("doc_id") =!= 11L), "doc_id", "text", idx)
+    val probe2 = graft.operators.Dedup
+      .dedupShardAgainstIndex(shard, "doc_id", "text", idx)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!probe2.exists(_._2 == 11L), s"doc 11 left the corpus; got $probe2")
+    assert(probe2.exists(_._1 == 1L)) // unrelated matches survive
+    // an append invalidates the fingerprint: ensure afterwards rebuilds
+    graft.operators.Dedup.minhashIndexAppend(
+      Seq((99L, "zz yy xx ww vv uu tt ss")).toDF("doc_id", "text"),
+      "doc_id", "text", idx)
+    val appended = bandFiles
+    graft.operators.Dedup.minhashIndexEnsure(
+      corpus.where(col("doc_id") =!= 11L), "doc_id", "text", idx)
+    assert(bandFiles !== appended, "ensure must rebuild after an append")
+  }
+
   test("streaming shard probe equals per-shard batch probes (micro-batch = shard)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -240,6 +240,35 @@ class MultimodalSourcesSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L, 0)))
   }
 
+  test("fused thumb aHash equals the two-codec resize chain fingerprint-for-fingerprint") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // 16x16 sources with varied structure (formula pixels + a retouch)
+    val meta = Multimodal.MediaMeta("image", 16, 16, 0L)
+    val rows = (1L to 6L).map { id =>
+      val px = Array.tabulate(256) { p =>
+        def ch(c: Int) = (((id * 7 + (p * 3 + c) * 13) % 256).toInt + 256) % 256
+        (ch(0) << 16) | (ch(1) << 8) | ch(2)
+      }
+      if (id == 6L) px(0) = px(0) ^ 0x010101
+      Multimodal.MediaRecord(id, meta, Multimodal.Encode.png(16, 16, px))
+    }.toDS()
+    val twoPass = Multimodal.resize(rows, 8, 8)
+      .map(t => Multimodal.MediaRecord(
+        t.media_id, Multimodal.MediaMeta("image", 8, 8, 0L), t.content))
+    val a = Multimodal.imageAHash(twoPass).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val b = Multimodal.thumbAHash(rows, 8, 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(a === b,
+      "hashing the resample buffer must equal re-encode + re-decode + hash")
+    // and non-8x8-output fusions are refused loudly (aHash is 64-bit)
+    val ex = intercept[IllegalArgumentException] {
+      Multimodal.thumbAHash(rows, 16, 16)
+    }
+    assert(ex.getMessage.contains("64"))
+  }
+
   test("audio aHash survives the WAV round trip and matches the formula") {
     val id = 123L
     val md = java.security.MessageDigest.getInstance("MD5")

@@ -216,6 +216,48 @@ steps:
     assert(got(1)._2 == "Tom & Jerry say 1 < 2 in this long line of words")
   }
 
+  test("a warc source reads real crawl bytes and chains into html_extract") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val dir = s"/tmp/graft-pipe-warc-${System.nanoTime()}"
+    val pages = (0L until 9L)
+      .map(i => (i, s"https://s${i % 3}.example/doc/$i",
+        s"<html><body><div><a href=\"/\">Home</a></div>" +
+          s"<p>document $i alpha beta gamma delta words</p></body></html>"))
+      .toDF("doc_id", "url", "html")
+      .repartition(2, pmod(col("doc_id"), lit(2)))
+    graft.sources.Warc.writeFiles(pages, "url", "html", dir)
+    val spec = s"""
+entity: crawl
+sources: [{name: crawl, table: "$dir/*.warc.gz", format: warc}]
+steps:
+  - name: extracted
+    op: html_extract
+    params: {html: html}
+"""
+    // a warc source never touches the table registry; html_extract
+    // replaces the html column in place (the WET convention)
+    val got = Pipeline.result(spark, spec,
+        t => fail(s"warc source must not resolve table '$t'"))
+      .select("url", "html").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got.size === 9)
+    assert(got("https://s1.example/doc/4") ===
+      "document 4 alpha beta gamma delta words")
+    // unknown source formats are refused loudly at validate time
+    val ex = intercept[IllegalArgumentException] {
+      Pipeline.result(spark, """
+entity: x
+sources: [{name: a, table: t, format: avro}]
+steps: [{name: s, op: select, params: {columns: [c]}}]
+""", resolve)
+    }
+    assert(ex.getMessage.contains("unknown format"))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(dir))
+  }
+
   test("web front-end steps compose: links -> url_normalize -> pagerank in one spec") {
     // 4 pages, each linking to page 0 except page 0 -> 1; hrefs messy
     // (case, default port, fragment) so url_normalize must produce

@@ -49,6 +49,48 @@ class SkewSpec extends SparkSpec {
     assert(exact.length == 1 && exact.head.getLong(1) == 300L)
   }
 
+  test("the skew cap fires its loud observed metric exactly when it bites") {
+    import org.apache.spark.sql.execution.QueryExecution
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith(graft.operators.CapMetrics.namePrefix))
+            captured.add((name, row.getLong(0), row.getLong(1)))
+        }
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    def await(pred: Iterable[(String, Long, Long)] => Boolean): Unit = {
+      val deadline = System.currentTimeMillis + 20000
+      import scala.jdk.CollectionConverters._
+      while (!pred(captured.asScala) && System.currentTimeMillis < deadline)
+        Thread.sleep(50)
+      assert(pred(captured.asScala), s"metric never arrived; got $captured")
+    }
+    try {
+      // 5 identical fingerprints, cap 3 → all 4 chunk buckets over cap:
+      // 4 dropped buckets, 4 × C(5,2) = 40 dropped pairs, zero output
+      val fp = (1L to 5L).map(i => (i, 7L, 7L)).toDF("doc_id", "hi", "lo")
+      assert(Dedup.mineHammingPairs(fp, maxHamming = 3, maxBucket = 3).count() === 0L)
+      await(_.exists { case (n, b, p) =>
+        n.startsWith(graft.operators.CapMetrics.namePrefix + "hamming") &&
+          b == 4L && p == 40L })
+      // under the cap the metric reads zero — it fires EXACTLY when it bites
+      captured.clear()
+      assert(Dedup.mineHammingPairs(fp, maxHamming = 3, maxBucket = 100).count() === 10L)
+      await(_.exists { case (n, b, p) =>
+        n.startsWith(graft.operators.CapMetrics.namePrefix + "hamming") &&
+          b == 0L && p == 0L })
+      // the minhash miner reports through the same channel
+      captured.clear()
+      graft.operators.Dedup.minhashCandidates(
+        megaCorpus, "doc_id", "text", maxBucket = 100).collect()
+      await(_.exists { case (n, b, _) =>
+        n.startsWith(graft.operators.CapMetrics.namePrefix + "minhash") && b > 0L })
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("J3: the pigeonhole bucket cap bounds identical-fingerprint chunks") {
     val pairs = Dedup.simhashPairs(
       megaCorpus, "doc_id", "text", maxHamming = 3, maxBucket = 100)

@@ -280,4 +280,108 @@ class StreamDedupSpec extends SparkSpec {
       dir.listFiles().foreach(_.delete()); dir.delete()
     }
   }
+
+  private def withRocksDb[T](body: => T): T = {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("fingerprint stream with a TTL starts and emits (ProcessingTime mode)") {
+    withRocksDb {
+      // regression: a TTLConfig under TimeMode.None throws at query
+      // start — ttl=Some must select ProcessingTime. In that mode
+      // Spark keeps scheduling micro-batches to service TTL state
+      // cleanup, so the query NEVER quiesces — processAllAvailable
+      // (and even AvailableNow) would wait forever. The regression
+      // under test is start-and-emit: poll the sink until the pair
+      // lands, then stop. The slow trigger keeps the idle TTL batches
+      // from hammering the state store while we poll.
+      val input = MemoryStream[(Long, Long, Long)](spark)
+      input.addData((1L, 7L, 7L), (2L, 7L, 7L))
+      val q = StreamOps.fingerprintPairStream(
+          input.toDF.toDF("doc_id", "hi", "lo"),
+          ttl = Some(java.time.Duration.ofHours(1)))
+        .writeStream.format("memory").queryName("fp_ttl_out")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+        .start()
+      try {
+        val deadline = System.currentTimeMillis + 120000
+        def pairs() = spark.table("fp_ttl_out")
+          .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        while (pairs().isEmpty && System.currentTimeMillis < deadline) {
+          q.exception.foreach(throw _)
+          Thread.sleep(200)
+        }
+        assert(pairs() === Set((1L, 2L)))
+      } finally q.stop()
+    }
+  }
+
+  test("over-cap fingerprint bucket tombstones: batch parity in-batch, quiet after") {
+    withRocksDb {
+      val mk = (id: Long) => (id, 7L, 7L) // identical fingerprints → one bucket set
+      // same-batch over-cap: the whole bucket arrives at once → the
+      // batch miner's DROP exactly (zero pairs)
+      val in1 = MemoryStream[(Long, Long, Long)](spark)
+      val q1 = StreamOps.fingerprintPairStream(
+          in1.toDF.toDF("doc_id", "hi", "lo"), maxBucket = 3)
+        .writeStream.format("memory").queryName("fp_cap1_out")
+        .outputMode("append").start()
+      try {
+        in1.addData(mk(1L), mk(2L), mk(3L), mk(4L))
+        q1.processAllAvailable()
+        assert(spark.table("fp_cap1_out").count() === 0L)
+      } finally q1.stop()
+      // cross-batch over-cap: pairs already emitted stand (append mode
+      // cannot retract — the documented divergence), but the arrival
+      // that crosses the cap kills the bucket for good
+      val in2 = MemoryStream[(Long, Long, Long)](spark)
+      val q2 = StreamOps.fingerprintPairStream(
+          in2.toDF.toDF("doc_id", "hi", "lo"), maxBucket = 3)
+        .writeStream.format("memory").queryName("fp_cap2_out")
+        .outputMode("append").start()
+      try {
+        in2.addData(mk(1L), mk(2L), mk(3L))
+        q2.processAllAvailable()
+        val before = spark.table("fp_cap2_out")
+          .select("id_a", "id_b").distinct().collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(before === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+        in2.addData(mk(4L)) // crosses the cap → tombstone, no new pairs
+        q2.processAllAvailable()
+        in2.addData(mk(5L)) // dead bucket stays quiet
+        q2.processAllAvailable()
+        val after = spark.table("fp_cap2_out")
+          .select("id_a", "id_b").distinct().collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(after === before)
+      } finally q2.stop()
+    }
+  }
+
+  test("over-cap minhash bucket tombstones identically") {
+    withRocksDb {
+      // one shared text → every doc lands in the same 16 buckets
+      val mk = (id: Long) => (id, "the same shared text body for every doc")
+      val input = MemoryStream[(Long, String)](spark)
+      val q = StreamOps.minhashCandidateStream(
+          input.toDF.toDF("doc_id", "text"), "doc_id", "text", maxBucket = 3)
+        .writeStream.format("memory").queryName("mh_cap_out")
+        .outputMode("append").start()
+      try {
+        input.addData(mk(1L), mk(2L), mk(3L), mk(4L))
+        q.processAllAvailable()
+        assert(spark.table("mh_cap_out").count() === 0L) // batch-parity drop
+        input.addData(mk(5L))
+        q.processAllAvailable()
+        assert(spark.table("mh_cap_out").count() === 0L) // tombstoned for good
+      } finally q.stop()
+    }
+  }
 }
