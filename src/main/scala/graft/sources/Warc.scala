@@ -56,17 +56,30 @@ object Warc {
   // reader
   // ---------------------------------------------------------------
 
-  /** All records of every WARC file under `path` (glob ok; `.warc.gz`
-    * multi-member or uncompressed `.warc`). One executor task per
-    * file; rows ∝ records. */
-  def records(spark: SparkSession, path: String): DataFrame = {
-    import spark.implicits._
-    spark.read.format("binaryFile").load(path)
+  /** (path, content) binary-file rows → parsed records: the shared
+    * per-task parse behind the batch and streaming readers. */
+  private def recordsFrom(files: DataFrame): DataFrame = {
+    import files.sparkSession.implicits._
+    files
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (file, bytes) => parseAll(file, bytes) }
       .toDF()
   }
+
+  private def responsesFrom(records: DataFrame): DataFrame =
+    records
+      .where(col("warc_type") === "response")
+      .select(col("file"), col("record_no"), col("url"),
+        col("http_status"), col("mime"),
+        // body bytes are UTF-8 page text by the response contract
+        col("body").cast("string").as("html"))
+
+  /** All records of every WARC file under `path` (glob ok; `.warc.gz`
+    * multi-member or uncompressed `.warc`). One executor task per
+    * file; rows ∝ records. */
+  def records(spark: SparkSession, path: String): DataFrame =
+    recordsFrom(spark.read.format("binaryFile").load(path))
 
   /** The crawl front end's working view: `response` records only,
     * HTTP message parsed, body decoded as UTF-8 text — (file,
@@ -74,12 +87,38 @@ object Warc {
     * [[graft.operators.Html.htmlExtract]] / [[graft.operators.Html
     * .htmlLinks]] directly. */
   def responses(spark: SparkSession, path: String): DataFrame =
-    records(spark, path)
-      .where(col("warc_type") === "response")
-      .select(col("file"), col("record_no"), col("url"),
-        col("http_status"), col("mime"),
-        // body bytes are UTF-8 page text by the response contract
-        col("body").cast("string").as("html"))
+    responsesFrom(records(spark, path))
+
+  /** STREAMING crawl ingest: `readStream` over a WARC landing
+    * directory — each micro-batch picks up newly landed `.warc.gz`
+    * files (the file source tracks seen files; nothing is rescanned),
+    * parses them through the SAME per-task record walk as the batch
+    * reader, and emits response rows ready for the stateless
+    * extraction twins ([[graft.streaming.StreamOps.htmlExtractStream]]
+    * and friends). Map-only append mode: no watermark, no state — the
+    * crawl lake's front door at any arrival rate. `maxFilesPerTrigger`
+    * bounds a micro-batch (a CommonCrawl-sized file is ~1 GB; the
+    * default 16 keeps a batch under one executor-wave on a small
+    * cluster — size to your executor count). */
+  def responseStream(
+      spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 16): DataFrame = {
+    // the binaryFile schema is fixed; file streams require it explicit
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    responsesFrom(recordsFrom(
+      spark.readStream.format("binaryFile")
+        .schema(schema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .load(path)))
+  }
 
   /** Parse one file's bytes into its records. Decompresses when the
     * content is gzip (magic 1f 8b); GZIPInputStream consumes

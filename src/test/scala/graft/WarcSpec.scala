@@ -71,6 +71,44 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("streaming ingest: landed .warc.gz files parse incrementally, batch-parity") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-stream").toFile
+    def land(name: String, pgs: Seq[(String, String)]): Unit = {
+      // write hidden then rename: the file source ignores dot-files, so
+      // a trigger can never list a half-written landing
+      val tmp = new java.io.File(dir, s".$name.tmp")
+      val out = new java.io.FileOutputStream(tmp)
+      try out.write(Warc.writeFile(pgs, name)) finally out.close()
+      assert(tmp.renameTo(new java.io.File(dir, name)))
+    }
+    land("crawl-0.warc.gz", pages.take(2))
+    val stream = Warc.responseStream(spark, dir.getAbsolutePath + "/*.warc.gz")
+    assert(stream.isStreaming)
+    val q = graft.streaming.StreamOps.htmlExtractStream(stream, "url", "html")
+      .writeStream.format("memory").queryName("warc_stream_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("warc_stream_out").count() === 2L)
+      // a file landing later is discovered incrementally, not rescanned
+      land("crawl-1.warc.gz", pages.drop(2))
+      q.processAllAvailable()
+      val got = spark.table("warc_stream_out")
+        .select("url", "content").collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+      assert(got.keySet === pages.map(_._1).toSet)
+      // batch parity: same rows as the batch reader through the batch op
+      val want = graft.operators.Html.htmlExtract(
+          Warc.responses(spark, dir.getAbsolutePath + "/*.warc.gz"), "url", "html")
+        .select("url", "content").collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+      assert(got === want)
+    } finally {
+      q.stop()
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("distributed writeFiles → records: one file per partition, all pages back") {
     val dir = s"/tmp/graft-warcspec-${System.nanoTime()}"
     val df = (0L until 97L)
