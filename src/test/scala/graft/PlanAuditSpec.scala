@@ -613,4 +613,80 @@ class PlanAuditSpec extends SparkSpec {
     // tombstone set rides in as broadcast anti-joins (ids-only)
     assert(plan.count(p => p.nodeName.contains("BroadcastHashJoin")) >= 1)
   }
+
+  test("warc reading is one task pass: zero shuffles from container bytes to rows") {
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    import spark0.implicits._
+    val wdir = s"/tmp/graft-audit-warc"
+    val pages = (0L until 40L)
+      .map(i => (i, s"https://s$i.example/p", s"<p>page $i body words here</p>"))
+      .toDF("doc_id", "url", "html").repartitionByRange(2, col("doc_id"))
+    graft.sources.Warc.writeFiles(pages, "url", "html", wdir)
+    val plan = executed(graft.sources.Warc.responses(spark, s"$wdir/*.warc.gz"))
+    // gunzip + framing + HTTP split all happen inside the per-file
+    // task; nothing may force a shuffle before rows exist
+    assert(shuffles(plan) == 0)
+  }
+
+  test("rfc9309 longest-match verdict: one argmax aggregation, no window, no per-rule scan") {
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    import spark0.implicits._
+    val urls = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      concat(lit("https://site"), (col("doc_id") % 20).cast("string"),
+        lit(".example.com/private/p"), col("doc_id").cast("string"),
+        lit(".pdf")).as("url"))
+    val rules = Seq(
+      (0L, "site3.example.com", Option("/private/"), false),
+      (1L, "site3.example.com", Option("/private/public/"), true),
+      (2L, "site3.example.com", Option("/*.pdf$"), false))
+      .toDF("rule_id", "host_suffix", "path_prefix", "allow")
+    val df = graft.operators.Html.urlFilter(urls, "doc_id", "url", rules)
+    // the longest-match precedence folds as max(struct(...)) — a
+    // row_number window here would serialize per-URL rule lists
+    assert(df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.isEmpty)
+    val plan = executed(df)
+    assert(!plan.exists(_.nodeName.toLowerCase.contains("nestedloop")))
+    assert(!plan.exists(_.nodeName.toLowerCase.contains("cartesian")))
+    // rule match and verdict join both broadcast; wildcard compile
+    // rides the broadcast side, never a per-rule corpus scan
+    assert(plan.count(_.isInstanceOf[BroadcastHashJoinExec]) >= 2)
+  }
+
+  test("community profile composition: keyed join + partial agg over checkpointed inputs") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir)
+    val labels = docs.select(col("doc_id"), (col("doc_id") % 7).as("community"))
+      .localCheckpoint()
+    val sig = graft.operators.Curation.repetitionSignals(docs, Seq("doc_id"), "text")
+      .localCheckpoint()
+    val profile = sig.join(labels, "doc_id")
+      .groupBy("community")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words").cast("long")).as("sum_words"))
+      .orderBy("community")
+    val plan = executed(profile)
+    assert(!plan.exists(_.nodeName.toLowerCase.contains("nestedloop")))
+    // the aggregate must combine map-side: partial + final HashAggregate
+    assert(plan.count(_.nodeName.contains("HashAggregate")) >= 2)
+    // join on doc_id, agg on community, presentation sort — never more
+    // than three exchanges over the two checkpointed inputs
+    assert(shuffles(plan) <= 3)
+  }
+
+  test("url normalization with %-decode and IDN folding stays map-only") {
+    import org.apache.spark.sql.functions._
+    val urls = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      concat(lit("HTTP://MüNCHEN.Example.COM:80/q%41%2f%7e/p"),
+        col("doc_id").cast("string")).as("url"))
+    val plan = executed(urls.select(
+      col("doc_id"), graft.operators.Html.urlNormalize(col("url")).as("canon")))
+    // the whole canon chain (pct fold, punycode expression) is row-local
+    assert(shuffles(plan) == 0)
+  }
 }
