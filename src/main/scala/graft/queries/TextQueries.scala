@@ -80,6 +80,37 @@ object TextQueries {
     // parsing, or HTTP body splitting moves a row. The oracle replays
     // synthesis + extraction from `documents` and never sees a WARC
     // byte (the GeoTiff/M1 synthesize-then-decode posture).
+    // W2 — the cdx-style member index + seek read (the record-range
+    // access path for >2 GB crawl files and sparse cdx hit lists):
+    // the gate writes the same corpus as actual .warc.gz, builds the
+    // member-boundary index with the Inflater walk, keeps a SPARSE
+    // subset of index rows (every 9th doc), and fetches exactly those
+    // records by positioned (offset, length) reads — url/status/mime/
+    // full page html row-hashed. The oracle replays the subset's
+    // synthesis from `documents`; it never sees an offset or a byte,
+    // so a member-boundary drift, a header-field miscount, or a
+    // positioned-read bug surfaces as a moved/missing row.
+    "q_warc_index" -> { (s, dir) =>
+      val tag = java.lang.Math.abs(dir.hashCode)
+      val path = s"/tmp/graft-warcidx-$tag"
+      val url = concat(lit("https://site"), (col("doc_id") % 20).cast("string"),
+        lit(".example.com/doc/"), col("doc_id").cast("string"))
+      val pages = Tables.documents(s, dir)
+        .select(col("doc_id"), url.as("url"), synthHtml.as("html"))
+        .repartition(8, pmod(col("doc_id"), lit(8)))
+        .sortWithinPartitions("doc_id")
+      graft.sources.Warc.writeFiles(pages, "url", "html", path)
+      val idx = graft.sources.Warc.index(s, s"$path/*.warc.gz")
+      val wanted = idx.where(col("warc_type") === "response")
+        .where(regexp_extract(col("url"), "/doc/(\\d+)$", 1)
+          .cast("long") % 9 === 0)
+      graft.sources.Warc.readRecords(wanted)
+        .select(
+          regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+          col("url"), col("http_status"), col("mime"),
+          col("body").cast("string").as("html"))
+        .orderBy("doc_id")
+    },
     "q_warc_extract" -> { (s, dir) =>
       val tag = java.lang.Math.abs(dir.hashCode)
       val path = s"/tmp/graft-warc-$tag"
@@ -483,6 +514,28 @@ object TextQueries {
           list_filter(ls, s -> s.words >= 3 AND s.links * 2 <= s.words),
           s -> s.words)), 0) AS BIGINT) AS n_words
       FROM t2 ORDER BY doc_id""",
+    // W2 replays only the SYNTHESIS for the seek-read subset: the
+    // engine's rows come from index-guided positioned reads of real
+    // gzip members, the oracle's from the page formulas — an offset
+    // drift, a length miscount or a positioned-read defect moves or
+    // kills a row
+    "q_warc_index" -> """
+      SELECT doc_id,
+        'https://site' || CAST(doc_id % 20 AS VARCHAR)
+          || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+        CAST(200 AS INT) AS http_status,
+        'text/html; charset=utf-8' AS mime,
+        '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+        || '</title><style>body { color: #222; }</style>'
+        || '<script>if (1 < 2 && 3 > 1) { var x = "</p>"; }</script></head><body>'
+        || '<div id="nav"><a href="/">Home</a> <a href="/about">About</a>'
+        || CASE WHEN doc_id % 3 = 0 THEN '<a href="/faq">FAQ</a>' ELSE '' END
+        || '</div><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
+        || ' Tom &amp; Jerry say 1 &lt; 2 &quot;ok&quot; it&#39;s fine A&nbsp;B</p>'
+        || '<p>Figure ' || CAST(doc_id % 7 AS VARCHAR)
+        || '</p><div class="footer"><a href="/terms">Terms</a> <a href="/privacy">Privacy</a> 2026</div></body></html>'
+        AS html
+      FROM documents WHERE doc_id % 9 = 0 ORDER BY doc_id""",
     // W1 replays the L9 synthesis + extraction and adds the url /
     // status / mime the engine recovers from actual WARC+HTTP bytes;
     // the oracle never touches a container byte, so any framing or

@@ -120,6 +120,142 @@ object Warc {
         .load(path)))
   }
 
+  /** One cdx-style index row: where record `record_no` of `file`
+    * lives in COMPRESSED bytes — `[offset, offset + length)` is a
+    * self-contained gzip member (the property WARC's
+    * one-record-per-member layout exists to provide), so a reader can
+    * fetch exactly that byte range and decode one record without
+    * touching the rest of the file. */
+  case class WarcIndexRow(
+      file: String, record_no: Int, warc_type: String, url: String,
+      offset: Long, length: Long)
+
+  /** The member-boundary index of every `.warc.gz` under `path` — the
+    * `warc.paths`/cdx pattern: build once per crawl, then any record
+    * is a (file, offset, length) range fetch. One executor task per
+    * file (the walk is a single compressed pass tracking `Inflater
+    * .getBytesRead` — no second decode, no buffering beyond one
+    * record); rows ∝ records, each a few dozen bytes — the index of a
+    * 100 TB crawl is ~10⁴× smaller than the crawl and sits in an
+    * ordinary parquet table. With it, the binaryFile 2 GB whole-file
+    * bound stops being the access path: [[readRecords]] seeks. */
+  def index(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (file, bytes) => indexMembers(file, bytes) }
+      .toDF()
+  }
+
+  /** Walk the gzip members of one file, emitting an index row per
+    * member: header parse (RFC 1952 — optional FEXTRA/FNAME/FCOMMENT/
+    * FHCRC fields handled), raw-deflate inflate tracking compressed
+    * consumption, 8-byte CRC/ISIZE trailer. The decompressed member is
+    * parsed just enough to name the record (type + target URI). */
+  private[graft] def indexMembers(
+      file: String, bytes: Array[Byte]): Iterator[WarcIndexRow] = {
+    require(bytes.length >= 2 &&
+      (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b,
+      s"warc index: $file is not gzip — index is defined on .warc.gz " +
+        "(an uncompressed .warc has no member boundaries to index)")
+    new Iterator[WarcIndexRow] {
+      private var pos = 0
+      private var n = 0
+      override def hasNext: Boolean = pos < bytes.length
+      override def next(): WarcIndexRow = {
+        val start = pos
+        val dataOff = skipGzipHeader(bytes, pos, file)
+        val inf = new java.util.zip.Inflater(true)
+        inf.setInput(bytes, dataOff, bytes.length - dataOff)
+        val out = new ByteArrayOutputStream(1 << 14)
+        val buf = new Array[Byte](1 << 14)
+        try {
+          while (!inf.finished()) {
+            val k = inf.inflate(buf)
+            if (k > 0) out.write(buf, 0, k)
+            else if (inf.needsInput()) throw new EOFException(
+              s"warc index: truncated gzip member at $start in $file")
+          }
+          pos = dataOff + inf.getBytesRead.toInt + 8 // CRC32 + ISIZE
+        } finally inf.end()
+        require(pos <= bytes.length,
+          s"warc index: member at $start overruns $file")
+        val rec = parseAll(file, out.toByteArray).next()
+        val row = WarcIndexRow(
+          file, n, rec.warc_type, rec.url, start.toLong, (pos - start).toLong)
+        n += 1
+        row
+      }
+    }
+  }
+
+  /** RFC 1952 §2.3: fixed 10-byte header plus the optional fields the
+    * flag byte declares. Returns the offset of the deflate data. */
+  private def skipGzipHeader(b: Array[Byte], at: Int, file: String): Int = {
+    require(at + 10 <= b.length &&
+      (b(at) & 0xff) == 0x1f && (b(at + 1) & 0xff) == 0x8b,
+      s"warc index: no gzip member at offset $at in $file")
+    val flg = b(at + 3) & 0xff
+    var p = at + 10
+    if ((flg & 4) != 0) { // FEXTRA: 2-byte little-endian length + data
+      val xlen = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+      p += 2 + xlen
+    }
+    if ((flg & 8) != 0) { while (b(p) != 0) p += 1; p += 1 } // FNAME
+    if ((flg & 16) != 0) { while (b(p) != 0) p += 1; p += 1 } // FCOMMENT
+    if ((flg & 2) != 0) p += 2 // FHCRC
+    p
+  }
+
+  /** Seek-read: fetch the records an INDEX FRAME names — (file,
+    * record_no, offset, length) rows from [[index]] (any other columns
+    * rejoin on the caller's side). One Hadoop FS open per distinct
+    * file per partition: rows repartition by file and sort by offset,
+    * so a task reads its file forward with positioned reads — the
+    * record-range access path for > 2 GB crawl files and for sparse
+    * fetches (a cdx hit list) where decoding the whole file is waste. */
+  def readRecords(idx: DataFrame): DataFrame = {
+    import idx.sparkSession.implicits._
+    val spark = idx.sparkSession
+    val confSer = new org.apache.spark.SerializableWritable(
+      spark.sessionState.newHadoopConf())
+    idx.select(col("file"), col("record_no"), col("offset"), col("length"))
+      .as[(String, Int, Long, Long)]
+      .repartition(col("file"))
+      .sortWithinPartitions(col("file"), col("offset"))
+      .mapPartitions { rows =>
+        var curFile: String = null
+        var in: org.apache.hadoop.fs.FSDataInputStream = null
+        def open(f: String): Unit = {
+          if (in != null) in.close()
+          val p = new org.apache.hadoop.fs.Path(f)
+          in = p.getFileSystem(confSer.value).open(p)
+          curFile = f
+        }
+        val it = rows.map { case (file, recordNo, offset, length) =>
+          if (file != curFile) open(file)
+          val member = new Array[Byte](length.toInt)
+          in.readFully(offset, member) // positioned read: no state race
+          // parseAll numbers from the member start — the index row
+          // carries the record's true ordinal within its file
+          val rec = parseAll(file, member).next()
+          (rec.file, recordNo, rec.warc_type, rec.url, rec.warc_date,
+            rec.http_status, rec.mime, rec.body)
+        }
+        new Iterator[(String, Int, String, String, String, Int, String, Array[Byte])] {
+          override def hasNext: Boolean = {
+            val h = it.hasNext
+            if (!h && in != null) { in.close(); in = null }
+            h
+          }
+          override def next() = it.next()
+        }
+      }
+      .toDF("file", "record_no", "warc_type", "url", "warc_date",
+        "http_status", "mime", "body")
+  }
+
   /** Parse one file's bytes into its records. Decompresses when the
     * content is gzip (magic 1f 8b); GZIPInputStream consumes
     * concatenated members transparently, and the WARC grammar below

@@ -71,6 +71,50 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("member index reproduces by-construction offsets; seek-reads round-trip") {
+    // offsets computed two independent ways: scanLeft over the writer's
+    // member sizes vs the Inflater walk over the final bytes
+    val members = Warc.warcinfoRecord("f") +: pages.map { case (u, h) =>
+      Warc.responseRecord(u, h)
+    }
+    val gz = members.map(Warc.gzipMember)
+    val wantOffsets = gz.scanLeft(0L)(_ + _.length).dropRight(1)
+    val file = gz.reduce(_ ++ _)
+    val idx = Warc.indexMembers("f.warc.gz", file).toSeq
+    assert(idx.map(_.offset) === wantOffsets)
+    assert(idx.map(_.length) === gz.map(_.length.toLong))
+    assert(idx.map(_.record_no) === Seq(0, 1, 2, 3))
+    assert(idx.map(_.warc_type) === Seq("warcinfo", "response", "response", "response"))
+    assert(idx.drop(1).map(_.url) === pages.map(_._1))
+    // a non-gzip input is refused loudly (no member boundaries to index)
+    val ex = intercept[IllegalArgumentException] {
+      Warc.indexMembers("f.warc", members.head)
+    }
+    assert(ex.getMessage.contains("gzip"))
+    // distributed: index files on disk, seek-read a SPARSE subset back
+    val dir = s"/tmp/graft-warcidx-${System.nanoTime()}"
+    val df = (0L until 60L)
+      .map(i => (i, s"https://s.example/doc/$i", s"<p>doc $i body</p>"))
+      .toDF("doc_id", "url", "html")
+      .repartitionByRange(3, col("doc_id"))
+    Warc.writeFiles(df, "url", "html", dir)
+    val index = Warc.index(spark, s"$dir/*.warc.gz").localCheckpoint()
+    assert(index.count() === 63L) // 60 responses + 3 warcinfo
+    val wanted = index.where(col("warc_type") === "response")
+      .where(expr("CAST(regexp_extract(url, '/doc/(\\\\d+)$', 1) AS BIGINT) % 7 = 0"))
+    val got = Warc.readRecords(wanted)
+      .select(col("url"), col("body").cast("string").as("html"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got.size === 9) // ids 0,7,...,56
+    (0L until 60L by 7).foreach { i =>
+      assert(got(s"https://s.example/doc/$i") === s"<p>doc $i body</p>")
+    }
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(dir))
+  }
+
   test("streaming ingest: landed .warc.gz files parse incrementally, batch-parity") {
     val dir = java.nio.file.Files.createTempDirectory("graft-warc-stream").toFile
     def land(name: String, pgs: Seq[(String, String)]): Unit = {
