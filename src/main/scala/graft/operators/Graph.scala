@@ -159,6 +159,22 @@ object Graph {
       .union(e.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint()
+    var scores = nodes.select(
+      col("node"), lit(scale).as("hub"), lit(scale).as("auth"))
+    var t = 0
+    while (t < iters) {
+      scores = hitsRound(e, nodes, scores, scale)
+      t += 1
+    }
+    scores.select(col("node"), col("hub"), col("auth")).orderBy("node")
+  }
+
+  /** One full HITS round (authority half then hub half, each with the
+    * overflow-free floor normalization) over checkpointed `e`/`nodes`
+    * frames; returns a checkpointed (node, hub, auth) frame. */
+  private def hitsRound(
+      e: DataFrame, nodes: DataFrame, scores: DataFrame,
+      scale: Long): DataFrame = {
     def normalized(raw: DataFrame, c: String): DataFrame = {
       // 1-row max broadcast back (exchange = one long per partition)
       val mx = raw.agg(max(col(c)).as("__mx"))
@@ -166,27 +182,70 @@ object Graph {
         .select(col("node"),
           expr(s"$c div greatest(CAST(1 AS BIGINT), __mx div $scale)").as(c))
     }
+    // authority: sum of in-link hub scores over the live hub frame
+    val rawAuth = nodes.join(
+        e.join(scores.select(col("node").as("src"), col("hub")), "src")
+          .groupBy("dst").agg(sum("hub").as("auth"))
+          .withColumnRenamed("dst", "node"),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("auth"), lit(0L)).as("auth"))
+    val auth = normalized(rawAuth, "auth").localCheckpoint()
+    // hub: sum of out-link authority scores (the refreshed ones)
+    val rawHub = nodes.join(
+        e.join(auth.select(col("node").as("dst"), col("auth")), "dst")
+          .groupBy("src").agg(sum("auth").as("hub"))
+          .withColumnRenamed("src", "node"),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("hub"), lit(0L)).as("hub"))
+    val hub = normalized(rawHub, "hub").localCheckpoint()
+    nodes.join(hub, "node").join(auth, "node").localCheckpoint()
+  }
+
+  /** [[hits]] run to a fixed point — the S2 member of the round-11
+    * convergence family ([[pageRankConverged]] /
+    * [[labelPropagationConverged]]): stops when the largest hub AND
+    * auth move of a round is ≤ `tol` grid units. LOUD at `maxIters`,
+    * and the failure mode it names is REAL: the integer floor
+    * normalization can fall into a small limit cycle instead of a
+    * fixed point (the LPA-oscillation analogue — e.g. a hub whose
+    * in-sum hovers between g·scale and g·scale + g − 1 flips a grid
+    * unit forever), so an unconverged run means either raise tol past
+    * the cycle amplitude or keep the fixed-iter [[hits]] and pick a
+    * round parity. The fixed-iter [[hits]] remains the gate/oracle
+    * contract; scores from this variant equal [[hits]] run the same
+    * number of rounds (spec-asserted). */
+  def hitsConverged(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      tol: Long = 1L << 8, maxIters: Int = 50,
+      scale: Long = 1L << 20): DataFrame = {
+    require(tol >= 0 && maxIters >= 1 && scale > 0)
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
     var scores = nodes.select(
       col("node"), lit(scale).as("hub"), lit(scale).as("auth"))
+      .localCheckpoint()
     var t = 0
-    while (t < iters) {
-      // authority: sum of in-link hub scores over the live hub frame
-      val rawAuth = nodes.join(
-          e.join(scores.select(col("node").as("src"), col("hub")), "src")
-            .groupBy("dst").agg(sum("hub").as("auth"))
-            .withColumnRenamed("dst", "node"),
-          Seq("node"), "left")
-        .select(col("node"), coalesce(col("auth"), lit(0L)).as("auth"))
-      val auth = normalized(rawAuth, "auth").localCheckpoint()
-      // hub: sum of out-link authority scores (the refreshed ones)
-      val rawHub = nodes.join(
-          e.join(auth.select(col("node").as("dst"), col("auth")), "dst")
-            .groupBy("src").agg(sum("auth").as("hub"))
-            .withColumnRenamed("src", "node"),
-          Seq("node"), "left")
-        .select(col("node"), coalesce(col("hub"), lit(0L)).as("hub"))
-      val hub = normalized(rawHub, "hub").localCheckpoint()
-      scores = nodes.join(hub, "node").join(auth, "node").localCheckpoint()
+    var delta = Long.MaxValue
+    while (delta > tol) {
+      require(t < maxIters,
+        s"hitsConverged: scores still moving $delta > tol=$tol grid units after " +
+          s"$maxIters rounds — the integer floor normalization can limit-cycle " +
+          "(oscillate by a few grid units forever): raise tol past the cycle " +
+          "amplitude, or use the fixed-iter hits and pick a round parity")
+      val next = hitsRound(e, nodes, scores, scale)
+      delta = next
+        .join(scores.select(col("node"),
+          col("hub").as("__ph"), col("auth").as("__pa")), "node")
+        .agg(coalesce(max(greatest(
+          abs(col("hub") - col("__ph")),
+          abs(col("auth") - col("__pa")))), lit(0L)))
+        .head().getLong(0)
+      scores = next
       t += 1
     }
     scores.select(col("node"), col("hub"), col("auth")).orderBy("node")

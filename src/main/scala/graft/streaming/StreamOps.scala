@@ -385,42 +385,78 @@ object StreamOps {
     * rewriting the artifact (e.g. folding accepted novel docs in).
     * `onFlagged` receives each batch's flagged rows
     * `(doc_id, match_id, jaccard)` with its batch id. */
-  /** I16 — streaming URL compliance: the L14 blocklist verdicts on an
+  /** I16 — streaming URL compliance: the L14/L16 verdicts on an
     * unbounded URL stream (live crawl-frontier filtering). The rule
     * list folds into a LITERAL struct array at stream build (the
     * I12/I13 fitted-literal posture — train/compile offline, serve
-    * online): each row normalizes its URL and folds the array in-row
-    * for the min-rule_id match — no join, no state store, stateless
+    * online), with RFC 9309 wildcard patterns compiled ONCE rules-side
+    * by the SAME [[graft.operators.Html.robotsPatternRegex]] column
+    * expression the batch matcher uses: each row normalizes its URL
+    * and folds the array in-row — no join, no state store, stateless
     * append mode, so batch/stream parity holds by shared semantics
-    * (spec-asserted). Bounded by construction: a rule list past the
-    * literal bound must use the batch suffix-explode join instead —
-    * loudly enforced, never silently truncated. */
+    * (spec-asserted). Verdict mode mirrors the batch operator: a rule
+    * frame WITHOUT an `allow` column is a blocklist (min-rule_id
+    * attribution), one WITH it runs the §2.2.2 longest-match argmax
+    * (Allow wins an exact-length tie) as the same struct-max fold.
+    * Bounded by construction: a rule list past the literal bound must
+    * use the batch suffix-explode join instead — loudly enforced,
+    * never silently truncated. */
   def urlFilterStream(
       df: DataFrame, idCol: String, urlCol: String,
       rules: DataFrame, maxRules: Int = 10000): DataFrame = {
+    val hasAllow = rules.columns.contains("allow")
     val collected = rules
-      .select(col("rule_id").cast("long"), col("host_suffix"), col("path_prefix"))
+      .select(col("rule_id").cast("long"), col("host_suffix"), col("path_prefix"),
+        (if (hasAllow) col("allow") else lit(false)).as("allow"),
+        // wildcard compile rides the rules side — ∝ rules, once, and
+        // byte-identical to the batch matcher's compile
+        coalesce(
+          when(col("path_prefix").isNotNull &&
+              (col("path_prefix").contains("*") || col("path_prefix").endsWith("$")),
+            graft.operators.Html.robotsPatternRegex(col("path_prefix"))),
+          lit("")).as("rx"))
       .limit(maxRules + 1).collect()
     require(collected.length <= maxRules,
       s"urlFilterStream: rule list exceeds the $maxRules literal bound — " +
         "use the batch Html.urlFilter join for unbounded lists")
     val ruleSeq = collected.toSeq.map(r =>
-      (r.getLong(0), r.getString(1), Option(r.getString(2)).getOrElse("")))
+      (r.getLong(0), r.getString(1), Option(r.getString(2)).getOrElse(""),
+        r.getBoolean(3), r.getString(4)))
     val rulesLit = typedLit(ruleSeq)
     val canon = graft.operators.Html.urlNormalize(col(urlCol))
     val host = graft.operators.Html.urlHost(col(urlCol))
     def matches(r: Column, h: Column, p: Column): Column =
       (h === r.getField("_2") || h.endsWith(concat(lit("."), r.getField("_2")))) &&
-        (r.getField("_3") === "" || p.startsWith(r.getField("_3")))
-    val ruleId = aggregate(rulesLit, lit(null).cast("long"),
-      (acc, r) => when(matches(r, col("__h"), col("__p")) &&
-          (acc.isNull || r.getField("_1") < acc), r.getField("_1"))
-        .otherwise(acc))
-    df.select(col(idCol), canon.as("canon"), host.as("__h"))
+        (r.getField("_3") === "" ||
+          when(r.getField("_5") === "", p.startsWith(r.getField("_3")))
+            .otherwise(regexp_like(p, r.getField("_5"))))
+    val base = df.select(col(idCol), canon.as("canon"), host.as("__h"))
       .withColumn("__p", regexp_extract(col("canon"), "^[a-z][a-z0-9+.-]*://[^/]*(/.*)$", 1))
-      .withColumn("rule_id", ruleId)
-      .select(col(idCol), col("canon"),
-        col("rule_id").isNotNull.as("blocked"), col("rule_id"))
+    val out =
+      if (!hasAllow) {
+        val ruleId = aggregate(rulesLit, lit(null).cast("long"),
+          (acc, r) => when(matches(r, col("__h"), col("__p")) &&
+              (acc.isNull || r.getField("_1") < acc), r.getField("_1"))
+            .otherwise(acc))
+        base.withColumn("rule_id", ruleId)
+          .withColumn("blocked", col("rule_id").isNotNull)
+      } else {
+        // the batch argmax verbatim: (pattern length, allow, -rule_id)
+        val nullBest = lit(null).cast("struct<spec:INT,allow:BOOLEAN,nrid:BIGINT>")
+        def cand(r: Column): Column = struct(
+          length(r.getField("_3")).cast("int").as("spec"),
+          r.getField("_4").as("allow"),
+          (-r.getField("_1")).as("nrid"))
+        val best = aggregate(rulesLit, nullBest,
+          (acc, r) => when(matches(r, col("__h"), col("__p")) &&
+              (acc.isNull || cand(r) > acc), cand(r))
+            .otherwise(acc))
+        base.withColumn("__b", best)
+          .withColumn("rule_id", (-col("__b.nrid")).cast("long"))
+          .withColumn("blocked",
+            col("__b").isNotNull && !col("__b.allow"))
+      }
+    out.select(col(idCol), col("canon"), col("blocked"), col("rule_id"))
   }
 
   case class HammingPair(id_a: Long, id_b: Long, hamming: Int)

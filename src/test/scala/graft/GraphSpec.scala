@@ -180,6 +180,30 @@ class GraphSpec extends SparkSpec {
     assert(k < 200 && conv === cur)
   }
 
+  test("converged hits reaches a fixed point equal to enough fixed rounds") {
+    // an ASYMMETRIC graph (a regular graph is a HITS fixed point at
+    // initialization and would test nothing) that genuinely converges:
+    // the star settles on the exact grid in 2 rounds
+    val edges = (1L to 9L).map(i => (i, 0L))
+    val conv = Graph.hitsConverged(edges.toDF("s", "d"), "s", "d",
+        tol = 0L, maxIters = 10)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    // tol = 0: a TRUE integer-grid fixed point — find the same point by
+    // iterating the driver reference until it stops moving
+    var prev = Map.empty[Long, (Long, Long)]
+    var k = 1
+    var cur = hitsReference(edges, 1)
+    while (cur != prev && k < 10) { prev = cur; k += 1; cur = hitsReference(edges, k) }
+    assert(k < 10 && conv === cur)
+    // the integer floor normalization LIMIT-CYCLES on star+chain (the
+    // documented oscillation mode) — the guard must be loud, not spin
+    val osc = edges ++ Seq((0L, 1L), (1L, 2L), (2L, 3L))
+    val ex = intercept[IllegalArgumentException] {
+      Graph.hitsConverged(osc.toDF("s", "d"), "s", "d", tol = 0L, maxIters = 4)
+    }
+    assert(ex.getMessage.contains("limit-cycle"))
+  }
+
   test("converged pagerank fails LOUDLY when maxIters is too small") {
     val edges = (1L to 9L).map(i => (i, 0L))
     val ex = intercept[IllegalArgumentException] {

@@ -340,6 +340,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming url filter in allow mode matches the batch longest-match verdicts") {
+    // the L16 grid: Disallow prefix + Allow override + wildcard/$ +
+    // a full tie Allow must win — compiled into the literal fold
+    val body = Seq(
+      "User-agent: *",
+      "Disallow: /private/", "Allow: /private/public/",
+      "Disallow: /*.pdf$", "Allow: /docs/*/view",
+      "Disallow: /tie/", "Allow: /tie/").mkString("\n") + "\n"
+    val hosts = (0L until 6L)
+      .map(h => (s"site$h.example.com", body)).toDF("host", "robots")
+    val rules = graft.operators.Html.robotsRules(hosts, "host", "robots")
+    val urls = (0L until 120L).map { i =>
+      val path = (i % 6) match {
+        case 0 => s"/private/x$i"
+        case 1 => s"/private/public/y$i"
+        case 2 => s"/report$i.pdf"
+        case 3 => s"/docs/a$i/view"
+        case 4 => s"/tie/t$i"
+        case _ => s"/open/$i"
+      }
+      (i, s"https://site${i % 6}.example.com$path")
+    }
+    val batch = graft.operators.Html.urlFilter(
+      urls.toDF("id", "url"), "id", "url", rules)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    val q = StreamOps.urlFilterStream(
+        input.toDF.toDF("id", "url"), "id", "url", rules)
+      .writeStream.format("memory").queryName("uf_allow_out")
+      .outputMode("append").start()
+    try {
+      input.addData(urls)
+      q.processAllAvailable()
+      val stream = spark.table("uf_allow_out")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+      assert(stream === batch)
+      // the grid really exercises both verdicts and the tie rule
+      val byPath = stream.groupBy(t => t._1 % 6)
+      assert(byPath(0L).forall(_._3), "plain Disallow must block")
+      assert(byPath(1L).forall(!_._3), "longer Allow must override")
+      assert(byPath(2L).forall(_._3), "wildcard $-anchored Disallow must block")
+      assert(byPath(3L).forall(!_._3), "wildcard Allow must override")
+      assert(byPath(4L).forall(!_._3), "a full-length tie goes to Allow")
+      assert(byPath(5L).forall(!_._3), "unmatched paths pass")
+    } finally q.stop()
+  }
+
   test("streaming url filter refuses an over-bound rule list loudly") {
     val rules = (0L until 50L).map(i => (i, s"h$i.com", Option.empty[String]))
       .toDF("rule_id", "host_suffix", "path_prefix")
