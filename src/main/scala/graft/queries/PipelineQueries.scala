@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.Tables
+import org.apache.spark.sql.functions._
 import graft.plans.Pipeline
 
 /** Batch 8: the config-driven pipeline runner (SURVEY.md §2 R) — the
@@ -237,12 +238,56 @@ steps:
     "q_pipeline_web" -> { (s, dir) =>
       Pipeline.result(s, webSpec, resolver(s, dir))
     },
+    // R6 gate — the crawl front end as ONE spec, starting at the
+    // CONTAINER: real multi-member .warc.gz files land on disk, a
+    // `format: warc` source parses them (never touching the table
+    // registry) and html_extract runs in place — container bytes →
+    // training text under one hash. The oracle replays page synthesis
+    // + extraction from `documents` and never sees a WARC byte, so a
+    // source-format defect, a spec-bridge defect, or an extraction
+    // drift moves a row.
+    "q_pipeline_warc" -> { (s, dir) =>
+      val tag = java.lang.Math.abs(dir.hashCode)
+      val path = s"/tmp/graft-pwarc-$tag"
+      val url = concat(lit("https://site"), (col("doc_id") % 20).cast("string"),
+        lit(".example.com/doc/"), col("doc_id").cast("string"))
+      val pages = Tables.documents(s, dir)
+        .select(col("doc_id"), url.as("url"), TextQueries.synthHtml.as("html"))
+        .repartition(8, pmod(col("doc_id"), lit(8)))
+        .sortWithinPartitions("doc_id")
+      graft.sources.Warc.writeFiles(pages, "url", "html", path)
+      val spec = s"""
+entity: crawl
+sources: [{name: crawl, table: "$path/*.warc.gz", format: warc}]
+steps:
+  - name: wet
+    op: html_extract
+    params: {html: html}
+"""
+      Pipeline.result(s, spec,
+          t => throw new IllegalStateException(s"warc source resolved table $t"))
+        .select(
+          regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+          col("url"), col("http_status"), col("mime"), col("html"))
+        .orderBy("doc_id")
+    },
   )
 
   val oracles: Map[String, String] = Map(
     // the spec chains the L11→L14 ops on the q_url_filter synthesis
     // grid verbatim — one oracle serves both gates
     "q_pipeline_web" -> TextQueries.oracles("q_url_filter"),
+    // the W-family replay CTEs + the html_extract in-place projection:
+    // the engine's rows come from real container bytes through the
+    // spec-compiled plan, the oracle's from page formulas
+    "q_pipeline_warc" -> s"""${TextQueries.warcReplayCtes}
+      SELECT doc_id, url,
+        CAST(200 AS INT) AS http_status,
+        'text/html; charset=utf-8' AS mime,
+        array_to_string(list_transform(
+          list_filter(ls, s -> s.words >= 3 AND s.links * 2 <= s.words),
+          s -> s.txt), chr(10)) AS html
+      FROM t2 ORDER BY doc_id""",
     "q_pipeline_run" -> """
       SELECT c_nationkey AS nation_key, COUNT(1) AS n_orders,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue

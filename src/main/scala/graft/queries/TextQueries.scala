@@ -383,6 +383,44 @@ object TextQueries {
         LEFT JOIN pfloor p USING (w1))
       """
 
+  /** The W-family replay CTEs (synthesis -> lined -> line structs)
+    * shared by the q_warc_extract and q_pipeline_warc oracles. */
+  private[queries] val warcReplayCtes: String = """      WITH h AS (
+        SELECT doc_id,
+          'https://site' || CAST(doc_id % 20 AS VARCHAR)
+            || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+          '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+          || '</title><style>body { color: #222; }</style>'
+          || '<script>if (1 < 2 && 3 > 1) { var x = "</p>"; }</script></head><body>'
+          || '<div id="nav"><a href="/">Home</a> <a href="/about">About</a>'
+          || CASE WHEN doc_id % 3 = 0 THEN '<a href="/faq">FAQ</a>' ELSE '' END
+          || '</div><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
+          || ' Tom &amp; Jerry say 1 &lt; 2 &quot;ok&quot; it&#39;s fine A&nbsp;B</p>'
+          || '<p>Figure ' || CAST(doc_id % 7 AS VARCHAR)
+          || '</p><div class="footer"><a href="/terms">Terms</a> <a href="/privacy">Privacy</a> 2026</div></body></html>'
+          AS html
+        FROM documents),
+      lined AS (
+        SELECT doc_id, url, regexp_replace(regexp_replace(html,
+            '(?is)<(?:script|style)[^>]*>.*?</(?:script|style)>', ' ', 'g'),
+            '(?i)</(?:p|div|li|h[1-6]|tr|td|table|ul|ol|title)>|<br[^>]*>', chr(10), 'g') AS s
+        FROM h),
+      t1 AS (
+        SELECT doc_id, url, list_transform(string_split(s, chr(10)), ln -> struct_pack(
+          txt := trim(regexp_replace(
+            replace(replace(replace(replace(replace(replace(
+              regexp_replace(ln, '<[^>]*>', ' ', 'g'),
+              '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',''''),'&nbsp;',' '),'&amp;','&'),
+            '[ \t]+', ' ', 'g')),
+          links := CAST(len(regexp_extract_all(ln, '(?i)<a[ >]')) AS BIGINT))) AS a
+        FROM lined),
+      t2 AS (
+        SELECT doc_id, url, list_transform(a, s -> struct_pack(
+          txt := s.txt, links := s.links,
+          words := CASE WHEN s.txt = '' THEN CAST(0 AS BIGINT)
+                        ELSE CAST(len(string_split(s.txt, ' ')) AS BIGINT) END)) AS ls
+        FROM t1)"""
+
   val oracles: Map[String, String] = Map(
     "q_text_quality" -> s"""
       WITH t AS (
@@ -540,42 +578,7 @@ object TextQueries {
     // status / mime the engine recovers from actual WARC+HTTP bytes;
     // the oracle never touches a container byte, so any framing or
     // header-parse defect on the engine side moves a row
-    "q_warc_extract" -> """
-      WITH h AS (
-        SELECT doc_id,
-          'https://site' || CAST(doc_id % 20 AS VARCHAR)
-            || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
-          '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
-          || '</title><style>body { color: #222; }</style>'
-          || '<script>if (1 < 2 && 3 > 1) { var x = "</p>"; }</script></head><body>'
-          || '<div id="nav"><a href="/">Home</a> <a href="/about">About</a>'
-          || CASE WHEN doc_id % 3 = 0 THEN '<a href="/faq">FAQ</a>' ELSE '' END
-          || '</div><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
-          || ' Tom &amp; Jerry say 1 &lt; 2 &quot;ok&quot; it&#39;s fine A&nbsp;B</p>'
-          || '<p>Figure ' || CAST(doc_id % 7 AS VARCHAR)
-          || '</p><div class="footer"><a href="/terms">Terms</a> <a href="/privacy">Privacy</a> 2026</div></body></html>'
-          AS html
-        FROM documents),
-      lined AS (
-        SELECT doc_id, url, regexp_replace(regexp_replace(html,
-            '(?is)<(?:script|style)[^>]*>.*?</(?:script|style)>', ' ', 'g'),
-            '(?i)</(?:p|div|li|h[1-6]|tr|td|table|ul|ol|title)>|<br[^>]*>', chr(10), 'g') AS s
-        FROM h),
-      t1 AS (
-        SELECT doc_id, url, list_transform(string_split(s, chr(10)), ln -> struct_pack(
-          txt := trim(regexp_replace(
-            replace(replace(replace(replace(replace(replace(
-              regexp_replace(ln, '<[^>]*>', ' ', 'g'),
-              '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',''''),'&nbsp;',' '),'&amp;','&'),
-            '[ \t]+', ' ', 'g')),
-          links := CAST(len(regexp_extract_all(ln, '(?i)<a[ >]')) AS BIGINT))) AS a
-        FROM lined),
-      t2 AS (
-        SELECT doc_id, url, list_transform(a, s -> struct_pack(
-          txt := s.txt, links := s.links,
-          words := CASE WHEN s.txt = '' THEN CAST(0 AS BIGINT)
-                        ELSE CAST(len(string_split(s.txt, ' ')) AS BIGINT) END)) AS ls
-        FROM t1)
+    "q_warc_extract" -> s"""$warcReplayCtes
       SELECT doc_id, url,
         CAST(200 AS INT) AS http_status,
         'text/html; charset=utf-8' AS mime,
