@@ -27,8 +27,13 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * serial suffix; the stable `kind` stays first for log grepping. */
 object CapMetrics {
   private val serial = new AtomicLong()
+  // weak keys: a stopped session must be collectible — a static strong
+  // set would pin every session (and its listener bus) forever in a
+  // long-lived multi-session service
   private val registered =
-    java.util.Collections.synchronizedSet(new java.util.HashSet[SparkSession]())
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Prefix every cap observation name carries — listeners (ours and

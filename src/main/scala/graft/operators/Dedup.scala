@@ -1,5 +1,7 @@
 package graft.operators
 
+import java.io.ByteArrayOutputStream
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
@@ -218,14 +220,16 @@ object Dedup {
     * query that would otherwise charge the one-time build to each run
     * (a per-window benchmark, a restarted probe job) reuses the
     * persisted artifact instead. Identity is a corpus fingerprint
-    * (row count + id sum + id xxhash-fold, plus the index
-    * parameters) written as a marker INSIDE the artifact after a
-    * successful build — ids-only and one column-pruned agg to check,
-    * never a text scan; callers whose text can change under a fixed
-    * id set own that invalidation (delete the path). A fingerprint
-    * mismatch or missing marker rebuilds from scratch; probes against
-    * a reused artifact are byte-equivalent to a fresh build (the
-    * marker is written only after both tables land). */
+    * (row count + an order-free XOR fold of per-id hashes, plus the
+    * index parameters) written as a marker INSIDE the artifact after
+    * a successful build — DELIBERATELY ids-only and one column-pruned
+    * agg to check, never a text scan (at 100 TB the text column IS
+    * the corpus): a caller whose TEXT can change under a fixed id set
+    * must own that invalidation by deleting the path — the
+    * fingerprint cannot see it. A fingerprint mismatch or missing
+    * marker rebuilds from scratch; probes against a reused artifact
+    * are byte-equivalent to a fresh build (the marker is written only
+    * after both tables land). */
   def minhashIndexEnsure(
       corpus: DataFrame, idCol: String, textCol: String, path: String,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16): Unit = {
@@ -236,7 +240,9 @@ object Dedup {
     // order-insensitive, and any single id change flips the fold
     val row = corpus.agg(
       count(lit(1)),
-      expr(s"bit_xor(xxhash64(`$idCol`))")).head()
+      // coalesce: bit_xor over ZERO rows is NULL (an empty corpus is
+      // legal — a filtered-away shard must not crash the ensure)
+      coalesce(expr(s"bit_xor(xxhash64(`$idCol`))"), lit(0L))).head()
     val fp = s"${row.getLong(0)}:${row.getLong(1)}:" +
       s"$shingleN:$numHashes:$bands"
     val marker = new Path(s"$path/_fingerprint")
@@ -244,9 +250,14 @@ object Dedup {
     val fresh = fs.exists(marker) && {
       val in = fs.open(marker)
       try {
+        // read to EOF — a single read() may legally short-read on
+        // remote filesystems, and a truncated string would force a
+        // spurious full rebuild every run
+        val buf = new ByteArrayOutputStream(256)
         val b = new Array[Byte](256)
-        val n = math.max(in.read(b), 0)
-        new String(b, 0, n, "UTF-8") == fp
+        var n = in.read(b)
+        while (n > 0) { buf.write(b, 0, n); n = in.read(b) }
+        buf.toString("UTF-8") == fp
       } finally in.close()
     }
     if (!fresh) {

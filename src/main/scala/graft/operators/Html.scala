@@ -257,14 +257,23 @@ object Html {
       i => array_join(slice(parts, i + 1, size(parts)), "."))
     val wild = col("path_prefix").contains("*") ||
       col("path_prefix").endsWith("$")
-    val rulesN = rules.withColumn("__rx",
-      when(col("path_prefix").isNotNull && wild,
-        robotsPatternRegex(col("path_prefix"))))
+    // rule patterns percent-normalize with the SAME fold as the URL
+    // path (which arrives through urlNormalize): RFC 9309 §2.2.2
+    // compares percent-encoded octets in decoded form, and a raw rule
+    // '/%7Eadmin/' must match the canonical path '/~admin/'. Decoding
+    // cannot mint wildcards (* and $ are sub-delims — not unreserved,
+    // so their escapes stay encoded), hence `wild` reads the raw text.
+    // Both computed rules-side: ∝ rules, never corpus.
+    val rulesN = rules
+      .withColumn("__pp",
+        when(col("path_prefix").isNotNull, pctNormalize(col("path_prefix"))))
+      .withColumn("__rx", when(col("__pp").isNotNull && wild,
+        robotsPatternRegex(col("__pp"))))
     base
       .withColumn("suffix", explode(sufs))
       .join(rulesN, col("suffix") === col("host_suffix"))
-      .where(col("path_prefix").isNull ||
-        when(col("__rx").isNull, col("path").startsWith(col("path_prefix")))
+      .where(col("__pp").isNull ||
+        when(col("__rx").isNull, col("path").startsWith(col("__pp")))
           .otherwise(regexp_like(col("path"), col("__rx"))))
   }
 

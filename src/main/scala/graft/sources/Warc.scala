@@ -193,18 +193,32 @@ object Warc {
   /** RFC 1952 §2.3: fixed 10-byte header plus the optional fields the
     * flag byte declares. Returns the offset of the deflate data. */
   private def skipGzipHeader(b: Array[Byte], at: Int, file: String): Int = {
+    // every advance is bounds-checked so a truncated/corrupt header
+    // fails with the module's loud diagnostic, never a bare AIOOBE
+    def bounded(p: Int, what: String): Int = {
+      if (p > b.length) throw new EOFException(
+        s"warc index: truncated gzip header ($what) at offset $at in $file")
+      p
+    }
     require(at + 10 <= b.length &&
       (b(at) & 0xff) == 0x1f && (b(at + 1) & 0xff) == 0x8b,
       s"warc index: no gzip member at offset $at in $file")
     val flg = b(at + 3) & 0xff
     var p = at + 10
     if ((flg & 4) != 0) { // FEXTRA: 2-byte little-endian length + data
+      bounded(p + 2, "FEXTRA length")
       val xlen = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
-      p += 2 + xlen
+      p = bounded(p + 2 + xlen, "FEXTRA data")
     }
-    if ((flg & 8) != 0) { while (b(p) != 0) p += 1; p += 1 } // FNAME
-    if ((flg & 16) != 0) { while (b(p) != 0) p += 1; p += 1 } // FCOMMENT
-    if ((flg & 2) != 0) p += 2 // FHCRC
+    if ((flg & 8) != 0) { // FNAME: NUL-terminated
+      while (p < b.length && b(p) != 0) p += 1
+      p = bounded(p + 1, "FNAME")
+    }
+    if ((flg & 16) != 0) { // FCOMMENT: NUL-terminated
+      while (p < b.length && b(p) != 0) p += 1
+      p = bounded(p + 1, "FCOMMENT")
+    }
+    if ((flg & 2) != 0) p = bounded(p + 2, "FHCRC")
     p
   }
 
@@ -227,13 +241,18 @@ object Warc {
       .mapPartitions { rows =>
         var curFile: String = null
         var in: org.apache.hadoop.fs.FSDataInputStream = null
+        def closeIn(): Unit = if (in != null) { in.close(); in = null }
+        // limit()/take() stop pulling before exhaustion — the handle
+        // must close on task COMPLETION, not on iterator drain
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeIn()))
         def open(f: String): Unit = {
-          if (in != null) in.close()
+          closeIn()
           val p = new org.apache.hadoop.fs.Path(f)
           in = p.getFileSystem(confSer.value).open(p)
           curFile = f
         }
-        val it = rows.map { case (file, recordNo, offset, length) =>
+        rows.map { case (file, recordNo, offset, length) =>
           if (file != curFile) open(file)
           val member = new Array[Byte](length.toInt)
           in.readFully(offset, member) // positioned read: no state race
@@ -242,14 +261,6 @@ object Warc {
           val rec = parseAll(file, member).next()
           (rec.file, recordNo, rec.warc_type, rec.url, rec.warc_date,
             rec.http_status, rec.mime, rec.body)
-        }
-        new Iterator[(String, Int, String, String, String, Int, String, Array[Byte])] {
-          override def hasNext: Boolean = {
-            val h = it.hasNext
-            if (!h && in != null) { in.close(); in = null }
-            h
-          }
-          override def next() = it.next()
         }
       }
       .toDF("file", "record_no", "warc_type", "url", "warc_date",
@@ -401,6 +412,7 @@ object Warc {
     record(Seq(
       "WARC-Type" -> "warcinfo",
       "WARC-Date" -> "2026-01-01T00:00:00Z",
+      "WARC-Filename" -> filename,
       "Content-Type" -> "application/warc-fields"),
       s"software: graft$CRLF".getBytes(UTF_8))
 
@@ -454,16 +466,25 @@ object Warc {
     df.select(col(urlCol).cast("string"), col(htmlCol).cast("string"))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         if (it.hasNext) {
-          val pid = org.apache.spark.TaskContext.getPartitionId()
-          val p = new Path(path, f"part-$pid%05d.warc.gz")
+          val tc = org.apache.spark.TaskContext.get()
+          val p = new Path(path, f"part-${tc.partitionId()}%05d.warc.gz")
+          // attempt-unique temp + rename-on-success: a speculative or
+          // retried attempt racing a zombie writer must never
+          // interleave bytes into the FINAL path; whichever attempt
+          // renames first wins, the loser deletes its temp (rename
+          // onto an existing path returns false, it does not clobber)
+          val tmp = new Path(path,
+            f".part-${tc.partitionId()}%05d.${tc.taskAttemptId()}.tmp")
           val pfs = p.getFileSystem(confSer.value)
-          val out = pfs.create(p, true)
+          val out = pfs.create(tmp, true)
           try {
             out.write(gzipMember(warcinfoRecord(p.getName)))
             it.foreach { r =>
               out.write(gzipMember(responseRecord(r.getString(0), r.getString(1))))
             }
           } finally out.close()
+          if (!pfs.rename(tmp, p)) pfs.delete(tmp, false)
+          ()
         }
       }
   }

@@ -405,30 +405,36 @@ object StreamOps {
       df: DataFrame, idCol: String, urlCol: String,
       rules: DataFrame, maxRules: Int = 10000): DataFrame = {
     val hasAllow = rules.columns.contains("allow")
+    // wildcard compile AND percent-normalization ride the rules side —
+    // ∝ rules, once, byte-identical to the batch matcher's compile
+    // (the URL path arrives percent-normalized through urlNormalize,
+    // so the rule pattern must normalize the same way; specificity
+    // stays the RAW pattern length, matching the batch argmax)
+    val normPp = when(col("path_prefix").isNotNull,
+      graft.operators.Html.pctNormalize(col("path_prefix")))
     val collected = rules
       .select(col("rule_id").cast("long"), col("host_suffix"), col("path_prefix"),
         (if (hasAllow) col("allow") else lit(false)).as("allow"),
-        // wildcard compile rides the rules side — ∝ rules, once, and
-        // byte-identical to the batch matcher's compile
         coalesce(
           when(col("path_prefix").isNotNull &&
               (col("path_prefix").contains("*") || col("path_prefix").endsWith("$")),
-            graft.operators.Html.robotsPatternRegex(col("path_prefix"))),
-          lit("")).as("rx"))
+            graft.operators.Html.robotsPatternRegex(normPp)),
+          lit("")).as("rx"),
+        coalesce(normPp, lit("")).as("pp"))
       .limit(maxRules + 1).collect()
     require(collected.length <= maxRules,
       s"urlFilterStream: rule list exceeds the $maxRules literal bound — " +
         "use the batch Html.urlFilter join for unbounded lists")
     val ruleSeq = collected.toSeq.map(r =>
       (r.getLong(0), r.getString(1), Option(r.getString(2)).getOrElse(""),
-        r.getBoolean(3), r.getString(4)))
+        r.getBoolean(3), r.getString(4), r.getString(5)))
     val rulesLit = typedLit(ruleSeq)
     val canon = graft.operators.Html.urlNormalize(col(urlCol))
     val host = graft.operators.Html.urlHost(col(urlCol))
     def matches(r: Column, h: Column, p: Column): Column =
       (h === r.getField("_2") || h.endsWith(concat(lit("."), r.getField("_2")))) &&
-        (r.getField("_3") === "" ||
-          when(r.getField("_5") === "", p.startsWith(r.getField("_3")))
+        (r.getField("_6") === "" ||
+          when(r.getField("_5") === "", p.startsWith(r.getField("_6")))
             .otherwise(regexp_like(p, r.getField("_5"))))
     val base = df.select(col(idCol), canon.as("canon"), host.as("__h"))
       .withColumn("__p", regexp_extract(col("canon"), "^[a-z][a-z0-9+.-]*://[^/]*(/.*)$", 1))

@@ -223,6 +223,27 @@ class HtmlSpec extends SparkSpec {
       4L -> false, 5L -> false, 6L -> false, 7L -> true))
   }
 
+  test("percent-escaped rule patterns match the normalized canonical path") {
+    // urlNormalize decodes unreserved escapes (%7E -> ~) and
+    // uppercases the rest (%2f -> %2F); a raw rule written with
+    // escapes must still match (RFC 9309 compares decoded forms)
+    val rules = Seq(
+      (0L, "h.example", Some("/%7Eadmin/")),   // decodes to /~admin/
+      (1L, "h.example", Some("/a%2fb/")))      // reserved: normalizes to /a%2Fb/
+      .toDF("rule_id", "host_suffix", "path_prefix")
+    val urls = Seq(
+      (0L, "https://h.example/~admin/panel"),    // literal form of rule 0
+      (1L, "https://h.example/%7Eadmin/panel"),  // escaped form, same page
+      (2L, "https://h.example/a%2Fb/x"),         // rule 1, canonical case
+      (3L, "https://h.example/a%2fb/x"),         // rule 1, lowercase hex
+      (4L, "https://h.example/admin/panel"))     // no rule
+      .toDF("id", "url")
+    val got = Html.urlFilter(urls, "id", "url", rules)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got === Map(0L -> true, 1L -> true, 2L -> true, 3L -> true,
+      4L -> false))
+  }
+
   test("url filter verdicts are per-URL under a non-unique id column") {
     // link tables repeat doc_id per link: one blocked URL must not
     // mark its clean siblings blocked (verdicts key on (id, canon))
