@@ -87,7 +87,7 @@ object Pipeline {
     "exact_dedup", "quality_filter", "pii_scrub", "stratified_sample",
     "quality_classifier", "html_extract", "html_links", "url_normalize",
     "pagerank", "index_dedup", "fluency_buckets",
-    "label_prop", "url_filter", "anchor_text", "shard_shuffle")
+    "label_prop", "url_filter", "robots_rules", "anchor_text", "shard_shuffle")
 
   val knownExports: Set[String] = Set("parquet", "jsonapi", "dwc_archive")
 
@@ -410,18 +410,32 @@ object Pipeline {
         graft.operators.Graph.labelPropagation(
           in, reqStr(st.params, "src", tag), reqStr(st.params, "dst", tag),
           iters = st.params.getOrElse("iters", 3).toString.toInt)
+      case "robots_rules" =>
+        // L15/L16: per-host robots.txt bodies → (rule_id, host_suffix,
+        // path_prefix, allow) — the rule SOURCE for a url_filter step
+        // (reference it via `rulesFrom`)
+        graft.operators.Html.robotsRules(
+          in, reqStr(st.params, "host", tag), reqStr(st.params, "robots", tag))
       case "url_filter" =>
-        // L14: blocklist cut; rules ride in the spec as
-        // [{id, host, prefix?}]; mode 'drop' (default) keeps clean
-        // rows — the curation shape — 'flag' returns the verdicts
+        // L14/L16: compliance cut; rules either ride in the spec as
+        // [{id, host, prefix?}] (blocklist mode) or reference another
+        // frame via `rulesFrom` (e.g. a robots_rules step — its
+        // `allow` column switches longest-match mode on); mode 'drop'
+        // (default) keeps clean rows — the curation shape — 'flag'
+        // returns the verdicts
         val id = reqStr(st.params, "id", tag)
-        val ruleRows = seqOfMaps(st.params, "rules", tag).map { m =>
-          (m.getOrElse("id", fail(s"$tag: rule needs id")).toString.toLong,
-            reqStr(m, "host", tag), m.get("prefix").map(_.toString))
-        }
         val spark = in.sparkSession
         import spark.implicits._
-        val rules = ruleRows.toDF("rule_id", "host_suffix", "path_prefix")
+        val rules = st.params.get("rulesFrom") match {
+          case Some(ref) =>
+            require(!st.params.contains("rules"),
+              s"pipeline: $tag: give rules OR rulesFrom, not both")
+            ctxGet(ctx, ref.toString, tag)
+          case None => seqOfMaps(st.params, "rules", tag).map { m =>
+            (m.getOrElse("id", fail(s"$tag: rule needs id")).toString.toLong,
+              reqStr(m, "host", tag), m.get("prefix").map(_.toString))
+          }.toDF("rule_id", "host_suffix", "path_prefix")
+        }
         val urlC = reqStr(st.params, "url", tag)
         val verdicts = graft.operators.Html.urlFilter(in, id, urlC, rules)
         st.params.getOrElse("mode", "drop").toString match {

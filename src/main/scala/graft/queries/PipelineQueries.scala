@@ -246,6 +246,34 @@ steps:
     // + extraction from `documents` and never sees a WARC byte, so a
     // source-format defect, a spec-bridge defect, or an extraction
     // drift moves a row.
+    // R7 gate — the FULL compliance chain as one spec: per-host
+    // robots.txt bodies parse through a robots_rules step, the rule
+    // frame feeds a url_filter step via `rulesFrom` (longest-match
+    // mode switches on automatically from the allow column) — raw
+    // crawler-politeness config to per-URL verdicts in one plan. Same
+    // synthesis grid as q_robots_allow, so its oracle (which
+    // enumerates expected verdicts semantically, replaying neither
+    // parser nor matcher) serves this composition too.
+    "q_pipeline_robots" -> { (s, dir) =>
+      val spec = """
+entity: robots_compliance
+sources: [{name: urls, table: urls}, {name: hosts, table: hosts}]
+steps:
+  - name: rules
+    op: robots_rules
+    input: hosts
+    params: {host: host, robots: robots}
+  - name: verdicts
+    op: url_filter
+    input: urls
+    params: {id: doc_id, url: url, mode: flag, rulesFrom: rules}
+"""
+      Pipeline.result(s, spec, {
+        case "urls" => TextQueries.robotsAllowUrls(s, dir)
+        case "hosts" => TextQueries.robotsAllowHosts(s, dir)
+        case other => throw new IllegalStateException(s"unexpected table $other")
+      })
+    },
     "q_pipeline_warc" -> { (s, dir) =>
       val tag = java.lang.Math.abs(dir.hashCode)
       val path = s"/tmp/graft-pwarc-$tag"
@@ -277,6 +305,10 @@ steps:
     // the spec chains the L11→L14 ops on the q_url_filter synthesis
     // grid verbatim — one oracle serves both gates
     "q_pipeline_web" -> TextQueries.oracles("q_url_filter"),
+    // robots_rules → rulesFrom → url_filter chains the q_robots_allow
+    // synthesis verbatim — its semantic-enumeration oracle serves the
+    // composition too
+    "q_pipeline_robots" -> TextQueries.oracles("q_robots_allow"),
     // the W-family replay CTEs + the html_extract in-place projection:
     // the engine's rows come from real container bytes through the
     // spec-compiled plan, the oracle's from page formulas

@@ -31,6 +31,41 @@ object TextQueries {
         + "<a href=\"/privacy\">Privacy</a> 2026</div></body></html>"))
   }
 
+  /** The L16/q_robots_allow synthesis grid, shared with the
+    * q_pipeline_robots composition gate (one oracle serves both):
+    * per-host robots bodies exercising Allow overrides, wildcards,
+    * `$` anchors and the exact-length tie. */
+  private[queries] def robotsAllowHosts(s: SparkSession, dir: String): DataFrame = {
+    val body = Seq(
+      "User-agent: Googlebot", "Disallow: /",
+      "User-agent: *",
+      "Disallow: /private/", "Allow: /private/public/",
+      "Disallow: /*.pdf$", "Allow: /docs/*/view",
+      "Disallow: /tie/", "Allow: /tie/",
+      "Disallow:").mkString("\n") + "\n"
+    Tables.documents(s, dir).select((col("doc_id") % 20).as("hn")).distinct()
+      .select(
+        concat(lit("site"), col("hn").cast("string"), lit(".example.com")).as("host"),
+        lit(body).as("robots"))
+  }
+
+  /** One URL per doc over the eight planted path classes. */
+  private[queries] def robotsAllowUrls(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val ds = d.cast("string")
+    val path = when(d % 8 === 0, concat(lit("/private/x"), ds))
+      .when(d % 8 === 1, concat(lit("/private/public/y"), ds))
+      .when(d % 8 === 2, concat(lit("/report"), ds, lit(".pdf")))
+      .when(d % 8 === 3, concat(lit("/report"), ds, lit(".pdf?x=1")))
+      .when(d % 8 === 4, concat(lit("/docs/a"), ds, lit("/view")))
+      .when(d % 8 === 5, concat(lit("/docs/a"), ds, lit("/edit")))
+      .when(d % 8 === 6, concat(lit("/private/file"), ds, lit(".pdf")))
+      .otherwise(concat(lit("/tie/t"), ds))
+    val url = concat(lit("https://site"), (d % 20).cast("string"),
+      lit(".example.com"), path)
+    Tables.documents(s, dir).select(d, url.as("url"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_quality" -> { (s, dir) =>
       TextAnalysis.quality(Tables.documents(s, dir), "doc_id", "text")
@@ -236,32 +271,9 @@ object TextQueries {
     // compile bug, a specificity inversion, or a tie going to
     // Disallow moves a row.
     "q_robots_allow" -> { (s, dir) =>
-      val d = col("doc_id")
-      val body = Seq(
-        "User-agent: Googlebot", "Disallow: /",
-        "User-agent: *",
-        "Disallow: /private/", "Allow: /private/public/",
-        "Disallow: /*.pdf$", "Allow: /docs/*/view",
-        "Disallow: /tie/", "Allow: /tie/",
-        "Disallow:").mkString("\n") + "\n"
-      val hosts = Tables.documents(s, dir).select((d % 20).as("hn")).distinct()
-        .select(
-          concat(lit("site"), col("hn").cast("string"), lit(".example.com")).as("host"),
-          lit(body).as("robots"))
-      val rules = Html.robotsRules(hosts, "host", "robots")
-      val ds = d.cast("string")
-      val path = when(d % 8 === 0, concat(lit("/private/x"), ds))
-        .when(d % 8 === 1, concat(lit("/private/public/y"), ds))
-        .when(d % 8 === 2, concat(lit("/report"), ds, lit(".pdf")))
-        .when(d % 8 === 3, concat(lit("/report"), ds, lit(".pdf?x=1")))
-        .when(d % 8 === 4, concat(lit("/docs/a"), ds, lit("/view")))
-        .when(d % 8 === 5, concat(lit("/docs/a"), ds, lit("/edit")))
-        .when(d % 8 === 6, concat(lit("/private/file"), ds, lit(".pdf")))
-        .otherwise(concat(lit("/tie/t"), ds))
-      val url = concat(lit("https://site"), (d % 20).cast("string"),
-        lit(".example.com"), path)
       Html.urlFilter(
-        Tables.documents(s, dir).select(d, url.as("url")), "doc_id", "url", rules)
+        robotsAllowUrls(s, dir), "doc_id", "url",
+        Html.robotsRules(robotsAllowHosts(s, dir), "host", "robots"))
     },
     "q_robots_filter" -> { (s, dir) =>
       val d = col("doc_id")
