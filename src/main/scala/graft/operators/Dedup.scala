@@ -134,6 +134,16 @@ object Dedup {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
+  /** Session-wide side effect (shared by every capped miner): the
+    * first call registers the [[CapMetrics]] listener and appends
+    * `AQEPropagateEmptyRelation` to the session's excluded AQE rules —
+    * otherwise the observed drop metric vanishes exactly when every
+    * candidate is capped away (empty stage → the metrics node is
+    * rewritten out). The exclusion persists for the session's
+    * lifetime: unrelated queries lose that one AQE rewrite (an empty
+    * stage still runs its empty, milliseconds-cheap downstream ops).
+    * Documented here — at the public entry — because a library call
+    * altering session planner config must be visible to the caller. */
   def minhashCandidates(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
@@ -606,6 +616,9 @@ object Dedup {
       .select(col("doc_id"), col("hi"), col("lo"),
         col("cb.chunk").as("chunk"), col("cb.ckey").as("ckey"))
 
+  /** Carries the same session-wide CapMetrics side effect as
+    * [[minhashCandidates]] (AQE empty-relation rule excluded for the
+    * session so cap-drop metrics survive) — see that entry's note. */
   private[graft] def mineHammingPairs(
       simDf: DataFrame, maxHamming: Int, maxBucket: Int): DataFrame = {
     val chunked = hammingChunks(simDf)

@@ -175,6 +175,80 @@ object Html {
       .otherwise(concat(canonPrefix, when(rest === "", lit("/")).otherwise(rest)))
   }
 
+  /** RFC 3986 §5.2.4 remove_dot_segments for an ABSOLUTE path (the
+    * only shape [[urlResolve]] produces — http(s) base paths always
+    * start at '/'): one `aggregate` fold over the '/'-split segments —
+    * `.` drops, `..` pops (never past the root sentinel, matching the
+    * RFC's silent discard of excess `..`), anything else (empty
+    * double-slash segments included) appends; a trailing `.`/`..`
+    * re-appends the empty segment the RFC leaves behind ('/a/b/..' →
+    * '/a/'). Pure column algebra — map-only, no iteration beyond the
+    * per-row fold. */
+  private[graft] def removeDotSegments(p: Column): Column = {
+    val segs = split(p, "/", -1)
+    val folded = aggregate(segs, typedLit(Seq.empty[String]),
+      (acc: Column, s: Column) =>
+        when(s === ".", acc)
+          .when(s === "..",
+            when(size(acc) > 1, slice(acc, lit(1), size(acc) - 1)).otherwise(acc))
+          .otherwise(concat(acc, array(s))))
+    val lastSeg = element_at(segs, -1)
+    array_join(
+      when(lastSeg.isin(".", ".."), concat(folded, array(lit(""))))
+        .otherwise(folded), "/")
+  }
+
+  /** RFC 3986 §5.2 reference resolution — the step the link graph was
+    * missing: most intra-site links on real pages are RELATIVE
+    * (`img/a.png`, `../up`, `//cdn.example.net/x`, `?page=2`), and a
+    * link extractor that passes them through loses the majority of
+    * real edges feeding PageRank/HITS/anchor-text. Resolves `ref`
+    * against the absolute `base` (the page's own URL): scheme-present
+    * refs pass through (dot-segments still removed, per the
+    * non-strict-transformer note in §5.2.2), `//authority` takes the
+    * base scheme, rooted paths replace the base path, `?query`/
+    * `#fragment`-only refs graft onto the base, and relative paths
+    * MERGE (§5.2.3: base path up to its last '/') then fold through
+    * [[removeDotSegments]]. Pure string algebra, map-only — chain
+    * [[urlNormalize]] on the result for the canonical key. A base
+    * without a scheme://host prefix cannot anchor resolution; the ref
+    * passes through untouched (loud would kill whole crawl partitions
+    * on one malformed metadata row — the L11 pass-through posture). */
+  def urlResolve(base: Column, ref: Column): Column = {
+    val b = trim(base)
+    val r = trim(ref)
+    val bScheme = regexp_extract(b, "^([a-zA-Z][a-zA-Z0-9+.-]*)://.*", 1)
+    val bAuth = regexp_extract(b, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*).*", 1)
+    val bPath = regexp_extract(b, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*).*", 1)
+    val bQuery = regexp_extract(b, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*[^?#]*(\\?[^#]*)?.*", 1)
+    val prefix = concat(lower(bScheme), lit("://"), bAuth)
+    // ref split: path part vs the ?query#frag tail (dot-segment
+    // removal must never touch the query)
+    val rPath = regexp_extract(r, "^([^?#]*).*", 1)
+    val rTail = regexp_extract(r, "^[^?#]*(.*)$", 1)
+    val hasScheme = r.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:")
+    // §5.2.3 merge: base path up to and including its last '/' (an
+    // empty base path merges at the root)
+    val baseDir = when(bPath === "", lit("/"))
+      .otherwise(regexp_replace(bPath, "[^/]*$", ""))
+    val rSchemePath = regexp_extract(r, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*).*", 1)
+    val rSchemePre = regexp_extract(r, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*).*", 1)
+    when(bScheme === "", r) // unanchorable base: pass through
+      .when(r === "", concat(prefix, bPath, bQuery))
+      .when(r.startsWith("#"), concat(prefix, bPath, bQuery, r))
+      .when(hasScheme && rSchemePre =!= "",
+        concat(rSchemePre, removeDotSegments(rSchemePath), rTail))
+      .when(hasScheme, r) // non-hierarchical (mailto:, javascript:)
+      .when(r.startsWith("//"),
+        concat(lower(bScheme), lit(":"),
+          regexp_extract(r, "^(//[^/?#]*).*", 1),
+          removeDotSegments(regexp_extract(r, "^//[^/?#]*([^?#]*).*", 1)), rTail))
+      .when(r.startsWith("/"), concat(prefix, removeDotSegments(rPath), rTail))
+      .when(r.startsWith("?"), concat(prefix, bPath, r))
+      .otherwise(concat(prefix,
+        removeDotSegments(concat(baseDir, rPath)), rTail))
+  }
+
   /** Lowercased host of an absolute URL ('' for relative hrefs) — the
     * domain key per-domain quality/topk/mixing operators group by.
     * Deliberately NOT IDN-folded (rule lists and domain keys are
@@ -263,11 +337,16 @@ object Html {
     // '/%7Eadmin/' must match the canonical path '/~admin/'. Decoding
     // cannot mint wildcards (* and $ are sub-delims — not unreserved,
     // so their escapes stay encoded), hence `wild` reads the raw text.
+    // Wildcard compilation is ALLOW-MODE ONLY: `*`/`$` are RFC 9309
+    // pattern syntax, which only robots-shaped rule frames speak — a
+    // plain blocklist prefix that happens to contain `*` or end in `$`
+    // stays a literal prefix (its octets match literally).
     // Both computed rules-side: ∝ rules, never corpus.
+    val allowMode = rules.columns.contains("allow")
     val rulesN = rules
       .withColumn("__pp",
         when(col("path_prefix").isNotNull, pctNormalize(col("path_prefix"))))
-      .withColumn("__rx", when(col("__pp").isNotNull && wild,
+      .withColumn("__rx", when(lit(allowMode) && col("__pp").isNotNull && wild,
         robotsPatternRegex(col("__pp"))))
     base
       .withColumn("suffix", explode(sufs))
@@ -296,13 +375,16 @@ object Html {
           .agg(min(col("rule_id")).as("rule_id"), lit(true).as("__blk"))
       else
         // RFC 9309 longest-match mode (§2.2.2): among matching rules
-        // the LONGEST pattern decides (octet length of the raw
-        // pattern); Allow wins an exact-length tie; smaller rule_id
-        // breaks a full tie deterministically. The argmax is one
-        // map-combinable max(struct(...)) — no window, no second pass.
+        // the LONGEST pattern decides — measured on the PERCENT-
+        // NORMALIZED pattern (`__pp`), the same string the matcher
+        // compares, so two rules differing only in escaping rank by
+        // their decoded forms; Allow wins an exact-length tie; smaller
+        // rule_id breaks a full tie deterministically. The argmax is
+        // one map-combinable max(struct(...)) — no window, no second
+        // pass.
         matched.groupBy(col(idCol), col("canon"))
           .agg(max(struct(
-            coalesce(length(col("path_prefix")), lit(0)).as("spec"),
+            coalesce(length(col("__pp")), lit(0)).as("spec"),
             col("allow").as("allow"),
             (-col("rule_id")).as("nrid"))).as("w"))
           .select(col(idCol), col("canon"),

@@ -146,16 +146,36 @@ object TextQueries {
           col("body").cast("string").as("html"))
         .orderBy("doc_id")
     },
+    // Round 12 grows the corpus with REAL HTTP body transforms (what
+    // live CommonCrawl records carry): chunked Transfer-Encoding on
+    // every 10k+1 doc, gzip Content-Encoding on 10k+2, BOTH (chunked
+    // over gzip, the RFC 9112 sender order) on 10k+7, and an
+    // ISO-8859-1 page (accented content, charset declared in
+    // Content-Type, transcoded to UTF-8 by the reader) on 10k+3. The
+    // oracle sees none of it — identical post-decode text, a mime CASE
+    // for the latin-1 rows — so a de-chunking, decompression, or
+    // charset defect moves a row.
     "q_warc_extract" -> { (s, dir) =>
       val tag = java.lang.Math.abs(dir.hashCode)
       val path = s"/tmp/graft-warc-$tag"
-      val url = concat(lit("https://site"), (col("doc_id") % 20).cast("string"),
-        lit(".example.com/doc/"), col("doc_id").cast("string"))
+      val d = col("doc_id")
+      val url = concat(lit("https://site"), (d % 20).cast("string"),
+        lit(".example.com/doc/"), d.cast("string"))
+      val mode = when(d % 10 === 1, lit("chunked"))
+        .when(d % 10 === 2, lit("gzip"))
+        .when(d % 10 === 7, lit("chunked+gzip"))
+        .when(d % 10 === 3, lit("latin1"))
+        .otherwise(lit(""))
+      val latinPage = concat(
+        lit("<html><body><p>Café résumé München doc "), d.cast("string"),
+        lit(" smørrebrød på vägen</p></body></html>"))
       val pages = Tables.documents(s, dir)
-        .select(col("doc_id"), url.as("url"), synthHtml.as("html"))
+        .select(d, url.as("url"),
+          when(d % 10 === 3, latinPage).otherwise(synthHtml).as("html"),
+          mode.as("mode"))
         .repartition(8, pmod(col("doc_id"), lit(8)))
         .sortWithinPartitions("doc_id")
-      graft.sources.Warc.writeFiles(pages, "url", "html", path)
+      graft.sources.Warc.writeFiles(pages, "url", "html", path, modeCol = "mode")
       val resp = graft.sources.Warc.responses(s, s"$path/*.warc.gz")
         .select(
           regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
@@ -223,9 +243,48 @@ object TextQueries {
       val host = concat(lit("https://site"), (col("doc_id") % 20).cast("string"),
         lit(".example.com"))
       Html.anchorTerms(
-        links.withColumn("target", Html.urlNormalize(concat(host, col("href")))),
+        links.withColumn("target",
+          Html.urlNormalize(Html.urlResolve(host, col("href")))),
         "target", "anchor", k = 3)
         .orderBy("target", "rank")
+    },
+    // L17 — RFC 3986 §5 reference resolution: the round-11 verdict's
+    // top gap (real intra-site links are mostly RELATIVE; a link graph
+    // that drops them is blind to the majority of real edges). Per-doc
+    // pages plant one href per resolution class — absolute,
+    // protocol-relative, rooted, relative, dot-up, dot-here, excess
+    // dots past root, query-only, fragment-only, empty — extracted
+    // through the REAL htmlLinks pass, resolved against the page's own
+    // URL, then normalized: the html→links→resolve→normalize chain the
+    // S-family link graph consumes. The oracle states the expected
+    // resolved URL per planted class SEMANTICALLY (it replays neither
+    // the merge nor the dot-segment fold), so a merge-boundary bug, a
+    // pop-past-root, or a query/fragment graft defect moves a row.
+    "q_url_resolve" -> { (s, dir) =>
+      val d = col("doc_id")
+      val ds = d.cast("string")
+      val href = when(d % 10 === 0, concat(lit("https://other.example.org/abs/"), ds))
+        .when(d % 10 === 1, concat(lit("//cdn.example.net/lib"), ds, lit(".js")))
+        .when(d % 10 === 2, concat(lit("/rooted/x"), ds))
+        .when(d % 10 === 3, concat(lit("img/a"), ds, lit(".png")))
+        .when(d % 10 === 4, concat(lit("../up/b"), ds))
+        .when(d % 10 === 5, concat(lit("./here/c"), ds))
+        .when(d % 10 === 6, concat(lit("a/../../../z"), ds))
+        .when(d % 10 === 7, concat(lit("?q="), ds))
+        .when(d % 10 === 8, lit("#frag"))
+        .otherwise(lit(""))
+      val html = concat(lit("<html><body><p><a href=\""), href,
+        lit("\">link</a></p></body></html>"))
+      val base = concat(lit("https://site"), (d % 20).cast("string"),
+        lit(".example.com/dir/sub/page"), ds, lit(".html"))
+      val docs = Tables.documents(s, dir)
+        .select(d, base.as("base"), html.as("html"))
+      Html.htmlLinks(docs, "doc_id", "html")
+        .join(docs.select(col("doc_id"), col("base")), "doc_id")
+        .select(col("doc_id"), col("href"),
+          Html.urlNormalize(Html.urlResolve(col("base"), col("href")))
+            .as("resolved"))
+        .orderBy("doc_id")
     },
     // L14 — blocklist URL filtering over the L11 synthesis grid: two
     // domain rules, one never-matching TLD rule, one path-prefix rule;
@@ -433,6 +492,51 @@ object TextQueries {
                         ELSE CAST(len(string_split(s.txt, ' ')) AS BIGINT) END)) AS ls
         FROM t1)"""
 
+  /** The W1 replay with the round-12 encoding grid: identical to
+    * [[warcReplayCtes]] except the 10k+3 docs are the planted
+    * ISO-8859-1 page (the oracle replays the PAGE, never the wire
+    * encoding — chunked/gzip rows are byte-identical post-decode by
+    * design, so they need no oracle change at all). */
+  private[queries] val warcEncodedReplayCtes: String = """      WITH h AS (
+        SELECT doc_id,
+          'https://site' || CAST(doc_id % 20 AS VARCHAR)
+            || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+          CASE WHEN doc_id % 10 = 3 THEN
+            '<html><body><p>Café résumé München doc ' || CAST(doc_id AS VARCHAR)
+            || ' smørrebrød på vägen</p></body></html>'
+          ELSE
+            '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+            || '</title><style>body { color: #222; }</style>'
+            || '<script>if (1 < 2 && 3 > 1) { var x = "</p>"; }</script></head><body>'
+            || '<div id="nav"><a href="/">Home</a> <a href="/about">About</a>'
+            || CASE WHEN doc_id % 3 = 0 THEN '<a href="/faq">FAQ</a>' ELSE '' END
+            || '</div><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
+            || ' Tom &amp; Jerry say 1 &lt; 2 &quot;ok&quot; it&#39;s fine A&nbsp;B</p>'
+            || '<p>Figure ' || CAST(doc_id % 7 AS VARCHAR)
+            || '</p><div class="footer"><a href="/terms">Terms</a> <a href="/privacy">Privacy</a> 2026</div></body></html>'
+          END AS html
+        FROM documents),
+      lined AS (
+        SELECT doc_id, url, regexp_replace(regexp_replace(html,
+            '(?is)<(?:script|style)[^>]*>.*?</(?:script|style)>', ' ', 'g'),
+            '(?i)</(?:p|div|li|h[1-6]|tr|td|table|ul|ol|title)>|<br[^>]*>', chr(10), 'g') AS s
+        FROM h),
+      t1 AS (
+        SELECT doc_id, url, list_transform(string_split(s, chr(10)), ln -> struct_pack(
+          txt := trim(regexp_replace(
+            replace(replace(replace(replace(replace(replace(
+              regexp_replace(ln, '<[^>]*>', ' ', 'g'),
+              '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',''''),'&nbsp;',' '),'&amp;','&'),
+            '[ \t]+', ' ', 'g')),
+          links := CAST(len(regexp_extract_all(ln, '(?i)<a[ >]')) AS BIGINT))) AS a
+        FROM lined),
+      t2 AS (
+        SELECT doc_id, url, list_transform(a, s -> struct_pack(
+          txt := s.txt, links := s.links,
+          words := CASE WHEN s.txt = '' THEN CAST(0 AS BIGINT)
+                        ELSE CAST(len(string_split(s.txt, ' ')) AS BIGINT) END)) AS ls
+        FROM t1)"""
+
   val oracles: Map[String, String] = Map(
     "q_text_quality" -> s"""
       WITH t AS (
@@ -588,12 +692,14 @@ object TextQueries {
       FROM documents WHERE doc_id % 9 = 0 ORDER BY doc_id""",
     // W1 replays the L9 synthesis + extraction and adds the url /
     // status / mime the engine recovers from actual WARC+HTTP bytes;
-    // the oracle never touches a container byte, so any framing or
-    // header-parse defect on the engine side moves a row
-    "q_warc_extract" -> s"""$warcReplayCtes
+    // the oracle never touches a container byte — nor a chunk frame,
+    // a gzip member, or a Latin-1 octet — so any framing, decoding, or
+    // transcoding defect on the engine side moves a row
+    "q_warc_extract" -> s"""$warcEncodedReplayCtes
       SELECT doc_id, url,
         CAST(200 AS INT) AS http_status,
-        'text/html; charset=utf-8' AS mime,
+        CASE WHEN doc_id % 10 = 3 THEN 'text/html; charset=iso-8859-1'
+             ELSE 'text/html; charset=utf-8' END AS mime,
         array_to_string(list_transform(
           list_filter(ls, s -> s.words >= 3 AND s.links * 2 <= s.words),
           s -> s.txt), chr(10)) AS content,
@@ -866,6 +972,40 @@ object TextQueries {
       SELECT h2.doc_id, canon, m.rule_id IS NOT NULL AS blocked, m.rule_id
       FROM h2 LEFT JOIN m ON h2.doc_id = m.doc_id
       ORDER BY h2.doc_id""",
+    // the planted href grid and its expected RFC 3986 resolution per
+    // class, stated directly — neither the §5.2.3 merge nor the
+    // §5.2.4 dot-segment fold is replayed
+    "q_url_resolve" -> """
+      WITH u AS (
+        SELECT doc_id, doc_id % 10 AS m,
+          'https://site' || CAST(doc_id % 20 AS VARCHAR)
+            || '.example.com' AS hostp,
+          '/dir/sub/page' || CAST(doc_id AS VARCHAR) || '.html' AS bpath,
+          CAST(doc_id AS VARCHAR) AS ds
+        FROM documents)
+      SELECT doc_id,
+        CASE m
+          WHEN 0 THEN 'https://other.example.org/abs/' || ds
+          WHEN 1 THEN '//cdn.example.net/lib' || ds || '.js'
+          WHEN 2 THEN '/rooted/x' || ds
+          WHEN 3 THEN 'img/a' || ds || '.png'
+          WHEN 4 THEN '../up/b' || ds
+          WHEN 5 THEN './here/c' || ds
+          WHEN 6 THEN 'a/../../../z' || ds
+          WHEN 7 THEN '?q=' || ds
+          WHEN 8 THEN '#frag'
+          ELSE '' END AS href,
+        CASE m
+          WHEN 0 THEN 'https://other.example.org/abs/' || ds
+          WHEN 1 THEN 'https://cdn.example.net/lib' || ds || '.js'
+          WHEN 2 THEN hostp || '/rooted/x' || ds
+          WHEN 3 THEN hostp || '/dir/sub/img/a' || ds || '.png'
+          WHEN 4 THEN hostp || '/dir/up/b' || ds
+          WHEN 5 THEN hostp || '/dir/sub/here/c' || ds
+          WHEN 6 THEN hostp || '/z' || ds
+          WHEN 7 THEN hostp || bpath || '?q=' || ds
+          ELSE hostp || bpath END AS resolved
+      FROM u ORDER BY doc_id""",
     "q_lm_fluency" -> s"""
       $lmFluencyCtes
       SELECT doc_id, COUNT(*) AS n_bigrams,

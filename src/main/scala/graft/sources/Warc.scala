@@ -25,11 +25,14 @@ import org.apache.spark.sql.functions._
   * concatenated members natively). CommonCrawl sizes WARC files at
   * ~1 GB exactly so that file-per-task is the right parallel grain: a
   * 100 TB crawl is ~100k files → ~100k independent tasks with zero
-  * shuffle. Mid-member splits are impossible by the format's design;
-  * a larger-than-memory file wants the member-boundary offset index
-  * (the `warc.paths`/cdx pattern) — out of profile here, documented
-  * rather than half-supported (binaryFile refuses files > 2 GB
-  * loudly).
+  * shuffle. Mid-member splits are impossible by the format's design.
+  * A larger-than-memory file takes the member-boundary offset index
+  * path instead (the `warc.paths`/cdx pattern): [[index]] STREAMS the
+  * member walk from a forward FS stream in O(one member) memory —
+  * files of any size index — and [[readRecords]] fetches records by
+  * positioned (offset, length) reads; only the whole-file
+  * [[records]]/[[responses]] convenience path keeps binaryFile's 2 GB
+  * bound.
   *
   * The writer half ([[responseRecord]]/[[warcinfoRecord]]/
   * [[writeFile]]) exists so gates and specs can synthesize REAL
@@ -133,26 +136,192 @@ object Warc {
   /** The member-boundary index of every `.warc.gz` under `path` — the
     * `warc.paths`/cdx pattern: build once per crawl, then any record
     * is a (file, offset, length) range fetch. One executor task per
-    * file (the walk is a single compressed pass tracking `Inflater
-    * .getBytesRead` — no second decode, no buffering beyond one
-    * record); rows ∝ records, each a few dozen bytes — the index of a
+    * file; rows ∝ records, each a few dozen bytes — the index of a
     * 100 TB crawl is ~10⁴× smaller than the crawl and sits in an
-    * ordinary parquet table. With it, the binaryFile 2 GB whole-file
-    * bound stops being the access path: [[readRecords]] seeks. */
+    * ordinary parquet table.
+    *
+    * The walk STREAMS: binaryFile supplies only the file LISTING (the
+    * `content` column is never selected, so the source never
+    * materializes file bytes and its 2 GB whole-file bound does not
+    * apply — this is the index's reason to exist), and each task opens
+    * a forward `FSDataInputStream` over its file, walking gzip members
+    * with a single compressed pass that buffers one member at a time.
+    * A >2 GB crawl file indexes in O(one member) memory; with the
+    * index, [[readRecords]] seeks. */
   def index(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
+    val confSer = new org.apache.spark.SerializableWritable(
+      spark.sessionState.newHadoopConf())
     spark.read.format("binaryFile").load(path)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (file, bytes) => indexMembers(file, bytes) }
+      .select(col("path")).as[String]
+      .mapPartitions { files =>
+        files.flatMap { file =>
+          val p = new org.apache.hadoop.fs.Path(file)
+          val raw = p.getFileSystem(confSer.value).open(p)
+          var closed = false
+          def closeOnce(): Unit = if (!closed) { closed = true; raw.close() }
+          // safety net: limit()/take() can stop pulling before the
+          // iterator drains — the handle must close on task completion
+          Option(org.apache.spark.TaskContext.get())
+            .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
+          indexMembersStream(file,
+            new java.io.BufferedInputStream(raw, 1 << 16), () => closeOnce())
+        }
+      }
       .toDF()
   }
 
-  /** Walk the gzip members of one file, emitting an index row per
-    * member: header parse (RFC 1952 — optional FEXTRA/FNAME/FCOMMENT/
-    * FHCRC fields handled), raw-deflate inflate tracking compressed
-    * consumption, 8-byte CRC/ISIZE trailer. The decompressed member is
-    * parsed just enough to name the record (type + target URI). */
+  /** Forward streaming walk over one file's gzip members — the
+    * O(one-member) index path for files of ANY size; byte-identical
+    * rows to the in-memory [[indexMembers]] walk (spec-asserted, the
+    * two implementations cross-validate). `onDone` fires once when the
+    * walk drains (stream cleanup hook). */
+  private[graft] def indexMembersStream(
+      file: String, in: InputStream,
+      onDone: () => Unit = () => ()): Iterator[WarcIndexRow] = {
+    val walker = new GzipMemberWalker(file, in)
+    new Iterator[WarcIndexRow] {
+      private var n = 0
+      private var done = false
+      override def hasNext: Boolean = {
+        val more = !walker.atEof
+        if (!more && !done) { done = true; onDone() }
+        more
+      }
+      override def next(): WarcIndexRow = {
+        val start = walker.position
+        val member = walker.nextMemberBytes()
+        val rec = parseAll(file, member).next()
+        val row = WarcIndexRow(
+          file, n, rec.warc_type, rec.url, start, walker.position - start)
+        n += 1
+        row
+      }
+    }
+  }
+
+  /** Streaming RFC 1952 member walker: decompresses one gzip member at
+    * a time from a forward stream, tracking the exact COMPRESSED
+    * position (the cdx offset), never holding more than one member
+    * plus a 64 KB read buffer. Used by [[indexMembersStream]] (the
+    * >2 GB index path) and by [[parseAll]]'s gzip branch — which is
+    * what makes boundary corruption LOUD: where the JDK's
+    * `GZIPInputStream` silently treats a corrupt next-member header or
+    * trailing garbage as EOF (dropping every remaining record), this
+    * walker requires the gzip magic at every member start and throws a
+    * diagnostic naming the file and offset. */
+  private[sources] final class GzipMemberWalker(file: String, in: InputStream) {
+    private val buf = new Array[Byte](1 << 16)
+    private var bufLen = 0
+    private var bufPos = 0
+    private var eof = false
+    private var pos = 0L
+
+    /** Exact compressed position of the next unconsumed byte. */
+    def position: Long = pos
+
+    private def fill(): Boolean = {
+      if (bufPos < bufLen) true
+      else if (eof) false
+      else {
+        bufPos = 0; bufLen = 0
+        var r = in.read(buf)
+        while (r == 0) r = in.read(buf)
+        if (r < 0) { eof = true; false } else { bufLen = r; true }
+      }
+    }
+
+    def atEof: Boolean = !fill()
+
+    private def u8(what: String): Int = {
+      if (!fill()) throw new EOFException(
+        s"warc: truncated gzip member ($what) at offset $pos in $file")
+      val b = buf(bufPos) & 0xff; bufPos += 1; pos += 1; b
+    }
+
+    private def skipHeader(): Unit = {
+      val start = pos
+      val m1 = u8("magic"); val m2 = u8("magic")
+      if (m1 != 0x1f || m2 != 0x8b)
+        throw new IllegalArgumentException(
+          f"warc: expected a gzip member at offset $start in $file (got " +
+            f"bytes $m1%02x $m2%02x) — member-boundary corruption or " +
+            "trailing garbage; refusing to silently drop the remaining records")
+      u8("CM"); val flg = u8("FLG")
+      var i = 0; while (i < 6) { u8("MTIME/XFL/OS"); i += 1 }
+      if ((flg & 4) != 0) { // FEXTRA: 2-byte little-endian length + data
+        val xlen = u8("FEXTRA length") | (u8("FEXTRA length") << 8)
+        var j = 0; while (j < xlen) { u8("FEXTRA data"); j += 1 }
+      }
+      if ((flg & 8) != 0) while (u8("FNAME") != 0) ()   // NUL-terminated
+      if ((flg & 16) != 0) while (u8("FCOMMENT") != 0) ()
+      if ((flg & 2) != 0) { u8("FHCRC"); u8("FHCRC") }
+    }
+
+    /** Header + raw-deflate inflate + 8-byte trailer of the NEXT
+      * member; [[position]] before/after brackets its compressed
+      * extent. */
+    def nextMemberBytes(): Array[Byte] = {
+      skipHeader()
+      val inf = new java.util.zip.Inflater(true)
+      val out = new ByteArrayOutputStream(1 << 14)
+      val scratch = new Array[Byte](1 << 14)
+      try {
+        while (!inf.finished()) {
+          if (inf.needsInput()) {
+            if (!fill()) throw new EOFException(
+              s"warc: truncated gzip member (deflate data) at offset $pos in $file")
+            inf.setInput(buf, bufPos, bufLen - bufPos)
+            pos += bufLen - bufPos
+            bufPos = bufLen
+          }
+          val k = inf.inflate(scratch)
+          if (k > 0) out.write(scratch, 0, k)
+        }
+        // hand back what the inflater over-took from the last segment
+        val rem = inf.getRemaining
+        bufPos -= rem
+        pos -= rem
+      } finally inf.end()
+      var i = 0; while (i < 8) { u8("CRC32/ISIZE trailer"); i += 1 }
+      out.toByteArray
+    }
+  }
+
+  /** Concatenated-member InputStream over [[GzipMemberWalker]]: what
+    * [[parseAll]] reads for `.warc.gz` bytes. Unlike `GZIPInputStream`
+    * it cannot mistake mid-file corruption for EOF. */
+  private final class MemberConcatStream(file: String, raw: InputStream)
+      extends InputStream {
+    private val walker = new GzipMemberWalker(file, raw)
+    private var cur: Array[Byte] = Array.emptyByteArray
+    private var p = 0
+    private def ensure(): Boolean = {
+      while (p >= cur.length) {
+        if (walker.atEof) return false
+        cur = walker.nextMemberBytes(); p = 0
+      }
+      true
+    }
+    override def read(): Int =
+      if (!ensure()) -1 else { val b = cur(p) & 0xff; p += 1; b }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (len == 0) 0
+      else if (!ensure()) -1
+      else {
+        val n = math.min(len, cur.length - p)
+        System.arraycopy(cur, p, b, off, n); p += n; n
+      }
+    }
+  }
+
+  /** IN-MEMORY reference walk over one file's gzip members (RFC 1952
+    * header parse with optional FEXTRA/FNAME/FCOMMENT/FHCRC, raw
+    * inflate tracking `Inflater.getBytesRead`, 8-byte trailer). The
+    * production path is [[indexMembersStream]] — this array
+    * implementation is kept as its independent cross-validation
+    * (WarcSpec asserts byte-identical rows) and for walking members
+    * already in memory. */
   private[graft] def indexMembers(
       file: String, bytes: Array[Byte]): Iterator[WarcIndexRow] = {
     require(bytes.length >= 2 &&
@@ -268,15 +437,19 @@ object Warc {
   }
 
   /** Parse one file's bytes into its records. Decompresses when the
-    * content is gzip (magic 1f 8b); GZIPInputStream consumes
-    * concatenated members transparently, and the WARC grammar below
-    * is framing-exact (Content-Length bytes, CRLF CRLF separator), so
-    * the member layout cannot leak into parsed content. */
+    * content is gzip (magic 1f 8b) through [[MemberConcatStream]] —
+    * our own member walker rather than `GZIPInputStream`, because the
+    * JDK stream treats a corrupt next-member header or trailing
+    * garbage as silent EOF (dropping every remaining record), while
+    * the walker fails loudly with the file and offset. The WARC
+    * grammar below is framing-exact (Content-Length bytes, CRLF CRLF
+    * separator), so the member layout cannot leak into parsed
+    * content. */
   private[graft] def parseAll(file: String, bytes: Array[Byte]): Iterator[WarcRow] = {
     val raw: InputStream = new ByteArrayInputStream(bytes)
     val in = if (bytes.length >= 2 &&
         (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
-      new GZIPInputStream(raw, 1 << 16) else raw
+      new MemberConcatStream(file, raw) else raw
     new Iterator[WarcRow] {
       private var nextRow: WarcRow = _
       private var n = 0
@@ -314,7 +487,21 @@ object Warc {
 
   /** Split an `application/http; msgtype=response` payload into
     * (status, content-type mime, body bytes). Lenient on non-HTTP
-    * payloads: (-1, '', payload). */
+    * payloads: (-1, '', payload).
+    *
+    * Real CommonCrawl response records routinely carry all three HTTP
+    * body transforms, applied here in receiver order (RFC 9112 §6 /
+    * RFC 9110 §8.4): chunked Transfer-Encoding is DE-FRAMED first
+    * (hex-size lines, chunk CRLFs, optional trailers — extensions
+    * after `;` ignored), then Content-Encoding gzip/x-gzip/deflate
+    * decompresses (deflate tries zlib-wrapped then raw, the
+    * server-ecosystem reality RFC 9110 §8.4.1.2 acknowledges), then
+    * the Content-Type `charset` parameter decodes the octets and the
+    * body is re-encoded as UTF-8 bytes — so `body`/`html` are ALWAYS
+    * UTF-8 text for response records, whatever the wire carried.
+    * Unknown codings and charsets fail LOUDLY (the module posture:
+    * garbage text poisoning a training corpus is worse than a dead
+    * task); absent parameters default to identity / UTF-8. */
   private def parseHttp(payload: Array[Byte]): (Int, String, Array[Byte]) = {
     val sep = indexOfCrlfCrlf(payload)
     val headText = new String(payload, 0, if (sep < 0) payload.length else sep, UTF_8)
@@ -325,14 +512,97 @@ object Warc {
         case Array(_, code, _*) if code.forall(_.isDigit) => code.toInt
         case _ => -1
       }
-      val mime = lines.drop(1).collectFirst {
-        case l if l.toLowerCase.startsWith("content-type:") =>
-          l.substring("content-type:".length).trim
-      }.getOrElse("")
-      val body = if (sep < 0) Array.empty[Byte]
+      def header(name: String): Option[String] = {
+        val p = name + ":"
+        lines.iterator.drop(1).collectFirst {
+          case l if l.toLowerCase.startsWith(p) => l.substring(p.length).trim
+        }
+      }
+      val mime = header("content-type").getOrElse("")
+      var body = if (sep < 0) Array.empty[Byte]
         else java.util.Arrays.copyOfRange(payload, sep + 4, payload.length)
+      // 1. transfer coding (message framing)
+      val te = header("transfer-encoding").getOrElse("").toLowerCase
+      if (te.contains("chunked")) body = dechunk(body)
+      else if (te.nonEmpty && te != "identity")
+        throw new IllegalArgumentException(
+          s"warc: unsupported Transfer-Encoding '$te' — refusing to emit garbage text")
+      // 2. content coding (representation compression)
+      header("content-encoding").map(_.toLowerCase).getOrElse("identity") match {
+        case "identity" | "" => ()
+        case "gzip" | "x-gzip" =>
+          val out = new ByteArrayOutputStream(body.length * 4)
+          val gz = new GZIPInputStream(new ByteArrayInputStream(body), 1 << 16)
+          val buf = new Array[Byte](1 << 14)
+          var r = gz.read(buf)
+          while (r >= 0) { if (r > 0) out.write(buf, 0, r); r = gz.read(buf) }
+          body = out.toByteArray
+        case "deflate" =>
+          body = try inflateBody(body, zlibWrapped = true)
+            catch { case _: java.util.zip.ZipException =>
+              inflateBody(body, zlibWrapped = false) }
+        case other => throw new IllegalArgumentException(
+          s"warc: unsupported Content-Encoding '$other' — refusing to emit garbage text")
+      }
+      // 3. charset: decode the declared encoding, re-encode UTF-8
+      val cs = "(?i)charset=\"?([^;\"\\s]+)\"?".r.findFirstMatchIn(mime)
+        .map(_.group(1))
+      cs.filterNot(_.equalsIgnoreCase("utf-8")).foreach { name =>
+        val charset = try java.nio.charset.Charset.forName(name)
+          catch { case e: Exception => throw new IllegalArgumentException(
+            s"warc: unknown charset '$name' in Content-Type '$mime'", e) }
+        body = new String(body, charset).getBytes(UTF_8)
+      }
       (status, mime, body)
     }
+  }
+
+  private def inflateBody(b: Array[Byte], zlibWrapped: Boolean): Array[Byte] = {
+    val inf = new java.util.zip.Inflater(!zlibWrapped)
+    try {
+      inf.setInput(b)
+      val out = new ByteArrayOutputStream(b.length * 4)
+      val buf = new Array[Byte](1 << 14)
+      while (!inf.finished()) {
+        val k = inf.inflate(buf)
+        if (k > 0) out.write(buf, 0, k)
+        else if (inf.needsInput()) throw new java.util.zip.ZipException(
+          "warc: truncated deflate body")
+      }
+      out.toByteArray
+    } finally inf.end()
+  }
+
+  /** RFC 9112 §7.1 chunked decoding: hex size line (`;extensions`
+    * dropped), `size` data bytes + CRLF per chunk, a `0` chunk then
+    * optional trailer fields until the blank line. Malformed framing
+    * throws with the module's loud diagnostic. */
+  private[graft] def dechunk(b: Array[Byte]): Array[Byte] = {
+    val in = new ByteArrayInputStream(b)
+    val out = new ByteArrayOutputStream(b.length)
+    var done = false
+    while (!done) {
+      val sizeLine = readLine(in)
+      if (sizeLine == null) throw new EOFException(
+        "warc: truncated chunked body (missing chunk-size line)")
+      val hexPart = sizeLine.split(";", 2)(0).trim
+      val size = try Integer.parseInt(hexPart, 16)
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"warc: malformed chunk-size line '$sizeLine'") }
+      if (size == 0) {
+        // trailer section: fields until the blank line (or EOF)
+        var l = readLine(in)
+        while (l != null && l.nonEmpty) l = readLine(in)
+        done = true
+      } else {
+        out.write(readFully(in, size))
+        val crlf = readLine(in)
+        if (crlf == null || crlf.nonEmpty) throw new IllegalArgumentException(
+          "warc: chunk data not followed by CRLF")
+      }
+    }
+    out.toByteArray
   }
 
   private def indexOfCrlfCrlf(b: Array[Byte]): Int = {
@@ -392,18 +662,66 @@ object Warc {
   /** The uncompressed bytes of one `response` record wrapping `html`
     * in a minimal HTTP/1.1 200 message. */
   def responseRecord(url: String, html: String,
-                     date: String = "2026-01-01T00:00:00Z"): Array[Byte] = {
-    val body = html.getBytes(UTF_8)
+                     date: String = "2026-01-01T00:00:00Z"): Array[Byte] =
+    responseRecordEncoded(url, html, "", date)
+
+  /** [[responseRecord]] with real HTTP body transforms applied, so
+    * gates and specs can prove the reader against what live crawls
+    * actually carry. `mode` is any combination of `chunked` (chunked
+    * Transfer-Encoding with a chunk extension and a trailer field —
+    * both must be dropped by the reader), `gzip` (gzip
+    * Content-Encoding), and `latin1` (ISO-8859-1 charset declared in
+    * Content-Type; the html must be Latin-1-encodable — enforced
+    * loudly, a writer must not silently mangle). Sender order per
+    * RFC 9112: content coding first, transfer coding outermost. */
+  def responseRecordEncoded(url: String, html: String, mode: String,
+                            date: String = "2026-01-01T00:00:00Z"): Array[Byte] = {
+    val charsetName = if (mode.contains("latin1")) "iso-8859-1" else "utf-8"
+    val cs = java.nio.charset.Charset.forName(charsetName)
+    if (mode.contains("latin1"))
+      require(cs.newEncoder().canEncode(html),
+        s"warc writer: html for $url is not ISO-8859-1-encodable")
+    var body = html.getBytes(cs)
+    val hdr = new StringBuilder()
+    hdr ++= "HTTP/1.1 200 OK" + CRLF
+    hdr ++= s"Content-Type: text/html; charset=$charsetName" + CRLF
+    if (mode.contains("gzip")) {
+      body = gzipMember(body)
+      hdr ++= "Content-Encoding: gzip" + CRLF
+    }
+    if (mode.contains("chunked")) {
+      body = chunkEncode(body)
+      hdr ++= "Transfer-Encoding: chunked" + CRLF
+    } else hdr ++= s"Content-Length: ${body.length}" + CRLF
+    hdr ++= CRLF
     val http = new ByteArrayOutputStream()
-    http.write(("HTTP/1.1 200 OK" + CRLF +
-      "Content-Type: text/html; charset=utf-8" + CRLF +
-      s"Content-Length: ${body.length}" + CRLF + CRLF).getBytes(UTF_8))
+    http.write(hdr.toString.getBytes(UTF_8))
     http.write(body)
     record(Seq(
       "WARC-Type" -> "response",
       "WARC-Target-URI" -> url,
       "WARC-Date" -> date,
       "Content-Type" -> "application/http; msgtype=response"), http.toByteArray)
+  }
+
+  /** Chunk-encode a body in fixed 100-byte chunks; the first size line
+    * carries a chunk extension and the terminator a trailer field, so
+    * a reader that fails to drop either fails a gate, not production. */
+  private[graft] def chunkEncode(body: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(body.length + 64)
+    var off = 0
+    var first = true
+    while (off < body.length) {
+      val n = math.min(100, body.length - off)
+      val ext = if (first) ";graft=1" else ""
+      out.write((Integer.toHexString(n) + ext + CRLF).getBytes(UTF_8))
+      out.write(body, off, n)
+      out.write(CRLF.getBytes(UTF_8))
+      off += n
+      first = false
+    }
+    out.write(("0" + CRLF + "X-Trailer: t" + CRLF + CRLF).getBytes(UTF_8))
+    out.toByteArray
   }
 
   /** The uncompressed bytes of the file-leading `warcinfo` record
@@ -455,7 +773,7 @@ object Warc {
     * CommonCrawl file grain upstream (`repartition`); sort within
     * partitions first if byte-deterministic files matter (gates do). */
   def writeFiles(df: DataFrame, urlCol: String, htmlCol: String,
-                 path: String): Unit = {
+                 path: String, modeCol: String = ""): Unit = {
     import org.apache.hadoop.fs.Path
     val conf = df.sparkSession.sessionState.newHadoopConf()
     val root = new Path(path)
@@ -463,7 +781,11 @@ object Warc {
     fs.delete(root, true)
     fs.mkdirs(root)
     val confSer = new org.apache.spark.SerializableWritable(conf)
-    df.select(col(urlCol).cast("string"), col(htmlCol).cast("string"))
+    // optional per-row HTTP encoding mode (responseRecordEncoded's
+    // vocabulary) — '' everywhere when no mode column is named
+    val modeExpr = if (modeCol.isEmpty) lit("") else col(modeCol).cast("string")
+    df.select(col(urlCol).cast("string"), col(htmlCol).cast("string"),
+        coalesce(modeExpr, lit("")))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         if (it.hasNext) {
           val tc = org.apache.spark.TaskContext.get()
@@ -480,7 +802,8 @@ object Warc {
           try {
             out.write(gzipMember(warcinfoRecord(p.getName)))
             it.foreach { r =>
-              out.write(gzipMember(responseRecord(r.getString(0), r.getString(1))))
+              out.write(gzipMember(
+                responseRecordEncoded(r.getString(0), r.getString(1), r.getString(2))))
             }
           } finally out.close()
           if (!pfs.rename(tmp, p)) pfs.delete(tmp, false)

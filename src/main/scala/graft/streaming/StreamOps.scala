@@ -408,15 +408,18 @@ object StreamOps {
     // wildcard compile AND percent-normalization ride the rules side —
     // ∝ rules, once, byte-identical to the batch matcher's compile
     // (the URL path arrives percent-normalized through urlNormalize,
-    // so the rule pattern must normalize the same way; specificity
-    // stays the RAW pattern length, matching the batch argmax)
+    // so the rule pattern must normalize the same way; specificity is
+    // the NORMALIZED pattern length — the same string the matcher
+    // compares — matching the batch argmax; wildcards compile in
+    // allow mode only, mirroring the batch matcher: blocklist
+    // prefixes are literal octets, `*`/`$` included)
     val normPp = when(col("path_prefix").isNotNull,
       graft.operators.Html.pctNormalize(col("path_prefix")))
     val collected = rules
       .select(col("rule_id").cast("long"), col("host_suffix"), col("path_prefix"),
         (if (hasAllow) col("allow") else lit(false)).as("allow"),
         coalesce(
-          when(col("path_prefix").isNotNull &&
+          when(lit(hasAllow) && col("path_prefix").isNotNull &&
               (col("path_prefix").contains("*") || col("path_prefix").endsWith("$")),
             graft.operators.Html.robotsPatternRegex(normPp)),
           lit("")).as("rx"),
@@ -447,10 +450,12 @@ object StreamOps {
         base.withColumn("rule_id", ruleId)
           .withColumn("blocked", col("rule_id").isNotNull)
       } else {
-        // the batch argmax verbatim: (pattern length, allow, -rule_id)
+        // the batch argmax verbatim: (normalized-pattern length,
+        // allow, -rule_id) — `_6` is the normalized pp, '' for null,
+        // so length 0 matches the batch coalesce
         val nullBest = lit(null).cast("struct<spec:INT,allow:BOOLEAN,nrid:BIGINT>")
         def cand(r: Column): Column = struct(
-          length(r.getField("_3")).cast("int").as("spec"),
+          length(r.getField("_6")).cast("int").as("spec"),
           r.getField("_4").as("allow"),
           (-r.getField("_1")).as("nrid"))
         val best = aggregate(rulesLit, nullBest,

@@ -290,6 +290,68 @@ class HtmlSpec extends SparkSpec {
       s"top-k per target must push the limit below the window:\n$plan")
   }
 
+  test("RFC 3986 resolution: every reference class against a pathed base") {
+    val base = "https://h.example/dir/sub/page.html?k=1"
+    val cases = Seq(
+      "https://other.org/abs"    -> "https://other.org/abs",
+      "HTTP://Other.org/A/../b"  -> "HTTP://Other.org/b", // dots removed even with scheme
+      "//cdn.net/lib.js"         -> "https://cdn.net/lib.js",
+      "/rooted/x"                -> "https://h.example/rooted/x",
+      "img/a.png"                -> "https://h.example/dir/sub/img/a.png",
+      "../up/b"                  -> "https://h.example/dir/up/b",
+      "./here/c"                 -> "https://h.example/dir/sub/here/c",
+      "a/../../../z"             -> "https://h.example/z", // excess .. stops at root
+      "a/./b/../c"               -> "https://h.example/dir/sub/a/c",
+      "trail/.."                 -> "https://h.example/dir/sub/", // RFC trailing slash
+      "?q=2"                     -> "https://h.example/dir/sub/page.html?q=2",
+      "#frag"                    -> "https://h.example/dir/sub/page.html?k=1#frag",
+      ""                         -> "https://h.example/dir/sub/page.html?k=1",
+      "mailto:x@y.z"             -> "mailto:x@y.z")
+    val got = cases.map(_._1).zipWithIndex
+      .map { case (h, i) => (i.toLong, h) }.toDF("id", "href")
+      .select(col("id"), Html.urlResolve(lit(base), col("href")).as("r"))
+      .orderBy("id").collect().map(_.getString(1))
+    cases.zip(got).foreach { case ((href, want), g) =>
+      assert(g === want, s"resolving '$href'") }
+    // a base with no scheme cannot anchor: ref passes through
+    val pass = Seq((1L, "img/x.png")).toDF("id", "href")
+      .select(Html.urlResolve(lit("not a url"), col("href")))
+      .collect().head.getString(0)
+    assert(pass === "img/x.png")
+  }
+
+  test("longest-match specificity is measured on the DECODED pattern") {
+    // raw '/%7Eadmin/' decodes to '/~admin/' (len 8); the Allow
+    // '/~admin/x' (len 9) is the longer DECODED pattern and must win —
+    // raw-length ranking would invert this (10 > 9)
+    val rules = Seq(
+      (0L, "h.example", Some("/%7Eadmin/"), false),
+      (1L, "h.example", Some("/~admin/x"), true))
+      .toDF("rule_id", "host_suffix", "path_prefix", "allow")
+    val got = Html.urlFilter(
+      Seq((0L, "https://h.example/~admin/x1")).toDF("id", "url"),
+      "id", "url", rules).collect().head
+    assert(got.getBoolean(2) === false && got.getLong(3) === 1L)
+  }
+
+  test("blocklist-mode prefixes are literal: '*' and '$' are path octets") {
+    // without an `allow` column a rule is a plain prefix — '/price$'
+    // must match the literal octets, not compile to an anchored regex
+    val rules = Seq(
+      (0L, "h.example", Some("/price$")),
+      (1L, "h.example", Some("/a*b/")))
+      .toDF("rule_id", "host_suffix", "path_prefix")
+    val urls = Seq(
+      (0L, "https://h.example/price$list"),  // literal prefix match
+      (1L, "https://h.example/price"),       // would match anchored-regex; must NOT
+      (2L, "https://h.example/a*b/x"),       // literal '*' match
+      (3L, "https://h.example/aXb/x"))       // wildcard would match; must NOT
+      .toDF("id", "url")
+    val got = Html.urlFilter(urls, "id", "url", rules)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got === Map(0L -> true, 1L -> false, 2L -> true, 3L -> false))
+  }
+
   test("the web front end composes: extract links, rank the graph they form") {
     // four pages: everyone links to page 0 (the hub), page 0 links to 1
     val pages = (0L to 3L).map { i =>

@@ -71,6 +71,111 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("HTTP body transforms decode: chunked, gzip, both, ISO-8859-1") {
+    val plain = "<html><body><p>" + ("word " * 60).trim + "</p></body></html>"
+    val latin = "<html><body><p>Café résumé München smørrebrød på vägen</p></body></html>"
+    Seq("chunked", "gzip", "chunked+gzip").foreach { mode =>
+      val rec = Warc.responseRecordEncoded("https://a.example/e", plain, mode)
+      val row = Warc.parseAll("e.warc", rec).next()
+      assert(row.http_status === 200, mode)
+      assert(new String(row.body, UTF_8) === plain,
+        s"mode '$mode' must decode to the original text")
+    }
+    val lrec = Warc.responseRecordEncoded("https://a.example/l", latin, "latin1")
+    val lrow = Warc.parseAll("l.warc", lrec).next()
+    assert(lrow.mime === "text/html; charset=iso-8859-1")
+    // the WIRE bytes are Latin-1 (one byte per accented char), the
+    // parsed body is UTF-8 — a reader that skips transcoding fails here
+    assert(new String(lrow.body, UTF_8) === latin)
+    // the writer refuses un-encodable content instead of mangling it
+    intercept[IllegalArgumentException] {
+      Warc.responseRecordEncoded("https://a.example/x", "snowman ☃", "latin1")
+    }
+    // unknown codings and charsets are loud, never garbage text
+    def respWith(extra: String): Array[Byte] = {
+      val body = "hi".getBytes(UTF_8)
+      ("HTTP/1.1 200 OK\r\n" + extra +
+        s"\r\nContent-Length: ${body.length}\r\n\r\n").getBytes(UTF_8) ++ body
+    }
+    def parse(http: Array[Byte]): Unit = {
+      val rec = new java.io.ByteArrayOutputStream()
+      rec.write(("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n").getBytes(UTF_8))
+      rec.write(http)
+      rec.write("\r\n\r\n".getBytes(UTF_8))
+      Warc.parseAll("x.warc", rec.toByteArray).toList
+      ()
+    }
+    intercept[IllegalArgumentException] {
+      parse(respWith("Content-Encoding: br\r\nContent-Type: text/html"))
+    }
+    intercept[IllegalArgumentException] {
+      parse(respWith("Content-Type: text/html; charset=klingon-8"))
+    }
+    intercept[IllegalArgumentException] {
+      parse(respWith("Transfer-Encoding: chunked\r\nContent-Type: text/html"))
+    } // body 'hi' is not valid chunked framing → loud
+  }
+
+  test("chunk framing: extensions and trailers drop; malformed is loud") {
+    val body = ("x" * 257).getBytes(UTF_8) // 3 chunks: 100+100+57
+    val enc = Warc.chunkEncode(body)
+    assert(new String(enc, UTF_8).startsWith("64;graft=1\r\n"))
+    assert(new String(enc, UTF_8).contains("X-Trailer"))
+    assert(Warc.dechunk(enc) === body)
+    assert(Warc.dechunk(Warc.chunkEncode(Array.emptyByteArray)) === Array.emptyByteArray)
+    intercept[IllegalArgumentException] { Warc.dechunk("zz\r\nhi\r\n".getBytes(UTF_8)) }
+    intercept[java.io.EOFException] { Warc.dechunk("64\r\nshort".getBytes(UTF_8)) }
+  }
+
+  test("member-boundary corruption is LOUD, not a silent short read") {
+    val gz = (Warc.warcinfoRecord("f") +: pages.map { case (u, h) =>
+      Warc.responseRecord(u, h)
+    }).map(Warc.gzipMember)
+    val file = gz.reduce(_ ++ _)
+    // corrupt the gzip magic of member 2: the JDK stream would stop
+    // at member 1 and silently drop the rest; the walker must throw
+    val off2 = gz(0).length + gz(1).length
+    val corrupt = file.clone()
+    corrupt(off2) = 'X'.toByte
+    val ex = intercept[IllegalArgumentException] {
+      Warc.parseAll("c.warc.gz", corrupt).toList
+    }
+    assert(ex.getMessage.contains(s"offset $off2") &&
+      ex.getMessage.contains("c.warc.gz"))
+    // trailing garbage after the last member is equally loud
+    val trailing = file ++ "garbage".getBytes(UTF_8)
+    val ex2 = intercept[IllegalArgumentException] {
+      Warc.parseAll("t.warc.gz", trailing).toList
+    }
+    assert(ex2.getMessage.contains(s"offset ${file.length}"))
+    // and the index walk reports the same boundary
+    intercept[IllegalArgumentException] {
+      Warc.indexMembersStream("c.warc.gz",
+        new java.io.ByteArrayInputStream(corrupt)).toList
+    }
+  }
+
+  test("streamed index walk is row-identical to the in-memory reference") {
+    // includes an encoded record so member sizes vary, plus a
+    // multi-buffer member (> 64 KB compressed read buffer)
+    val big = "<p>" + ("lorem ipsum dolor sit amet " * 8000) + "</p>"
+    val members = Seq(
+      Warc.warcinfoRecord("f"),
+      Warc.responseRecord("https://a.example/1", pages.head._2),
+      Warc.responseRecordEncoded("https://a.example/2", big, "chunked+gzip"),
+      Warc.responseRecord("https://a.example/3", big))
+    val file = members.map(Warc.gzipMember).reduce(_ ++ _)
+    val ref = Warc.indexMembers("f.warc.gz", file).toSeq
+    val streamed = Warc.indexMembersStream("f.warc.gz",
+      new java.io.ByteArrayInputStream(file)).toSeq
+    assert(streamed === ref)
+    var doneCalls = 0
+    Warc.indexMembersStream("f.warc.gz",
+      new java.io.ByteArrayInputStream(file), () => doneCalls += 1).toSeq
+    assert(doneCalls === 1) // cleanup hook fires exactly once on drain
+  }
+
   test("member index reproduces by-construction offsets; seek-reads round-trip") {
     // offsets computed two independent ways: scanLeft over the writer's
     // member sizes vs the Inflater walk over the final bytes
