@@ -96,18 +96,35 @@ object Classifier {
   def fit(
       df: DataFrame, idCol: String, textCol: String, labelPred: Column,
       buckets: Int = 64, epochs: Int = 4): Array[Long] = {
-    require(buckets >= 1 && buckets <= 4096,
-      s"qualityClassifier: need 1..4096 buckets, got $buckets")
-    require(epochs >= 1 && epochs <= 64,
-      s"qualityClassifier: need 1..64 epochs, got $epochs")
     // ONE tokenize pass; everything downstream re-reads the slim
     // checkpointed frame (id, y, barr) — executor-resident.
     val feat = featureFrame(df, idCol, textCol, labelPred, buckets)
       .localCheckpoint(true)
+    try fitOnFeatures(feat, buckets, epochs) finally feat.unpersist()
+  }
+
+  /** The GD loop over a MATERIALIZED feature frame `(__id, __y,
+    * __barr)` — shared by the BoW quality fit ([[fit]], `lrNum = 1`)
+    * and each one-vs-rest round of [[langIdLearned]] (which re-labels
+    * the same checkpointed frame per class instead of re-tokenizing,
+    * and takes a larger integer step — a K-class margin race needs
+    * weights to reach the sigmoid's dynamic range in few epochs).
+    * `lrNum` is the integer learning-rate NUMERATOR: the update is
+    * `w_b <- clamp(w_b - floorDiv(g_b · lrNum, 4n), ±Clip)` — still
+    * zero-float, still bit-replayable (overflow bound: |g·lrNum| ≤
+    * n·S·lrNum, inside BIGINT for n ≤ 2^37 at lrNum ≤ 16). */
+  private[graft] def fitOnFeatures(
+      feat: DataFrame, buckets: Int, epochs: Int, lrNum: Long = 1L): Array[Long] = {
+    require(buckets >= 1 && buckets <= 4096,
+      s"classifier: need 1..4096 buckets, got $buckets")
+    require(epochs >= 1 && epochs <= 64,
+      s"classifier: need 1..64 epochs, got $epochs")
+    require(lrNum >= 1 && lrNum <= 16,
+      s"classifier: need 1..16 lrNum, got $lrNum")
     val n = feat.count()
-    require(n >= 1, "qualityClassifier: empty training corpus")
+    require(n >= 1, "classifier: empty training corpus")
     val w = Array.fill(buckets + 1)(0L)
-    try for (_ <- 1 to epochs) {
+    for (_ <- 1 to epochs) {
       val e = (probS(marginCol(col("__barr"), w)) -
         when(col("__y"), lit(S)).otherwise(lit(0L))).as("__e")
       // gradient: explode the bucket array against the per-doc error;
@@ -116,14 +133,14 @@ object Classifier {
       val grads = feat.select(e, explode(col("__barr")).as("__b"))
         .groupBy(col("__b")).agg(sum(col("__e")).as("__g"))
         .collect()
-      // w_b <- clamp(w_b - floorDiv(g_b, 4n), ±Clip); buckets with no
-      // occurrences have g = 0 and stay put on both engines.
+      // buckets with no occurrences have g = 0 and stay put on both
+      // engines.
       grads.foreach { r =>
         val b = r.getInt(0); val g = r.getLong(1)
-        val d = Math.floorDiv(g, 4L * n)
+        val d = Math.floorDiv(g * lrNum, 4L * n)
         w(b) = Math.max(-Clip, Math.min(Clip, w(b) - d))
       }
-    } finally feat.unpersist()
+    }
     w
   }
 
@@ -139,6 +156,114 @@ object Classifier {
         array(lit(buckets))),
       lit(0L),
       (acc, b) => acc + element_at(typedlit(w.toSeq), b + lit(1)))
+
+  /** Hashed CHARACTER-n-gram bucket array of a text column — the
+    * fastText-style feature set (Joulin et al. 2016 §2.1: subword
+    * n-grams carry the orthographic signal language ID needs, where
+    * word tokens fragment on morphology). Distinct md5-hashed buckets
+    * of every n-char window, intercept bucket appended; texts shorter
+    * than `n` carry only the intercept. Pure column algebra (one
+    * sequence + transform fold), map-only. */
+  private[graft] def charGramBuckets(
+      textCol: Column, buckets: Int, n: Int): Column =
+    concat(
+      array_distinct(transform(
+        when(length(textCol) >= n, sequence(lit(1), length(textCol) - (n - 1)))
+          .otherwise(typedlit(Seq.empty[Int])),
+        i => tokenBucket(textCol.substr(i, lit(n)), buckets))),
+      array(lit(buckets)))
+
+  /** L18 — LEARNED language identification: one-vs-rest hard-sigmoid
+    * logistic units over hashed char-n-gram features (the CCNet
+    * front-door step is a fastText language classifier — Wenzek 2020
+    * §3.1; this is that shape under the repo's zero-float contract).
+    * Trains one binary unit per distinct `langCol` value on the
+    * `trainPred` rows (labels come from the corpus — the held-out
+    * complement is scored), serving the argmax margin with ties to the
+    * lexicographically smaller language. Returns `(id, lang, lang_pred,
+    * margin)` for the held-out rows, ordered by id.
+    *
+    * Scale shape: the corpus featurizes ONCE into a checkpointed slim
+    * frame shared by every class's fit (K · epochs map passes, each
+    * with a ≤(B+1)-row exchange and collect — never a corpus-sized
+    * move); serving is one map pass folding K weight LITERALS per row.
+    * The class set is a bounded driver collect (≤64, loud). */
+  def langIdLearned(
+      df: DataFrame, idCol: String, textCol: String, langCol: String,
+      trainPred: Column, buckets: Int = 1024, epochs: Int = 8,
+      gramN: Int = 3, lrNum: Long = 8L): DataFrame = {
+    val (feat, langs, weights) =
+      langIdCore(df, idCol, textCol, langCol, trainPred, buckets, epochs,
+        gramN, lrNum)
+    val best = langBestExpr(col("__barr"), langs, weights)
+    feat.where(!col("__train"))
+      .select(
+        col("__id").as(idCol), col("__lang").as("lang"),
+        best.getField("lang_pred").as("lang_pred"),
+        best.getField("margin").as("margin"))
+      .orderBy(idCol)
+  }
+
+  /** Fit-only entry: the (sorted langs, aligned weights) pair for
+    * offline training → online serving (feed [[langBestExpr]] /
+    * [[graft.streaming.StreamOps.langIdStream]]). */
+  def langIdFit(
+      df: DataFrame, idCol: String, textCol: String, langCol: String,
+      trainPred: Column, buckets: Int = 1024, epochs: Int = 8,
+      gramN: Int = 3, lrNum: Long = 8L): (Seq[String], Seq[Array[Long]]) = {
+    val (_, langs, weights) =
+      langIdCore(df, idCol, textCol, langCol, trainPred, buckets, epochs,
+        gramN, lrNum)
+    (langs, weights)
+  }
+
+  private def langIdCore(
+      df: DataFrame, idCol: String, textCol: String, langCol: String,
+      trainPred: Column, buckets: Int, epochs: Int, gramN: Int,
+      lrNum: Long): (DataFrame, Seq[String], Seq[Array[Long]]) = {
+    val langs = df.select(col(langCol).cast("string")).distinct()
+      .limit(65).collect().map(_.getString(0)).sorted.toSeq
+    require(langs.nonEmpty && langs.length <= 64,
+      s"langIdLearned: need 1..64 distinct languages, got ${langs.length}+")
+    // ONE featurize pass shared by all K fits and the serve; NOT
+    // unpersisted — the returned lazy frame still reads the checkpoint
+    // blocks; ContextCleaner reclaims them when the frame goes out of
+    // scope (the minhash signature-frame posture)
+    val feat = df.select(
+      col(idCol).as("__id"),
+      col(langCol).cast("string").as("__lang"),
+      trainPred.cast("boolean").as("__train"),
+      charGramBuckets(col(textCol), buckets, gramN).as("__barr"))
+      .localCheckpoint(true)
+    val train = feat.where(col("__train"))
+    val weights = langs.map { l =>
+      fitOnFeatures(
+        train.withColumn("__y", col("__lang") === l), buckets, epochs, lrNum)
+    }
+    (feat, langs, weights)
+  }
+
+  /** The stateless serving expression for FITTED one-vs-rest language
+    * weights: argmax margin as one max over (margin, -classIndex)
+    * structs — ties go to the smaller index = lexicographically
+    * smaller language. Input is the materialized bucket array (project
+    * [[charGramBuckets]] once; the K folds then reuse it). Returns a
+    * `(lang_pred, margin)` struct — pure per-row compute, reusable
+    * verbatim on unbounded streams (the I12/I13 fitted-literal
+    * posture). */
+  def langBestExpr(
+      barr: Column, langs: Seq[String], weights: Seq[Array[Long]]): Column = {
+    require(langs.length == weights.length && langs == langs.sorted,
+      "langBestExpr: weights must align with the SORTED language list")
+    val cands = weights.zipWithIndex.map { case (w, i) =>
+      struct(marginCol(barr, w).as("m"), lit(-i).as("ni"))
+    }
+    val best = array_max(array(cands: _*))
+    struct(
+      element_at(typedlit(langs), -best.getField("ni") + lit(1))
+        .as("lang_pred"),
+      best.getField("m").as("margin"))
+  }
 
   /** Fit on ALL documents (seed = `labelPred` rows), then score and
     * cut the WILD side (`NOT labelPred`): `(id, margin, score, kept)`

@@ -31,6 +31,17 @@ object TextQueries {
         + "<a href=\"/privacy\">Privacy</a> 2026</div></body></html>"))
   }
 
+  /** The L18 planted language signal: a fixed function-word phrase per
+    * language (what a real multilingual corpus carries naturally; the
+    * synthetic one does not — every lang draws one shared vocabulary),
+    * prefixed to each doc by gate and oracle alike. */
+  private[queries] val langPhrases: Map[String, String] = Map(
+    "en" -> "the and is in it you that was for are",
+    "fr" -> "le la et les des en du une que pour",
+    "de" -> "der die und den von das mit sich des auf",
+    "es" -> "el la que de en los se del las por",
+    "zh" -> "的 一 是 在 不 了 有 和 人 这")
+
   /** The L16/q_robots_allow synthesis grid, shared with the
     * q_pipeline_robots composition gate (one oracle serves both):
     * per-host robots bodies exercising Allow overrides, wildcards,
@@ -72,6 +83,35 @@ object TextQueries {
     },
     "q_lang_id" -> { (s, dir) =>
       TextAnalysis.langId(Tables.documents(s, dir), "doc_id", "text")
+    },
+    // L18 — LEARNED language ID (the CCNet front door is a fastText
+    // classifier, not a stopword list): one-vs-rest integer logistic
+    // units over hashed char-trigram features, trained on the even
+    // doc_ids against the corpus's `lang` labels, argmax-served on the
+    // held-out odd side. The corpus's text carries NO language signal
+    // (every lang draws the same vocabulary), so the gate PLANTS one —
+    // a per-language function-word phrase prefixed to each doc (the
+    // Q12/L9 inject pattern; real function words, incl. CJK for zh) —
+    // and the held-out argmax must then actually RECOVER the label
+    // (100% at these hyperparameters — asserted by spec, while the
+    // hash gate pins the arithmetic). ZERO floating point (the Q18
+    // contract); the oracle replays synthesis AND the ENTIRE training
+    // loop — 5 languages × 8 epochs unrolled, every margin/gradient/
+    // clip integer-exact — plus the argmax with its lexicographic
+    // tie-break, so a drift in any weight of any class on any epoch
+    // moves a row.
+    "q_lang_id_learned" -> { (s, dir) =>
+      val phrase = when(col("lang") === "en", lit(langPhrases("en")))
+        .when(col("lang") === "fr", lit(langPhrases("fr")))
+        .when(col("lang") === "de", lit(langPhrases("de")))
+        .when(col("lang") === "es", lit(langPhrases("es")))
+        .otherwise(lit(langPhrases("zh")))
+      graft.operators.Classifier.langIdLearned(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+            concat(phrase, lit(" "), col("text")).as("text")),
+        "doc_id", "text", "lang",
+        col("doc_id") % 2 === 0, buckets = 1024, epochs = 8, lrNum = 8L)
     },
     "q_token_count" -> { (s, dir) =>
       TextAnalysis.tokenStats(Tables.documents(s, dir), "doc_id", "text")
@@ -537,7 +577,95 @@ object TextQueries {
                         ELSE CAST(len(string_split(s.txt, ' ')) AS BIGINT) END)) AS ls
         FROM t1)"""
 
+  /** L18 oracle — the full one-vs-rest training replay: per language,
+    * the Q18 epoch chain (margins under w_{k-1}, hard-sigmoid errors,
+    * per-bucket gradient sums, clipped lr=8 floor-division updates via
+    * the nonnegative-offset trick) unrolled 8 epochs deep over the
+    * shared char-trigram feature CTE (planted-phrase synthesis
+    * replayed in the d2 CTE), then held-out margins per class and the
+    * (m DESC, cand ASC) argmax. The language list is the corpus's
+    * OBSERVED set — the engine discovers it from data; a divergence
+    * fails the hash loudly. Integer arithmetic end to end. */
+  private def langIdLearnedOracleSql: String = {
+    val B = 1024; val epochs = 8; val lr = 8
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val s = graft.operators.Classifier.S
+    // offset trick bound: |g·lr| / (4n) ≤ S·lr/4 = 2S
+    val off = 2 * s + 1
+    def clamp(m: String) =
+      s"(GREATEST(CAST(0 AS BIGINT), LEAST(CAST(${4 * s} AS BIGINT), $m + ${2 * s})) >> 2)"
+    val phraseCase = langPhrases.toSeq.sortBy(_._1).map { case (l, p) =>
+      s"WHEN '$l' THEN '$p'"
+    }.mkString(" ")
+    val head = s"""
+      WITH d2 AS MATERIALIZED (
+        SELECT doc_id, lang,
+               (CASE lang $phraseCase END) || ' ' || text AS text
+        FROM documents),
+      tok AS MATERIALIZED (
+        SELECT doc_id, lang, (doc_id % 2 = 0) AS train,
+               unnest(list_transform(range(1, GREATEST(length(text) - 1, 1)),
+                 i -> substr(text, i, 3))) AS t
+        FROM d2),
+      fb AS MATERIALIZED (
+        SELECT DISTINCT doc_id, lang, train,
+               CAST(CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT) % $B AS INT)
+                 AS bucket
+        FROM tok
+        UNION ALL
+        SELECT doc_id, lang, (doc_id % 2 = 0) AS train, $B AS bucket
+        FROM documents),
+      tr AS MATERIALIZED (SELECT doc_id, lang, bucket FROM fb WHERE train),
+      ho AS MATERIALIZED (SELECT doc_id, lang, bucket FROM fb WHERE NOT train),
+      nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n
+                          FROM documents WHERE doc_id % 2 = 0),
+      winit AS MATERIALIZED (SELECT CAST(range AS INT) AS bucket,
+                                    CAST(0 AS BIGINT) AS w
+                             FROM range(${B + 1}))"""
+    val chains = langs.map { l =>
+      (1 to epochs).map { k =>
+        val prev = if (k == 1) "winit" else s"w_${l}_${k - 1}"
+        s""",
+      m_${l}_$k AS MATERIALIZED (
+        SELECT f.doc_id, (f.lang = '$l') AS y, CAST(SUM(w.w) AS BIGINT) AS m
+        FROM tr f JOIN $prev w USING (bucket) GROUP BY f.doc_id, f.lang),
+      e_${l}_$k AS MATERIALIZED (
+        SELECT doc_id, ${clamp("m")} - CASE WHEN y THEN $s ELSE 0 END AS e
+        FROM m_${l}_$k),
+      g_${l}_$k AS MATERIALIZED (
+        SELECT f.bucket, CAST(SUM(e.e) AS BIGINT) AS g
+        FROM tr f JOIN e_${l}_$k e USING (doc_id) GROUP BY f.bucket),
+      w_${l}_$k AS MATERIALIZED (
+        SELECT w.bucket,
+               GREATEST(CAST(${-2 * s} AS BIGINT), LEAST(CAST(${2 * s} AS BIGINT),
+                 w.w - (((COALESCE(g.g, 0) * $lr + $off * (4 * nn.n)) // (4 * nn.n))
+                        - $off))) AS w
+        FROM $prev w LEFT JOIN g_${l}_$k g USING (bucket) CROSS JOIN nn)"""
+      }.mkString
+    }.mkString
+    val scores = langs.map { l =>
+      s""",
+      s_$l AS MATERIALIZED (
+        SELECT f.doc_id, CAST(SUM(w.w) AS BIGINT) AS m
+        FROM ho f JOIN w_${l}_$epochs w USING (bucket) GROUP BY f.doc_id)"""
+    }.mkString
+    val unions = langs.map(l => s"SELECT doc_id, '$l' AS cand, m FROM s_$l")
+      .mkString(" UNION ALL ")
+    head + chains + scores + s""",
+      allm AS ($unions),
+      best AS (
+        SELECT doc_id, cand, m,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY m DESC, cand ASC) AS rn
+        FROM allm),
+      truth AS (SELECT DISTINCT doc_id, lang FROM ho)
+      SELECT t.doc_id, t.lang, b.cand AS lang_pred, b.m AS margin
+      FROM truth t JOIN best b ON t.doc_id = b.doc_id AND b.rn = 1
+      ORDER BY t.doc_id"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_lang_id_learned" -> langIdLearnedOracleSql,
     "q_text_quality" -> s"""
       WITH t AS (
         SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),

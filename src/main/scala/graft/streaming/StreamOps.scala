@@ -106,6 +106,25 @@ object StreamOps {
         (p * lit(2L) >= lit(graft.operators.Classifier.S)).as("kept"))
   }
 
+  /** Streaming learned language ID: the L18 one-vs-rest classifier's
+    * FITTED integer weights served on an unbounded stream — char-gram
+    * buckets projected ONCE per row, then the SAME argmax expression
+    * as the batch server ([[graft.operators.Classifier.langBestExpr]]).
+    * Train offline, serve online (the I12/I13 fitted-literal posture);
+    * stateless append mode, batch/stream parity spec-asserted. */
+  def langIdStream(
+      docs: DataFrame, idCol: String, textCol: String,
+      langs: Seq[String], weights: Seq[Array[Long]],
+      buckets: Int, gramN: Int = 3): DataFrame = {
+    val c = graft.operators.Classifier
+    docs
+      .select(col(idCol),
+        c.charGramBuckets(col(textCol), buckets, gramN).as("__barr"))
+      .select(col(idCol), c.langBestExpr(col("__barr"), langs, weights).as("__b"))
+      .select(col(idCol),
+        col("__b.lang_pred").as("lang_pred"), col("__b.margin").as("margin"))
+  }
+
   /** Streaming HTML → text extraction: the L9 WET stage applied to a
     * live crawl stream through the SAME pure column algebra as the
     * batch operator ([[graft.operators.Html.htmlExtract]] — regexes,

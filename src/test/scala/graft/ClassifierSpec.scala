@@ -107,6 +107,79 @@ class ClassifierSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  /** A four-language corpus whose texts are built from each language's
+    * own stopwords (the L2 heuristic's vocabulary) — so the LEARNED
+    * classifier and the stopword heuristic can be held to parity on
+    * exactly the ground the heuristic owns. */
+  private def langCorpus: Seq[(Long, String, String)] = {
+    import graft.operators.TextAnalysis
+    val raw = Map(
+      "en" -> TextAnalysis.stopEn, "fr" -> TextAnalysis.stopFr,
+      "de" -> TextAnalysis.stopDe, "es" -> TextAnalysis.stopEs)
+    // each language keeps only the stopwords IT ALONE owns (the lists
+    // overlap — 'la' is French and Spanish), so both classifiers see
+    // unambiguous signal and strict per-doc parity is a fair ask
+    val vocab = raw.map { case (l, ws) =>
+      l -> ws.filterNot(w => raw.exists { case (o, ows) => o != l && ows.contains(w) })
+    }
+    val langs = Seq("de", "en", "es", "fr")
+    (0L until 120L).map { i =>
+      // i/2 so consecutive (even, odd) ids share a language — the
+      // even-id train half and the odd-id held-out half BOTH carry
+      // every class (i % 4 would put two languages entirely in the
+      // held-out half: a one-vs-rest fit with zero positives)
+      val l = langs((i / 2 % 4).toInt)
+      val ws = vocab(l)
+      val text = (0 until 12).map(j => ws(((i * 7 + j * 5) % ws.size).toInt))
+        .mkString(" ")
+      (i, text, l)
+    }
+  }
+
+  test("learned language ID: held-out accuracy and heuristic parity") {
+    val docs = langCorpus.toDF("doc_id", "text", "lang")
+    val got = Classifier.langIdLearned(
+      docs, "doc_id", "text", "lang", col("doc_id") % 2 === 0,
+      buckets = 1024, epochs = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.length === 60) // the odd half is held out
+    // stopword-built texts are maximally separable: the learned model
+    // must get every held-out doc right...
+    got.foreach { case (id, truth, pred) =>
+      assert(pred === truth, s"doc $id: predicted $pred, truth $truth") }
+    // ...and therefore agree with the stopword heuristic wherever the
+    // heuristic itself is right (its home turf by construction)
+    val heur = graft.operators.TextAnalysis
+      .langId(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    got.foreach { case (id, truth, pred) =>
+      if (heur(id) == truth) assert(pred === heur(id)) }
+  }
+
+  test("learned language ID serves on a stream with batch parity") {
+    val docs = langCorpus.toDF("doc_id", "text", "lang")
+    val (langs, ws) = Classifier.langIdFit(
+      docs, "doc_id", "text", "lang", col("doc_id") % 2 === 0,
+      buckets = 1024, epochs = 8)
+    val batch = Classifier.langIdLearned(
+      docs, "doc_id", "text", "lang", col("doc_id") % 2 === 0,
+      buckets = 1024, epochs = 8)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSet
+    val input = MemoryStream[(Long, String)](spark)
+    val scored = StreamOps.langIdStream(
+      input.toDF.toDF("doc_id", "text"), "doc_id", "text", langs, ws, 1024)
+    assert(scored.isStreaming)
+    val q = scored.writeStream.format("memory").queryName("lang_out")
+      .outputMode("append").start()
+    try {
+      input.addData(langCorpus.collect { case (id, t, _) if id % 2 == 1 => (id, t) }: _*)
+      q.processAllAvailable()
+      val got = spark.table("lang_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got === batch)
+    } finally q.stop()
+  }
+
   test("weight-vector shape is validated loudly") {
     val ex = intercept[IllegalArgumentException] {
       StreamOps.qualityClassifierStream(
