@@ -222,6 +222,108 @@ object Similarity {
     Seq((centroidStride, maxCentroids)).toDF("centroid_stride", "max_centroids")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$indexDir/params")
+    // a rebuilt index starts clean: a tombstone table left by a prior
+    // generation (e.g. a crash between delete and compact) must not
+    // phantom-delete vectors from the NEW index (the Dedup
+    // writeIndexSegment posture)
+    locally {
+      import org.apache.hadoop.fs.Path
+      val t = new Path(s"$indexDir/tombstones")
+      t.getFileSystem(spark.sessionState.newHadoopConf()).delete(t, true)
+    }
+  }
+
+  /** The stored (normalized) codebook of a persisted IVF index, as the
+    * in-memory array [[buildIvfIndex]] assigned with — bounded by the
+    * build's persisted `max_centroids` (loud overflow, the
+    * codebook-collect house style). */
+  private def readStoredCodebook(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Array[Array[Double]] = {
+    val params = spark.read.parquet(s"$indexDir/params").collect()
+    require(params.length == 1, s"ivf index at $indexDir: corrupt params")
+    val maxCentroids = params(0).getInt(1)
+    val rows = spark.read.parquet(s"$indexDir/codebook")
+      .orderBy("cell").limit(maxCentroids + 1).collect()
+    require(rows.length <= maxCentroids,
+      s"ivf index at $indexDir: codebook exceeds its own max_centroids bound")
+    rows.map(_.getSeq[Double](1).toArray)
+  }
+
+  /** K3d — grow a persisted IVF index with a new vector shard (the
+    * rolling-ingest half of an embedding store's lifecycle, mirroring
+    * [[graft.operators.Dedup.minhashIndexAppend]]): the shard assigns
+    * against the STORED codebook (an index does not re-train its
+    * coarse quantizer on ingest — recall for novel regions is a
+    * rebuild decision, not an append side effect) and appends as new
+    * parquet files under the same cell partitioning. Cost ∝ shard;
+    * existing cells are never read or rewritten. At-least-once
+    * delivery (a retried append of the SAME shard) leaves duplicate
+    * rows that [[probeIvfIndex]] collapses at the candidate sliver and
+    * [[ivfIndexCompact]] purges physically; re-appending a CHANGED
+    * vector under an existing id is undefined until a compact. */
+  def ivfIndexAppend(
+      shard: DataFrame, idCol: String, vecCol: String,
+      indexDir: String): Unit = {
+    val codebook = readStoredCodebook(shard.sparkSession, indexDir)
+    shard.select(
+        col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        graft.functions.GraftFunctions.nearest_centroid(col(vecCol), codebook).as("cell"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("cell").parquet(s"$indexDir/cells")
+  }
+
+  /** K3d — forget vectors from a persisted IVF index (the
+    * right-to-be-forgotten path an embedding store must serve,
+    * mirroring [[graft.operators.Dedup.minhashIndexDelete]]): appends
+    * ids to a `tombstones` table — cost ∝ the delete set, the cell
+    * partitions are NEVER touched on this path. [[probeIvfIndex]]
+    * anti-joins candidates against the tombstones (ids-only,
+    * broadcast-sized between compactions), so a deleted vector stops
+    * matching IMMEDIATELY; the next [[ivfIndexCompact]] purges its
+    * rows physically and clears the table. */
+  def ivfIndexDelete(ids: DataFrame, idCol: String, indexDir: String): Unit =
+    ids.select(col(idCol).as("neighbor_id")).distinct()
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$indexDir/tombstones")
+
+  /** Live tombstone set of an index, None if never deleted from. */
+  private def ivfTombstones(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"$indexDir/tombstones")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** K3d — fold appends and tombstones back into a clean artifact
+    * (mirroring [[graft.operators.Dedup.minhashIndexCompact]]): one
+    * rewrite of the cells table that collapses duplicate rows from
+    * at-least-once appends and physically purges tombstoned vectors,
+    * through a sibling temp dir + FileSystem rename (never reads and
+    * overwrites the same files in one plan); the tombstone table then
+    * clears so probes stop paying the anti-join. Cost ∝ the index —
+    * the periodic maintenance job between cheap per-shard appends.
+    * Probe results are unchanged by compaction (spec-asserted). */
+  def ivfIndexCompact(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.SaveMode
+    val fs = new Path(indexDir).getFileSystem(spark.sessionState.newHadoopConf())
+    val cur = new Path(s"$indexDir/cells")
+    val tmp = new Path(s"$indexDir/.cells_compact_tmp")
+    val cells = spark.read.parquet(cur.toString).dropDuplicates("neighbor_id")
+    val purged = ivfTombstones(spark, indexDir) match {
+      case Some(t) => cells.join(
+        broadcast(t.select(col("neighbor_id"))), Seq("neighbor_id"), "left_anti")
+      case None => cells
+    }
+    purged.write.mode(SaveMode.Overwrite).partitionBy("cell")
+      .parquet(tmp.toString)
+    fs.delete(cur, true)
+    require(fs.rename(tmp, cur), s"ivf compaction rename failed for $cur")
+    fs.delete(new Path(s"$indexDir/tombstones"), true)
   }
 
   /** Probe half of [[ivfIndexedTopK]]: ranks the stored (normalized)
@@ -246,12 +348,23 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("cell"))
     // partition column comes back as the scan's partition key: the
     // broadcast join on `cell` lets dynamic partition pruning skip
-    // every unprobed cell directory
-    index.join(broadcast(probed), "cell")
+    // every unprobed cell directory. Lifecycle hygiene rides the
+    // POST-JOIN candidate sliver (∝ probed cells, never the index):
+    // tombstoned vectors anti-join away (a delete takes effect on the
+    // very next probe, before any compaction) and duplicate rows from
+    // retried at-least-once appends collapse before ranking.
+    val cand = index.join(broadcast(probed), "cell")
       .where(col("neighbor_id") =!= col("query_id"))
+    val live = ivfTombstones(spark, indexDir) match {
+      case Some(t) => cand.join(
+        broadcast(t.select(col("neighbor_id"))), Seq("neighbor_id"), "left_anti")
+      case None => cand
+    }
+    live
       .select(
         col("query_id"), col("neighbor_id"),
         cos(col("qv"), col("cv")).as("cosine"))
+      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("cosine").desc, col("neighbor_id"))))

@@ -329,6 +329,40 @@ object DedupQueries {
         // shape the operator exists for)
         indexDir = s"/tmp/graft-ivf-index-$runToken-${java.lang.Math.abs(dir.hashCode)}")
     },
+    // K3d gate — the IVF index LIFECYCLE (round-12 verdict ask #6): a
+    // real embedding store takes right-to-be-forgotten deletes and
+    // rolling appends, not just one build. The gate builds the K3c
+    // index fresh, tombstones every vec_id ≡ 3 (mod 17), appends a
+    // disjoint shard of shifted copies (assigned with the STORED
+    // codebook — an ingest never re-trains the coarse quantizer),
+    // COMPACTS (duplicate-collapse + physical purge + rename swap),
+    // and probes. The oracle replays the K3b pipeline semantically —
+    // full-corpus codebook (forget does not un-train centroids),
+    // appended vectors assigned under it, deleted slice excluded — so
+    // a tombstone leak, an append misassignment, or a compaction that
+    // changes verdicts moves a row. Probe-before-compact equality is
+    // spec-held (IvfLifecycleSpec).
+    "q_ann_ivf_forget" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val idx = s"/tmp/graft-ivf-forget-$runToken-${java.lang.Math.abs(dir.hashCode)}"
+      Similarity.buildIvfIndex(
+        emb, "vec_id", "embedding", autoSqrtStride(emb), idx)
+      // appended shard: ids shifted past the corpus, vectors = the
+      // first 16 corpus vectors with every component +0.25 — novel
+      // rows the probe must FIND, deterministic for the oracle
+      val maxId = emb.agg(max(col("vec_id"))).head.getLong(0)
+      Similarity.ivfIndexAppend(
+        emb.where(col("vec_id") < 16).select(
+          (col("vec_id") + maxId + 1).as("vec_id"),
+          transform(col("embedding"), x => x + lit(0.25f)).as("embedding")),
+        "vec_id", "embedding", idx)
+      Similarity.ivfIndexDelete(
+        emb.where(col("vec_id") % 17 === 3).select(col("vec_id")), "vec_id", idx)
+      Similarity.ivfIndexCompact(s, idx)
+      Similarity.probeIvfIndex(
+        s, emb.where(col("vec_id") < 8), "vec_id", "embedding",
+        k = 10, nProbe = 4, indexDir = idx)
+    },
     // K4 gate — product-quantization ANN, VERBATIM: the DuckDB oracle
     // replays the whole compressed-domain pipeline — stride-sampled
     // subspace codebook, argmin-L2 encode (ties → lowest ordinal),
@@ -834,10 +868,19 @@ object DedupQueries {
     // same replay oracle verbatim (see the q_ann_ivf_index query
     // comment).
     "q_ann_ivf_index" -> annIvfProbeSql,
+    // K3d — the lifecycle gate: same replay over the post-delete/
+    // post-append corpus CTE (see annIvfForgetSql)
+    "q_ann_ivf_forget" -> annIvfForgetSql,
   )
 
-  private lazy val annIvfProbeSql: String = s"""
-      WITH cb1 AS (
+  /** The K3b/K3c/K3d probe replay, parameterized on the MATCH corpus:
+    * the codebook (cb1) and the query set always come from the
+    * original table — a store's coarse quantizer is not re-trained by
+    * appends and not un-trained by deletes — while `matchRel` is the
+    * relation probes rank over (the lifecycle gate swaps in a
+    * post-delete/post-append corpus CTE). */
+  private def annIvfProbeSqlFor(prelude: String, matchRel: String): String = s"""
+      WITH ${prelude}cb1 AS (
         SELECT CAST(vec_id AS VARCHAR) AS cid, embedding,
                SQRT(list_sum(list_transform(embedding,
                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
@@ -863,14 +906,14 @@ object DedupQueries {
                  ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
                    list_sum(list_transform(list_zip(e.embedding, c.cnorm),
                      p -> CAST(p[1] AS DOUBLE) * p[2])) DESC, c.cell) AS r
-          FROM embeddings e CROSS JOIN cbn c)
+          FROM $matchRel e CROSS JOIN cbn c)
         WHERE r = 1),
       scored AS (
         SELECT p.query_id, a.vec_id AS neighbor_id,
                ${cosSql("p.qv", "e.embedding")} AS cosine
         FROM probe p
         JOIN assign a ON a.cell = p.cell
-        JOIN embeddings e ON e.vec_id = a.vec_id
+        JOIN $matchRel e ON e.vec_id = a.vec_id
         WHERE a.vec_id <> p.query_id),
       r AS (
         SELECT query_id, neighbor_id, cosine,
@@ -879,6 +922,22 @@ object DedupQueries {
         FROM scored)
       SELECT query_id, rank, neighbor_id, cosine FROM r
       WHERE rank <= 10 ORDER BY query_id, rank"""
+
+  private lazy val annIvfProbeSql: String = annIvfProbeSqlFor("", "embeddings")
+
+  /** K3d — the lifecycle corpus: original minus the tombstoned slice,
+    * plus the appended shard (ids shifted past max, +0.25f per
+    * component in FLOAT arithmetic, matching the engine's literal). */
+  private lazy val annIvfForgetSql: String = annIvfProbeSqlFor(
+    s"""mx AS (SELECT MAX(vec_id) AS m FROM embeddings),
+      corpus2 AS (
+        SELECT vec_id, embedding FROM embeddings WHERE NOT (vec_id % 17 = 3)
+        UNION ALL
+        SELECT vec_id + mx.m + 1,
+               list_transform(embedding,
+                 x -> CAST(x AS FLOAT) + CAST(0.25 AS FLOAT))
+        FROM embeddings, mx WHERE vec_id < 16),
+      """, "corpus2")
 
   /** Full PQ replay (see the q_ann_pq query comment): m=8 subspaces of
     * dsub=8 over the 64-dim embeddings, stride-16 codebook in
