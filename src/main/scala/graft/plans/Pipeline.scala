@@ -73,7 +73,7 @@ object Pipeline {
       name: String, format: String, params: Map[String, Any])
   final case class PipelineSpec(
       entity: String, sources: Seq[SourceSpec], steps: Seq[StepSpec],
-      exports: Seq[ExportSpec])
+      exports: Seq[ExportSpec], mode: String = "batch")
 
   /** Step operators the compiler knows (the registry the reference
     * keeps in `core/plugins/registry.py`). */
@@ -138,7 +138,10 @@ object Pipeline {
             .getOrElse(Map.empty))
       }).getOrElse(Seq.empty)
     require(steps.nonEmpty, "pipeline: at least one step is required")
-    PipelineSpec(entity, sources, steps, exports)
+    val mode = root.get("mode").map(_.toString).getOrElse("batch")
+    require(mode == "batch" || mode == "streaming",
+      s"pipeline '$entity': mode must be batch|streaming, got '$mode'")
+    PipelineSpec(entity, sources, steps, exports, mode)
   }
 
   // ------------------------------------------------------------- validate
@@ -255,6 +258,130 @@ object Pipeline {
       resolveTable: String => DataFrame): DataFrame = {
     val spec = parse(specText)
     compile(spark, spec, resolveTable)(spec.steps.last.name)
+  }
+
+  // ------------------------------------------------------------ streaming
+
+  /** The step vocabulary a STREAMING frame admits: stateless per-row
+    * transforms (append mode, no watermark, no state store) — the
+    * live-ingest hygiene chain in front of a training-data lake.
+    * Aggregations/joins/windows need watermarked streaming operators
+    * with sink-specific semantics: out of the spec language on
+    * purpose (code-level [[graft.streaming.StreamOps]] covers them). */
+  val streamingOps: Set[String] = Set(
+    "filter", "select", "html_extract", "html_links", "url_normalize",
+    "pii_scrub", "quality_filter", "url_filter")
+
+  /** The vocabulary a BATCH side-frame admits inside a streaming spec
+    * (rule preparation for `rulesFrom` — small by construction, folded
+    * to literals at compile). */
+  private val streamingBatchOps: Set[String] = Set(
+    "filter", "select", "robots_rules")
+
+  /** Compile a `mode: streaming` spec into ONE `readStream` plan and
+    * return the last step's (streaming) frame — the sink is the
+    * caller's `writeStream`. The spec declares exactly one `format:
+    * warc` source — the landing directory, read incrementally through
+    * [[graft.sources.Warc.responseStream]] — plus any number of
+    * `table` sources as BATCH side-frames for rule preparation
+    * (`robots_rules` → `rulesFrom`; the rule list folds into the
+    * stream plan as a literal, the I16 posture). Steps on the
+    * streaming frame are restricted to the stateless vocabulary
+    * ([[streamingOps]]) and share the batch compiler's operator
+    * branches, so batch/stream spec parity holds by shared code
+    * (spec-asserted on a replayed landing dir); `url_filter` rides
+    * [[graft.streaming.StreamOps.urlFlagStream]] — same verdict
+    * algebra as the batch matcher, no join, no state. Exports are
+    * rejected loudly (a stream has no one-shot export; choose a sink).
+    * Cross-step `@refs` are batch-only (a broadcast compiled from a
+    * streaming plan is not a thing). */
+  def resultStream(
+      spark: SparkSession, specText: String,
+      resolveTable: String => DataFrame,
+      maxFilesPerTrigger: Int = 16): DataFrame = {
+    val spec = parse(specText)
+    require(spec.mode == "streaming",
+      s"pipeline '${spec.entity}': resultStream needs mode: streaming")
+    validate(spec)
+    require(spec.exports.isEmpty,
+      s"pipeline '${spec.entity}': streaming specs take no exports — " +
+        "attach a sink to the returned stream")
+    val warcSources = spec.sources.filter(_.format == "warc")
+    require(warcSources.size == 1,
+      s"pipeline '${spec.entity}': streaming mode needs exactly one " +
+        s"'format: warc' source (the landing dir), got ${warcSources.size}")
+    require(spec.sources.forall(_.relation.isEmpty),
+      s"pipeline '${spec.entity}': streaming sources take no relation joins")
+    val ctx0: Map[String, DataFrame] = spec.sources.map { s =>
+      s.name -> (s.format match {
+        case "warc" => graft.sources.Warc.responseStream(
+          spark, s.table, maxFilesPerTrigger)
+        case _ => resolveTable(s.table)
+      })
+    }.toMap
+    val out = spec.steps.zipWithIndex.foldLeft(ctx0) { case (ctx, (st, i)) =>
+      val inputName = st.input
+        .orElse(if (i == 0) Some(warcSources.head.name)
+                else Some(spec.steps(i - 1).name))
+        .get
+      val in = ctxGet(ctx, inputName, s"step '${st.name}'")
+      val frame =
+        if (!in.isStreaming) {
+          require(streamingBatchOps.contains(st.op),
+            s"pipeline '${spec.entity}': step '${st.name}' applies op " +
+              s"'${st.op}' to the BATCH side-frame '$inputName' — batch " +
+              s"steps in a streaming spec are rule preparation only: " +
+              s"${streamingBatchOps.toSeq.sorted.mkString(", ")}")
+          applyOp(st, in, ctx)
+        } else {
+          require(streamingOps.contains(st.op),
+            s"pipeline '${spec.entity}': step '${st.name}' applies op " +
+              s"'${st.op}' to a STREAMING frame — the stateless streaming " +
+              s"vocabulary is: ${streamingOps.toSeq.sorted.mkString(", ")}")
+          if (st.op == "url_filter") applyUrlFilterStream(st, in, ctx)
+          else applyOp(st, in, ctx)
+        }
+      ctx + (st.name -> frame)
+    }
+    val last = out(spec.steps.last.name)
+    require(last.isStreaming,
+      s"pipeline '${spec.entity}': the last step must be a streaming " +
+        "frame (rule-preparation steps are side inputs, not results)")
+    last
+  }
+
+  /** The streaming twin of the batch `url_filter` branch: same rules
+    * resolution (`rules` literals or `rulesFrom` a BATCH frame), same
+    * flag|drop modes, verdicts computed by the in-row literal fold. */
+  private def applyUrlFilterStream(
+      st: StepSpec, in: DataFrame, ctx: Map[String, DataFrame]): DataFrame = {
+    val tag = s"step '${st.name}'"
+    val spark = in.sparkSession
+    import spark.implicits._
+    val rules = st.params.get("rulesFrom") match {
+      case Some(ref) =>
+        require(!st.params.contains("rules"),
+          s"pipeline: $tag: give rules OR rulesFrom, not both")
+        val r = ctxGet(ctx, ref.toString, tag)
+        require(!r.isStreaming,
+          s"pipeline: $tag: rulesFrom must reference a BATCH frame " +
+            "(rules fold into the stream plan as literals)")
+        r
+      case None => seqOfMaps(st.params, "rules", tag).map { m =>
+        (m.getOrElse("id", fail(s"$tag: rule needs id")).toString.toLong,
+          reqStr(m, "host", tag), m.get("prefix").map(_.toString))
+      }.toDF("rule_id", "host_suffix", "path_prefix")
+    }
+    val id = reqStr(st.params, "id", tag)
+    val urlC = reqStr(st.params, "url", tag)
+    val flagged = graft.streaming.StreamOps.urlFlagStream(in, id, urlC, rules)
+    st.params.getOrElse("mode", "drop").toString match {
+      case "flag" =>
+        flagged.select(col(id), col("canon"), col("blocked"), col("rule_id"))
+      case "drop" =>
+        flagged.where(!col("blocked")).drop("canon", "blocked", "rule_id")
+      case other => fail(s"$tag: url_filter mode must be flag|drop, got '$other'")
+    }
   }
 
   // ---------------------------------------------------------------- run

@@ -422,7 +422,23 @@ object StreamOps {
     * never silently truncated. */
   def urlFilterStream(
       df: DataFrame, idCol: String, urlCol: String,
+      rules: DataFrame, maxRules: Int = 10000): DataFrame =
+    urlFlagStream(df, idCol, urlCol, rules, maxRules)
+      .select(col(idCol), col("canon"), col("blocked"), col("rule_id"))
+
+  /** [[urlFilterStream]] keeping the INPUT row: every original column
+    * plus (canon, blocked, rule_id) — the compliance verdict as an
+    * annotation, so a streaming pipeline can DROP blocked rows while
+    * the rest of the row flows on (the spec-compiled `url_filter`
+    * drop mode). Input columns named canon/blocked/rule_id would
+    * collide — rejected loudly. */
+  def urlFlagStream(
+      df: DataFrame, idCol: String, urlCol: String,
       rules: DataFrame, maxRules: Int = 10000): DataFrame = {
+    Seq("canon", "blocked", "rule_id", "__h", "__p", "__b").foreach { c =>
+      require(!df.columns.contains(c),
+        s"urlFlagStream: input already has a '$c' column — rename it first")
+    }
     val hasAllow = rules.columns.contains("allow")
     // wildcard compile AND percent-normalization ride the rules side —
     // ∝ rules, once, byte-identical to the batch matcher's compile
@@ -458,7 +474,9 @@ object StreamOps {
         (r.getField("_6") === "" ||
           when(r.getField("_5") === "", p.startsWith(r.getField("_6")))
             .otherwise(regexp_like(p, r.getField("_5"))))
-    val base = df.select(col(idCol), canon.as("canon"), host.as("__h"))
+    val base = df
+      .withColumn("canon", canon)
+      .withColumn("__h", host)
       .withColumn("__p", regexp_extract(col("canon"), "^[a-z][a-z0-9+.-]*://[^/]*(/.*)$", 1))
     val out =
       if (!hasAllow) {
@@ -486,7 +504,7 @@ object StreamOps {
           .withColumn("blocked",
             col("__b").isNotNull && !col("__b.allow"))
       }
-    out.select(col(idCol), col("canon"), col("blocked"), col("rule_id"))
+    out.drop("__h", "__p", "__b")
   }
 
   case class HammingPair(id_a: Long, id_b: Long, hamming: Int)

@@ -536,4 +536,102 @@ exports:
     assert(new java.io.File(s"${outs("archive")}/meta.xml").exists())
     assert(occ.listFiles().exists(_.getName.endsWith(".csv.zip")))
   }
+
+  test("mode: streaming compiles the SAME spec steps to one readStream plan") {
+    // real landing dir: two multi-member .warc.gz files on three hosts,
+    // one of which robots.txt forbids entirely
+    val dir = s"/tmp/graft-pipe-stream-${System.nanoTime()}"
+    val pages = (0L until 12L)
+      .map(i => (i, s"https://s${i % 3}.example/doc/$i",
+        s"<html><body><div><a href=\"/\">Home</a> <a href=\"/a\">A</a></div>" +
+          s"<p>document $i reach me at u$i@x.org for details</p></body></html>"))
+      .toDF("doc_id", "url", "html")
+      .repartition(2, pmod(col("doc_id"), lit(2)))
+    graft.sources.Warc.writeFiles(pages, "url", "html", dir)
+    val robots = Seq(
+      ("s0.example", "User-agent: *\nDisallow: /private/\n"),
+      ("s1.example", "User-agent: *\nDisallow: /\n"),
+      ("s2.example", "User-agent: *\nDisallow: /doc/2\nDisallow: /doc/5\n"))
+      .toDF("host", "robots")
+    val resolveR: String => org.apache.spark.sql.DataFrame = {
+      case "robots" => robots
+      case other => fail(s"unexpected table $other")
+    }
+    def specFor(mode: String) = s"""
+entity: stream_hygiene
+mode: $mode
+sources:
+  - {name: crawl, table: "$dir/*.warc.gz", format: warc}
+  - {name: robots_bodies, table: robots}
+steps:
+  - name: rules
+    op: robots_rules
+    input: robots_bodies
+    params: {host: host, robots: robots}
+  - name: extracted
+    op: html_extract
+    input: crawl
+    params: {html: html}
+  - name: compliant
+    op: url_filter
+    params: {id: url, url: url, rulesFrom: rules, mode: drop}
+  - name: scrubbed
+    op: pii_scrub
+    params:
+      text: html
+      patterns:
+        - {name: emails, regex: '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', replace: '<EMAIL>'}
+  - name: kept
+    op: quality_filter
+    params: {text: html, minWords: 3, minDistinctFrac: 0.0, maxTopShare: 1.0}
+"""
+    val want = Pipeline.result(spark, specFor("batch"), resolveR)
+      .select("url", "html").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // s1.example is robots-blocked entirely; emails scrubbed
+    assert(want.nonEmpty && want.forall(!_._1.contains("s1.example")))
+    assert(want.forall(_._2.contains("<EMAIL>")))
+    val stream = Pipeline.resultStream(spark, specFor("streaming"), resolveR)
+    assert(stream.isStreaming)
+    val q = stream.selectExpr("url", "html")
+      .writeStream.format("memory").queryName("pipe_stream_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("pipe_stream_out").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got === want)
+    } finally q.stop()
+    // guard rails: batch-mode spec refused, stateful op refused,
+    // exports refused
+    val exMode = intercept[IllegalArgumentException] {
+      Pipeline.resultStream(spark, specFor("batch"), resolveR)
+    }
+    assert(exMode.getMessage.contains("mode: streaming"))
+    val exOp = intercept[IllegalArgumentException] {
+      Pipeline.resultStream(spark, s"""
+entity: bad
+mode: streaming
+sources: [{name: crawl, table: "$dir/*.warc.gz", format: warc}]
+steps:
+  - {name: agg, op: aggregate, params: {groupBy: [url], aggs: {n: "count(1)"}}}
+""", resolveR)
+    }
+    assert(exOp.getMessage.contains("stateless streaming"))
+    val exExp = intercept[IllegalArgumentException] {
+      Pipeline.resultStream(spark, s"""
+entity: bad2
+mode: streaming
+sources: [{name: crawl, table: "$dir/*.warc.gz", format: warc}]
+steps:
+  - {name: ex, op: html_extract, params: {html: html}}
+exports: [{name: out, format: parquet, params: {path: p}}]
+""", resolveR)
+    }
+    assert(exExp.getMessage.contains("no exports"))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(dir))
+  }
 }
