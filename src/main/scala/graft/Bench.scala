@@ -123,26 +123,37 @@ object Bench {
       val w = new java.io.PrintWriter(outFile, "UTF-8")
       try w.println(fullLine) finally w.close()
     } catch { case _: Throwable => () } // read-only CWD must not fail the bench
-    // Compact line: slowest-first, stop before the line would push the
-    // tail window past 2000 chars once sbt's success line is appended.
-    val budget = 1500
+    // Compact line: the driver harvests a 2000-char LOG TAIL, so this
+    // last line must fit there with sbt's success line appended — a
+    // 154-entry named map physically cannot (≈4 KB). What CAN fit, and
+    // what cross-round comparison actually needs, is the COMPLETE
+    // per-query vector in a fixed order: `qnorm` is every query's
+    // calib-normalized median (THE cross-round column), values aligned
+    // with the lexicographically sorted query names (= the sorted key
+    // set of the same round's CORRECTNESS file; the full named maps
+    // live in BENCH_FULL.json). The human-readable `queries` map keeps
+    // the slowest rows in whatever budget remains.
+    val qnormArr = results.map(r =>
+      fmt(if (r._3 >= 0 && calib > 0) r._3 / calib else -1.0))
+      .mkString("[", ",", "]")
+    val budget = 1900
+    val fixedHead =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,""" +
+      s""""value_med":${fmt(totalMed)},"spread_pct":${fmt(spreadPct)},""" +
+      s""""calib":${fmt(calib)},""" +
+      s""""n_queries":${results.size},"order":"name-asc",""" +
+      s""""qnorm":$qnormArr,""" +
+      s""""full":"$outFile","sf":"$sfDir","""
     val bySlow = results.sortBy(-_._2)
     var kept = Vector.empty[(String, Double)]
-    var used = 130 // prefix/suffix overhead
+    var used = fixedHead.length + 40 // "queries":{...},"queries_kept":N}
     bySlow.foreach { case r =>
       val cost = r._1.length + 10
       if (used + cost <= budget) { kept :+= ((r._1, r._2)); used += cost }
     }
-    // the capped line SAYS it is capped and names its complete
-    // companion, so a reader of the committed BENCH_r{N}.json alone
-    // knows the row count and where the full per-query map lives
-    println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,""" +
-      s""""value_med":${fmt(totalMed)},"spread_pct":${fmt(spreadPct)},""" +
-      s""""calib":${fmt(calib)},""" +
-      s""""n_queries":${results.size},"queries_kept":${kept.size},""" +
-      s""""full":"$outFile",""" +
-      s""""queries":${jmap(kept.sortBy(_._1))},"sf":"$sfDir"}""")
+    println(fixedHead +
+      s""""queries_kept":${kept.size},""" +
+      s""""queries":${jmap(kept.sortBy(_._1))}}""")
     spark.stop()
   }
 }

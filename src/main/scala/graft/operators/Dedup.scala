@@ -188,10 +188,15 @@ object Dedup {
         size(col("members")) > maxBucket,
         size(col("members")).cast("long") * (size(col("members")) - 1) / 2)
       .where(size(col("members")) <= maxBucket)
-      .select(explode(flatten(transform(col("members"), (m, i) =>
-        transform(slice(col("members"), i + lit(2), size(col("members"))),
-          m2 => struct(m.as("id_a"), m2.as("id_b")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+      // FLAT pair expansion (posexplode + slice-explode), not a nested
+      // transform/slice/flatten: higher-order functions run off the
+      // codegen path and the nested shape materializes the whole L²
+      // pair array per bucket before exploding — measured 1.4× slower
+      // at sf0.1 (same rows; the interleaved A/B lives in git history,
+      // round 12)
+      .select(posexplode(col("members")).as(Seq("__i", "id_a")), col("members"))
+      .select(col("id_a"), explode(
+        slice(col("members"), col("__i") + lit(2), size(col("members")))).as("id_b"))
       .distinct() // dedup pairs BEFORE the (wider) verify join
   }
 
@@ -634,16 +639,17 @@ object Dedup {
         size(col("members")) > maxBucket,
         size(col("members")).cast("long") * (size(col("members")) - 1) / 2)
       .where(size(col("members")) <= maxBucket)
-      .select(explode(flatten(transform(col("members"), (m, i) =>
-        transform(slice(col("members"), i + lit(2), size(col("members"))), m2 =>
-          struct(
-            m.getField("doc_id").as("id_a"),
-            m2.getField("doc_id").as("id_b"),
-            (bit_count(m.getField("hi").bitwiseXOR(m2.getField("hi"))) +
-              bit_count(m.getField("lo").bitwiseXOR(m2.getField("lo"))))
-              .cast("int").as("hamming"))))))
-        .as("p"))
-      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
+      // flat posexplode + slice-explode pair expansion — see the
+      // minhash miner's note; the exact popcount filter runs on the
+      // flat pair stream, identical rows
+      .select(posexplode(col("members")).as(Seq("__i", "a")), col("members"))
+      .select(col("a"), explode(
+        slice(col("members"), col("__i") + lit(2), size(col("members")))).as("b"))
+      .select(
+        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        (bit_count(col("a.hi").bitwiseXOR(col("b.hi"))) +
+          bit_count(col("a.lo").bitwiseXOR(col("b.lo"))))
+          .cast("int").as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
       .orderBy("id_a", "id_b")
@@ -698,16 +704,16 @@ object Dedup {
     ex.groupBy(col("block"), col("shingle"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh")))).as("m"))
       .where(size(col("m")) > 1)
-      .select(explode(flatten(transform(col("m"), (a, i) =>
-        transform(slice(col("m"), i + lit(2), size(col("m"))),
-          b => struct(
-            a.getField("doc_id").as("id_a"), a.getField("n_sh").as("na"),
-            b.getField("doc_id").as("id_b"), b.getField("n_sh").as("nb"))))))
-        .as("p"))
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      // flat posexplode + slice-explode pair expansion — see the
+      // minhash miner's note (nested HOF arrays measured 1.7× slower
+      // here: the postings table is where pair mass concentrates)
+      .select(posexplode(col("m")).as(Seq("__i", "a")), col("m"))
+      .select(col("a"), explode(
+        slice(col("m"), col("__i") + lit(2), size(col("m")))).as("b"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(
         count(lit(1)).as("n_common"),
-        first(col("p.na")).as("na"), first(col("p.nb")).as("nb"))
+        first(col("a.n_sh")).as("na"), first(col("b.n_sh")).as("nb"))
       .select(
         col("id_a"), col("id_b"),
         (col("n_common").cast(DoubleType) /
