@@ -86,6 +86,7 @@ object Pipeline {
     // spec steps, reusing the gated operator internals verbatim
     "exact_dedup", "quality_filter", "pii_scrub", "stratified_sample",
     "quality_classifier", "html_extract", "html_links", "url_normalize",
+    "url_resolve", "lang_id_learned",
     "pagerank", "index_dedup", "fluency_buckets",
     "label_prop", "url_filter", "robots_rules", "anchor_text", "shard_shuffle")
 
@@ -270,7 +271,7 @@ object Pipeline {
     * purpose (code-level [[graft.streaming.StreamOps]] covers them). */
   val streamingOps: Set[String] = Set(
     "filter", "select", "html_extract", "html_links", "url_normalize",
-    "pii_scrub", "quality_filter", "url_filter")
+    "url_resolve", "pii_scrub", "quality_filter", "url_filter")
 
   /** The vocabulary a BATCH side-frame admits inside a streaming spec
     * (rule preparation for `rulesFrom` — small by construction, folded
@@ -527,6 +528,31 @@ object Pipeline {
         in.withColumn(u, graft.operators.Html.urlNormalize(col(u)))
           .withColumn(st.params.getOrElse("hostColumn", "host").toString,
             graft.operators.Html.urlHost(col(u)))
+      case "url_resolve" =>
+        // L17 in place: the href column becomes its RFC 3986
+        // resolution against the base-URL column (relative links are
+        // most real intra-site edges — resolve BEFORE url_normalize)
+        val href = reqStr(st.params, "href", tag)
+        in.withColumn(href, graft.operators.Html.urlResolve(
+          col(reqStr(st.params, "base", tag)), col(href)))
+      case "lang_id_learned" =>
+        // L18 as a spec step (the quality_classifier posture: the fit
+        // runs as a bounded iterative job at graph-BUILD time; the
+        // returned plan is the stateless argmax over the fitted
+        // literals). Trains on the `train` predicate rows against the
+        // `lang` label column, annotates EVERY row with lang_pred.
+        val textC = reqStr(st.params, "text", tag)
+        val (langs, ws) = graft.operators.Classifier.langIdFit(
+          in, reqStr(st.params, "id", tag), textC,
+          reqStr(st.params, "lang", tag),
+          expr(reqStr(st.params, "train", tag)),
+          buckets = st.params.getOrElse("buckets", 1024).toString.toInt,
+          epochs = st.params.getOrElse("epochs", 8).toString.toInt)
+        val buckets = st.params.getOrElse("buckets", 1024).toString.toInt
+        val best = graft.operators.Classifier.langBestExpr(
+          graft.operators.Classifier.charGramBuckets(col(textC), buckets, 3),
+          langs, ws)
+        in.withColumn("lang_pred", best.getField("lang_pred"))
       case "pagerank" =>
         // S1: the step input IS the edge list
         graft.operators.Graph.pageRank(

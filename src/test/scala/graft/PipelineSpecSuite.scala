@@ -634,4 +634,58 @@ exports: [{name: out, format: parquet, params: {path: p}}]
     }
     rm(new java.io.File(dir))
   }
+
+  test("url_resolve and lang_id_learned steps match the direct operators") {
+    // links with relative hrefs resolve against the page URL in-spec
+    val links = Seq(
+      (1L, "https://h.example/dir/sub/p.html", "img/a.png"),
+      (2L, "https://h.example/dir/sub/p.html", "../up/b"),
+      (3L, "https://h.example/dir/sub/p.html", "/rooted/c"),
+      (4L, "https://h.example/dir/sub/p.html", "//cdn.net/d.js"))
+      .toDF("id", "base", "href")
+    val resolveL: String => org.apache.spark.sql.DataFrame = {
+      case "links" => links
+      case other => fail(s"unexpected table $other")
+    }
+    val got = Pipeline.result(spark, """
+entity: resolver
+sources: [{name: l, table: links}]
+steps:
+  - {name: r, op: url_resolve, params: {base: base, href: href}}
+  - {name: n, op: url_normalize, params: {url: href}}
+""", resolveL)
+      .orderBy("id").collect().map(_.getAs[String]("href"))
+    assert(got.toSeq === Seq(
+      "https://h.example/dir/sub/img/a.png",
+      "https://h.example/dir/up/b",
+      "https://h.example/rooted/c",
+      "https://cdn.net/d.js"))
+    // learned lang-ID: fit at build time on the train slice, annotate all
+    import graft.operators.TextAnalysis
+    val raw = Map(
+      "en" -> TextAnalysis.stopEn, "fr" -> TextAnalysis.stopFr,
+      "de" -> TextAnalysis.stopDe, "es" -> TextAnalysis.stopEs)
+    val vocab = raw.map { case (l, ws) =>
+      l -> ws.filterNot(w => raw.exists { case (o, ows) => o != l && ows.contains(w) })
+    }
+    val langsOrder = Seq("de", "en", "es", "fr")
+    val docs = (0L until 80L).map { i =>
+      val l = langsOrder((i / 2 % 4).toInt)
+      val ws = vocab(l)
+      (i, (0 until 12).map(j => ws(((i * 7 + j * 5) % ws.size).toInt)).mkString(" "), l)
+    }.toDF("doc_id", "text", "lang")
+    val resolveD: String => org.apache.spark.sql.DataFrame = {
+      case "docs" => docs
+      case other => fail(s"unexpected table $other")
+    }
+    val out = Pipeline.result(spark, """
+entity: langid
+sources: [{name: d, table: docs}]
+steps:
+  - {name: tagged, op: lang_id_learned, params: {id: doc_id, text: text, lang: lang, train: "doc_id % 2 = 0"}}
+  - {name: held, op: filter, params: {where: "doc_id % 2 = 1"}}
+""", resolveD).collect()
+    assert(out.length === 40)
+    out.foreach(r => assert(r.getAs[String]("lang_pred") === r.getAs[String]("lang")))
+  }
 }
