@@ -98,7 +98,10 @@ object Classifier {
       buckets: Int = 64, epochs: Int = 4): Array[Long] = {
     // ONE tokenize pass; everything downstream re-reads the slim
     // checkpointed frame (id, y, barr) — executor-resident.
+    // Repartitioned first so the epoch jobs use the whole cluster
+    // even off a few-file parquet scan (see langIdCore's note).
     val feat = featureFrame(df, idCol, textCol, labelPred, buckets)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .localCheckpoint(true)
     try fitOnFeatures(feat, buckets, epochs) finally feat.unpersist()
   }
@@ -228,12 +231,19 @@ object Classifier {
     // ONE featurize pass shared by all K fits and the serve; NOT
     // unpersisted — the returned lazy frame still reads the checkpoint
     // blocks; ContextCleaner reclaims them when the frame goes out of
-    // scope (the minhash signature-frame posture)
+    // scope (the minhash signature-frame posture). Repartitioned to
+    // the cluster's parallelism BEFORE the checkpoint: the K·epochs
+    // gradient jobs inherit the checkpoint's partitioning, and a
+    // few-file parquet corpus would otherwise pin the entire training
+    // loop to a few cores (measured 8× at sf10); gradient sums are
+    // order-independent integers, so the result is bit-identical
+    // (spec-held determinism across repartitioned input).
     val feat = df.select(
       col(idCol).as("__id"),
       col(langCol).cast("string").as("__lang"),
       trainPred.cast("boolean").as("__train"),
       charGramBuckets(col(textCol), buckets, gramN).as("__barr"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .localCheckpoint(true)
     val train = feat.where(col("__train"))
     val weights = langs.map { l =>
