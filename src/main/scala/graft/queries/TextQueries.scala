@@ -598,11 +598,11 @@ object TextQueries {
       s"WHEN '$l' THEN '$p'"
     }.mkString(" ")
     val head = s"""
-      WITH d2 AS MATERIALIZED (
+      WITH d2 AS (
         SELECT doc_id, lang,
                (CASE lang $phraseCase END) || ' ' || text AS text
         FROM documents),
-      tok AS MATERIALIZED (
+      tok AS (
         SELECT doc_id, lang, (doc_id % 2 = 0) AS train,
                unnest(list_transform(range(1, GREATEST(length(text) - 1, 1)),
                  i -> substr(text, i, 3))) AS t
