@@ -246,11 +246,53 @@ object Classifier {
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .localCheckpoint(true)
     val train = feat.where(col("__train"))
-    val weights = langs.map { l =>
-      fitOnFeatures(
-        train.withColumn("__y", col("__lang") === l), buckets, epochs, lrNum)
-    }
+    val weights = fitLangsOnFeatures(train, langs, buckets, epochs, lrNum)
     (feat, langs, weights)
+  }
+
+  /** All K one-vs-rest units trained in ONE pass per epoch: each
+    * epoch computes the K per-class errors side by side (the margin
+    * folds share the row's bucket array), explodes the array ONCE,
+    * and aggregates K gradient sums per bucket in a single ≤(B+1)-row
+    * exchange — `epochs` jobs total instead of `K·epochs`. Per-class
+    * arithmetic is INDEPENDENT (each unit sees only its own weights
+    * and label), so the weights are bit-identical to K sequential
+    * [[fitOnFeatures]] runs (spec-held) — this is a job-count
+    * optimization, not a model change: at toy scale the sequential
+    * form was 5× job floor, at cluster scale it was K corpus scans
+    * per epoch instead of one. */
+  private def fitLangsOnFeatures(
+      feat: DataFrame, langs: Seq[String], buckets: Int, epochs: Int,
+      lrNum: Long): Seq[Array[Long]] = {
+    require(buckets >= 1 && buckets <= 4096,
+      s"classifier: need 1..4096 buckets, got $buckets")
+    require(epochs >= 1 && epochs <= 64,
+      s"classifier: need 1..64 epochs, got $epochs")
+    require(lrNum >= 1 && lrNum <= 16,
+      s"classifier: need 1..16 lrNum, got $lrNum")
+    val n = feat.count()
+    require(n >= 1, "classifier: empty training corpus")
+    val ws = langs.map(_ => Array.fill(buckets + 1)(0L))
+    for (_ <- 1 to epochs) {
+      val errCols = langs.zipWithIndex.map { case (l, i) =>
+        (probS(marginCol(col("__barr"), ws(i))) -
+          when(col("__lang") === l, lit(S)).otherwise(lit(0L))).as(s"__e$i")
+      }
+      val gradCols = langs.indices.map(i => sum(col(s"__e$i")).as(s"__g$i"))
+      val grads = feat
+        .select(errCols :+ explode(col("__barr")).as("__b"): _*)
+        .groupBy(col("__b"))
+        .agg(gradCols.head, gradCols.tail: _*)
+        .collect()
+      grads.foreach { r =>
+        val b = r.getInt(0)
+        langs.indices.foreach { i =>
+          val d = Math.floorDiv(r.getLong(1 + i) * lrNum, 4L * n)
+          ws(i)(b) = Math.max(-Clip, Math.min(Clip, ws(i)(b) - d))
+        }
+      }
+    }
+    ws
   }
 
   /** The stateless serving expression for FITTED one-vs-rest language

@@ -156,6 +156,23 @@ class ClassifierSpec extends SparkSpec {
       if (heur(id) == truth) assert(pred === heur(id)) }
   }
 
+  test("batched multi-class fit is bit-identical to K sequential fits") {
+    val docs = langCorpus.toDF("doc_id", "text", "lang")
+    val (langs, ws) = Classifier.langIdFit(
+      docs, "doc_id", "text", "lang", col("doc_id") % 2 === 0,
+      buckets = 256, epochs = 4)
+    val feat = docs.select(
+        col("doc_id").as("__id"), col("lang").cast("string").as("__lang"),
+        (col("doc_id") % 2 === 0).as("__train"),
+        Classifier.charGramBuckets(col("text"), 256, 3).as("__barr"))
+      .where(col("__train")).localCheckpoint(true)
+    langs.zip(ws).foreach { case (l, w) =>
+      val one = Classifier.fitOnFeatures(
+        feat.withColumn("__y", col("__lang") === l), 256, 4, 8L)
+      assert(w.toSeq == one.toSeq, s"class $l diverged from its solo fit")
+    }
+  }
+
   test("learned language ID serves on a stream with batch parity") {
     val docs = langCorpus.toDF("doc_id", "text", "lang")
     val (langs, ws) = Classifier.langIdFit(
