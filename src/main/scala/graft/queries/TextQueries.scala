@@ -317,12 +317,14 @@ object TextQueries {
         lit("\">link</a></p></body></html>"))
       val base = concat(lit("https://site"), (d % 20).cast("string"),
         lit(".example.com/dir/sub/page"), ds, lit(".html"))
-      val docs = Tables.documents(s, dir)
-        .select(d, base.as("base"), html.as("html"))
+      val docs = Tables.documents(s, dir).select(d, html.as("html"))
+      // the base URL is a doc_id formula — rebuild it after link
+      // extraction instead of joining the page frame back (map-only)
+      val baseOf = concat(lit("https://site"), (col("doc_id") % 20).cast("string"),
+        lit(".example.com/dir/sub/page"), col("doc_id").cast("string"), lit(".html"))
       Html.htmlLinks(docs, "doc_id", "html")
-        .join(docs.select(col("doc_id"), col("base")), "doc_id")
         .select(col("doc_id"), col("href"),
-          Html.urlNormalize(Html.urlResolve(col("base"), col("href")))
+          Html.urlNormalize(Html.urlResolve(baseOf, col("href")))
             .as("resolved"))
         .orderBy("doc_id")
     },
