@@ -395,7 +395,84 @@ case class MaxMultiplicity(child: Expression) extends TokenSketchExpression {
     copy(child = newChild)
 }
 
+/** Integer margin of a hashed-feature bucket array under a FITTED
+  * weight vector: Σ_{b ∈ barr} weights[b] — the serving kernel of the
+  * learned classifiers (Q18 quality, L18 language ID). The
+  * higher-order `aggregate`+`element_at` formulation is semantically
+  * identical but evaluates one interpreted lambda per array element —
+  * on the 100 TB serve path that is the dominant cost (HOFs run off
+  * whole-stage codegen); this is one fused primitive loop inside
+  * codegen, bit-identical by integer-addition associativity
+  * (HashExpressionsSpec asserts parity). Weights ride as a referenced
+  * object, not a literal expression tree — a 1025-long literal per
+  * fold bloats analysis on every training epoch's fresh plan. Out-of-
+  * range or null buckets throw loudly: the inputs are engine-built
+  * (md5 % buckets + intercept), so either means corruption. */
+case class BucketMargin(child: Expression, weights: Array[Long])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<int>, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bucket_margin"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    var acc = 0L
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (arr.isNullAt(i)) throw new IllegalArgumentException(
+        "bucket_margin: null feature bucket — corrupt feature frame")
+      val b = arr.getInt(i)
+      if (b < 0 || b >= weights.length) throw new IllegalArgumentException(
+        s"bucket_margin: bucket $b outside the ${weights.length}-weight model")
+      acc += weights(b)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("weights", weights, "long[]")
+    nullSafeCodeGen(ctx, ev, arr => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val b = ctx.freshName("b")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = $arr.numElements();
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($arr.isNullAt($i)) {
+         |    throw new IllegalArgumentException(
+         |      "bucket_margin: null feature bucket — corrupt feature frame");
+         |  }
+         |  final int $b = $arr.getInt($i);
+         |  if ($b < 0 || $b >= $w.length) {
+         |    throw new IllegalArgumentException(
+         |      "bucket_margin: bucket " + $b + " outside the " + $w.length + "-weight model");
+         |  }
+         |  $acc += $w[$b];
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BucketMargin =
+    copy(child = newChild)
+}
+
 object HashFunctions {
+  /** Native classifier margin: Σ weights[b] over an int bucket array. */
+  def bucket_margin(barr: Column, weights: Array[Long]): Column =
+    ColumnBridge.column(BucketMargin(ColumnBridge.expression(barr), weights))
+
   /** Native MinHash signature over a shingle array column. */
   def minhash_sig(shingles: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(shingles), numHashes))

@@ -77,9 +77,16 @@ object Classifier {
           split(col(textCol), " "), t => tokenBucket(t, buckets))),
         array(lit(buckets))).as("__barr"))
 
-  /** Margin of one document under integer weights: Σ_{b ∈ barr} w_b,
-    * an `aggregate` fold against an array LITERAL (no join). */
+  /** Margin of one document under integer weights: Σ_{b ∈ barr} w_b —
+    * the native codegen'd [[graft.functions.BucketMargin]] kernel (no
+    * join, no interpreted lambda; the serve path of a 100 TB corpus is
+    * this expression). [[marginColHof]] is the pure-functions
+    * formulation kept as the bit-equal reference
+    * (HashExpressionsSpec). */
   private def marginCol(barr: Column, w: Array[Long]): Column =
+    graft.functions.HashFunctions.bucket_margin(barr, w)
+
+  private[graft] def marginColHof(barr: Column, w: Array[Long]): Column =
     aggregate(barr, lit(0L),
       (acc, b) => acc + element_at(typedlit(w.toSeq), b + lit(1)))
 
@@ -152,13 +159,12 @@ object Classifier {
     * per-row compute — tokenize, hash, distinct, fold; no join, no
     * state). */
   def scoreExpr(textCol: Column, w: Array[Long], buckets: Int): Column =
-    aggregate(
+    marginCol(
       concat(
         array_distinct(transform(
           split(textCol, " "), t => tokenBucket(t, buckets))),
         array(lit(buckets))),
-      lit(0L),
-      (acc, b) => acc + element_at(typedlit(w.toSeq), b + lit(1)))
+      w)
 
   /** Hashed CHARACTER-n-gram bucket array of a text column — the
     * fastText-style feature set (Joulin et al. 2016 §2.1: subword

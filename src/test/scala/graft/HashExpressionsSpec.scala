@@ -176,4 +176,26 @@ class HashExpressionsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
     assert(sk == ex)
   }
+
+  test("native bucket_margin is bit-equal to the HOF fold and loud on corruption") {
+    val w = Array.tabulate(65)(i => (i * 7919L - 250000L))
+    val feat = docs.select(col("doc_id"),
+      concat(array_distinct(transform(split(col("text"), " "),
+        t => graft.operators.Classifier.tokenBucket(t, 64))),
+        array(lit(64))).as("barr"))
+    val got = feat.select(col("doc_id"),
+        HashFunctions.bucket_margin(col("barr"), w).as("m"),
+        graft.operators.Classifier.marginColHof(col("barr"), w).as("ref"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(r.getLong(1) === r.getLong(2)))
+    // an out-of-range bucket is corruption, not a zero weight
+    val ex = intercept[Exception] {
+      Seq(Seq(3, 99)).toDF("barr")
+        .select(HashFunctions.bucket_margin(col("barr"), Array(1L, 2L, 3L, 4L)))
+        .collect()
+    }
+    assert(ex.getMessage.contains("bucket_margin") ||
+      Option(ex.getCause).exists(_.getMessage.contains("bucket_margin")))
+  }
 }
