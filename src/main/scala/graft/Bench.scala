@@ -118,7 +118,12 @@ object Bench {
     // window (55/122 rows in round 9), which made per-query cross-round
     // comparison impossible from artifacts alone — so the FULL map is
     // also written to a file (committable) on every run.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    // Filtered runs (SPARK_GRAFT_ONLY) default to a SEPARATE file:
+    // BENCH_FULL.json's whole purpose is the full cross-round per-query
+    // map, and a 2-query filtered run overwriting it destroys that
+    // artifact (it happened in round 12).
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isDefined) "BENCH_FILTERED.json" else "BENCH_FULL.json")
     try {
       val w = new java.io.PrintWriter(outFile, "UTF-8")
       try w.println(fullLine) finally w.close()
@@ -144,16 +149,29 @@ object Bench {
       s""""n_queries":${results.size},"order":"name-asc",""" +
       s""""qnorm":$qnormArr,""" +
       s""""full":"$outFile","sf":"$sfDir","""
-    val bySlow = results.sortBy(-_._2)
-    var kept = Vector.empty[(String, Double)]
-    var used = fixedHead.length + 40 // "queries":{...},"queries_kept":N}
-    bySlow.foreach { case r =>
-      val cost = r._1.length + 10
-      if (used + cost <= budget) { kept :+= ((r._1, r._2)); used += cost }
+    if (fixedHead.length + 40 > budget) {
+      // qnorm itself no longer fits the tail window (~230+ queries):
+      // drop the per-query vector with an EXPLICIT marker instead of
+      // letting the tail silently truncate mid-array — the full map is
+      // always in `full` anyway.
+      println(
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,""" +
+        s""""value_med":${fmt(totalMed)},"spread_pct":${fmt(spreadPct)},""" +
+        s""""calib":${fmt(calib)},""" +
+        s""""n_queries":${results.size},"qnorm_truncated":true,""" +
+        s""""full":"$outFile","sf":"$sfDir"}""")
+    } else {
+      val bySlow = results.sortBy(-_._2)
+      var kept = Vector.empty[(String, Double)]
+      var used = fixedHead.length + 40 // "queries":{...},"queries_kept":N}
+      bySlow.foreach { case r =>
+        val cost = r._1.length + 10
+        if (used + cost <= budget) { kept :+= ((r._1, r._2)); used += cost }
+      }
+      println(fixedHead +
+        s""""queries_kept":${kept.size},""" +
+        s""""queries":${jmap(kept.sortBy(_._1))}}""")
     }
-    println(fixedHead +
-      s""""queries_kept":${kept.size},""" +
-      s""""queries":${jmap(kept.sortBy(_._1))}}""")
     spark.stop()
   }
 }

@@ -230,8 +230,13 @@ object Classifier {
       df: DataFrame, idCol: String, textCol: String, langCol: String,
       trainPred: Column, buckets: Int, epochs: Int, gramN: Int,
       lrNum: Long): (DataFrame, Seq[String], Seq[Array[Long]]) = {
-    val langs = df.select(col(langCol).cast("string")).distinct()
-      .limit(65).collect().map(_.getString(0)).sorted.toSeq
+    val rawLangs = df.select(col(langCol).cast("string")).distinct()
+      .limit(66).collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    require(!rawLangs.exists(l => l == null || l.isEmpty),
+      s"langIdLearned: column '$langCol' has null/empty language labels — " +
+        "every training row needs a concrete label (filter or impute " +
+        "missing labels upstream; a null label can never match a class)")
+    val langs = rawLangs.sorted.toSeq
     require(langs.nonEmpty && langs.length <= 64,
       s"langIdLearned: need 1..64 distinct languages, got ${langs.length}+")
     // ONE featurize pass shared by all K fits and the serve; NOT

@@ -266,6 +266,7 @@ object Warc {
       val inf = new java.util.zip.Inflater(true)
       val out = new ByteArrayOutputStream(1 << 14)
       val scratch = new Array[Byte](1 << 14)
+      val crc = new java.util.zip.CRC32
       try {
         while (!inf.finished()) {
           if (inf.needsInput()) {
@@ -276,14 +277,32 @@ object Warc {
             bufPos = bufLen
           }
           val k = inf.inflate(scratch)
-          if (k > 0) out.write(scratch, 0, k)
+          if (k > 0) { out.write(scratch, 0, k); crc.update(scratch, 0, k) }
         }
         // hand back what the inflater over-took from the last segment
         val rem = inf.getRemaining
         bufPos -= rem
         pos -= rem
       } finally inf.end()
-      var i = 0; while (i < 8) { u8("CRC32/ISIZE trailer"); i += 1 }
+      // RFC 1952 trailer: little-endian CRC32 then ISIZE (length mod 2^32).
+      // GZIPInputStream validated these; a raw Inflater does not, and a
+      // bit-flipped member can still inflate cleanly — verify or corrupted
+      // record text flows downstream silently.
+      val trailerOff = pos
+      var storedCrc = 0L
+      var i = 0; while (i < 4) { storedCrc |= u8("CRC32 trailer").toLong << (8 * i); i += 1 }
+      var storedIsize = 0L
+      i = 0; while (i < 4) { storedIsize |= u8("ISIZE trailer").toLong << (8 * i); i += 1 }
+      if (storedCrc != crc.getValue)
+        throw new java.util.zip.ZipException(
+          f"warc: gzip member CRC32 mismatch at trailer offset $trailerOff in $file " +
+            f"(stored 0x$storedCrc%08x, computed 0x${crc.getValue}%08x) — " +
+            "member data is corrupt; refusing to emit corrupted record text")
+      if (storedIsize != (out.size().toLong & 0xffffffffL))
+        throw new java.util.zip.ZipException(
+          s"warc: gzip member ISIZE mismatch at trailer offset $trailerOff in $file " +
+            s"(stored $storedIsize, inflated ${out.size().toLong & 0xffffffffL} mod 2^32) — " +
+            "member data is corrupt; refusing to emit corrupted record text")
       out.toByteArray
     }
   }
@@ -521,9 +540,11 @@ object Warc {
       val mime = header("content-type").getOrElse("")
       var body = if (sep < 0) Array.empty[Byte]
         else java.util.Arrays.copyOfRange(payload, sep + 4, payload.length)
-      // 1. transfer coding (message framing)
+      // 1. transfer coding (message framing). Exact-match only: a compound
+      // coding like 'gzip, chunked' would de-chunk but leave the TE-gzip
+      // layer undecoded, emitting binary garbage as text — throw instead.
       val te = header("transfer-encoding").getOrElse("").toLowerCase
-      if (te.contains("chunked")) body = dechunk(body)
+      if (te == "chunked") body = dechunk(body)
       else if (te.nonEmpty && te != "identity")
         throw new IllegalArgumentException(
           s"warc: unsupported Transfer-Encoding '$te' — refusing to emit garbage text")

@@ -156,6 +156,18 @@ class ClassifierSpec extends SparkSpec {
       if (heur(id) == truth) assert(pred === heur(id)) }
   }
 
+  test("null/empty language labels fail LOUDLY, not with an opaque NPE") {
+    val withNull = langCorpus.map { case (i, t, l) =>
+      (i, t, if (i == 7) null else l)
+    }.toDF("doc_id", "text", "lang")
+    val ex = intercept[IllegalArgumentException] {
+      Classifier.langIdLearned(
+        withNull, "doc_id", "text", "lang", col("doc_id") % 2 === 0,
+        buckets = 256, epochs = 1)
+    }
+    assert(ex.getMessage.contains("null/empty language labels"))
+  }
+
   test("batched multi-class fit is bit-identical to K sequential fits") {
     val docs = langCorpus.toDF("doc_id", "text", "lang")
     val (langs, ws) = Classifier.langIdFit(

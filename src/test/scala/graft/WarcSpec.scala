@@ -156,6 +156,47 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("gzip trailer corruption (CRC32/ISIZE) is LOUD on the stream path") {
+    // A member whose deflate stream inflates cleanly but whose trailer
+    // disagrees means the DATA is suspect — GZIPInputStream validated
+    // this; the member walker must too (it reads raw deflate).
+    val gz = (Warc.warcinfoRecord("f") +: pages.map { case (u, h) =>
+      Warc.responseRecord(u, h)
+    }).map(Warc.gzipMember)
+    val file = gz.reduce(_ ++ _)
+    val off2 = gz(0).length + gz(1).length // end of member 2
+    val badCrc = file.clone()
+    badCrc(off2 - 8) = (badCrc(off2 - 8) ^ 0x01).toByte // CRC32 LSB
+    val ex = intercept[java.util.zip.ZipException] {
+      Warc.parseAll("crc.warc.gz", badCrc).toList
+    }
+    assert(ex.getMessage.contains("CRC32 mismatch") &&
+      ex.getMessage.contains("crc.warc.gz"))
+    val badIsize = file.clone()
+    badIsize(off2 - 4) = (badIsize(off2 - 4) ^ 0x01).toByte // ISIZE LSB
+    val ex2 = intercept[java.util.zip.ZipException] {
+      Warc.parseAll("isize.warc.gz", badIsize).toList
+    }
+    assert(ex2.getMessage.contains("ISIZE mismatch"))
+    // intact file still parses end-to-end (the check is not over-eager)
+    assert(Warc.parseAll("ok.warc.gz", file).toList.nonEmpty)
+  }
+
+  test("compound Transfer-Encoding ('gzip, chunked') is LOUD, not garbage") {
+    val body = "hi".getBytes(UTF_8)
+    val http = ("HTTP/1.1 200 OK\r\nTransfer-Encoding: gzip, chunked\r\n" +
+      "Content-Type: text/html\r\n\r\n").getBytes(UTF_8) ++ body
+    val rec = new java.io.ByteArrayOutputStream()
+    rec.write(("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n").getBytes(UTF_8))
+    rec.write(http)
+    rec.write("\r\n\r\n".getBytes(UTF_8))
+    val ex = intercept[IllegalArgumentException] {
+      Warc.parseAll("te.warc", rec.toByteArray).toList
+    }
+    assert(ex.getMessage.contains("Transfer-Encoding"))
+  }
+
   test("streamed index walk is row-identical to the in-memory reference") {
     // includes an encoded record so member sizes vary, plus a
     // multi-buffer member (> 64 KB compressed read buffer)
