@@ -872,6 +872,165 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Distributed DENSE RANK over arbitrary key columns — the building
+    * block [[suffixRanks]] iterates. A global
+    * `dense_rank().over(Window.orderBy(...))` funnels every row
+    * through ONE sorting task; this shape stays distributed: the
+    * DISTINCT key set (≤ n rows) is range-partitioned, sorted within
+    * partitions, and numbered with `zipWithIndex` (per-partition
+    * counts + prefix offsets — no driver materialization). The index
+    * is deterministic regardless of where the range sampler draws its
+    * boundaries: keys are distinct and partitions are range-ordered,
+    * so the concatenated order IS the unique total order. Returns the
+    * (keys → rank) map frame; callers join it back on the keys. */
+  private def denseRankMap(
+      df: DataFrame, keys: Seq[String], out: String): DataFrame = {
+    val spark = df.sparkSession
+    val keyCols = keys.map(col)
+    val sorted = df.select(keyCols: _*).distinct()
+      .repartitionByRange(keyCols: _*)
+      .sortWithinPartitions(keyCols: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        out, org.apache.spark.sql.types.LongType, nullable = false))
+    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L)) }
+    spark.createDataFrame(indexed, schema)
+  }
+
+  /** J17a — distributed SUFFIX-ARRAY ranks by prefix doubling
+    * (Manber–Myers). For every (doc, pos) the rank of the doc's suffix
+    * starting at pos, ordered corpus-globally — equal ranks ⇔ equal
+    * suffixes. This is the index structure behind Lee et al. 2021's
+    * variable-length duplicate-substring dedup (their artifact builds
+    * a single-node suffix array over the concatenated corpus; ours
+    * ranks per-document suffixes so spans never cross doc boundaries,
+    * which is also their semantics — they separate docs with sentinel
+    * bytes).
+    *
+    * Shape per round (k = 1, 2, 4, …): one equi-join pairing each
+    * suffix's rank with the rank k positions later (computed as a
+    * SHIFT-join — `(doc, pos−k)` against `(doc, pos)` — so it is an
+    * equi-join, never a range join), then one distributed dense
+    * re-rank over the (r, r_next) pairs via [[denseRankMap]]. Total
+    * work O(n log L) for max doc length L — the standard
+    * prefix-doubling bound; every stage is shuffle-on-key, nothing
+    * driver-side. Rounds stop early once all ranks are distinct
+    * (dense ranks are then a fixpoint: re-ranking distinct dense
+    * values reproduces them), so the `rounds` parameter is the
+    * ORACLE-ALIGNMENT bound, not the engine's cost: the result equals
+    * exactly `rounds` unrolled iterations, and the engine requires
+    * 2^rounds ≥ max doc length loudly rather than returning ranks
+    * that compare only a prefix. */
+  def suffixRanks(
+      df: DataFrame, idCol: String, textCol: String,
+      rounds: Int = 8): DataFrame = {
+    require(rounds >= 1 && rounds <= 30,
+      s"suffixRanks: rounds must be in [1,30], got $rounds")
+    val base = df
+      .select(col(idCol).as("doc_id"), posexplode(split(col(textCol), " ")))
+      .toDF("doc_id", "pos", "tok")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+      .persist()
+    val stats = base.agg(count(lit(1)), max(col("pos"))).head()
+    val n = stats.getLong(0)
+    val maxLen = if (stats.isNullAt(1)) 0L else stats.getLong(1) + 1L
+    require(maxLen <= (1L << rounds),
+      s"suffixRanks: longest document has $maxLen tokens but 2^$rounds = " +
+        s"${1L << rounds} — ranks would compare only a prefix; raise `rounds`")
+    // each round references `cur` TWICE (self-join with its own shift),
+    // so lineage doubles per round — localCheckpoint truncates the plan
+    // each lap or 20 rounds builds a 2^20-node tree (measured: OOM in
+    // plan stringification alone). Blocks release when the frame goes
+    // out of scope (ContextCleaner — the minhash signature posture).
+    var cur = base
+      .join(denseRankMap(base, Seq("tok"), "r"), Seq("tok"))
+      .select(col("doc_id"), col("pos"), col("r"))
+      .localCheckpoint(true)
+    base.unpersist()
+    var j = 0
+    var done = n > 0 && cur.agg(max(col("r"))).head().getLong(0) == n
+    while (j < rounds && !done) {
+      val k = 1L << j
+      val shifted = cur.select(
+        col("doc_id"), (col("pos") - k).as("pos"), col("r").as("__rn"))
+      val paired = cur.join(shifted, Seq("doc_id", "pos"), "left")
+        .select(col("doc_id"), col("pos"),
+          col("r").as("__r1"), coalesce(col("__rn"), lit(0L)).as("__r2"))
+      cur = paired
+        .join(denseRankMap(paired, Seq("__r1", "__r2"), "r"), Seq("__r1", "__r2"))
+        .select(col("doc_id"), col("pos"), col("r"))
+        .localCheckpoint(true)
+      j += 1
+      if (j < rounds && n > 0) // all-distinct ⇒ fixpoint; skip on the last lap
+        done = cur.agg(max(col("r"))).head().getLong(0) == n
+    }
+    cur.select(col("doc_id"), col("pos"), col("r").as("srank"))
+  }
+
+  /** J17b — VARIABLE-LENGTH duplicated-span detection (Lee et al. 2021
+    * semantics): per document, every MAXIMAL contiguous region whose
+    * tokens all lie inside some `minLen`-token window duplicated
+    * across ≥ `minDocs` documents — reported with its true start,
+    * length, and text, NOT fragmented into fixed windows. A 60-token
+    * boilerplate block comes back as ONE row of span_len 60 (J10's
+    * fixed-window report shows 53 overlapping 8-gram rows that cannot
+    * express the extent), and a boilerplate copy with an internal edit
+    * comes back as its two maximal unedited segments with their exact
+    * lengths. The covered-position set is provably identical to the
+    * suffix-array formulation for threshold `minLen` (a position is in
+    * a duplicated substring of length ≥ minLen iff one of the ≤ minLen
+    * windows containing it is duplicated — SuffixArraySpec holds the
+    * equivalence against a literal suffix-array reference), so this
+    * computes the paper's removal regions with ONE window shuffle
+    * instead of log-many global sorts.
+    *
+    * Shape: the J12 duplicated-window decision (two-level partial agg
+    * on 128-bit span hashes, shuffle ∝ distinct (span, doc)), then a
+    * per-document gaps-and-islands merge — `lag` + running sum over a
+    * window PARTITIONED BY doc, so the sort is bounded by doc length,
+    * never corpus-global. Output rows ∝ flagged regions. */
+  def spanDedupVar(
+      df: DataFrame, idCol: String, textCol: String,
+      minLen: Int, minDocs: Int = 2): DataFrame = {
+    require(minLen >= 2, "spanDedupVar: minLen must be >= 2")
+    require(minDocs >= 2, "spanDedupVar: minDocs must be >= 2 (cross-doc duplicates)")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(
+      col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+    val occ = base
+      .where(size(col("toks")) >= minLen)
+      .select(col("doc_id"), posexplode(
+        graft.functions.HashFunctions.string_ngrams(col("toks"), minLen)))
+      .toDF("doc_id", "pos", "span")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        xxhash64(col("span")).as("h1"),
+        xxhash64(col("span"), lit(1)).as("h2"))
+    val dup = occ
+      .groupBy(col("h1"), col("h2"), col("doc_id")).agg(count(lit(1)).as("__o"))
+      .groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+      .select(col("h1"), col("h2"))
+    val flagged = occ.join(dup, Seq("h1", "h2")).select("doc_id", "pos")
+    // islands: same-length intervals [pos, pos+minLen) merge whenever
+    // they overlap or touch — break exactly when the gap exceeds minLen
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = flagged
+      .withColumn("__brk",
+        when(col("pos") - lag("pos", 1).over(w) > minLen, lit(1)).otherwise(lit(0)))
+      .withColumn("__g", sum(col("__brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("__g"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(minLen.toLong) - min(col("pos"))).as("span_len"))
+    spans.join(base, Seq("doc_id"))
+      .select(col("doc_id"), col("span_start"), col("span_len"),
+        array_join(slice(col("toks"),
+          (col("span_start") + 1).cast("int"), col("span_len").cast("int")),
+          " ").as("span_text"))
+      .orderBy("doc_id", "span_start")
+  }
+
   /** J6 — near-dup CLUSTERING: connected components over candidate-pair
     * edges (the step after J1–J5: pairwise signals → document clusters →
     * one canonical doc kept per cluster). Each round does min-label

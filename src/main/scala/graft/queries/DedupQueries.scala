@@ -155,6 +155,25 @@ object DedupQueries {
           Dedup.dedupShardAgainstIndex(docs.where(m === 1), "doc_id", "text", idx))
         .orderBy("doc_id")
     },
+    // J17a gate — distributed prefix-doubling SUFFIX-ARRAY ranks: the
+    // oracle unrolls the same 8 doubling rounds as dense_rank CTEs, so
+    // a defect in any round's pairing/shift/re-rank (or in the
+    // distributed dense-rank building block itself) changes integer
+    // ranks and the hash fails. Early engine convergence is gated too:
+    // the engine stops when ranks go all-distinct, the oracle never
+    // does — equality holds only because all-distinct is a fixpoint.
+    "q_suffix_array" -> { (s, dir) =>
+      Dedup.suffixRanks(Tables.documents(s, dir), "doc_id", "text", rounds = 8)
+        .orderBy("doc_id", "pos")
+    },
+    // J17b gate — variable-length duplicated spans (Lee et al. 2021):
+    // maximal per-doc regions covered by cross-doc duplicated 8-token
+    // windows, with true extents and text. The oracle replays the
+    // window decision and the gaps-and-islands merge, so a defect in
+    // flagging, the break condition, or the slice rebuild changes rows.
+    "q_span_dedup_var" -> { (s, dir) =>
+      Dedup.spanDedupVar(Tables.documents(s, dir), "doc_id", "text", minLen = 8)
+    },
     // J10 gate — substring-granularity dedup (Lee et al. 2021): every
     // duplicated 8-token span with doc/occurrence counts; the oracle
     // regroups the same windows directly, so a windowing or counting
@@ -485,7 +504,62 @@ object DedupQueries {
   private lazy val kmCte: String = kmeansCteSql(kmIters)
   private val kmCb: String = s"cb$kmIters"
 
+  /** The 8 prefix-doubling rounds unrolled as dense_rank CTEs — the
+    * literal single-node replay of [[graft.operators.Dedup.suffixRanks]]
+    * (the engine's early all-distinct exit is a fixpoint, so running
+    * all 8 rounds here is value-identical). */
+  private val suffixArrayOracleSql: String = {
+    val rounds = (1 to 8).map { j =>
+      val k = 1 << (j - 1)
+      s"""r$j AS (
+        SELECT a.doc_id, a.pos,
+               CAST(dense_rank() OVER (ORDER BY a.r, COALESCE(b.r, 0)) AS BIGINT) AS r
+        FROM r${j - 1} a LEFT JOIN r${j - 1} b
+          ON b.doc_id = a.doc_id AND b.pos = a.pos + $k)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH base AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+      toks AS (
+        SELECT doc_id, unnest(range(len(a))) AS pos, unnest(a) AS tok FROM base),
+      r0 AS (
+        SELECT doc_id, pos, CAST(dense_rank() OVER (ORDER BY tok) AS BIGINT) AS r
+        FROM toks),
+      $rounds
+      SELECT doc_id, pos, r AS srank FROM r8 ORDER BY doc_id, pos"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_suffix_array" -> suffixArrayOracleSql,
+    "q_span_dedup_var" -> """
+      WITH base AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+      occ AS (
+        SELECT doc_id, unnest(range(len(a) - 7)) AS pos,
+               unnest(list_transform(range(len(a) - 7),
+                 i -> array_to_string(a[i + 1:i + 8], ' '))) AS span
+        FROM base WHERE len(a) >= 8),
+      dup AS (
+        SELECT span FROM (SELECT span, doc_id FROM occ GROUP BY span, doc_id)
+        GROUP BY span HAVING COUNT(*) >= 2),
+      fl AS (SELECT doc_id, pos FROM occ JOIN dup USING (span)),
+      isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                 THEN 1 ELSE 0 END AS brk
+        FROM fl),
+      grp AS (
+        SELECT doc_id, pos,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS g
+        FROM isl),
+      sp AS (
+        SELECT doc_id, MIN(pos) AS span_start,
+               MAX(pos) + 8 - MIN(pos) AS span_len
+        FROM grp GROUP BY doc_id, g)
+      SELECT s.doc_id, CAST(span_start AS BIGINT) AS span_start,
+             CAST(span_len AS BIGINT) AS span_len,
+             array_to_string(b.a[span_start + 1:span_start + span_len], ' ') AS span_text
+      FROM sp s JOIN base b USING (doc_id)
+      ORDER BY doc_id, span_start""",
     "q_dedup_exact" -> """
       SELECT md5(text) AS text_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
       FROM documents GROUP BY 1 ORDER BY 1""",
