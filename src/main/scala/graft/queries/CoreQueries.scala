@@ -124,6 +124,19 @@ object CoreQueries {
         Tables.part(s, dir),
         Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"))
     },
+    // A8b gate — deterministic column type/role detection
+    // (column_detector.py pattern rules + profiler.py value rules):
+    // events plus a synthesized WKT column so the VALUE-based geometry
+    // rule (not just name patterns) is under the hash; the role
+    // cascade's data-dependent branches (distinct-count thresholds,
+    // bool_or WKT detection) replay in the oracle.
+    "q_column_roles" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val ev = Tables.events(s, dir).withColumn("footprint",
+        concat(lit("POINT("), (col("user_id") % 90).cast("string"), lit(" 1)")))
+      Analysis.columnRoles(ev,
+        Seq("event_id", "ts", "user_id", "event_type", "value", "props", "footprint"))
+    },
     "q_binned_distribution" -> { (s, dir) =>
       Distributions.binnedDistribution(
         Tables.lineitem(s, dir), "l_quantity",
@@ -306,6 +319,53 @@ object CoreQueries {
              CAST(n_nulls AS DOUBLE) / n_rows AS null_ratio,
              CAST(n_distinct AS DOUBLE) / n_rows AS unique_ratio
       FROM prof ORDER BY column_name""",
+    "q_column_roles" -> {
+      // per-column row builder: name-rule flags are metadata constants
+      // (functions of the column NAME — precomputed here exactly as the
+      // operator precomputes them on the driver); stats, the WKT value
+      // rule, and every data-dependent role branch compute in SQL.
+      def row(c: String, t: String, isId: Boolean, nameGeo: Boolean,
+              isDate: Boolean, isLabel: Boolean, kind: String): String = {
+        val isStr = kind == "string"
+        val wkt =
+          if (isStr) s"COALESCE(bool_or(regexp_matches($c, 'POINT|POLYGON|LINESTRING')), FALSE)"
+          else "FALSE"
+        val geo = if (nameGeo) "TRUE" else wkt
+        val dtypeRole = kind match {
+          case "numeric" => s"CASE WHEN COUNT(DISTINCT $c) <= 20 THEN 'categorical' ELSE 'measure' END"
+          case "string"  => s"CASE WHEN COUNT(DISTINCT $c) <= 100 THEN 'categorical' ELSE 'text' END"
+          case _ => "'other'"
+        }
+        val role =
+          if (isId) "'identifier'"
+          else s"""CASE WHEN $geo THEN 'geometry'
+                   WHEN ${if (isDate) "TRUE" else "FALSE"} THEN 'temporal'
+                   WHEN ${if (isLabel) "TRUE" else "FALSE"} THEN 'label'
+                   ELSE $dtypeRole END"""
+        s"""SELECT '$c' AS column_name, '$t' AS dtype, COUNT(*) AS n_rows,
+            COUNT(*) - COUNT($c) AS n_nulls,
+            COUNT(DISTINCT $c) AS n_distinct,
+            CAST(COUNT(DISTINCT $c) AS DOUBLE) / COUNT(*) AS unique_ratio,
+            $isId AS is_id, $geo AS is_geometry,
+            $isDate AS is_date, $isLabel AS is_label,
+            $role AS role
+         FROM ev"""
+      }
+      s"""
+      WITH ev AS (
+        SELECT *, 'POINT(' || CAST(user_id % 90 AS VARCHAR) || ' 1)' AS footprint
+        FROM events)
+      ${Seq(
+        row("event_id", "bigint", isId = true, nameGeo = false, isDate = false, isLabel = false, "numeric"),
+        row("ts", "timestamp", isId = false, nameGeo = false, isDate = true, isLabel = false, "temporal"),
+        row("user_id", "bigint", isId = true, nameGeo = false, isDate = false, isLabel = false, "numeric"),
+        row("event_type", "string", isId = false, nameGeo = false, isDate = false, isLabel = false, "string"),
+        row("value", "double", isId = false, nameGeo = false, isDate = false, isLabel = false, "numeric"),
+        row("props", "string", isId = false, nameGeo = false, isDate = false, isLabel = false, "string"),
+        row("footprint", "string", isId = false, nameGeo = false, isDate = false, isLabel = false, "string"))
+        .mkString(" UNION ALL ")}
+      ORDER BY column_name"""
+    },
     "q_salted_collect" -> """
       SELECT l_returnflag,
              CAST(len(list(l_quantity)) AS INT) AS n_values,

@@ -288,6 +288,38 @@ class CoreOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("columnRoles: name rules, value-based WKT, thresholds, nulls") {
+    val df = Seq(
+      (1L, "POINT(3 4)", "alice", "red", 10.5, true, Some("x")),
+      (2L, "plain text", "bob", "red", 11.5, false, None),
+      (3L, "POLYGON((0 0,1 1))", "carol", "blue", 12.5, true, Some("y")))
+      .toDF("order_id", "boundary", "customer_name", "color", "amount", "ok", "note")
+    val got = Analysis.columnRoles(df, df.columns.toSeq)
+      .collect().map(r => r.getString(0) ->
+        (r.getBoolean(6), r.getBoolean(7), r.getBoolean(8), r.getBoolean(9),
+          r.getString(10))).toMap
+    // order_id: _id suffix -> identifier, wins over everything
+    assert(got("order_id") === ((true, false, false, false, "identifier")))
+    // boundary: NO geo name pattern — flagged purely by WKT values
+    assert(got("boundary") === ((false, true, false, false, "geometry")))
+    // customer_name: label pattern
+    assert(got("customer_name") === ((false, false, false, true, "label")))
+    // color: plain low-cardinality string
+    assert(got("color") === ((false, false, false, false, "categorical")))
+    // amount: numeric, 3 distinct <= 20 -> categorical branch
+    assert(got("amount") === ((false, false, false, false, "categorical")))
+    // ok: boolean -> flag
+    assert(got("ok") === ((false, false, false, false, "flag")))
+    // note has a null: n_nulls counted, no crash
+    val note = Analysis.columnRoles(df, Seq("note"))
+      .select("n_nulls", "n_distinct").head()
+    assert(note.getLong(0) === 1L && note.getLong(1) === 2L)
+    // a measure needs > 20 distinct values
+    val wide = (1 to 50).map(i => i.toDouble).toDF("price")
+    assert(Analysis.columnRoles(wide, Seq("price"))
+      .select("role").head().getString(0) === "measure")
+  }
+
   test("subtreeAggregate rolls facts up every ancestor") {
     val nodes = Seq(
       ("R", None, 0L), ("A", Some("R"), 1L), ("A1", Some("A"), 1L),
