@@ -17,6 +17,17 @@ import org.apache.spark.sql.functions._
 object Events {
 
   /** I1 — tumbling-window aggregation by `date_trunc(unit)`. */
+  /** Tumbling-window aggregation SHARED by the batch spec compiler and
+    * the streaming twin ([[graft.streaming.StreamOps.windowedAggregate]]
+    * = withWatermark + this): `window(ts, dur)` grouping with an event
+    * count plus caller aggregates. Batch/stream parity holds by this
+    * being literally the same code on both paths. */
+  def tumblingWindowAggregate(
+      df: DataFrame, tsCol: String, keyCol: String,
+      windowDur: String, aggs: Seq[Column]): DataFrame =
+    df.groupBy(window(col(tsCol), windowDur), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), aggs: _*)
+
   def windowAggregate(
       df: DataFrame, tsCol: String, unit: String,
       keys: Seq[String], aggs: Seq[Column]): DataFrame = {

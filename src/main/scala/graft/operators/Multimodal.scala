@@ -195,7 +195,7 @@ object Multimodal {
       var sr = 0L; var sg = 0L; var sb = 0L
       var w = 0; var h = 0
       framePngs.foreach { png =>
-        val img = ImageIO.read(new ByteArrayInputStream(png))
+        val img = PngIO.decode(png)
         require(img != null, "apng: frame decode failed")
         w = img.getWidth; h = img.getHeight
         var y = 0
@@ -219,7 +219,7 @@ object Multimodal {
     /** Full format decode; n_units = pixel count, unit_sum = Σ(R+G+B),
       * features = [meanR, meanG, meanB, width, height, 0, 0, 0]. */
     def decodeImage(content: Array[Byte]): (Long, Long, Array[Float]) = {
-      val img = ImageIO.read(new ByteArrayInputStream(content))
+      val img = PngIO.decode(content)
       require(img != null, s"image decode failed (${content.length} bytes, no reader matched)")
       val w = img.getWidth; val h = img.getHeight
       var sr = 0L; var sg = 0L; var sb = 0L
@@ -271,9 +271,70 @@ object Multimodal {
     }
   }
 
+  /** Per-THREAD reusable PNG codec. `ImageReader`/`ImageWriter` are
+    * not thread-safe but ARE reusable across calls; going through the
+    * static `ImageIO.read`/`write` instead pays a registry scan, a
+    * fresh reader/writer allocation AND — with ImageIO's default
+    * disk-backed stream cache — a temp FILE per call. At one decode
+    * per row that tax was the throughput ceiling on the bench's most
+    * expensive media row (q_image_thumb_dedup). The JVM-global cache
+    * is switched to memory streams here (first touch of this object);
+    * non-PNG bytes fall back to the registry path, so accepted
+    * formats are unchanged. Output bytes are produced by the same JDK
+    * PNG writer `ImageIO.write` would pick, so encodings are
+    * byte-identical (MultimodalSourcesSpec holds fingerprint parity
+    * through real round trips). */
+  private[operators] object PngIO {
+    javax.imageio.ImageIO.setUseCache(false)
+    private val rd = new ThreadLocal[javax.imageio.ImageReader] {
+      override def initialValue(): javax.imageio.ImageReader = {
+        val it = ImageIO.getImageReadersByFormatName("png")
+        require(it.hasNext, "no PNG reader registered")
+        it.next()
+      }
+    }
+    private val wr = new ThreadLocal[javax.imageio.ImageWriter] {
+      override def initialValue(): javax.imageio.ImageWriter = {
+        val it = ImageIO.getImageWritersByFormatName("png")
+        require(it.hasNext, "no PNG writer registered")
+        it.next()
+      }
+    }
+    private def isPng(b: Array[Byte]): Boolean =
+      b.length >= 8 && (b(0) & 0xff) == 0x89 &&
+        b(1) == 'P'.toByte && b(2) == 'N'.toByte && b(3) == 'G'.toByte
+
+    /** Decode: PNG through the reused reader, anything else through
+      * the ImageIO registry. Corrupt bytes throw (reader path) or
+      * return null (registry path) — callers keep their loud require. */
+    def decode(bytes: Array[Byte]): java.awt.image.BufferedImage =
+      if (isPng(bytes)) {
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new ByteArrayInputStream(bytes))
+        try {
+          val r = rd.get()
+          r.setInput(iis, true, true)
+          r.read(0)
+        } finally iis.close()
+      } else ImageIO.read(new ByteArrayInputStream(bytes))
+
+    def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try {
+        val w = wr.get()
+        w.setOutput(ios)
+        w.write(img)
+        ios.flush()
+      } finally ios.close()
+      bos.toByteArray
+    }
+  }
+
   /** Encoders for the synthetic corpus adapter and tests — real
     * containers produced with public formats only: PNG through
-    * `ImageIO.write`, WAV through the canonical 44-byte RIFF header. */
+    * the reused JDK PNG writer ([[PngIO]]), WAV through the canonical
+    * 44-byte RIFF header. */
   object Encode {
 
     /** pixels is row-major (y*w + x), 0xRRGGBB ints. */
@@ -281,9 +342,7 @@ object Multimodal {
       require(pixels.length == w * h, s"png: ${pixels.length} pixels for ${w}x$h")
       val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
       img.setRGB(0, 0, w, h, pixels, 0, w)
-      val bos = new ByteArrayOutputStream()
-      require(ImageIO.write(img, "png", bos), "no PNG writer registered")
-      bos.toByteArray
+      PngIO.encodePng(img)
     }
 
     /** Canonical mono PCM-16 little-endian WAV: fixed 44-byte header +
@@ -367,8 +426,7 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
       rows.filter(_.meta.media_type == "image").map { r =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(r.content))
+        val img = PngIO.decode(r.content)
         require(img != null, s"undecodable image for media ${r.media_id}")
         require(img.getWidth == 8 && img.getHeight == 8,
           s"aHash expects an 8x8 thumbnail, got " +
@@ -429,8 +487,7 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
       rows.filter(r => r.meta.media_type == "image" && r.content.nonEmpty).map { r =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(r.content))
+        val img = PngIO.decode(r.content)
         require(img != null, s"undecodable image for media ${r.media_id}")
         val inW = img.getWidth; val inH = img.getHeight
         val out = new Array[Int](outW * outH)
@@ -548,7 +605,7 @@ object Multimodal {
     ds.mapPartitions { rows =>
       rows.collect {
         case r if r.meta.media_type == "image" && r.content.nonEmpty =>
-          val img = ImageIO.read(new ByteArrayInputStream(r.content))
+          val img = PngIO.decode(r.content)
           require(img != null, s"image decode failed for media ${r.media_id}")
           val inW = img.getWidth; val inH = img.getHeight
           val out = new Array[Int](outW * outH)

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Aggregations, Chain, Distributions, Formats}
+import graft.operators.{Aggregations, Chain, Distributions, Events, Formats, Num}
 import graft.sources.Writers
 
 /** Config-driven pipeline runner — the engine twin of the reference's
@@ -80,7 +80,7 @@ object Pipeline {
   val knownOps: Set[String] = Set(
     "filter", "select", "aggregate", "join", "sql", "sort", "top_ranking",
     "field_aggregator", "statistical_summary", "binned_distribution",
-    "categorical_distribution",
+    "categorical_distribution", "window_agg",
     // training-data curation vocabulary (the engine's LLM-pipeline
     // mandate): the high-traffic J1/Q15/Q12/Q2 operators as chainable
     // spec steps, reusing the gated operator internals verbatim
@@ -265,13 +265,18 @@ object Pipeline {
 
   /** The step vocabulary a STREAMING frame admits: stateless per-row
     * transforms (append mode, no watermark, no state store) — the
-    * live-ingest hygiene chain in front of a training-data lake.
-    * Aggregations/joins/windows need watermarked streaming operators
-    * with sink-specific semantics: out of the spec language on
-    * purpose (code-level [[graft.streaming.StreamOps]] covers them). */
+    * live-ingest hygiene chain in front of a training-data lake —
+    * plus ONE stateful exception: `window_agg`, the watermarked
+    * tumbling-window count (the I1/I3 live-dashboard step; state is
+    * watermark-bounded). Because an aggregated stream changes the
+    * output-mode contract for everything after it, `window_agg` must
+    * be the LAST step. Other aggregations/joins stay out of the spec
+    * language on purpose (code-level [[graft.streaming.StreamOps]]
+    * covers them). */
   val streamingOps: Set[String] = Set(
     "filter", "select", "html_extract", "html_links", "url_normalize",
-    "url_resolve", "pii_scrub", "quality_filter", "url_filter")
+    "url_resolve", "pii_scrub", "quality_filter", "url_filter",
+    "window_agg")
 
   /** The vocabulary a BATCH side-frame admits inside a streaming spec
     * (rule preparation for `rulesFrom` — small by construction, folded
@@ -339,7 +344,19 @@ object Pipeline {
             s"pipeline '${spec.entity}': step '${st.name}' applies op " +
               s"'${st.op}' to a STREAMING frame — the stateless streaming " +
               s"vocabulary is: ${streamingOps.toSeq.sorted.mkString(", ")}")
-          if (st.op == "url_filter") applyUrlFilterStream(st, in, ctx)
+          if (st.op == "window_agg") {
+            require(i == spec.steps.length - 1,
+              s"pipeline '${spec.entity}': step '${st.name}' — 'window_agg' " +
+                "aggregates the stream and must be the LAST step (steps " +
+                "after an aggregation would need a different output mode)")
+            graft.streaming.StreamOps.windowedAggregate(
+              in, reqStr(st.params, "ts", s"step '${st.name}'"),
+              reqStr(st.params, "key", s"step '${st.name}'"),
+              reqStr(st.params, "window", s"step '${st.name}'"),
+              reqStr(st.params, "watermark", s"step '${st.name}'"),
+              windowAggValueAggs(st))
+          }
+          else if (st.op == "url_filter") applyUrlFilterStream(st, in, ctx)
           else applyOp(st, in, ctx)
         }
       ctx + (st.name -> frame)
@@ -491,6 +508,13 @@ object Pipeline {
           in, reqStr(st.params, "field", tag),
           strSeq(st.params, "categories", tag),
           strSeq(st.params, "groupBy", tag))
+      case "window_agg" =>
+        // tumbling event-time window count (+ optional exact-decimal
+        // value sum) — the batch half of the I1/I3 pair; the streaming
+        // compiler's branch is withWatermark + THIS SAME operator
+        Events.tumblingWindowAggregate(
+          in, reqStr(st.params, "ts", tag), reqStr(st.params, "key", tag),
+          reqStr(st.params, "window", tag), windowAggValueAggs(st))
       case "exact_dedup" =>
         graft.operators.Dedup.exactDedupKeep(
           in, reqStr(st.params, "id", tag), reqStr(st.params, "text", tag))
@@ -695,6 +719,14 @@ object Pipeline {
     params.get(key) match {
       case Some(v) => asSeq(v, s"$where '$key'").map(asMap(_, s"$where '$key'"))
       case None => fail(s"$where: missing required list '$key'")
+    }
+
+  /** `window_agg`'s optional `value` column → exact-decimal sum aggs
+    * (shared by the batch case and the streaming branch). */
+  private def windowAggValueAggs(st: StepSpec): Seq[Column] =
+    st.params.get("value").map(_.toString) match {
+      case Some(v) => Seq(Num.dsum(col(v)).as("value_sum"))
+      case None => Nil
     }
 
   private def reqStr(params: Map[String, Any], key: String, where: String): String =

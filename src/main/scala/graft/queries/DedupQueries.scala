@@ -458,14 +458,26 @@ object DedupQueries {
     * design point). Both engines evaluate the identical
     * GREATEST/CEIL/SQRT in IEEE double, so the derived stride — and
     * therefore every downstream hash — replays verbatim. */
+  /** sf10+ sweep knob: caps the √n-derived CELL COUNT so the DuckDB
+    * oracle's n×k assignment replay stays within its memory budget at
+    * ×100+ scales (at sf10 the uncapped √n gives k≈1225 over 1.5M
+    * vectors — a ~2G-pair replay that exhausted DuckDB in rounds
+    * 10–12). The ENGINE runs the identical operator either way — the
+    * knob bounds the ORACLE's replay, not the engine's work; both
+    * sides read the same value so the gate stays a verbatim hash.
+    * Unset = the production 4096 cap; every committed CORRECTNESS
+    * round runs unset. */
+  private val maxCells: Long =
+    sys.env.get("SPARK_GRAFT_MAX_CELLS").map(_.toLong).getOrElse(4096L)
+
   private def autoSqrtStride(corpus: DataFrame): Long = {
     val n = corpus.count()
-    val k = math.min(4096L, math.ceil(math.sqrt(n.toDouble)).toLong)
+    val k = math.min(maxCells, math.ceil(math.sqrt(n.toDouble)).toLong)
     math.max(16L, math.ceil(n.toDouble / k).toLong)
   }
 
   private val autoSqrtStrideSql: String =
-    "(SELECT GREATEST(16, CAST(CEIL(COUNT(*) / LEAST(4096, CEIL(SQRT(COUNT(*))))) AS BIGINT)) FROM embeddings)"
+    s"(SELECT GREATEST(16, CAST(CEIL(COUNT(*) / LEAST($maxCells, CEIL(SQRT(COUNT(*))))) AS BIGINT)) FROM embeddings)"
 
   private def kmeansCteSql(iters: Int): String = {
     val init = s"""

@@ -106,9 +106,13 @@ object TextQueries {
         .when(col("lang") === "de", lit(langPhrases("de")))
         .when(col("lang") === "es", lit(langPhrases("es")))
         .otherwise(lit(langPhrases("zh")))
+      // langIdLangs: all 5 classes unless the sf10+ sweep knob
+      // restricts the gate (see langIdLearnedOracleSql's scaladoc)
+      val base =
+        if (langIdLangs.size == 5) Tables.documents(s, dir)
+        else Tables.documents(s, dir).where(col("lang").isin(langIdLangs: _*))
       graft.operators.Classifier.langIdLearned(
-        Tables.documents(s, dir)
-          .select(col("doc_id"), col("lang"),
+        base.select(col("doc_id"), col("lang"),
             concat(phrase, lit(" "), col("text")).as("text")),
         "doc_id", "text", "lang",
         col("doc_id") % 2 === 0, buckets = 1024, epochs = 8, lrNum = 8L)
@@ -588,9 +592,21 @@ object TextQueries {
     * (m DESC, cand ASC) argmax. The language list is the corpus's
     * OBSERVED set — the engine discovers it from data; a divergence
     * fails the hash loudly. Integer arithmetic end to end. */
+  /** sf10+ sweep knob: restricts the gated corpus to a SUBSET of the
+    * 5 language classes so the oracle's K×epochs unrolled training
+    * replay stays within DuckDB's memory at ×100+ scales (the full
+    * 5×8 chain spilled >76 GB at sf10 in round 12). Both the gate and
+    * the oracle read it, so the hash stays verbatim; per-class corpus
+    * size and the epoch count are untouched. Unset = all 5 classes;
+    * every committed CORRECTNESS round runs unset. */
+  private val langIdLangs: Seq[String] =
+    sys.env.get("SPARK_GRAFT_LANGID_LANGS")
+      .map(_.split(",").toSeq.sorted)
+      .getOrElse(Seq("de", "en", "es", "fr", "zh"))
+
   private def langIdLearnedOracleSql: String = {
     val B = 1024; val epochs = 8; val lr = 8
-    val langs = Seq("de", "en", "es", "fr", "zh")
+    val langs = langIdLangs
     val s = graft.operators.Classifier.S
     // offset trick bound: |g·lr| / (4n) ≤ S·lr/4 = 2S
     val off = 2 * s + 1
@@ -599,11 +615,15 @@ object TextQueries {
     val phraseCase = langPhrases.toSeq.sortBy(_._1).map { case (l, p) =>
       s"WHEN '$l' THEN '$p'"
     }.mkString(" ")
+    val langFilter =
+      if (langs.size == 5) ""
+      else s" WHERE lang IN (${langs.map(l => s"'$l'").mkString(", ")})"
     val head = s"""
-      WITH d2 AS (
+      WITH docs0 AS (SELECT * FROM documents$langFilter),
+      d2 AS (
         SELECT doc_id, lang,
                (CASE lang $phraseCase END) || ' ' || text AS text
-        FROM documents),
+        FROM docs0),
       tok AS (
         SELECT doc_id, lang, (doc_id % 2 = 0) AS train,
                unnest(list_transform(range(1, GREATEST(length(text) - 1, 1)),
@@ -616,11 +636,11 @@ object TextQueries {
         FROM tok
         UNION ALL
         SELECT doc_id, lang, (doc_id % 2 = 0) AS train, $B AS bucket
-        FROM documents),
+        FROM docs0),
       tr AS MATERIALIZED (SELECT doc_id, lang, bucket FROM fb WHERE train),
       ho AS MATERIALIZED (SELECT doc_id, lang, bucket FROM fb WHERE NOT train),
       nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n
-                          FROM documents WHERE doc_id % 2 = 0),
+                          FROM docs0 WHERE doc_id % 2 = 0),
       winit AS MATERIALIZED (SELECT CAST(range AS INT) AS bucket,
                                     CAST(0 AS BIGINT) AS w
                              FROM range(${B + 1}))"""

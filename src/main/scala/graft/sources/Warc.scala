@@ -76,7 +76,10 @@ object Warc {
       .select(col("file"), col("record_no"), col("url"),
         col("http_status"), col("mime"),
         // body bytes are UTF-8 page text by the response contract
-        col("body").cast("string").as("html"))
+        col("body").cast("string").as("html"),
+        // the WARC-Date header as a real timestamp — the event-time
+        // column windowed aggregations over a crawl stream key on
+        to_timestamp(col("warc_date")).as("fetched_at"))
 
   /** All records of every WARC file under `path` (glob ok; `.warc.gz`
     * multi-member or uncompressed `.warc`). One executor task per
@@ -794,7 +797,8 @@ object Warc {
     * CommonCrawl file grain upstream (`repartition`); sort within
     * partitions first if byte-deterministic files matter (gates do). */
   def writeFiles(df: DataFrame, urlCol: String, htmlCol: String,
-                 path: String, modeCol: String = ""): Unit = {
+                 path: String, modeCol: String = "",
+                 dateCol: String = ""): Unit = {
     import org.apache.hadoop.fs.Path
     val conf = df.sparkSession.sessionState.newHadoopConf()
     val root = new Path(path)
@@ -805,8 +809,12 @@ object Warc {
     // optional per-row HTTP encoding mode (responseRecordEncoded's
     // vocabulary) — '' everywhere when no mode column is named
     val modeExpr = if (modeCol.isEmpty) lit("") else col(modeCol).cast("string")
+    // optional per-row WARC-Date (ISO-8601 string); constant when unset
+    val dateExpr = if (dateCol.isEmpty) lit("2026-01-01T00:00:00Z")
+      else col(dateCol).cast("string")
     df.select(col(urlCol).cast("string"), col(htmlCol).cast("string"),
-        coalesce(modeExpr, lit("")))
+        coalesce(modeExpr, lit("")),
+        coalesce(dateExpr, lit("2026-01-01T00:00:00Z")))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         if (it.hasNext) {
           val tc = org.apache.spark.TaskContext.get()
@@ -824,7 +832,8 @@ object Warc {
             out.write(gzipMember(warcinfoRecord(p.getName)))
             it.foreach { r =>
               out.write(gzipMember(
-                responseRecordEncoded(r.getString(0), r.getString(1), r.getString(2))))
+                responseRecordEncoded(r.getString(0), r.getString(1),
+                  r.getString(2), r.getString(3))))
             }
           } finally out.close()
           if (!pfs.rename(tmp, p)) pfs.delete(tmp, false)

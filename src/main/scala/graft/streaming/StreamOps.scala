@@ -190,9 +190,8 @@ object StreamOps {
   def windowedAggregate(
       df: DataFrame, tsCol: String, keyCol: String,
       windowDur: String, watermarkDur: String, aggs: Seq[Column]): DataFrame =
-    df.withWatermark(tsCol, watermarkDur)
-      .groupBy(window(col(tsCol), windowDur), col(keyCol))
-      .agg(count(lit(1)).as("n_events"), aggs: _*)
+    graft.operators.Events.tumblingWindowAggregate(
+      df.withWatermark(tsCol, watermarkDur), tsCol, keyCol, windowDur, aggs)
 
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class UserAgg(user_id: Long, n_events: Long, value_sum: Double)

@@ -635,6 +635,69 @@ exports: [{name: out, format: parquet, params: {path: p}}]
     rm(new java.io.File(dir))
   }
 
+  test("window_agg step: streaming watermarked windows match the batch twin") {
+    val dir = s"/tmp/graft-pipe-wagg-${System.nanoTime()}"
+    // 12 pages across 3 hosts and 3 distinct fetch hours -> multiple
+    // real event-time windows per host
+    val pages = (0L until 12L)
+      .map(i => (i, s"https://s${i % 3}.example/doc/$i",
+        s"<html><body><p>doc $i</p></body></html>",
+        f"2026-01-01T0${i % 3}%d:10:00Z"))
+      .toDF("doc_id", "url", "html", "fetched")
+      .repartition(2, pmod(col("doc_id"), lit(2)))
+    graft.sources.Warc.writeFiles(pages, "url", "html", dir, dateCol = "fetched")
+    def specFor(mode: String) = s"""
+entity: crawl_rate
+mode: $mode
+sources: [{name: crawl, table: "$dir/*.warc.gz", format: warc}]
+steps:
+  - name: picked
+    op: select
+    input: crawl
+    params: {columns: ["url", "fetched_at", "regexp_extract(url, 'https://([^/]+)/', 1) AS host"]}
+  - name: counted
+    op: window_agg
+    params: {ts: fetched_at, key: host, window: "1 hour", watermark: "10 minutes"}
+"""
+    val want = Pipeline.result(spark, specFor("batch"),
+        t => fail(s"unexpected table $t"))
+      .selectExpr("window.start AS ws", "host", "n_events").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(want.size === 3 && want.forall(_._3 === 4L)) // 3 (host,hour) cells
+    val stream = Pipeline.resultStream(spark, specFor("streaming"),
+      t => fail(s"unexpected table $t"))
+    assert(stream.isStreaming)
+    val q = stream.selectExpr("window.start AS ws", "host", "n_events")
+      .writeStream.format("memory").queryName("pipe_wagg_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("pipe_wagg_out").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(got === want)
+    } finally q.stop()
+    // an aggregation mid-chain is refused loudly
+    val ex = intercept[IllegalArgumentException] {
+      Pipeline.resultStream(spark, s"""
+entity: bad
+mode: streaming
+sources: [{name: crawl, table: "$dir/*.warc.gz", format: warc}]
+steps:
+  - name: counted
+    op: window_agg
+    params: {ts: fetched_at, key: url, window: "1 hour", watermark: "10 minutes"}
+  - name: after
+    op: filter
+    params: {where: "n_events > 1"}
+""", t => fail(s"unexpected table $t"))
+    }
+    assert(ex.getMessage.contains("LAST step"))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(dir))
+  }
+
   test("url_resolve and lang_id_learned steps match the direct operators") {
     // links with relative hrefs resolve against the page URL in-spec
     val links = Seq(
