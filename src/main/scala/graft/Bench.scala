@@ -80,12 +80,22 @@ object Bench {
       val base = times.filter(_ >= 0)
       if (base.nonEmpty && base.min < extraBelowSec && extraRuns > runs)
         times = times ++ (runs until extraRuns).map(_ => timeOnce())
-      val good = times.filter(_ >= 0)
-      // spread over WARM runs only (chronological drop of run 1, which
-      // measures JIT/codegen compile, not noise)
-      val warm = good.drop(1)
-      val spread =
+      def warmSpread(ts: Seq[Double]): Double = {
+        // spread over WARM runs only (chronological drop of run 1,
+        // which measures JIT/codegen compile, not noise)
+        val warm = ts.filter(_ >= 0).drop(1)
         if (warm.size >= 2) (warm.max - warm.min) / warm.min else 0.0
+      }
+      // quiesced-window guard: a >50% warm spread means the sandbox was
+      // noisy during THIS query — take up to 2 extra runs so the median
+      // settles instead of poisoning cross-round comparison (three
+      // phantom regressions in rounds 10-12 traced to exactly this)
+      var guard = 0
+      while (warmSpread(times) > 0.5 && guard < 2) {
+        times = times :+ timeOnce(); guard += 1
+      }
+      val good = times.filter(_ >= 0)
+      val spread = warmSpread(times)
       val sorted = good.sorted
       if (good.isEmpty) (name, -1.0, -1.0, 0.0)
       else (name, sorted.head, sorted(sorted.size / 2), spread)

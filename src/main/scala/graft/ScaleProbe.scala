@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ENGINE-ONLY endurance sweep for scales the DuckDB oracle cannot
+  * follow (sf100+): each probe runs a top-cost operator at full scale
+  * and asserts an ORACLE-FREE invariant — row-count conservation,
+  * fused≡unfused parity, idempotence, probe-invariant compaction,
+  * planted-signal recovery — then prints one JSON line with the wall
+  * time. A failed invariant throws (the probe run exits non-zero);
+  * the JSON lines land in SCALE.md.
+  *
+  * Usage: runMain graft.ScaleProbe <sfDir> [onlyCsv]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val only: Option[Set[String]] =
+      if (args.length > 1) Some(args(1).split(",").toSet) else None
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    var failures = 0
+    def probe(name: String)(body: => String): Unit =
+      if (only.forall(_.contains(name))) {
+        val t0 = System.nanoTime()
+        val detail =
+          try body
+          catch { case e: Throwable =>
+            failures += 1
+            s"FAILED: ${e.getMessage.take(300)}"
+          }
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"$name","sec":$sec%.1f,"detail":"$detail"}""")
+      }
+
+    def docs = Tables.documents(spark, sfDir)
+    def emb = Tables.embeddings(spark, sfDir)
+
+    // 1. fused ≡ unfused thumbnail dedup: the two-codec chain and the
+    //    single-decode fast path must mine the IDENTICAL pair set.
+    probe("thumb_fused_parity") {
+      val a = SparkEntry.queries("q_image_thumb_dedup")(spark, sfDir)
+      val b = SparkEntry.queries("q_image_thumb_fused")(spark, sfDir)
+      val extra = a.exceptAll(b).count(); val missing = b.exceptAll(a).count()
+      require(extra == 0 && missing == 0, s"pair sets differ: +$extra -$missing")
+      s"pairs=${b.count()} identical"
+    }
+
+    // 2. span-scrub token conservation: kept + removed == source tokens,
+    //    for EVERY document (no row-level slack hiding in aggregates).
+    probe("span_scrub_conservation") {
+      val out = graft.operators.Dedup.spanScrub(docs, "doc_id", "text", spanLen = 8)
+      val toks = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      val bad = out.join(toks, "doc_id")
+        .where(col("n_kept") + col("n_removed") =!= col("n")).count()
+      require(bad == 0, s"$bad docs violate kept+removed==tokens")
+      s"docs=${out.count()} all conserve"
+    }
+
+    // 3. exact-dedup conservation: cluster sizes partition the corpus.
+    probe("exact_dedup_conservation") {
+      val d = graft.operators.Dedup.exactDuplicates(docs, "doc_id", "text")
+      val total = d.agg(sum("n_docs")).head().getLong(0)
+      val n = docs.count()
+      require(total == n, s"sum(n_docs)=$total != corpus $n")
+      s"clusters=${d.count()} cover $n docs"
+    }
+
+    // 4. suffix-array sanity at scale: one rank per position, ranks in
+    //    [1, n], and equal ranks ⇔ positions with equal next-token rank
+    //    chains is the gate's job — here the cheap global invariants.
+    probe("suffix_ranks") {
+      val sr = graft.operators.Dedup.suffixRanks(docs, "doc_id", "text", rounds = 8)
+      val nToks = docs.agg(sum(size(split(col("text"), " ")))).head().getLong(0)
+      val st = sr.agg(count(lit(1)), min("srank"), max("srank")).head()
+      require(st.getLong(0) == nToks, s"rows ${st.getLong(0)} != tokens $nToks")
+      require(st.getLong(1) >= 1L && st.getLong(2) <= nToks,
+        s"rank range [${st.getLong(1)}, ${st.getLong(2)}] outside [1, $nToks]")
+      s"positions=$nToks rank_max=${st.getLong(2)}"
+    }
+
+    // 5. exhaustive-probe IVF == brute force: with nProbe covering every
+    //    cell the pruned scan must return the exact top-k.
+    probe("ivf_exhaustive_exact") {
+      val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+      val queries = emb.where(col("vec_id") < 8)
+      val ivf = graft.operators.Similarity.ivfTopK(
+        emb, queries, "vec_id", "embedding",
+        k = 10, centroidStride = maxId / 8 + 1, nProbe = 8)
+      val bf = graft.operators.Similarity.bruteForceTopK(
+        emb, queries, "vec_id", "embedding", k = 10)
+      val diff = ivf.exceptAll(bf).count() + bf.exceptAll(ivf).count()
+      require(diff == 0, s"$diff rows differ from brute force")
+      s"queries=8 k=10 exact"
+    }
+
+    // 6. minhash index lifecycle: probe verdicts are COMPACTION-INVARIANT
+    //    (the maintenance rewrite must never move a dedup decision).
+    probe("minhash_compaction_invariant") {
+      val dir = s"/tmp/graft-sp-idx-${math.abs(sfDir.hashCode)}"
+      val corpus = docs.where(pmod(col("doc_id"), lit(100)) =!= 7)
+      val shard = docs.where(pmod(col("doc_id"), lit(100)) === 7)
+      graft.operators.Dedup.minhashIndexWrite(corpus, "doc_id", "text", dir)
+      val before = graft.operators.Dedup
+        .dedupShardAgainstIndex(shard, "doc_id", "text", dir)
+        .localCheckpoint(true)
+      graft.operators.Dedup.minhashIndexCompact(spark, dir)
+      val after = graft.operators.Dedup
+        .dedupShardAgainstIndex(shard, "doc_id", "text", dir)
+      val diff = before.exceptAll(after).count() + after.exceptAll(before).count()
+      require(diff == 0, s"$diff probe verdicts moved across compaction")
+      s"shard=${shard.count()} verdicts compaction-invariant"
+    }
+
+    // 7. URL normalization idempotence at scale: normalize ∘ normalize
+    //    == normalize over synthesized messy URLs.
+    probe("url_normalize_idempotent") {
+      val urls = docs.select(col("doc_id"),
+        concat(lit("HTTPS://Site"), (col("doc_id") % 97).cast("string"),
+          lit(".Example.COM:443/a/../b/%7Euser/?b=2&a=1#frag")).as("url"))
+      val norm = graft.operators.Html.urlNormalize(col("url"))
+      val once = urls.select(col("doc_id"), norm.as("url"))
+      val bad = once
+        .where(graft.operators.Html.urlNormalize(col("url")) =!= col("url"))
+        .count()
+      require(bad == 0, s"$bad urls not idempotent")
+      s"urls=${urls.count()} idempotent"
+    }
+
+    // 8. learned language ID recovers every planted label held-out —
+    //    the training loop's end-to-end signal at full corpus scale.
+    probe("lang_id_recovery") {
+      val out = SparkEntry.queries("q_lang_id_learned")(spark, sfDir)
+      val wrong = out.where(col("lang") =!= col("lang_pred")).count()
+      val n = out.count()
+      require(wrong == 0, s"$wrong/$n held-out docs mispredicted")
+      s"held_out=$n accuracy=1.0"
+    }
+
+    println(s"""{"scale_probe_failures":$failures}""")
+    spark.stop()
+    if (failures > 0) sys.exit(1)
+  }
+}
