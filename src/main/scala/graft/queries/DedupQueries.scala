@@ -521,9 +521,13 @@ object DedupQueries {
     * (the engine's early all-distinct exit is a fixpoint, so running
     * all 8 rounds here is value-identical). */
   private val suffixArrayOracleSql: String = {
+    // every r_j is referenced TWICE by r_{j+1} (the self shift-join) —
+    // without MATERIALIZED the inlined plan holds 2^8 copies of the
+    // base window sort and exhausts the oracle at sf10 (the same
+    // exponential-CTE lesson as the lang-ID replay, SCALE.md round 10)
     val rounds = (1 to 8).map { j =>
       val k = 1 << (j - 1)
-      s"""r$j AS (
+      s"""r$j AS MATERIALIZED (
         SELECT a.doc_id, a.pos,
                CAST(dense_rank() OVER (ORDER BY a.r, COALESCE(b.r, 0)) AS BIGINT) AS r
         FROM r${j - 1} a LEFT JOIN r${j - 1} b
@@ -533,7 +537,7 @@ object DedupQueries {
       WITH base AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
       toks AS (
         SELECT doc_id, unnest(range(len(a))) AS pos, unnest(a) AS tok FROM base),
-      r0 AS (
+      r0 AS MATERIALIZED (
         SELECT doc_id, pos, CAST(dense_rank() OVER (ORDER BY tok) AS BIGINT) AS r
         FROM toks),
       $rounds
