@@ -961,6 +961,12 @@ object Dedup {
         .join(denseRankMap(paired, Seq("__r1", "__r2"), "r"), Seq("__r1", "__r2"))
         .select(col("doc_id"), col("pos"), col("r"))
         .localCheckpoint(true)
+      // the PREVIOUS round's checkpoint blocks are unreferenced now,
+      // but ContextCleaner only reclaims on a driver GC — with a large
+      // heap none may come for many rounds, and 9 lingering n-row
+      // checkpoints spill ~9× the corpus to executor disk (measured
+      // 42 GB at sf100). Nudge the cleaner once per round.
+      System.gc()
       j += 1
       if (j < rounds && n > 0) // all-distinct ⇒ fixpoint; skip on the last lap
         done = cur.agg(max(col("r"))).head().getLong(0) == n

@@ -678,6 +678,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(plan) <= 3)
   }
 
+  test("spanDedupVar: no cartesian anywhere; islands window shuffles once") {
+    import org.apache.spark.sql.functions._
+    val plan = executed(graft.operators.Dedup.spanDedupVar(
+      Tables.documents(spark, dir), "doc_id", "text", minLen = 8))
+    assert(!plan.exists(_.nodeName.toLowerCase.contains("nestedloop")))
+    assert(!plan.exists(_.nodeName.toLowerCase.contains("cartesian")))
+    // window decision (partial+final agg), flagged join, per-doc window,
+    // spans groupBy, text join-back, presentation sort — bounded exchange
+    // count; the dup aggregation must combine map-side
+    assert(plan.count(_.nodeName.contains("HashAggregate")) >= 2)
+  }
+
+  test("suffixRanks round is equi-join + range re-rank, never a range join") {
+    val plan = executed(graft.operators.Dedup.suffixRanks(
+      Tables.documents(spark, dir), "doc_id", "text", rounds = 8))
+    assert(!plan.exists(_.nodeName.toLowerCase.contains("nestedloop")))
+    assert(!plan.exists(_.nodeName.toLowerCase.contains("cartesian")))
+  }
+
+  test("columnRoles is ONE aggregation pass over the table") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, dir).withColumn("footprint",
+      concat(lit("POINT("), (col("user_id") % 90).cast("string"), lit(" 1)")))
+    val plan = executed(graft.operators.Analysis.columnRoles(
+      ev, Seq("event_id", "ts", "event_type", "value", "footprint")))
+    // one scan feeds everything: stats, distincts, the WKT flag
+    // (match real scan NODES — query-stage wrappers are childless too
+    // and their toString prints the whole stage subtree)
+    val scans = plan.filter(p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec] &&
+      p.toString.contains("events.parquet"))
+    assert(scans.size == 1, s"expected one events scan, got ${scans.size}")
+  }
+
   test("url normalization with %-decode and IDN folding stays map-only") {
     import org.apache.spark.sql.functions._
     val urls = Tables.documents(spark, dir).select(
