@@ -949,7 +949,14 @@ object Dedup {
       .localCheckpoint(true)
     base.unpersist()
     var j = 0
-    var done = n > 0 && cur.agg(max(col("r"))).head().getLong(0) == n
+    // two value-identical early stops (both are fixpoints, spec-held by
+    // the rounds=8 ≡ rounds=20 equality): all ranks distinct, or the
+    // comparison depth 2^j already covers the longest document — equal
+    // ranks then mean fully-equal suffixes, which no further round can
+    // separate. The second matters when callers over-provision `rounds`
+    // for oracle alignment: short-doc corpora stop at ceil(log2 L).
+    var done = (n > 0 && cur.agg(max(col("r"))).head().getLong(0) == n) ||
+      (1L >= maxLen)
     while (j < rounds && !done) {
       val k = 1L << j
       val shifted = cur.select(
@@ -968,7 +975,8 @@ object Dedup {
       // 42 GB at sf100). Nudge the cleaner once per round.
       System.gc()
       j += 1
-      if (j < rounds && n > 0) // all-distinct ⇒ fixpoint; skip on the last lap
+      if ((1L << j) >= maxLen) done = true // comparison depth covers max doc
+      else if (j < rounds && n > 0) // all-distinct ⇒ fixpoint; skip last lap
         done = cur.agg(max(col("r"))).head().getLong(0) == n
     }
     cur.select(col("doc_id"), col("pos"), col("r").as("srank"))
