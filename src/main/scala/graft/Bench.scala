@@ -81,15 +81,20 @@ object Bench {
       if (base.nonEmpty && base.min < extraBelowSec && extraRuns > runs)
         times = times ++ (runs until extraRuns).map(_ => timeOnce())
       def warmSpread(ts: Seq[Double]): Double = {
-        // spread over WARM runs only (chronological drop of run 1,
-        // which measures JIT/codegen compile, not noise)
-        val warm = ts.filter(_ >= 0).drop(1)
+        // spread over a TRAILING window of warm runs (chronological
+        // drop of run 1, which measures JIT/codegen compile, then the
+        // last `runs` samples). A spread over ALL appended runs is
+        // monotonically nondecreasing — the guard below could add runs
+        // but never observe that they settled, so the noise flag stuck
+        // to the original outlier forever (round-13 advice).
+        val warm = ts.filter(_ >= 0).drop(1).takeRight(math.max(runs, 2))
         if (warm.size >= 2) (warm.max - warm.min) / warm.min else 0.0
       }
       // quiesced-window guard: a >50% warm spread means the sandbox was
-      // noisy during THIS query — take up to 2 extra runs so the median
-      // settles instead of poisoning cross-round comparison (three
-      // phantom regressions in rounds 10-12 traced to exactly this)
+      // noisy during THIS query — take up to 2 extra runs; the trailing
+      // window lets them CLEAR the flag once the box settles instead of
+      // poisoning cross-round comparison (three phantom regressions in
+      // rounds 10-12 traced to exactly this)
       var guard = 0
       while (warmSpread(times) > 0.5 && guard < 2) {
         times = times :+ timeOnce(); guard += 1

@@ -39,7 +39,12 @@ object ScaleProbe {
             s"FAILED: ${e.getMessage.take(300)}"
           }
         val sec = (System.nanoTime() - t0) / 1e9
-        println(f"""{"probe":"$name","sec":$sec%.1f,"detail":"$detail"}""")
+        // detail may be an exception message — escape JSON-breaking
+        // characters and collapse newlines so the SCALE.md-committed
+        // line stays one valid JSON object
+        val safe = detail.replace("\\", "\\\\").replace("\"", "\\\"")
+          .replaceAll("\\s+", " ")
+        println(f"""{"probe":"$name","sec":$sec%.1f,"detail":"$safe"}""")
       }
 
     def docs = Tables.documents(spark, sfDir)

@@ -16,7 +16,6 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
-  /** I1 — tumbling-window aggregation by `date_trunc(unit)`. */
   /** Tumbling-window aggregation SHARED by the batch spec compiler and
     * the streaming twin ([[graft.streaming.StreamOps.windowedAggregate]]
     * = withWatermark + this): `window(ts, dur)` grouping with an event
@@ -28,6 +27,7 @@ object Events {
     df.groupBy(window(col(tsCol), windowDur), col(keyCol))
       .agg(count(lit(1)).as("n_events"), aggs: _*)
 
+  /** I1 — tumbling-window aggregation by `date_trunc(unit)`. */
   def windowAggregate(
       df: DataFrame, tsCol: String, unit: String,
       keys: Seq[String], aggs: Seq[Column]): DataFrame = {

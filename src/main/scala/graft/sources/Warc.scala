@@ -361,15 +361,35 @@ object Warc {
         inf.setInput(bytes, dataOff, bytes.length - dataOff)
         val out = new ByteArrayOutputStream(1 << 14)
         val buf = new Array[Byte](1 << 14)
+        val crc = new java.util.zip.CRC32
         try {
           while (!inf.finished()) {
             val k = inf.inflate(buf)
-            if (k > 0) out.write(buf, 0, k)
+            if (k > 0) { out.write(buf, 0, k); crc.update(buf, 0, k) }
             else if (inf.needsInput()) throw new EOFException(
               s"warc index: truncated gzip member at $start in $file")
           }
-          pos = dataOff + inf.getBytesRead.toInt + 8 // CRC32 + ISIZE
+          pos = dataOff + inf.getBytesRead.toInt
         } finally inf.end()
+        // RFC 1952 trailer validation, mirroring GzipMemberWalker: a
+        // raw Inflater does not check CRC32/ISIZE, and the WarcSpec
+        // byte-identical cross-validation between the two walkers must
+        // hold for trailer-corrupt members too (both throw).
+        require(pos + 8 <= bytes.length,
+          s"warc index: truncated gzip trailer at member $start in $file")
+        def le32(at: Int): Long =
+          (0 until 4).map(i => (bytes(at + i) & 0xffL) << (8 * i)).sum
+        val storedCrc = le32(pos); val storedIsize = le32(pos + 4)
+        if (storedCrc != crc.getValue)
+          throw new IllegalArgumentException(
+            f"warc index: gzip member CRC32 mismatch at trailer offset $pos in $file " +
+              f"(stored 0x$storedCrc%08x, computed 0x${crc.getValue}%08x) — " +
+              "corrupt member payload")
+        if (storedIsize != (out.size().toLong & 0xffffffffL))
+          throw new IllegalArgumentException(
+            s"warc index: gzip member ISIZE mismatch at trailer offset $pos in $file " +
+              s"(stored $storedIsize, inflated ${out.size()})")
+        pos += 8 // CRC32 + ISIZE
         require(pos <= bytes.length,
           s"warc index: member at $start overruns $file")
         val rec = parseAll(file, out.toByteArray).next()

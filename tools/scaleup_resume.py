@@ -29,7 +29,26 @@ def main(src: str, dst: str, n: int, tables: list[str]) -> None:
         print(f"[scaleup] {table}: x{n}", flush=True)
 
     for t in tables:
-        if t == "lineitem":
+        if t in ("region", "nation"):
+            con.execute(f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet')) "
+                        f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
+            print(f"[scaleup] {t}: single copy (closed key domain)", flush=True)
+        elif t == "customer":
+            clone("customer",
+                  f"c_custkey + c.i*{s.CUST} AS c_custkey, c_name, c_nationkey, "
+                  f"c_acctbal, c_mktsegment")
+        elif t == "supplier":
+            clone("supplier",
+                  f"s_suppkey + c.i*{s.SUPP} AS s_suppkey, s_name, s_nationkey, s_acctbal")
+        elif t == "part":
+            clone("part",
+                  f"p_partkey + c.i*{s.PART} AS p_partkey, p_name, p_brand, p_type, "
+                  f"p_size, p_retailprice")
+        elif t == "orders":
+            clone("orders",
+                  f"o_orderkey + c.i*{s.ORD} AS o_orderkey, o_custkey + c.i*{s.CUST} AS o_custkey, "
+                  f"o_orderstatus, o_totalprice, o_orderdate, o_orderpriority")
+        elif t == "lineitem":
             clone("lineitem",
                   f"l_orderkey + c.i*{s.ORD} AS l_orderkey, l_partkey + c.i*{s.PART} AS l_partkey, "
                   f"l_suppkey + c.i*{s.SUPP} AS l_suppkey, l_linenumber, l_quantity, l_extendedprice, "
@@ -59,6 +78,17 @@ def main(src: str, dst: str, n: int, tables: list[str]) -> None:
                 f"user_id + c.i*{s.USR} AS user_id, event_type, value, props "
                 f"FROM read_parquet('{src}/events.parquet') t, range({n}) c(i) ORDER BY c.i"
             ).fetch_arrow_table()
+            # identical explicit schema + row-group layout to scaleup.py,
+            # so a resumed events.parquet is byte-compatible with a full
+            # run (nullability metadata and row-group sizing included)
+            schema = pa.schema([
+                pa.field("event_id", pa.int64()),
+                pa.field("ts", pa.timestamp("ns")),
+                pa.field("user_id", pa.int64()),
+                pa.field("event_type", pa.string()),
+                pa.field("value", pa.float64()),
+                pa.field("props", pa.string()),
+            ])
             out = pa.table({
                 "event_id": ev.column("event_id"),
                 "ts": ev.column("ts_ns").cast(pa.timestamp("ns")),
@@ -66,8 +96,9 @@ def main(src: str, dst: str, n: int, tables: list[str]) -> None:
                 "event_type": ev.column("event_type"),
                 "value": ev.column("value"),
                 "props": ev.column("props"),
-            })
-            pq.write_table(out, f"{dst}/events.parquet")
+            }, schema=schema)
+            pq.write_table(out, f"{dst}/events.parquet",
+                           coerce_timestamps=None, row_group_size=200_000)
             print(f"[scaleup] events: x{n} (nanos preserved)", flush=True)
         else:
             raise SystemExit(f"unknown/unsupported resume table {t}")
