@@ -872,6 +872,73 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** J12-var — VARIABLE-LENGTH span dedup APPLIED (the Lee et al. 2021
+    * materialization a pipeline actually ships): rewrite every document
+    * with its duplicated regions removed, PROTECTING the corpus-wide
+    * first occurrence of each flagged window as a contiguous region.
+    * The window decision is [[spanDedupVar]]'s (minLen-token windows in
+    * ≥ minDocs distinct docs — covered-set-equivalent to the
+    * suffix-array formulation, SuffixArraySpec); the keep decision is
+    * J12's corpus-wide first occurrence per window; the removal set is
+    *
+    *   cover(non-first occurrences) MINUS cover(first occurrences)
+    *
+    * The subtraction is what makes this the variable-length semantics.
+    * Fixed-window [[spanScrub]] cuts every token covered by ANY
+    * non-first flagged window, so when two OVERLAPPING windows have
+    * their first occurrences in DIFFERENT documents, the supposedly
+    * kept copy gets fragmented: the doc holding window A's first
+    * occurrence still loses A's interior tokens to overlapping window
+    * B's non-first coverage (SpanScrubVarSpec constructs the over-cut).
+    * Protecting first-occurrence coverage keeps exactly one contiguous
+    * copy of every maximal duplicated region; non-first copies are cut
+    * whole — per-doc removal regions are [[spanDedupVar]]'s maximal
+    * islands minus the protected runs.
+    *
+    * Plan economics: identical to [[spanScrub]] (two-level partial agg
+    * on 128-bit window hashes, struct-min first occurrence, coverage
+    * fan-out ≤ minLen × flagged mass) plus ONE extra ids-only anti-join
+    * for the protection set — every exchange key fixed-width, no
+    * pairwise work anywhere. Output matches spanScrub:
+    * (doc_id, text_clean, n_kept, n_removed). */
+  def spanScrubVar(
+      df: DataFrame, idCol: String, textCol: String,
+      minLen: Int, minDocs: Int = 2): DataFrame = {
+    require(minLen >= 2, "spanScrubVar: minLen must be >= 2")
+    require(minDocs >= 2, "spanScrubVar: minDocs must be >= 2 (cross-doc duplicates)")
+    val base = df.select(
+      col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+    val occ = base
+      .where(size(col("toks")) >= minLen)
+      .select(col("doc_id"), posexplode(
+        graft.functions.HashFunctions.string_ngrams(col("toks"), minLen)))
+      .toDF("doc_id", "pos", "span")
+      .select(col("doc_id"), col("pos"),
+        xxhash64(col("span")).as("h1"),
+        xxhash64(col("span"), lit(1)).as("h2"))
+    val dup = occ
+      .groupBy(col("h1"), col("h2"), col("doc_id")).agg(count(lit(1)).as("__occ"))
+      .groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+      .select(col("h1"), col("h2"))
+    val flagged = occ.join(dup, Seq("h1", "h2"))
+    val firstOcc = flagged
+      .groupBy(col("h1"), col("h2"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+      .select(col("h1"), col("h2"),
+        col("f.doc_id").as("fdoc"), col("f.pos").as("fpos"))
+    val tagged = flagged.join(firstOcc, Seq("h1", "h2"))
+    val isFirst = col("doc_id") === col("fdoc") && col("pos") === col("fpos")
+    def coverOf(occs: DataFrame): DataFrame = occs
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(minLen - 1))).as("tpos"))
+      .distinct()
+    val protectCover = coverOf(tagged.where(isFirst))
+    val cutCover = coverOf(tagged.where(!isFirst))
+    spanCoverRebuild(
+      base, cutCover.join(protectCover, Seq("doc_id", "tpos"), "left_anti"))
+  }
+
   /** Distributed DENSE RANK over arbitrary key columns — the building
     * block [[suffixRanks]] iterates. A global
     * `dense_rank().over(Window.orderBy(...))` funnels every row
@@ -925,6 +992,62 @@ object Dedup {
   def suffixRanks(
       df: DataFrame, idCol: String, textCol: String,
       rounds: Int = 8): DataFrame = {
+    val (levels, _, _) =
+      suffixRankLevels(df, idCol, textCol, rounds, retainLevels = false)
+    // only the final level is still pinned; its blocks back the
+    // returned frame and release when it goes out of scope
+    // (ContextCleaner — the minhash signature posture).
+    levels.last.frame.select(col("doc_id"), col("pos"), col("r").as("srank"))
+  }
+
+  /** One materialized rung of the prefix-doubling ladder: `frame` is a
+    * flat LogicalRDD over explicitly pinned executor blocks;
+    * `release()` drops those blocks DETERMINISTICALLY. ContextCleaner
+    * only reclaims checkpoint blocks when a driver GC collects the
+    * frame reference — with a large heap none may come for many
+    * rounds, and 9 lingering n-row checkpoints spill ~9× the corpus to
+    * executor disk (measured 42 GB at sf100). Round 13's stopgap was a
+    * `System.gc()` per round; the explicit handle makes reclamation
+    * independent of heap pressure on shared drivers. */
+  private[graft] final class PinnedFrame(
+      val frame: DataFrame, rdd: org.apache.spark.rdd.RDD[_]) {
+    def release(): Unit = rdd.unpersist(blocking = false)
+  }
+
+  /** Materialize a frame into pinned executor blocks with lineage
+    * truncated (localCheckpoint semantics — the doubling loop
+    * references each round twice, so without truncation the plan
+    * doubles per lap) and hand back the explicit release handle.
+    * Rows copy out of the scan's reused buffers before caching; the
+    * frame stays in InternalRow-land (no external-Row encoder pass on
+    * downstream consumption — the connectedComponents posture). */
+  private def pinFrame(df: DataFrame): PinnedFrame = {
+    val schema = df.schema
+    val rdd = df.queryExecution.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    rdd.count()
+    new PinnedFrame(
+      org.apache.spark.sql.graft.ColumnBridge
+        .internalCreateDataFrame(df.sparkSession, rdd, schema),
+      rdd)
+  }
+
+  /** The prefix-doubling ladder shared by [[suffixRanks]] (J17a — final
+    * ranks only) and [[longestDuplicate]] (J17c — the LCP halving walks
+    * every level). Level i's frame is (doc_id, pos, r) with equal ranks
+    * ⇔ equal depth-2^i prefixes (rank-0 sentinel padding past doc end).
+    *
+    * `retainLevels = false` returns ONLY the final level and releases
+    * each superseded level's blocks the moment its successor is
+    * materialized — executor footprint stays at ~2 levels regardless
+    * of round count. `retainLevels = true` keeps the whole ladder
+    * pinned (log L levels of n rows, disk-backed — the standard
+    * suffix-array LCP structure, cf. Lee et al. 2021's log L rank
+    * arrays); the CALLER owns release() of every returned level.
+    * Returns (levels in depth order, n positions, max doc length). */
+  private[graft] def suffixRankLevels(
+      df: DataFrame, idCol: String, textCol: String, rounds: Int,
+      retainLevels: Boolean): (Vector[PinnedFrame], Long, Long) = {
     require(rounds >= 1 && rounds <= 30,
       s"suffixRanks: rounds must be in [1,30], got $rounds")
     val base = df
@@ -938,16 +1061,11 @@ object Dedup {
     require(maxLen <= (1L << rounds),
       s"suffixRanks: longest document has $maxLen tokens but 2^$rounds = " +
         s"${1L << rounds} — ranks would compare only a prefix; raise `rounds`")
-    // each round references `cur` TWICE (self-join with its own shift),
-    // so lineage doubles per round — localCheckpoint truncates the plan
-    // each lap or 20 rounds builds a 2^20-node tree (measured: OOM in
-    // plan stringification alone). Blocks release when the frame goes
-    // out of scope (ContextCleaner — the minhash signature posture).
-    var cur = base
+    var cur = pinFrame(base
       .join(denseRankMap(base, Seq("tok"), "r"), Seq("tok"))
-      .select(col("doc_id"), col("pos"), col("r"))
-      .localCheckpoint(true)
+      .select(col("doc_id"), col("pos"), col("r")))
     base.unpersist()
+    var levels = Vector(cur)
     var j = 0
     // two value-identical early stops (both are fixpoints, spec-held by
     // the rounds=8 ≡ rounds=20 equality): all ranks distinct, or the
@@ -955,31 +1073,152 @@ object Dedup {
     // ranks then mean fully-equal suffixes, which no further round can
     // separate. The second matters when callers over-provision `rounds`
     // for oracle alignment: short-doc corpora stop at ceil(log2 L).
-    var done = (n > 0 && cur.agg(max(col("r"))).head().getLong(0) == n) ||
+    var done = (n > 0 && cur.frame.agg(max(col("r"))).head().getLong(0) == n) ||
       (1L >= maxLen)
     while (j < rounds && !done) {
       val k = 1L << j
-      val shifted = cur.select(
+      val cf = cur.frame
+      val shifted = cf.select(
         col("doc_id"), (col("pos") - k).as("pos"), col("r").as("__rn"))
-      val paired = cur.join(shifted, Seq("doc_id", "pos"), "left")
+      val paired = cf.join(shifted, Seq("doc_id", "pos"), "left")
         .select(col("doc_id"), col("pos"),
           col("r").as("__r1"), coalesce(col("__rn"), lit(0L)).as("__r2"))
-      cur = paired
+      val next = pinFrame(paired
         .join(denseRankMap(paired, Seq("__r1", "__r2"), "r"), Seq("__r1", "__r2"))
-        .select(col("doc_id"), col("pos"), col("r"))
-        .localCheckpoint(true)
-      // the PREVIOUS round's checkpoint blocks are unreferenced now,
-      // but ContextCleaner only reclaims on a driver GC — with a large
-      // heap none may come for many rounds, and 9 lingering n-row
-      // checkpoints spill ~9× the corpus to executor disk (measured
-      // 42 GB at sf100). Nudge the cleaner once per round.
-      System.gc()
+        .select(col("doc_id"), col("pos"), col("r")))
+      // the previous round's blocks are unreferenced the moment `next`
+      // is materialized (pinFrame ran its count) — release them NOW
+      if (!retainLevels) cur.release()
+      cur = next
+      levels = if (retainLevels) levels :+ cur else Vector(cur)
       j += 1
       if ((1L << j) >= maxLen) done = true // comparison depth covers max doc
       else if (j < rounds && n > 0) // all-distinct ⇒ fixpoint; skip last lap
-        done = cur.agg(max(col("r"))).head().getLong(0) == n
+        done = cur.frame.agg(max(col("r"))).head().getLong(0) == n
     }
-    cur.select(col("doc_id"), col("pos"), col("r").as("srank"))
+    (levels, n, maxLen)
+  }
+
+  /** J17c — per-document LONGEST DUPLICATED SUBSTRING report from the
+    * suffix-rank ladder (the number Lee et al. 2021 publish, and the
+    * natural threshold-tuning diagnostic for [[spanDedupVar]]): for
+    * every document, the length of the longest token run that also
+    * occurs at some OTHER (doc, pos) in the corpus (within-doc repeats
+    * included — the paper's criterion), the smallest position of such a
+    * run, and a certifying other occurrence.
+    *
+    * Algorithm: final suffix ranks order the distinct suffixes; the
+    * longest duplicate through position p is
+    * max(full-suffix-length if p's rank has ≥ 2 members,
+    *     LCP with the predecessor rank's representative,
+    *     LCP with the successor's) — the classic adjacent-suffix LCP
+    * property (non-adjacent groups never beat adjacent ones in sorted
+    * order). Rank adjacency is an EQUI-join (ranks are dense: r ↔ r+1),
+    * never a corpus-global ordering window; each adjacent LCP computes
+    * by RANK-PAIR HALVING down the retained ladder — at level i (depth
+    * 2^i), equal ranks at the advanced offsets add 2^i and advance;
+    * offsets past a doc's end miss the level join and compare unequal
+    * (the rank-0 sentinel semantics). Two equi-joins against an n-row
+    * level per rung ⇒ the whole report is O(n log L) shuffle-on-key
+    * work; the ladder's log L pinned levels (disk-backed) are the
+    * standard suffix-array LCP memory shape, released deterministically
+    * once the report is materialized.
+    *
+    * Attribution is deterministic: among the candidate certifying
+    * occurrences (struct-min same-rank other, predecessor rep,
+    * successor rep) achieving the max, the struct-min (doc, pos); per
+    * doc, the smallest position achieving the doc max. Docs with no
+    * duplicated run report dup_len 0 at pos 0 with null source. */
+  def longestDuplicate(
+      df: DataFrame, idCol: String, textCol: String,
+      rounds: Int = 8): DataFrame = {
+    val (levels, _, _) =
+      suffixRankLevels(df, idCol, textCol, rounds, retainLevels = true)
+    val fin = levels.last.frame // (doc_id, pos, r)
+    val base = df.select(
+      col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+    val withLen = fin
+      .join(base.select(col("doc_id"), size(col("toks")).cast("long").as("__dl")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("pos"), col("r"),
+        (col("__dl") - col("pos")).as("slen"))
+    // rank groups: occupancy + the two struct-min members (the second
+    // is the deterministic "other occurrence" when a position IS the
+    // min). Both are map-combinable struct-min aggregates — a
+    // row_number window would funnel a hot boilerplate rank's whole
+    // occurrence list through one sorting partition.
+    val g1 = withLen.groupBy(col("r")).agg(
+      count(lit(1)).as("cnt"),
+      min(struct(col("doc_id"), col("pos"))).as("f1"))
+    val g2 = withLen.join(g1, Seq("r"))
+      .where(!(col("doc_id") === col("f1.doc_id") && col("pos") === col("f1.pos")))
+      .groupBy(col("r"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f2"))
+    val grp = g1.join(g2, Seq("r"), "left")
+    val reps = grp.select(
+      col("r"), col("f1.doc_id").as("rd"), col("f1.pos").as("rp"))
+    // adjacent representative pairs, keyed by the LOWER rank
+    var pairs = reps
+      .join(reps.select((col("r") - 1).as("r"),
+        col("rd").as("db"), col("rp").as("pb")), Seq("r"))
+      .select(col("r"), col("rd").as("da"), col("rp").as("pa"),
+        col("db"), col("pb"), lit(0L).as("lcp"), lit(0L).as("off"))
+    for (i <- levels.indices.reverse) {
+      val li = levels(i).frame
+      val kk = 1L << i
+      val la = li.select(
+        col("doc_id").as("__ad"), col("pos").as("__ap"), col("r").as("__ar"))
+      val lb = li.select(
+        col("doc_id").as("__bd"), col("pos").as("__bp"), col("r").as("__br"))
+      val j1 = pairs.join(la,
+        pairs("da") === la("__ad") &&
+          (pairs("pa") + pairs("off")) === la("__ap"), "left")
+      val j2 = j1.join(lb,
+        j1("db") === lb("__bd") && (j1("pb") + j1("off")) === lb("__bp"), "left")
+      val eq = col("__ar").isNotNull && col("__br").isNotNull &&
+        col("__ar") === col("__br")
+      pairs = j2.select(col("r"), col("da"), col("pa"), col("db"), col("pb"),
+        when(eq, col("lcp") + kk).otherwise(col("lcp")).as("lcp"),
+        when(eq, col("off") + kk).otherwise(col("off")).as("off"))
+    }
+    val adjN = pairs.select(col("r"), col("lcp").as("ln"),
+      struct(col("db").as("doc_id"), col("pb").as("pos")).as("nsrc"))
+    val adjP = pairs.select((col("r") + 1).as("r"), col("lcp").as("lp"),
+      struct(col("da").as("doc_id"), col("pa").as("pos")).as("psrc"))
+    val per = withLen
+      .join(grp, Seq("r"))
+      .join(adjN, Seq("r"), "left")
+      .join(adjP, Seq("r"), "left")
+      .select(col("doc_id"), col("pos"),
+        array(
+          struct(
+            when(col("cnt") >= 2, col("slen")).otherwise(lit(0L)).as("l"),
+            when(col("doc_id") === col("f1.doc_id") &&
+              col("pos") === col("f1.pos"), col("f2"))
+              .otherwise(col("f1")).as("s")),
+          struct(coalesce(col("ln"), lit(0L)).as("l"), col("nsrc").as("s")),
+          struct(coalesce(col("lp"), lit(0L)).as("l"), col("psrc").as("s")))
+          .as("cands"))
+      .select(col("doc_id"), col("pos"), col("cands"),
+        array_max(transform(col("cands"), c => c.getField("l"))).as("d"))
+      .select(col("doc_id"), col("pos"), col("d"),
+        array_min(transform(
+          filter(col("cands"),
+            c => c.getField("l") === col("d") && col("d") > 0),
+          c => c.getField("s"))).as("src"))
+    val perDoc = per.groupBy(col("doc_id"))
+      .agg(max(struct(col("d").as("l"), (-col("pos")).as("np"),
+        col("src").as("s"))).as("b"))
+    val report = perDoc.join(base, Seq("doc_id"))
+      .select(col("doc_id"),
+        col("b.l").as("dup_len"), (-col("b.np")).as("dup_pos"),
+        col("b.s.doc_id").as("src_doc"), col("b.s.pos").as("src_pos"),
+        array_join(slice(col("toks"), (-col("b.np") + 1).cast("int"),
+          col("b.l").cast("int")), " ").as("dup_text"))
+    // materialize BEFORE releasing the ladder the plan reads from
+    val pinned = report.localCheckpoint(true)
+    levels.foreach(_.release())
+    pinned.orderBy("doc_id")
   }
 
   /** J17b — VARIABLE-LENGTH duplicated-span detection (Lee et al. 2021

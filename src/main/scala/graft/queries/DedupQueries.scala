@@ -189,6 +189,24 @@ object DedupQueries {
     "q_span_scrub" -> { (s, dir) =>
       Dedup.spanScrub(Tables.documents(s, dir), "doc_id", "text", spanLen = 8)
     },
+    // J12-var gate — VARIABLE-LENGTH span scrub (the Lee et al.
+    // endpoint a pipeline ships): non-first duplicated-window coverage
+    // cut, first-occurrence coverage protected as contiguous regions.
+    // Row-level gate on the full rebuilt text, so a defect in flagging,
+    // the first-occurrence choice, the protection anti-join, or token
+    // reassembly changes a string and the hash fails.
+    "q_span_scrub_var" -> { (s, dir) =>
+      Dedup.spanScrubVar(Tables.documents(s, dir), "doc_id", "text", minLen = 8)
+    },
+    // J17c gate — per-doc longest duplicated substring from the
+    // suffix-rank ladder (rank-pair-halving LCP, equi-join adjacency).
+    // The oracle recomputes adjacency LCPs DIRECTLY on suffix token
+    // lists (an independent formulation — no halving), so a defect in
+    // any ladder level, the halving advance, the candidate max, or the
+    // deterministic source tie-break changes a row.
+    "q_longest_dup" -> { (s, dir) =>
+      Dedup.longestDuplicate(Tables.documents(s, dir), "doc_id", "text", rounds = 8)
+    },
     "q_dedup_embedding" -> { (s, dir) =>
       Dedup.embeddingNearDup(
         Tables.embeddings(s, dir), "vec_id", "embedding", "label", threshold = 0.4)
@@ -802,6 +820,127 @@ object DedupQueries {
              CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
              CAST(len(b.a) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed
       FROM base b LEFT JOIN kept k USING (doc_id)
+      ORDER BY doc_id""",
+    // the q_span_scrub replay plus the protection subtraction: covered
+    // positions of FIRST occurrences survive, everything else flagged
+    // is cut — see Dedup.spanScrubVar
+    "q_span_scrub_var" -> """
+      WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+      occ AS (
+        SELECT doc_id,
+               unnest(range(len(a) - 7)) AS pos,
+               unnest(list_transform(range(len(a) - 7),
+                 i -> array_to_string(a[i + 1:i + 8], ' '))) AS span
+        FROM base WHERE len(a) >= 8),
+      dup AS (
+        SELECT span FROM (SELECT span, doc_id FROM occ GROUP BY span, doc_id)
+        GROUP BY span HAVING COUNT(*) >= 2),
+      flagged AS (SELECT o.* FROM occ o JOIN dup USING (span)),
+      fo AS (
+        SELECT span, MIN(struct_pack(d := doc_id, p := pos)) AS f
+        FROM flagged GROUP BY span),
+      prot AS (
+        SELECT DISTINCT doc_id, tpos FROM (
+          SELECT f.d AS doc_id, unnest(range(f.p, f.p + 8)) AS tpos FROM fo)),
+      cand AS (
+        SELECT DISTINCT doc_id, tpos FROM (
+          SELECT fl.doc_id, unnest(range(fl.pos, fl.pos + 8)) AS tpos
+          FROM flagged fl JOIN fo USING (span)
+          WHERE NOT (fl.doc_id = fo.f.d AND fl.pos = fo.f.p))),
+      cover AS (
+        SELECT c.doc_id, c.tpos FROM cand c LEFT JOIN prot p
+          ON p.doc_id = c.doc_id AND p.tpos = c.tpos
+        WHERE p.doc_id IS NULL),
+      toks AS (
+        SELECT doc_id, unnest(a) AS tok, unnest(range(len(a))) AS tpos
+        FROM base),
+      kept AS (
+        SELECT t.doc_id,
+               string_agg(t.tok, ' ' ORDER BY t.tpos) AS text_clean,
+               COUNT(*) AS n_kept
+        FROM toks t LEFT JOIN cover c
+          ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+        WHERE c.doc_id IS NULL GROUP BY t.doc_id)
+      SELECT b.doc_id,
+             COALESCE(k.text_clean, '') AS text_clean,
+             CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+             CAST(len(b.a) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed
+      FROM base b LEFT JOIN kept k USING (doc_id)
+      ORDER BY doc_id""",
+    // independent formulation: suffixes as token LISTS, dense rank by
+    // list order (= the engine's iterated-rank order), adjacency LCP by
+    // direct elementwise prefix comparison — no rank-pair halving
+    // anywhere, so the two sides share no algorithmic structure
+    "q_longest_dup" -> """
+      WITH base AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+      suf AS (
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos, a[CAST(pos AS INT) + 1:] AS s,
+               CAST(len(a) - pos AS BIGINT) AS slen
+        FROM (SELECT doc_id, a, unnest(range(len(a))) AS pos FROM base)),
+      rk AS (
+        SELECT doc_id, pos, s, slen,
+               CAST(dense_rank() OVER (ORDER BY s) AS BIGINT) AS r
+        FROM suf),
+      grp AS (
+        SELECT r, COUNT(*) AS cnt,
+               MIN(struct_pack(d := doc_id, p := pos)) AS f1
+        FROM rk GROUP BY r),
+      g2 AS (
+        SELECT k.r, MIN(struct_pack(d := k.doc_id, p := k.pos)) AS f2
+        FROM rk k JOIN grp g USING (r)
+        WHERE NOT (k.doc_id = g.f1.d AND k.pos = g.f1.p)
+        GROUP BY k.r),
+      reps AS (
+        SELECT g.r, k.s
+        FROM grp g JOIN rk k ON k.doc_id = g.f1.d AND k.pos = g.f1.p),
+      adj AS (
+        SELECT a.r,
+               CAST(COALESCE(list_position(list_transform(list_zip(a.s, b.s),
+                 p -> p[1] IS NOT DISTINCT FROM p[2]), false) - 1,
+                 LEAST(len(a.s), len(b.s))) AS BIGINT) AS l
+        FROM reps a JOIN reps b ON b.r = a.r + 1),
+      perpos AS (
+        SELECT k.doc_id, k.pos,
+               [struct_pack(
+                  l := CASE WHEN g.cnt >= 2 THEN k.slen ELSE 0 END,
+                  s := CASE WHEN k.doc_id = g.f1.d AND k.pos = g.f1.p
+                       THEN g2.f2 ELSE g.f1 END),
+                struct_pack(l := COALESCE(an.l, 0),
+                  s := struct_pack(d := gn.f1.d, p := gn.f1.p)),
+                struct_pack(l := COALESCE(ap.l, 0),
+                  s := struct_pack(d := gp.f1.d, p := gp.f1.p))] AS cands
+        FROM rk k
+        JOIN grp g USING (r)
+        LEFT JOIN g2 USING (r)
+        LEFT JOIN adj an ON an.r = k.r
+        LEFT JOIN grp gn ON gn.r = k.r + 1
+        LEFT JOIN adj ap ON ap.r = k.r - 1
+        LEFT JOIN grp gp ON gp.r = k.r - 1),
+      pp2 AS (
+        SELECT doc_id, pos, cands,
+               CAST(list_max(list_transform(cands, c -> c.l)) AS BIGINT) AS d
+        FROM perpos),
+      psrc AS (
+        SELECT doc_id, pos, MIN(c.s) AS src FROM (
+          SELECT doc_id, pos, d, unnest(cands) AS c FROM pp2) t
+        WHERE t.c.l = t.d AND t.d > 0
+        GROUP BY doc_id, pos),
+      pd AS (
+        SELECT p.doc_id, p.pos, p.d, s.src
+        FROM pp2 p LEFT JOIN psrc s ON s.doc_id = p.doc_id AND s.pos = p.pos),
+      agg AS (
+        SELECT doc_id,
+               MAX(struct_pack(l := d, np := -pos, s := src)) AS b
+        FROM pd GROUP BY doc_id)
+      SELECT g.doc_id,
+             CAST(g.b.l AS BIGINT) AS dup_len,
+             CAST(-g.b.np AS BIGINT) AS dup_pos,
+             g.b.s.d AS src_doc, g.b.s.p AS src_pos,
+             array_to_string(
+               b.a[CAST(-g.b.np + 1 AS INT):CAST(-g.b.np + g.b.l AS INT)],
+               ' ') AS dup_text
+      FROM agg g JOIN base b USING (doc_id)
       ORDER BY doc_id""",
     "q_dedup_embedding" -> s"""
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -164,6 +164,126 @@ class SuffixArraySpec extends SparkSpec {
     assert(!rows.exists(_._1 == 4L))
   }
 
+  test("doubling rounds release superseded blocks deterministically") {
+    val sc = spark.sparkContext
+    val df = corpus.toDF("doc_id", "text")
+    val before = sc.getPersistentRDDs.size
+    val out = Dedup.suffixRanks(df, "doc_id", "text", rounds = 8)
+    out.count()
+    // only the FINAL level's blocks may remain pinned: every superseded
+    // doubling round released explicitly (round 13 relied on a
+    // System.gc() nudge for ContextCleaner to reclaim them)
+    val after = sc.getPersistentRDDs.size
+    assert(after <= before + 1, s"pinned RDDs grew $before -> $after")
+  }
+
+  test("spanScrubVar keeps the first copy contiguous where spanScrub over-cuts") {
+    // W1 = P1..P8 first occurs in doc 2; W2 = P2..P9 first occurs in
+    // doc 1 — the two overlapping windows have firsts in DIFFERENT
+    // docs, so fixed-window J12 cuts W2's non-first coverage [1,9) out
+    // of doc 2 and fragments the supposedly-kept first occurrence of
+    // W1 down to one token. Variable-length semantics protect it.
+    val ps = (1 to 9).map(i => s"P$i")
+    val docs = Seq(
+      1L -> ("z " + ps.drop(1).mkString(" ")),
+      2L -> ps.mkString(" "),
+      3L -> (ps.take(8).mkString(" ") + " q")).toDF("doc_id", "text")
+    val fixed = Dedup.spanScrub(docs, "doc_id", "text", spanLen = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fixed(2L) === "P1") // the over-cut: first copy fragmented
+    val v = Dedup.spanScrubVar(docs, "doc_id", "text", minLen = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byId = v.map(t => t._1 -> t).toMap
+    // doc 1 holds W2's first occurrence: fully intact
+    assert(byId(1L) === ((1L, "z " + ps.drop(1).mkString(" "), 9L, 0L)))
+    // doc 2 keeps W1's first occurrence CONTIGUOUS; only P9 (part of
+    // the non-first W2 occurrence, outside W1's protection) is cut
+    assert(byId(2L) === ((2L, ps.take(8).mkString(" "), 8L, 1L)))
+    // doc 3's pure non-first copy is cut whole
+    assert(byId(3L) === ((3L, "q", 1L, 8L)))
+  }
+
+  test("spanScrubVar: internally-edited boilerplate rebuilds to its true remainder") {
+    val df = corpus.toDF("doc_id", "text")
+    val v = Dedup.spanScrubVar(df, "doc_id", "text", minLen = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1 holds every first occurrence: intact
+    assert(v(1L)._1 === corpus.find(_._1 == 1L).get._2 && v(1L)._3 === 0L)
+    // doc 2 (pure copy): the whole 60-token boilerplate cut
+    assert(v(2L) === ((noise(3, 5), 5L, 60L)))
+    // doc 3 (internal edit): BOTH unedited segments cut whole, the
+    // edit token and surrounding noise kept — 59 tokens removed
+    assert(v(3L) === ((s"${noise(4, 7)} EDITED ${noise(5, 6)}", 14L, 59L)))
+    // conservation: kept + removed == source tokens, every doc
+    corpus.foreach { case (id, text) =>
+      assert(v(id)._2 + v(id)._3 === text.split(" ", -1).length.toLong)
+    }
+  }
+
+  /** Brute-force longest duplicated substring per doc: the max length
+    * of a token run occurring at ≥ 2 (doc, pos) positions corpus-wide
+    * (within-doc repeats count — the Lee et al. criterion). */
+  private def refLongestDup(docs: Seq[(Long, String)]): Map[Long, Long] = {
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+    val occ = collection.mutable.Map.empty[Seq[String], Int]
+    for ((_, ts) <- toks; s <- ts.indices; e <- (s + 1) to ts.length)
+      occ(ts.slice(s, e)) = occ.getOrElse(ts.slice(s, e), 0) + 1
+    docs.map { case (id, _) =>
+      val ts = toks(id)
+      val best = (for {
+        s <- ts.indices; e <- (s + 1) to ts.length
+        if occ(ts.slice(s, e)) >= 2
+      } yield e - s).foldLeft(0)(math.max)
+      id -> best.toLong
+    }.toMap
+  }
+
+  test("longestDuplicate matches brute force and certifies its source") {
+    val df = corpus.toDF("doc_id", "text")
+    val rows = Dedup.longestDuplicate(df, "doc_id", "text", rounds = 8).collect()
+    val ref = refLongestDup(corpus)
+    val toks = corpus.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+    rows.foreach { r =>
+      val (id, len, pos) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(len === ref(id), s"doc $id longest-dup length")
+      if (len > 0) {
+        val run = toks(id).slice(pos.toInt, (pos + len).toInt)
+        assert(r.getString(5) === run.mkString(" "))
+        // the reported source is a REAL other occurrence of the run
+        val (sd, sp) = (r.getLong(3), r.getLong(4))
+        assert((sd, sp) !== ((id, pos)))
+        assert(toks(sd).slice(sp.toInt, (sp + len).toInt) === run,
+          s"doc $id: certified source ($sd,$sp) does not carry the run")
+      } else assert(r.isNullAt(3) && r.isNullAt(4) && r.getString(5) === "")
+    }
+    // J17b tie-in: a cross-doc duplicated region implies longest dup
+    // >= 8; conversely a doc with longest dup >= 8 and NO within-doc
+    // repeat of that length must carry a J17b region (J17c counts
+    // within-doc repeats — doc 4's periodic noise has them — J17b is
+    // cross-doc by construction)
+    val varDocs = Dedup.spanDedupVar(df, "doc_id", "text", minLen = 8)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val withinDup: Map[Long, Long] = corpus.map { case (id, t) =>
+      val ts = t.split(" ", -1).toSeq
+      val occ = collection.mutable.Map.empty[Seq[String], Int]
+      for (s <- ts.indices; e <- (s + 1) to ts.length)
+        occ(ts.slice(s, e)) = occ.getOrElse(ts.slice(s, e), 0) + 1
+      id -> (for {
+        s <- ts.indices; e <- (s + 1) to ts.length
+        if occ(ts.slice(s, e)) >= 2
+      } yield e - s).foldLeft(0)(math.max).toLong
+    }.toMap
+    rows.foreach { r =>
+      val (id, len) = (r.getLong(0), r.getLong(1))
+      if (varDocs.contains(id))
+        assert(len >= 8L, s"doc $id: J17b region without a >=8 dup run")
+      if (len >= 8L && withinDup(id) < 8L)
+        assert(varDocs.contains(id),
+          s"doc $id: cross-doc >=8 dup run but no J17b region")
+    }
+  }
+
   test("spanDedupVar covered positions equal spanScrub's removal cover") {
     // the scrub (J12) and the variable-length report (J17b) must agree
     // on WHICH positions are duplicated: every position inside a J17b
