@@ -222,6 +222,16 @@ object Bpe {
     * never shuffles on anything but its own id. */
   def encode(
       df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame =
+    encodeCounts(df, idCol, textCol, merges).orderBy(col(idCol))
+
+  /** [[encode]] without the final sort — the composition entry for
+    * callers that join the counts straight back onto the corpus (the
+    * `bpe_count` pipeline step, token-budget packing): an interior
+    * orderBy pays a range-sampling job + a sort exchange that the
+    * downstream join immediately destroys. */
+  private[graft] def encodeCounts(
+      df: DataFrame, idCol: String, textCol: String,
       merges: Seq[Merge]): DataFrame = {
     val vocab = wordTokenCounts(df, textCol, merges)
     df.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
@@ -230,7 +240,6 @@ object Bpe {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"),
         sum(col("nsym").cast("long")).as("n_tokens"))
-      .orderBy(col(idCol))
   }
 
   /** [[train]] wrapped as a DataFrame for gating: the merge table the

@@ -88,7 +88,18 @@ object Pipeline {
     "quality_classifier", "html_extract", "html_links", "url_normalize",
     "url_resolve", "lang_id_learned",
     "pagerank", "index_dedup", "fluency_buckets",
-    "label_prop", "url_filter", "robots_rules", "anchor_text", "shard_shuffle")
+    "label_prop", "url_filter", "robots_rules", "anchor_text", "shard_shuffle",
+    "minhash_dedup", "span_scrub", "decontaminate", "bpe_count")
+
+  /** Batch-only steps that aggregate ACROSS the whole corpus (near-dup
+    * clustering, span statistics, benchmark-gram sets, merge-table
+    * training) — a streaming frame can never hand them the full
+    * document set, so the streaming compiler rejects them with the
+    * reason rather than just listing the allowed vocabulary. Their
+    * incremental twins live in [[graft.streaming.StreamOps]]
+    * (rollingIngestStream / minhashDedupStream / spanScrubStream). */
+  private val corpusAggOps: Set[String] =
+    Set("minhash_dedup", "span_scrub", "decontaminate", "bpe_count")
 
   val knownExports: Set[String] = Set("parquet", "jsonapi", "dwc_archive")
 
@@ -340,6 +351,16 @@ object Pipeline {
               s"${streamingBatchOps.toSeq.sorted.mkString(", ")}")
           applyOp(st, in, ctx)
         } else {
+          require(!corpusAggOps.contains(st.op),
+            s"pipeline '${spec.entity}': step '${st.name}' applies op " +
+              s"'${st.op}' to a STREAMING frame — '${st.op}' aggregates " +
+              "across the WHOLE corpus (near-dup clusters, span " +
+              "statistics, benchmark gram sets and BPE merge tables all " +
+              "need the full document set), which an unbounded stream " +
+              "never provides; run it in a batch spec, or use the " +
+              "incremental twins in graft.streaming.StreamOps " +
+              "(index_dedup against a persisted index, span-decision " +
+              "appliers, streaming minhash)")
           require(streamingOps.contains(st.op),
             s"pipeline '${spec.entity}': step '${st.name}' applies op " +
               s"'${st.op}' to a STREAMING frame — the stateless streaming " +
@@ -657,6 +678,92 @@ object Pipeline {
             flagged.select(col("doc_id").as(id)), Seq(id), "left_anti")
           case other => fail(s"$tag: index_dedup mode must be flag|drop, got '$other'")
         }
+      case "minhash_dedup" =>
+        // J2→J6→J11 as ONE spec step: LSH candidate pairs, EXACT
+        // shingle-jaccard verification on candidates only, connected
+        // components, canonical keep. Candidates are approximate but
+        // verdicts exact (the standard two-phase near-dup pipeline) —
+        // at the gate scales LSH recall surfaces every exact pair, the
+        // J2 contract. The clustering is a bounded iterative job at
+        // graph-BUILD time (the connectedComponents exception, like the
+        // classifier fits below); the returned keep/flag plan is lazy.
+        val id = reqStr(st.params, "id", tag)
+        val textC = reqStr(st.params, "text", tag)
+        val minJ = st.params.get("minJaccard")
+          .map(_.toString.toDouble).getOrElse(0.5)
+        val shingleN = st.params.getOrElse("shingleN", 3).toString.toInt
+        val numHashes = st.params.getOrElse("numHashes", 64).toString.toInt
+        val bands = st.params.getOrElse("bands", 16).toString.toInt
+        val maxBucket = st.params.getOrElse("maxBucket", 1000).toString.toInt
+        val D = graft.operators.Dedup
+        // ONE checkpointed shingle frame feeds banding and both sides
+        // of the exact verify (the q_dedup_minhash composition shape)
+        val shf = D.shingleFrame(in, id, textC, shingleN).localCheckpoint(true)
+        val cand = D.minhashCandidatePairsFromSig(
+          shf.select(col("doc_id"),
+            D.minhashSignature(col("sh"), numHashes).as("sig")),
+          numHashes, bands, maxBucket)
+        val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
+        val exact = cand
+          .join(shf.select(col("doc_id").as("id_a"),
+            col("sh").as("sha"), col("n_sh").as("na")), "id_a")
+          .join(shf.select(col("doc_id").as("id_b"),
+            col("sh").as("shb"), col("n_sh").as("nb")), "id_b")
+          .where(inter / (col("na") + col("nb") - inter).cast("double") >= minJ)
+          .select(col("id_a"), col("id_b"))
+        val clusters = D.connectedComponents(exact, "id_a", "id_b")
+        st.params.getOrElse("mode", "drop").toString match {
+          case "flag" => clusters
+          case "drop" => D.keepCanonical(in, clusters, id)
+          case other => fail(s"$tag: minhash_dedup mode must be flag|drop, got '$other'")
+        }
+      case "span_scrub" =>
+        // J12 / J12-var in place: the text column becomes its scrubbed
+        // rebuild (non-first duplicated-span occurrences cut; `mode:
+        // variable` protects first-occurrence coverage as contiguous
+        // regions — the Lee et al. endpoint)
+        val id = reqStr(st.params, "id", tag)
+        val textC = reqStr(st.params, "text", tag)
+        val spanLen = st.params.getOrElse("spanLen", 8).toString.toInt
+        val minDocs = st.params.getOrElse("minDocs", 2).toString.toInt
+        val scrub = (st.params.getOrElse("mode", "fixed").toString match {
+          case "fixed" =>
+            graft.operators.Dedup.spanScrub(in, id, textC, spanLen, minDocs)
+          case "variable" =>
+            graft.operators.Dedup.spanScrubVar(in, id, textC, spanLen, minDocs)
+          case other =>
+            fail(s"$tag: span_scrub mode must be fixed|variable, got '$other'")
+        }).select(col("doc_id").as(id), col("text_clean").as(textC))
+        in.drop(textC).join(scrub, Seq(id))
+      case "decontaminate" =>
+        // Q6 as a step: drop (or flag) rows sharing any exact n-gram
+        // with the benchmark frame named by `benchFrom` (a source/step
+        // in the spec — the rulesFrom posture)
+        val id = reqStr(st.params, "id", tag)
+        val textC = reqStr(st.params, "text", tag)
+        val bench = ctxGet(ctx, reqStr(st.params, "benchFrom", tag), tag)
+        val n = st.params.getOrElse("n", 5).toString.toInt
+        val flagged = graft.operators.Curation.decontaminate(
+          in, bench, id, textC, n)
+        st.params.getOrElse("mode", "drop").toString match {
+          case "flag" => flagged
+          case "drop" => in.join(
+            flagged.select(col(id)), Seq(id), "left_anti")
+          case other => fail(s"$tag: decontaminate mode must be flag|drop, got '$other'")
+        }
+      case "bpe_count" =>
+        // L7 as a step: annotate every row with its BPE subword token
+        // budget (n_words, n_tokens) so downstream token-budget steps
+        // (shard_shuffle `tokens`, aggregates) consume the counts a
+        // trainer actually sees, not whitespace counts. The merge-table
+        // fit is a bounded job at graph-BUILD time (the
+        // quality_classifier posture); the returned plan is the lazy
+        // broadcast-join encode.
+        val id = reqStr(st.params, "id", tag)
+        val textC = reqStr(st.params, "text", tag)
+        val merges = st.params.getOrElse("merges", 8).toString.toInt
+        in.join(graft.operators.Bpe.encodeCounts(in, id, textC,
+          graft.operators.Bpe.train(in, textC, merges)), Seq(id))
       case "fluency_buckets" =>
         // L12: the CCNet selection step — `ref` is the SQL predicate
         // naming the clean reference slice; emits candidates with

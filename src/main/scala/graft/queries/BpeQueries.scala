@@ -32,6 +32,20 @@ object BpeQueries {
     "q_bpe_encode" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
       Bpe.encode(docs, "doc_id", "text", Bpe.train(docs, "text", Merges))
+    },
+    // L7×Q4 — token-budget packing under REAL tokenizer counts: the Q4
+    // greedy prefix-sum bins sized by the learned BPE subword counts
+    // instead of whitespace words, so shard layouts match what a
+    // trainer consumes. The oracle replays the full training chain +
+    // encode join + the Q4 window verbatim — a drift in either the
+    // merge table or the bin arithmetic moves a boundary.
+    "q_token_pack_bpe" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val counts = Bpe.encodeCounts(
+        docs, "doc_id", "text", Bpe.train(docs, "text", Merges))
+      graft.operators.Curation.packSequences(
+        docs.join(counts, Seq("doc_id")), "source", "doc_id",
+        org.apache.spark.sql.functions.col("n_tokens"), budget = 256L)
     })
 
   /** One merge round: pair explode → weighted count → deterministic
@@ -98,5 +112,27 @@ object BpeQueries {
              CAST(COUNT(*) AS BIGINT) AS n_words,
              CAST(SUM(nsym) AS BIGINT) AS n_tokens
       FROM dtok JOIN enc USING (w)
-      GROUP BY doc_id ORDER BY doc_id""")
+      GROUP BY doc_id ORDER BY doc_id""",
+    // the q_bpe_encode chain for the per-doc subword counts, then the
+    // q_token_pack window recipe with those counts as sz
+    "q_token_pack_bpe" -> s"""
+      WITH ${trainChain(Merges)},
+      enc AS (SELECT w,
+                CAST(len(string_split(trim(repr, ' '), '  ')) AS INT) AS nsym
+              FROM r$Merges),
+      dtok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+               FROM documents),
+      cnt AS (
+        SELECT doc_id, CAST(SUM(nsym) AS BIGINT) AS sz
+        FROM dtok JOIN enc USING (w) GROUP BY doc_id),
+      d AS (
+        SELECT dd.source, dd.doc_id, c.sz
+        FROM documents dd JOIN cnt c USING (doc_id)),
+      b AS (
+        SELECT source, doc_id, sz,
+               CAST(FLOOR(COALESCE(SUM(sz) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256.0) AS BIGINT) AS bin
+        FROM d)
+      SELECT source, bin, COUNT(*) AS n_docs, CAST(SUM(sz) AS BIGINT) AS tokens
+      FROM b GROUP BY source, bin ORDER BY source, bin""")
 }

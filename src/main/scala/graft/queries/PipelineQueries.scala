@@ -274,6 +274,68 @@ steps:
         case other => throw new IllegalStateException(s"unexpected table $other")
       })
     },
+    // R8 gate — the TRAINING-DATA HYGIENE chain as ONE spec (the
+    // round-13 verdict's missing config-driven surface): near-dup
+    // clustering (LSH candidates, exact verification, components,
+    // canonical keep), benchmark decontamination against a src0
+    // bench frame, then a parquet EXPORT the gate re-reads. The oracle
+    // re-derives survivors from exact inverted-index jaccard pairs +
+    // a recursive min-label closure + an exact 5-gram bench join — so
+    // a defect in any step bridge, the cluster apply, the benchFrom
+    // resolution, or the export layout changes rows.
+    "q_pipeline_dedup" -> { (s, dir) =>
+      val out = s"/tmp/graft-pdedup-${java.lang.Math.abs(dir.hashCode)}"
+      val spec = """
+entity: corpus_hygiene
+sources: [{name: docs, table: documents}]
+steps:
+  - name: bench
+    op: filter
+    input: docs
+    params: {where: "source = 'src0'"}
+  - name: corpus
+    op: filter
+    input: docs
+    params: {where: "source <> 'src0'"}
+  - name: near_dup
+    op: minhash_dedup
+    input: corpus
+    params: {id: doc_id, text: text, minJaccard: 0.5}
+  - name: decon
+    op: decontaminate
+    params: {id: doc_id, text: text, benchFrom: bench, n: 5}
+  - name: cols
+    op: select
+    params: {columns: [doc_id, source, n_chars]}
+exports:
+  - name: clean
+    format: parquet
+    params: {path: clean}
+"""
+      val paths = Pipeline.run(s, spec, resolver(s, dir), out)
+      s.read.parquet(paths.head._2).orderBy("doc_id")
+    },
+    // R9 gate — the variable-length span scrub as a spec step (text
+    // rewritten IN PLACE): chains the q_span_scrub_var oracle verbatim,
+    // so the step bridge (in-place column replacement, id mapping) is
+    // the only new code under the hash.
+    "q_pipeline_scrub" -> { (s, dir) =>
+      val spec = """
+entity: span_hygiene
+sources: [{name: docs, table: documents}]
+steps:
+  - name: scrubbed
+    op: span_scrub
+    params: {id: doc_id, text: text, spanLen: 8, mode: variable}
+  - name: cols
+    op: select
+    params: {columns: [doc_id, text]}
+  - name: ordered
+    op: sort
+    params: {by: [doc_id]}
+"""
+      Pipeline.result(s, spec, resolver(s, dir))
+    },
     "q_pipeline_warc" -> { (s, dir) =>
       val tag = java.lang.Math.abs(dir.hashCode)
       val path = s"/tmp/graft-pwarc-$tag"
@@ -302,6 +364,62 @@ steps:
   )
 
   val oracles: Map[String, String] = Map(
+    // exact inverted-index jaccard pairs at the step's threshold, a
+    // recursive min-label closure (the q_dedup_cluster pattern), the
+    // canonical-keep anti-join (q_dedup_apply), then the q_decontaminate
+    // bench-gram join — survivors only
+    "q_pipeline_dedup" -> """
+      WITH RECURSIVE s AS (
+        SELECT doc_id,
+          list_distinct(list_transform(generate_series(1, len(toks) - 2),
+            i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+              WHERE source <> 'src0')
+        WHERE len(toks) >= 3),
+      ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS gram FROM s),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common,
+               MAX(a.n_sh) AS na, MAX(b.n_sh) AS nb
+        FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      good AS (
+        SELECT id_a, id_b FROM pairs
+        WHERE CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE) >= 0.5),
+      sym AS (SELECT id_a AS src, id_b AS dst FROM good
+              UNION SELECT id_b AS src, id_a AS dst FROM good),
+      reach(node, lab) AS (
+        SELECT DISTINCT src AS node, src AS lab FROM sym
+        UNION
+        SELECT s2.src, r.lab FROM sym s2 JOIN reach r ON s2.dst = r.node),
+      cc AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node),
+      surv AS (
+        SELECT d.doc_id, d.text, d.source, d.n_chars FROM documents d
+        WHERE d.source <> 'src0'
+          AND d.doc_id NOT IN (SELECT node FROM cc WHERE node <> component)),
+      bg AS (
+        SELECT DISTINCT gram FROM (
+          SELECT unnest(list_distinct(list_transform(
+            range(1, len(string_split(text, ' ')) - 3),
+            i -> array_to_string(string_split(text, ' ')[i:i + 4], ' ')))) AS gram
+          FROM documents
+          WHERE source = 'src0' AND len(string_split(text, ' ')) >= 5)),
+      dirty AS (
+        SELECT DISTINCT doc_id FROM (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   range(1, len(string_split(text, ' ')) - 3),
+                   i -> array_to_string(string_split(text, ' ')[i:i + 4], ' ')))) AS gram
+          FROM surv WHERE len(string_split(text, ' ')) >= 5) t
+        JOIN bg USING (gram))
+      SELECT doc_id, source, n_chars FROM surv
+      WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+      ORDER BY doc_id""",
+    // the q_span_scrub_var oracle verbatim, projected to the step's
+    // in-place (doc_id, text) shape
+    "q_pipeline_scrub" -> s"""
+      SELECT doc_id, text_clean AS text FROM (
+        ${DedupQueries.oracles("q_span_scrub_var")}
+      ) ORDER BY doc_id""",
     // the spec chains the L11→L14 ops on the q_url_filter synthesis
     // grid verbatim — one oracle serves both gates
     "q_pipeline_web" -> TextQueries.oracles("q_url_filter"),

@@ -751,4 +751,102 @@ steps:
     assert(out.length === 40)
     out.foreach(r => assert(r.getAs[String]("lang_pred") === r.getAs[String]("lang")))
   }
+
+  test("hygiene vocabulary: minhash_dedup, decontaminate, span_scrub, bpe_count steps") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"), // near-dup of 1
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, "contamination marker gram one two plus some clean padding here"))
+      .toDF("doc_id", "text")
+    val bench = Seq((99L, "contamination marker gram one two"))
+      .toDF("doc_id", "text")
+    val resolveH: String => org.apache.spark.sql.DataFrame = {
+      case "documents" => corpus
+      case "benchmarks" => bench
+      case other => fail(s"unexpected table $other")
+    }
+    // drop chain: near-dup cluster {1,2} keeps doc 1; decontamination
+    // drops doc 4 (shares the 5-gram "contamination marker gram one
+    // two" with the benchmark) — survivors 1 and 3
+    val got = Pipeline.result(spark, """
+entity: hygiene
+sources: [{name: docs, table: documents}, {name: bench, table: benchmarks}]
+steps:
+  - {name: nd, op: minhash_dedup, input: docs, params: {id: doc_id, text: text, minJaccard: 0.5}}
+  - {name: dc, op: decontaminate, params: {id: doc_id, text: text, benchFrom: bench, n: 5}}
+  - {name: o, op: sort, params: {by: [doc_id]}}
+""", resolveH).select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(1L, 3L))
+    // flag modes expose the underlying verdicts
+    val clusters = Pipeline.result(spark, """
+entity: hygiene_flag
+sources: [{name: docs, table: documents}]
+steps:
+  - {name: nd, op: minhash_dedup, params: {id: doc_id, text: text, minJaccard: 0.5, mode: flag}}
+""", resolveH).orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(clusters.toSeq === Seq((1L, 1L), (2L, 1L)))
+    val flagged = Pipeline.result(spark, """
+entity: decon_flag
+sources: [{name: docs, table: documents}, {name: bench, table: benchmarks}]
+steps:
+  - {name: dc, op: decontaminate, input: docs, params: {id: doc_id, text: text, benchFrom: bench, n: 5, mode: flag}}
+""", resolveH).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(flagged.toSeq === Seq((4L, 1L)))
+    // span_scrub (variable) rewrites text in place, matching the operator
+    val ps = (1 to 9).map(i => s"P$i")
+    val spanDocs = Seq(
+      (1L, "z " + ps.drop(1).mkString(" ")),
+      (2L, ps.mkString(" ")),
+      (3L, ps.take(8).mkString(" ") + " q")).toDF("doc_id", "text")
+    val scrubbed = Pipeline.result(spark, """
+entity: scrub
+sources: [{name: docs, table: documents}]
+steps:
+  - {name: sc, op: span_scrub, params: {id: doc_id, text: text, spanLen: 8, mode: variable}}
+  - {name: o, op: sort, params: {by: [doc_id]}}
+""", { case "documents" => spanDocs; case t => fail(s"unexpected $t") })
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val want = graft.operators.Dedup
+      .spanScrubVar(spanDocs, "doc_id", "text", minLen = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(scrubbed === want)
+    // bpe_count annotates the trainer-real token budget (== Bpe.encode)
+    val counted = Pipeline.result(spark, """
+entity: budget
+sources: [{name: docs, table: documents}]
+steps:
+  - {name: bc, op: bpe_count, params: {id: doc_id, text: text, merges: 4}}
+""", resolveH).select("doc_id", "n_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wantCounts = graft.operators.Bpe.encode(
+        corpus, "doc_id", "text", graft.operators.Bpe.train(corpus, "text", 4))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_tokens")).toMap
+    assert(counted === wantCounts)
+  }
+
+  test("streaming specs refuse corpus-aggregating hygiene ops with the reason") {
+    val dir = s"/tmp/graft-pipe-aggops-${System.nanoTime()}"
+    val pages = Seq((1L, "https://h.example/p", "<html><body><p>x</p></body></html>"))
+      .toDF("doc_id", "url", "html")
+    graft.sources.Warc.writeFiles(pages, "url", "html", dir)
+    Seq("minhash_dedup", "span_scrub", "decontaminate", "bpe_count").foreach { op =>
+      val ex = intercept[IllegalArgumentException] {
+        Pipeline.resultStream(spark, s"""
+entity: bad
+mode: streaming
+sources: [{name: crawl, table: "$dir/*.warc.gz", format: warc}]
+steps:
+  - {name: s, op: $op, params: {id: doc_id, text: html}}
+""", t => fail(s"unexpected table $t"))
+      }
+      assert(ex.getMessage.contains("aggregates"),
+        s"$op: expected the corpus-aggregation reason, got: ${ex.getMessage}")
+      assert(ex.getMessage.contains("StreamOps"), s"$op: no incremental-twin pointer")
+    }
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(dir))
+  }
 }
