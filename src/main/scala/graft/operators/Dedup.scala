@@ -363,13 +363,14 @@ object Dedup {
     import org.apache.spark.sql.SaveMode
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash-safe: write-aside + two renames with forward/back recovery
+    // (IndexSwap) — the table is readable at every intermediate state
     def swap(table: String, rewrite: DataFrame => DataFrame): Unit = {
       val cur = new Path(s"$path/$table")
-      val tmp = new Path(s"$path/.${table}_compact_tmp")
-      rewrite(spark.read.parquet(cur.toString))
-        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      fs.delete(cur, true)
-      require(fs.rename(tmp, cur), s"compaction rename failed for $cur")
+      IndexSwap.swap(fs, cur) { tmp =>
+        rewrite(spark.read.parquet(cur.toString))
+          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      }
     }
     swap("bands", { bands =>
       val ids = dropTombstoned(
@@ -387,11 +388,25 @@ object Dedup {
     fs.delete(new Path(s"$path/tombstones"), true)
   }
 
+  /** Roll forward/back any compaction a crash interrupted, so probes
+    * and appends see a readable table (never a fresh empty one beside
+    * the orphaned real one). */
+  private def recoverIndexTables(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IndexSwap.recover(fs, new Path(s"$path/bands"))
+    IndexSwap.recover(fs, new Path(s"$path/shingles"))
+  }
+
   private def writeIndexSegment(
       df: DataFrame, idCol: String, textCol: String, path: String,
       shingleN: Int, numHashes: Int, bands: Int, overwrite: Boolean): Unit = {
     import org.apache.spark.sql.SaveMode
     val mode = if (overwrite) SaveMode.Overwrite else SaveMode.Append
+    // an append after a mid-compaction crash must land in the RECOVERED
+    // table, not start a new one at the vacated path
+    if (!overwrite) recoverIndexTables(df.sparkSession, path)
     if (overwrite) {
       // a rebuilt index starts clean: a tombstone table left by a
       // prior generation (e.g. a crash between delete and compact)
@@ -450,6 +465,7 @@ object Dedup {
       maxBucket: Int = 1000, minJaccard: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = shard.sparkSession
+    recoverIndexTables(spark, path) // a crashed compaction rolls here
     val shf = shingleFrame(shard, idCol, textCol, shingleN).localCheckpoint(true)
     // the band-bucket frame feeds TWO consumers (the sliver's semi
     // join and the candidate join); without materialization the

@@ -265,6 +265,9 @@ object Similarity {
   def ivfIndexAppend(
       shard: DataFrame, idCol: String, vecCol: String,
       indexDir: String): Unit = {
+    // an append after a mid-compaction crash must land in the RECOVERED
+    // cells table, not start a new one at the vacated path
+    recoverCells(shard.sparkSession, indexDir)
     val codebook = readStoredCodebook(shard.sparkSession, indexDir)
     shard.select(
         col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
@@ -312,17 +315,19 @@ object Similarity {
     import org.apache.spark.sql.SaveMode
     val fs = new Path(indexDir).getFileSystem(spark.sessionState.newHadoopConf())
     val cur = new Path(s"$indexDir/cells")
-    val tmp = new Path(s"$indexDir/.cells_compact_tmp")
-    val cells = spark.read.parquet(cur.toString).dropDuplicates("neighbor_id")
-    val purged = ivfTombstones(spark, indexDir) match {
-      case Some(t) => cells.join(
-        broadcast(t.select(col("neighbor_id"))), Seq("neighbor_id"), "left_anti")
-      case None => cells
+    // crash-safe: write-aside + two renames with forward/back recovery
+    // (IndexSwap) — the cells table is readable at every intermediate
+    // state, so a killed compaction never strands the store
+    IndexSwap.swap(fs, cur) { tmp =>
+      val cells = spark.read.parquet(cur.toString).dropDuplicates("neighbor_id")
+      val purged = ivfTombstones(spark, indexDir) match {
+        case Some(t) => cells.join(
+          broadcast(t.select(col("neighbor_id"))), Seq("neighbor_id"), "left_anti")
+        case None => cells
+      }
+      purged.write.mode(SaveMode.Overwrite).partitionBy("cell")
+        .parquet(tmp.toString)
     }
-    purged.write.mode(SaveMode.Overwrite).partitionBy("cell")
-      .parquet(tmp.toString)
-    fs.delete(cur, true)
-    require(fs.rename(tmp, cur), s"ivf compaction rename failed for $cur")
     fs.delete(new Path(s"$indexDir/tombstones"), true)
   }
 
@@ -331,10 +336,19 @@ object Similarity {
     * cell partitions of the on-disk layout — dynamic partition pruning
     * skips every unprobed cell directory (plan-asserted). Codebook
     * read is bounded by the build's `maxCentroids`. */
+  /** Roll forward/back any cells compaction a crash interrupted. */
+  private def recoverCells(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(indexDir).getFileSystem(spark.sessionState.newHadoopConf())
+    IndexSwap.recover(fs, new Path(s"$indexDir/cells"))
+  }
+
   def probeIvfIndex(
       spark: org.apache.spark.sql.SparkSession, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int,
       indexDir: String): DataFrame = {
+    recoverCells(spark, indexDir) // a crashed compaction rolls here
     val cos = graft.functions.GraftFunctions.cosine_sim _
     val centroidDf = spark.read.parquet(s"$indexDir/codebook")
     val index = spark.read.parquet(s"$indexDir/cells")

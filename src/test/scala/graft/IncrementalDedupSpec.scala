@@ -360,4 +360,69 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(rebuilt2 == Set((1L, 10L), (2L, 11L)),
       "fresh index inherited phantom tombstones")
   }
+
+  test("compaction crash windows: the index stays readable, verdicts unchanged") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val corpus = corpusRows.toDF("doc_id", "text")
+    val shard = shardRows.toDF("doc_id", "text")
+    val idx = s"/tmp/graft-spec-mhcrash-${System.nanoTime()}"
+    val twin = s"$idx-twin"
+    graft.operators.Dedup.minhashIndexWrite(corpus, "doc_id", "text", idx)
+    def probeNow() = graft.operators.Dedup
+      .dedupShardAgainstIndex(shard, "doc_id", "text", idx)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = probeNow()
+    assert(want.nonEmpty)
+    val fs = new Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("bands", "shingles").foreach { table =>
+      val cur = new Path(s"$idx/$table")
+      val tmp = new Path(s"$idx/.${table}_compact_tmp")
+      val old = new Path(s"$idx/.${table}_compact_old")
+      // a COMPLETE replacement table with identical contents: a twin
+      // build of the same corpus (deterministic hashes => same rows)
+      def writeTwinTmp(): Unit = {
+        graft.operators.Dedup.minhashIndexWrite(corpus, "doc_id", "text", twin)
+        require(fs.rename(new Path(s"$twin/$table"), tmp))
+        fs.delete(new Path(twin), true)
+      }
+      // crash after the tmp write, before any rename: cur intact
+      writeTwinTmp()
+      assert(probeNow() === want, s"$table: stale-tmp state broke the probe")
+      assert(!fs.exists(tmp), s"$table: stale tmp not cleaned")
+      // crash between the two renames (cur missing, COMPLETE tmp):
+      // the dangerous window — recovery must roll the swap FORWARD
+      writeTwinTmp()
+      require(fs.rename(cur, old))
+      assert(probeNow() === want, s"$table: mid-swap state broke the probe")
+      assert(fs.exists(cur) && !fs.exists(tmp) && !fs.exists(old),
+        s"$table: forward recovery left a dirty layout")
+      // same window with an INCOMPLETE tmp (no _SUCCESS): roll BACK
+      require(fs.rename(cur, old))
+      fs.mkdirs(tmp)
+      assert(probeNow() === want, s"$table: rollback state broke the probe")
+      assert(fs.exists(cur) && !fs.exists(tmp) && !fs.exists(old))
+      // crash after the swap, before the aside-delete: cur intact
+      writeTwinTmp()
+      require(fs.rename(tmp, old))
+      assert(probeNow() === want, s"$table: stale-aside state broke the probe")
+      assert(!fs.exists(old), s"$table: stale aside copy not cleaned")
+    }
+    // an append straight after a mid-swap crash lands in the RECOVERED
+    // table (never a fresh empty one at the vacated path)
+    require(fs.rename(new Path(s"$idx/shingles"),
+      new Path(s"$idx/.shingles_compact_old")))
+    graft.operators.Dedup.minhashIndexAppend(
+      Seq((50L, "some novel appended document tokens here right now"))
+        .toDF("doc_id", "text"), "doc_id", "text", idx)
+    val docsInIndex = spark.read.parquet(s"$idx/shingles")
+      .select("doc_id").distinct().count()
+    assert(docsInIndex === corpusRows.length + 1L,
+      "append after a crash started a fresh table instead of recovering")
+    // and the real maintenance job still runs on the recovered artifact
+    graft.operators.Dedup.minhashIndexCompact(spark, idx)
+    assert(probeNow() === want)
+  }
 }

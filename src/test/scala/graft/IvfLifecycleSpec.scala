@@ -110,4 +110,48 @@ class IvfLifecycleSpec extends SparkSpec {
     assert(got.nonEmpty)
     rm(dir)
   }
+
+  test("a killed compaction leaves cells readable; probes roll forward or back") {
+    import org.apache.hadoop.fs.Path
+    val dir = freshDir()
+    val twin = freshDir()
+    val df = corpus(60)
+    Similarity.buildIvfIndex(df, "vec_id", "embedding", 9, dir)
+    val queries = df.where(col("vec_id") < 3)
+    val want = probe(dir, queries)
+    assert(want.nonEmpty)
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = new Path(s"$dir/cells")
+    val tmp = new Path(s"$dir/.cells_compact_tmp")
+    val old = new Path(s"$dir/.cells_compact_old")
+    def twinCellsTmp(): Unit = {
+      Similarity.buildIvfIndex(df, "vec_id", "embedding", 9, twin)
+      require(fs.rename(new Path(s"$twin/cells"), tmp))
+      rm(twin)
+    }
+    // the dangerous window: cells renamed aside, COMPLETE tmp present
+    // — recovery rolls the swap forward before the probe reads
+    twinCellsTmp()
+    require(fs.rename(cur, old))
+    assert(probe(dir, queries) === want, "mid-swap state broke the probe")
+    assert(fs.exists(cur) && !fs.exists(tmp) && !fs.exists(old))
+    // same window with an INCOMPLETE tmp: roll back to the aside copy
+    require(fs.rename(cur, old))
+    fs.mkdirs(tmp)
+    assert(probe(dir, queries) === want, "rollback state broke the probe")
+    assert(fs.exists(cur) && !fs.exists(tmp) && !fs.exists(old))
+    // an append after a crash lands in the RECOVERED table
+    require(fs.rename(cur, old))
+    Similarity.ivfIndexAppend(
+      Seq((1000L, vec(1000L))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir)
+    assert(spark.read.parquet(s"$dir/cells").count() === 61L,
+      "append after a crash started a fresh cells table")
+    // the real maintenance job still runs on the recovered artifact
+    val afterAppend = probe(dir, queries)
+    Similarity.ivfIndexCompact(spark, dir)
+    assert(probe(dir, queries) === afterAppend)
+    rm(dir)
+  }
 }
