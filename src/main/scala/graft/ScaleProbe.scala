@@ -151,6 +151,105 @@ object ScaleProbe {
       s"held_out=$n accuracy=1.0"
     }
 
+    // 9. WARC container offset arithmetic at scale: the index tiles
+    //    every file exactly (offset_i = offset_{i-1} + length_{i-1},
+    //    last record ends at the physical file size), and a sparse
+    //    positioned seek-read decodes records whose URLs match the
+    //    index rows — the cdx-style range-fetch contract a 100 TB
+    //    crawl relies on.
+    probe("warc_index_seek") {
+      import org.apache.spark.sql.expressions.Window
+      val path = s"/tmp/graft-sp-warc-${math.abs(sfDir.hashCode)}"
+      val url = concat(lit("https://s"), (col("doc_id") % 50).cast("string"),
+        lit(".example.com/doc/"), col("doc_id").cast("string"))
+      val pages = docs.select(col("doc_id"), url.as("url"),
+        concat(lit("<html><body><p>"), col("text"),
+          lit("</p></body></html>")).as("html"))
+        .repartition(32, pmod(col("doc_id"), lit(32)))
+        .sortWithinPartitions("doc_id")
+      graft.sources.Warc.writeFiles(pages, "url", "html", path)
+      val idx = graft.sources.Warc.index(spark, s"$path/*.warc.gz")
+        .localCheckpoint(true)
+      val n = idx.count()
+      val w = Window.partitionBy("file").orderBy("record_no")
+      val badTile = idx.withColumn("__expect",
+          coalesce(lag(col("offset") + col("length"), 1).over(w), lit(0L)))
+        .where(col("offset") =!= col("__expect")).count()
+      require(badTile == 0, s"$badTile records break offset contiguity")
+      val sizes = spark.read.format("binaryFile").load(s"$path/*.warc.gz")
+        .select(col("path").as("file"), col("length").as("fsize"))
+      val badEnd = idx.groupBy("file")
+        .agg(max(col("offset") + col("length")).as("end"))
+        .join(sizes, "file").where(col("end") =!= col("fsize")).count()
+      require(badEnd == 0, s"$badEnd files whose last record misses the file size")
+      val sample = idx.where(pmod(xxhash64(col("url")), lit(101L)) === 0)
+        .localCheckpoint(true)
+      val sampled = sample.count()
+      val badSeek = graft.sources.Warc.readRecords(sample)
+        .select(col("file"), col("record_no"), col("url").as("got_url"))
+        .join(sample.select(col("file"), col("record_no"), col("url")),
+          Seq("file", "record_no"))
+        .where(col("got_url") =!= col("url")).count()
+      require(badSeek == 0, s"$badSeek seek-reads decoded the wrong record")
+      s"records=$n tiled, $sampled positioned seek-reads exact"
+    }
+
+    // 10. robots/RFC 9309 compliance at scale: verdict conservation
+    //     (one verdict per URL; blocked + allowed == total), verdict
+    //     attribution (every blocked URL names a real rule), and drop
+    //     IDEMPOTENCE (re-filtering the survivors removes nothing) —
+    //     the composition a curation pipeline chains on.
+    probe("robots_verdict_idempotent") {
+      val hosts = graft.queries.TextQueries.robotsAllowHosts(spark, sfDir)
+      val urls = graft.queries.TextQueries.robotsAllowUrls(spark, sfDir)
+        .localCheckpoint(true)
+      val rules = graft.operators.Html.robotsRules(hosts, "host", "robots")
+        .localCheckpoint(true)
+      val verdicts = graft.operators.Html
+        .urlFilter(urls, "doc_id", "url", rules).localCheckpoint(true)
+      val nUrls = urls.count()
+      val nV = verdicts.count()
+      require(nV == nUrls, s"verdicts $nV != urls $nUrls (conservation)")
+      val phantom = verdicts.where(col("blocked"))
+        .join(rules.select(col("rule_id")), Seq("rule_id"), "left_anti").count()
+      require(phantom == 0, s"$phantom blocked URLs cite a nonexistent rule")
+      val keep = urls.join(
+        verdicts.where(col("blocked")).select(col("doc_id")),
+        Seq("doc_id"), "left_anti").localCheckpoint(true)
+      val second = graft.operators.Html.urlFilter(keep, "doc_id", "url", rules)
+        .where(col("blocked")).count()
+      require(second == 0, s"re-filtering survivors blocked $second more rows")
+      s"urls=$nUrls verdicts conserve, drop idempotent"
+    }
+
+    // 11. PageRank mass bounds at scale: every rank >= the damping
+    //     base, and total mass stays within [N*base, N*scale] — the
+    //     conservation envelope integer floor division and damping
+    //     leak permit (a join/agg defect that duplicates or drops
+    //     rank mass breaks the envelope long before it changes top-k
+    //     orderings visibly).
+    probe("pagerank_mass") {
+      val nDocs = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      val d = col("doc_id")
+      val edges = docs.select(d.as("src"),
+          explode(array((d * 2 + 1) % nDocs, (d * 3 + 7) % nDocs,
+            (d + 1) % nDocs)).as("dst"))
+        .where(col("src") =!= col("dst"))
+      val scale = 1L << 20
+      val ranks = graft.operators.Graph
+        .pageRank(edges, "src", "dst", iters = 3, scale = scale)
+        .localCheckpoint(true)
+      val nNodes = ranks.count()
+      val base = Math.floorDiv(3L * scale, 20L) // (1-d)·scale at d=17/20
+      val st = ranks.agg(min("rank"), sum("rank")).head()
+      require(st.getLong(0) >= base,
+        s"min rank ${st.getLong(0)} below the damping base $base")
+      val mass = st.getLong(1)
+      require(mass >= base * nNodes && mass <= scale * nNodes,
+        s"total mass $mass outside [${base * nNodes}, ${scale * nNodes}]")
+      s"nodes=$nNodes mass=$mass in envelope"
+    }
+
     println(s"""{"scale_probe_failures":$failures}""")
     spark.stop()
     if (failures > 0) sys.exit(1)

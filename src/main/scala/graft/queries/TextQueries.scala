@@ -46,7 +46,7 @@ object TextQueries {
     * q_pipeline_robots composition gate (one oracle serves both):
     * per-host robots bodies exercising Allow overrides, wildcards,
     * `$` anchors and the exact-length tie. */
-  private[queries] def robotsAllowHosts(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def robotsAllowHosts(s: SparkSession, dir: String): DataFrame = {
     val body = Seq(
       "User-agent: Googlebot", "Disallow: /",
       "User-agent: *",
@@ -61,7 +61,7 @@ object TextQueries {
   }
 
   /** One URL per doc over the eight planted path classes. */
-  private[queries] def robotsAllowUrls(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def robotsAllowUrls(s: SparkSession, dir: String): DataFrame = {
     val d = col("doc_id")
     val ds = d.cast("string")
     val path = when(d % 8 === 0, concat(lit("/private/x"), ds))
