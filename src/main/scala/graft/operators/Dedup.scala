@@ -1030,18 +1030,33 @@ object Dedup {
     def release(): Unit = rdd.unpersist(blocking = false)
   }
 
-  /** Materialize a frame into pinned executor blocks with lineage
-    * truncated (localCheckpoint semantics — the doubling loop
-    * references each round twice, so without truncation the plan
-    * doubles per lap) and hand back the explicit release handle.
-    * Rows copy out of the scan's reused buffers before caching; the
-    * frame stays in InternalRow-land (no external-Row encoder pass on
-    * downstream consumption — the connectedComponents posture). */
+  /** Materialize a frame into pinned executor blocks and hand back the
+    * explicit release handle. The CATALYST plan is truncated by the
+    * LogicalRDD wrapper (the doubling loop references each round twice,
+    * so without truncation the plan doubles per lap — measured OOM in
+    * plan stringification alone at 20 rounds); the RDD lineage stays
+    * intact, so an evicted block recomputes through ordinary retry
+    * instead of failing the job the way a localCheckpoint would (and
+    * release() stays silent — unpersisting a locally-checkpointed RDD
+    * logs a cannot-recompute WARN per round). MEMORY_AND_DISK: a
+    * pressure-evicted round spills rather than drops. Rows copy out of
+    * the scan's reused buffers before caching; the frame stays in
+    * InternalRow-land (no external-Row encoder pass on downstream
+    * consumption — the connectedComponents posture). */
   private def pinFrame(df: DataFrame): PinnedFrame = {
     val schema = df.schema
     val rdd = df.queryExecution.toRdd.map(_.copy())
-    rdd.localCheckpoint()
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     rdd.count()
+    // the round's SHUFFLE files exist only to recompute the blocks
+    // just pinned — release them NOW, deterministically (ContextCleaner
+    // reclaims only on a driver GC; nine rounds of ~270M-row exchanges
+    // exhausted the probe box's DISK at sf100 before any GC came, and
+    // the public RDD.cleanShuffleDependencies stops at the topmost
+    // shuffle, leaving the 3-4 exchanges beneath each round alive). A
+    // lost pinned block recomputes through ordinary lineage recovery —
+    // stage retry re-creates missing shuffle files.
+    org.apache.spark.graft.ShuffleBridge.cleanAllShuffles(rdd)
     new PinnedFrame(
       org.apache.spark.sql.graft.ColumnBridge
         .internalCreateDataFrame(df.sparkSession, rdd, schema),

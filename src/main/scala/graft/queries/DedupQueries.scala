@@ -871,22 +871,28 @@ object DedupQueries {
     // independent formulation: suffixes as token LISTS, dense rank by
     // list order (= the engine's iterated-rank order), adjacency LCP by
     // direct elementwise prefix comparison — no rank-pair halving
-    // anywhere, so the two sides share no algorithmic structure
+    // anywhere, so the two sides share no algorithmic structure.
+    // MATERIALIZED on every multiply-referenced CTE: rk feeds four
+    // consumers and pp2 two — inlined, the optimizer replicates the
+    // full suffix-list sort and the list-zip adjacency pipeline per
+    // reference and the replay exhausts memory at sf0.1 (the same
+    // exponential-inlining lesson as the suffix-array oracle)
     "q_longest_dup" -> """
-      WITH base AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+      WITH base AS MATERIALIZED (
+        SELECT doc_id, string_split(text, ' ') AS a FROM documents),
       suf AS (
         SELECT doc_id, CAST(pos AS BIGINT) AS pos, a[CAST(pos AS INT) + 1:] AS s,
                CAST(len(a) - pos AS BIGINT) AS slen
         FROM (SELECT doc_id, a, unnest(range(len(a))) AS pos FROM base)),
-      rk AS (
+      rk AS MATERIALIZED (
         SELECT doc_id, pos, s, slen,
                CAST(dense_rank() OVER (ORDER BY s) AS BIGINT) AS r
         FROM suf),
-      grp AS (
+      grp AS MATERIALIZED (
         SELECT r, COUNT(*) AS cnt,
                MIN(struct_pack(d := doc_id, p := pos)) AS f1
         FROM rk GROUP BY r),
-      g2 AS (
+      g2 AS MATERIALIZED (
         SELECT k.r, MIN(struct_pack(d := k.doc_id, p := k.pos)) AS f2
         FROM rk k JOIN grp g USING (r)
         WHERE NOT (k.doc_id = g.f1.d AND k.pos = g.f1.p)
@@ -894,7 +900,7 @@ object DedupQueries {
       reps AS (
         SELECT g.r, k.s
         FROM grp g JOIN rk k ON k.doc_id = g.f1.d AND k.pos = g.f1.p),
-      adj AS (
+      adj AS MATERIALIZED (
         SELECT a.r,
                CAST(COALESCE(list_position(list_transform(list_zip(a.s, b.s),
                  p -> p[1] IS NOT DISTINCT FROM p[2]), false) - 1,
@@ -917,7 +923,7 @@ object DedupQueries {
         LEFT JOIN grp gn ON gn.r = k.r + 1
         LEFT JOIN adj ap ON ap.r = k.r - 1
         LEFT JOIN grp gp ON gp.r = k.r - 1),
-      pp2 AS (
+      pp2 AS MATERIALIZED (
         SELECT doc_id, pos, cands,
                CAST(list_max(list_transform(cands, c -> c.l)) AS BIGINT) AS d
         FROM perpos),
