@@ -825,30 +825,30 @@ object DedupQueries {
     // positions of FIRST occurrences survive, everything else flagged
     // is cut — see Dedup.spanScrubVar
     "q_span_scrub_var" -> """
-      WITH base AS (
+      WITH base AS MATERIALIZED (
         SELECT doc_id, string_split(text, ' ') AS a FROM documents),
-      occ AS (
+      occ AS MATERIALIZED (
         SELECT doc_id,
                unnest(range(len(a) - 7)) AS pos,
                unnest(list_transform(range(len(a) - 7),
                  i -> array_to_string(a[i + 1:i + 8], ' '))) AS span
         FROM base WHERE len(a) >= 8),
-      dup AS (
+      dup AS MATERIALIZED (
         SELECT span FROM (SELECT span, doc_id FROM occ GROUP BY span, doc_id)
         GROUP BY span HAVING COUNT(*) >= 2),
-      flagged AS (SELECT o.* FROM occ o JOIN dup USING (span)),
-      fo AS (
+      flagged AS MATERIALIZED (SELECT o.* FROM occ o JOIN dup USING (span)),
+      fo AS MATERIALIZED (
         SELECT span, MIN(struct_pack(d := doc_id, p := pos)) AS f
         FROM flagged GROUP BY span),
-      prot AS (
+      prot AS MATERIALIZED (
         SELECT DISTINCT doc_id, tpos FROM (
           SELECT f.d AS doc_id, unnest(range(f.p, f.p + 8)) AS tpos FROM fo)),
-      cand AS (
+      cand AS MATERIALIZED (
         SELECT DISTINCT doc_id, tpos FROM (
           SELECT fl.doc_id, unnest(range(fl.pos, fl.pos + 8)) AS tpos
           FROM flagged fl JOIN fo USING (span)
           WHERE NOT (fl.doc_id = fo.f.d AND fl.pos = fo.f.p))),
-      cover AS (
+      cover AS MATERIALIZED (
         SELECT c.doc_id, c.tpos FROM cand c LEFT JOIN prot p
           ON p.doc_id = c.doc_id AND p.tpos = c.tpos
         WHERE p.doc_id IS NULL),
