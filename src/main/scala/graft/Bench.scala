@@ -53,6 +53,31 @@ object Bench {
       }
       times.min
     }
+    // IO calibration (round-14 advice): the CPU calib above reads no
+    // bytes, so a window where the DISK drifted (wall times up while
+    // CPU calib improved — exactly round 14's self-contradictory
+    // window) is invisible to it. This one times a parquet scan of a
+    // FIXED generated file (same rows every round — written once,
+    // reused), so cross-round artifacts can separate CPU drift from
+    // IO drift before reading anything into the qnorm column.
+    val calibIo = {
+      val path = "/tmp/graft_calib_io.parquet"
+      if (!new java.io.File(path + "/_SUCCESS").exists()) {
+        spark.range(0, 20000000L, 1, 32)
+          .selectExpr("id", "id % 9973 AS k",
+            "concat('row-', CAST(id % 100000 AS STRING)) AS s")
+          .write.mode("overwrite").parquet(path)
+      }
+      val times = (1 to math.max(runs, 2)).map { _ =>
+        val t0 = System.nanoTime()
+        spark.read.parquet(path)
+          .groupBy("k").agg(org.apache.spark.sql.functions.sum("id"),
+            org.apache.spark.sql.functions.max("s"))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      times.min
+    }
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // Short queries get extra warm runs: min-of-3 on a ~2 s query
     // still swings ±30% with sandbox noise (three rounds of r7–r9
@@ -122,7 +147,7 @@ object Bench {
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,""" +
       s""""value_med":${fmt(totalMed)},"spread_pct":${fmt(spreadPct)},""" +
-      s""""calib":${fmt(calib)},""" +
+      s""""calib":${fmt(calib)},"calib_io":${fmt(calibIo)},""" +
       s""""queries":${jmap(results.map(r => (r._1, r._2)))},""" +
       s""""queries_med":${jmap(results.map(r => (r._1, r._3)))},""" +
       s""""queries_norm":${jmap(results.map(r =>
@@ -160,7 +185,7 @@ object Bench {
     val fixedHead =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,""" +
       s""""value_med":${fmt(totalMed)},"spread_pct":${fmt(spreadPct)},""" +
-      s""""calib":${fmt(calib)},""" +
+      s""""calib":${fmt(calib)},"calib_io":${fmt(calibIo)},""" +
       s""""n_queries":${results.size},"order":"name-asc",""" +
       s""""qnorm":$qnormArr,""" +
       s""""full":"$outFile","sf":"$sfDir","""
@@ -172,7 +197,7 @@ object Bench {
       println(
         s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,""" +
         s""""value_med":${fmt(totalMed)},"spread_pct":${fmt(spreadPct)},""" +
-        s""""calib":${fmt(calib)},""" +
+        s""""calib":${fmt(calib)},"calib_io":${fmt(calibIo)},""" +
         s""""n_queries":${results.size},"qnorm_truncated":true,""" +
         s""""full":"$outFile","sf":"$sfDir"}""")
     } else {

@@ -250,6 +250,62 @@ object ScaleProbe {
       s"nodes=$nNodes mass=$mass in envelope"
     }
 
+    // 12. longest-duplicate report vs the J17b span family (round-14
+    //     verdict task 3) — SOUND cross-checks only, each one a
+    //     direction that is a theorem, not a data artifact:
+    //     (a) certification is row-level REAL: the certifying
+    //         (src_doc, src_pos) really holds dup_text, for every doc
+    //         with dup_len > 0;
+    //     (b) exactly one report row per doc, dup span inside the doc;
+    //     (c) every doc holding a J17b maximal span (minLen=8) reports
+    //         dup_len >= 8 (a flagged window IS a duplicated run);
+    //     (d) every CROSS-doc dup_len >= 8 implies a J17b span of
+    //         length >= dup_len in that doc (the whole duplicate's
+    //         windows are shared by two docs, so its island covers it).
+    //     Equality of dup_len with the max island length is NOT
+    //     asserted: islands are unions of windows duplicated against
+    //     possibly DIFFERENT sources, so an island can exceed the
+    //     longest single duplicated substring by construction.
+    probe("longest_dup_vs_spans") {
+      val report = graft.operators.Dedup
+        .longestDuplicate(docs, "doc_id", "text", rounds = 8)
+        .localCheckpoint(true)
+      val nDocs = docs.count()
+      val nRows = report.count()
+      require(nRows == nDocs, s"report rows $nRows != docs $nDocs")
+      val toks = docs.select(col("doc_id"),
+        split(col("text"), " ").as("toks"))
+      val badBounds = report.join(toks, "doc_id")
+        .where(col("dup_len") > 0 &&
+          (col("dup_pos") + col("dup_len") > size(col("toks")) ||
+           col("dup_pos") < 0)).count()
+      require(badBounds == 0, s"$badBounds reports point outside their doc")
+      val badCert = report.where(col("dup_len") > 0)
+        .join(toks.select(col("doc_id").as("src_doc"), col("toks").as("stoks")),
+          "src_doc")
+        .where(array_join(slice(col("stoks"),
+            (col("src_pos") + 1).cast("int"), col("dup_len").cast("int")), " ")
+          =!= col("dup_text")).count()
+      require(badCert == 0, s"$badCert certifying sources don't hold dup_text")
+      val spans = graft.operators.Dedup
+        .spanDedupVar(docs, "doc_id", "text", minLen = 8, minDocs = 2)
+        .groupBy("doc_id").agg(max(col("span_len")).as("max_island"))
+        .localCheckpoint(true)
+      val missed = spans.join(report, "doc_id")
+        .where(col("dup_len") < 8).count()
+      require(missed == 0,
+        s"$missed docs hold a J17b span but report dup_len < 8")
+      val uncovered = report
+        .where(col("dup_len") >= 8 && col("src_doc") =!= col("doc_id"))
+        .join(spans, Seq("doc_id"), "left")
+        .where(col("max_island").isNull || col("max_island") < col("dup_len"))
+        .count()
+      require(uncovered == 0,
+        s"$uncovered cross-doc duplicates exceed their doc's island cover")
+      val dup8 = report.where(col("dup_len") >= 8).count()
+      s"docs=$nDocs dup_len>=8 on $dup8, certs row-exact, span family consistent"
+    }
+
     println(s"""{"scale_probe_failures":$failures}""")
     spark.stop()
     if (failures > 0) sys.exit(1)

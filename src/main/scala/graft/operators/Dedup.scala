@@ -945,14 +945,20 @@ object Dedup {
         col("f.doc_id").as("fdoc"), col("f.pos").as("fpos"))
     val tagged = flagged.join(firstOcc, Seq("h1", "h2"))
     val isFirst = col("doc_id") === col("fdoc") && col("pos") === col("fpos")
-    def coverOf(occs: DataFrame): DataFrame = occs
-      .select(col("doc_id"),
+    // ONE coverage pass: explode every flagged occurrence with its
+    // first/non-first tag, then a single (doc_id, tpos) partial agg
+    // keeps the positions some non-first window covers that NO first
+    // occurrence protects. Computing the two covers separately (two
+    // explode+distinct shuffles + an anti-join — the round-14 shape)
+    // doubled the fan-out exchange for the same set.
+    val cut = tagged
+      .select(col("doc_id"), isFirst.as("__pf"),
         explode(sequence(col("pos"), col("pos") + lit(minLen - 1))).as("tpos"))
-      .distinct()
-    val protectCover = coverOf(tagged.where(isFirst))
-    val cutCover = coverOf(tagged.where(!isFirst))
-    spanCoverRebuild(
-      base, cutCover.join(protectCover, Seq("doc_id", "tpos"), "left_anti"))
+      .groupBy(col("doc_id"), col("tpos"))
+      .agg(max(col("__pf")).as("__anyFirst"))
+      .where(!col("__anyFirst"))
+      .select(col("doc_id"), col("tpos"))
+    spanCoverRebuild(base, cut)
   }
 
   /** Distributed DENSE RANK over arbitrary key columns — the building
@@ -1188,12 +1194,24 @@ object Dedup {
     val grp = g1.join(g2, Seq("r"), "left")
     val reps = grp.select(
       col("r"), col("f1.doc_id").as("rd"), col("f1.pos").as("rp"))
-    // adjacent representative pairs, keyed by the LOWER rank
-    var pairs = reps
+    // adjacent representative pairs, keyed by the LOWER rank. Each
+    // rung of the halving walk is PINNED and its superseded
+    // predecessor's blocks + shuffles released — the ladder-build
+    // posture one stage downstream. Left lazy (the round-14 shape),
+    // all ~2·log L rungs' n-row exchanges chain in ONE job and their
+    // files coexist until it ends: the exact disk-accumulation class
+    // ShuffleBridge exists to prevent (at sf100, 9 rungs × 2 n-row
+    // exchanges over 270M positions — the same monotonic climb the
+    // ladder build aborted on). A ladder level is likewise dead the
+    // moment the rung that consumes it is pinned (the walk descends),
+    // so every level but the final one — which the per-position
+    // report still reads — releases inside the loop too, holding the
+    // executor footprint to ~2 rungs + 2 levels throughout.
+    var pairs = pinFrame(reps
       .join(reps.select((col("r") - 1).as("r"),
         col("rd").as("db"), col("rp").as("pb")), Seq("r"))
       .select(col("r"), col("rd").as("da"), col("rp").as("pa"),
-        col("db"), col("pb"), lit(0L).as("lcp"), lit(0L).as("off"))
+        col("db"), col("pb"), lit(0L).as("lcp"), lit(0L).as("off")))
     for (i <- levels.indices.reverse) {
       val li = levels(i).frame
       val kk = 1L << i
@@ -1201,20 +1219,25 @@ object Dedup {
         col("doc_id").as("__ad"), col("pos").as("__ap"), col("r").as("__ar"))
       val lb = li.select(
         col("doc_id").as("__bd"), col("pos").as("__bp"), col("r").as("__br"))
-      val j1 = pairs.join(la,
-        pairs("da") === la("__ad") &&
-          (pairs("pa") + pairs("off")) === la("__ap"), "left")
+      val pf = pairs.frame
+      val j1 = pf.join(la,
+        pf("da") === la("__ad") &&
+          (pf("pa") + pf("off")) === la("__ap"), "left")
       val j2 = j1.join(lb,
         j1("db") === lb("__bd") && (j1("pb") + j1("off")) === lb("__bp"), "left")
       val eq = col("__ar").isNotNull && col("__br").isNotNull &&
         col("__ar") === col("__br")
-      pairs = j2.select(col("r"), col("da"), col("pa"), col("db"), col("pb"),
-        when(eq, col("lcp") + kk).otherwise(col("lcp")).as("lcp"),
-        when(eq, col("off") + kk).otherwise(col("off")).as("off"))
+      val next = pinFrame(
+        j2.select(col("r"), col("da"), col("pa"), col("db"), col("pb"),
+          when(eq, col("lcp") + kk).otherwise(col("lcp")).as("lcp"),
+          when(eq, col("off") + kk).otherwise(col("off")).as("off")))
+      pairs.release()
+      if (i != levels.size - 1) levels(i).release()
+      pairs = next
     }
-    val adjN = pairs.select(col("r"), col("lcp").as("ln"),
+    val adjN = pairs.frame.select(col("r"), col("lcp").as("ln"),
       struct(col("db").as("doc_id"), col("pb").as("pos")).as("nsrc"))
-    val adjP = pairs.select((col("r") + 1).as("r"), col("lcp").as("lp"),
+    val adjP = pairs.frame.select((col("r") + 1).as("r"), col("lcp").as("lp"),
       struct(col("da").as("doc_id"), col("pa").as("pos")).as("psrc"))
     val per = withLen
       .join(grp, Seq("r"))
@@ -1246,9 +1269,12 @@ object Dedup {
         col("b.s.doc_id").as("src_doc"), col("b.s.pos").as("src_pos"),
         array_join(slice(col("toks"), (-col("b.np") + 1).cast("int"),
           col("b.l").cast("int")), " ").as("dup_text"))
-    // materialize BEFORE releasing the ladder the plan reads from
+    // materialize BEFORE releasing what the plan still reads from:
+    // the final ladder level (withLen) and the walk's final rung
+    // (adjN/adjP) — every earlier level/rung already released in-loop
     val pinned = report.localCheckpoint(true)
-    levels.foreach(_.release())
+    levels.last.release()
+    pairs.release()
     pinned.orderBy("doc_id")
   }
 

@@ -26,7 +26,20 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * Rename is atomic under HDFS semantics (and POSIX for local paths);
   * object stores without atomic rename need a rename-capable layer
   * under the index root — the same discipline every rename in the
-  * engine already assumes. */
+  * engine already assumes.
+  *
+  * CONCURRENCY CONTRACT — single maintainer, no reader concurrent
+  * with a swap. "Readable at every intermediate state" means every
+  * CRASH leaves a state [[recover]] repairs before the next access;
+  * it does NOT make live concurrent access safe: a reader's recover()
+  * racing an in-flight swap could roll forward between swap's two
+  * renames (making swap's rename(tmp, cur) fail on an already-rolled
+  * table), and recover-before-read is not atomic with the parquet
+  * read that follows, so a compaction starting mid-probe can rename
+  * `cur` away under the scan. Run exactly one compactor at a time and
+  * fence probes/appends from compactions (the rolling-curation
+  * pipelines do this naturally: compaction is a maintenance step of
+  * the single writer that owns the index). */
 private[graft] object IndexSwap {
 
   private def tmpPath(cur: Path): Path =

@@ -89,7 +89,8 @@ object Pipeline {
     "url_resolve", "lang_id_learned",
     "pagerank", "index_dedup", "fluency_buckets",
     "label_prop", "url_filter", "robots_rules", "anchor_text", "shard_shuffle",
-    "minhash_dedup", "span_scrub", "decontaminate", "bpe_count")
+    "minhash_dedup", "span_scrub", "decontaminate", "bpe_count",
+    "longest_dup", "suffix_array")
 
   /** Batch-only steps that aggregate ACROSS the whole corpus (near-dup
     * clustering, span statistics, benchmark-gram sets, merge-table
@@ -97,9 +98,11 @@ object Pipeline {
     * document set, so the streaming compiler rejects them with the
     * reason rather than just listing the allowed vocabulary. Their
     * incremental twins live in [[graft.streaming.StreamOps]]
-    * (rollingIngestStream / minhashDedupStream / spanScrubStream). */
+    * (rollingIngestStream / minhashCandidateStream /
+    * incrementalDedupStream / spanScrubStream). */
   private val corpusAggOps: Set[String] =
-    Set("minhash_dedup", "span_scrub", "decontaminate", "bpe_count")
+    Set("minhash_dedup", "span_scrub", "decontaminate", "bpe_count",
+      "longest_dup", "suffix_array")
 
   val knownExports: Set[String] = Set("parquet", "jsonapi", "dwc_archive")
 
@@ -356,7 +359,9 @@ object Pipeline {
               s"'${st.op}' to a STREAMING frame — '${st.op}' aggregates " +
               "across the WHOLE corpus (near-dup clusters, span " +
               "statistics, benchmark gram sets and BPE merge tables all " +
-              "need the full document set), which an unbounded stream " +
+              "need the full document set, and the suffix-rank ladder " +
+              "behind longest_dup/suffix_array sorts every corpus " +
+              "suffix), which an unbounded stream " +
               "never provides; run it in a batch spec, or use the " +
               "incremental twins in graft.streaming.StreamOps " +
               "(index_dedup against a persisted index, span-decision " +
@@ -682,9 +687,16 @@ object Pipeline {
         // J2→J6→J11 as ONE spec step: LSH candidate pairs, EXACT
         // shingle-jaccard verification on candidates only, connected
         // components, canonical keep. Candidates are approximate but
-        // verdicts exact (the standard two-phase near-dup pipeline) —
-        // at the gate scales LSH recall surfaces every exact pair, the
-        // J2 contract. The clustering is a bounded iterative job at
+        // verdicts exact (the standard two-phase near-dup pipeline).
+        // RECALL PRECONDITION: a pair at jaccard s collides in some
+        // band with probability 1-(1-s^(numHashes/bands))^bands — at
+        // the defaults (64/16, rows-per-band 4) that is ~0.64 at
+        // s=0.5 and >0.99 at s≥0.75. The exact-pair oracle gate holds
+        // because the gate corpus's planted near-dups sit well above
+        // minJaccard; a corpus with borderline-jaccard pairs needs
+        // numHashes/bands sized so collision probability at its
+        // minimum target jaccard is ~1 (more bands of fewer rows).
+        // The clustering is a bounded iterative job at
         // graph-BUILD time (the connectedComponents exception, like the
         // classifier fits below); the returned keep/flag plan is lazy.
         val id = reqStr(st.params, "id", tag)
@@ -764,6 +776,22 @@ object Pipeline {
         val merges = st.params.getOrElse("merges", 8).toString.toInt
         in.join(graft.operators.Bpe.encodeCounts(in, id, textC,
           graft.operators.Bpe.train(in, textC, merges)), Seq(id))
+      case "longest_dup" =>
+        // J17c as a step: per-document longest-duplicated-substring
+        // report from the suffix-rank ladder — the diagnostic that
+        // tunes span_scrub's spanLen/minDocs from config (its dup_len
+        // distribution says where the duplication mass sits). `rounds`
+        // must satisfy 2^rounds ≥ max doc tokens; the operator checks
+        // loudly rather than comparing only a prefix.
+        graft.operators.Dedup.longestDuplicate(
+          in, reqStr(st.params, "id", tag), reqStr(st.params, "text", tag),
+          rounds = st.params.getOrElse("rounds", 8).toString.toInt)
+      case "suffix_array" =>
+        // J17a as a step: corpus-global per-position suffix ranks
+        // (doc_id, pos, srank) — equal ranks ⇔ equal suffixes
+        graft.operators.Dedup.suffixRanks(
+          in, reqStr(st.params, "id", tag), reqStr(st.params, "text", tag),
+          rounds = st.params.getOrElse("rounds", 8).toString.toInt)
       case "fluency_buckets" =>
         // L12: the CCNet selection step — `ref` is the SQL predicate
         // naming the clean reference slice; emits candidates with

@@ -336,6 +336,22 @@ steps:
 """
       Pipeline.result(s, spec, resolver(s, dir))
     },
+    // R10 gate (r15) — the J17c longest-duplicated-substring report
+    // producible from CONFIG (the registry posture): the spec step is
+    // the only new code under the hash; the oracle is the J17c
+    // independent-formulation oracle verbatim. This is the diagnostic
+    // a pipeline author runs to choose span_scrub's spanLen/minDocs.
+    "q_pipeline_longest_dup" -> { (s, dir) =>
+      val spec = """
+entity: dup_diagnostic
+sources: [{name: docs, table: documents}]
+steps:
+  - name: report
+    op: longest_dup
+    params: {id: doc_id, text: text, rounds: 8}
+"""
+      Pipeline.result(s, spec, resolver(s, dir))
+    },
     "q_pipeline_warc" -> { (s, dir) =>
       val tag = java.lang.Math.abs(dir.hashCode)
       val path = s"/tmp/graft-pwarc-$tag"
@@ -420,6 +436,9 @@ steps:
       SELECT doc_id, text_clean AS text FROM (
         ${DedupQueries.oracles("q_span_scrub_var")}
       ) ORDER BY doc_id""",
+    // the J17c oracle verbatim — the spec step returns the report
+    // unchanged, so the step bridge is the only new code under the hash
+    "q_pipeline_longest_dup" -> DedupQueries.oracles("q_longest_dup"),
     // the spec chains the L11→L14 ops on the q_url_filter synthesis
     // grid verbatim — one oracle serves both gates
     "q_pipeline_web" -> TextQueries.oracles("q_url_filter"),

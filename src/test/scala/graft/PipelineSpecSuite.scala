@@ -825,12 +825,46 @@ steps:
     assert(counted === wantCounts)
   }
 
+  test("longest_dup and suffix_array steps match their operators") {
+    // the minLen-tuning diagnostic producible from CONFIG (round-14
+    // verdict task 6): spec-step output must be the operator verbatim
+    val ps = (1 to 9).map(i => s"D$i")
+    val docs = Seq(
+      (1L, "z " + ps.mkString(" ")),
+      (2L, ps.mkString(" ") + " q"),
+      (3L, "solo words only here nothing shared")).toDF("doc_id", "text")
+    val resolve: String => org.apache.spark.sql.DataFrame = {
+      case "documents" => docs; case t => fail(s"unexpected $t")
+    }
+    val report = Pipeline.result(spark, """
+entity: dup_diag
+sources: [{name: docs, table: documents}]
+steps:
+  - {name: ld, op: longest_dup, params: {id: doc_id, text: text, rounds: 5}}
+""", resolve).collect().map(_.toSeq).toSet
+    val wantReport = graft.operators.Dedup
+      .longestDuplicate(docs, "doc_id", "text", rounds = 5)
+      .collect().map(_.toSeq).toSet
+    assert(report === wantReport)
+    val ranks = Pipeline.result(spark, """
+entity: sa
+sources: [{name: docs, table: documents}]
+steps:
+  - {name: sr, op: suffix_array, params: {id: doc_id, text: text, rounds: 5}}
+""", resolve).collect().map(_.toSeq).toSet
+    val wantRanks = graft.operators.Dedup
+      .suffixRanks(docs, "doc_id", "text", rounds = 5)
+      .collect().map(_.toSeq).toSet
+    assert(ranks === wantRanks)
+  }
+
   test("streaming specs refuse corpus-aggregating hygiene ops with the reason") {
     val dir = s"/tmp/graft-pipe-aggops-${System.nanoTime()}"
     val pages = Seq((1L, "https://h.example/p", "<html><body><p>x</p></body></html>"))
       .toDF("doc_id", "url", "html")
     graft.sources.Warc.writeFiles(pages, "url", "html", dir)
-    Seq("minhash_dedup", "span_scrub", "decontaminate", "bpe_count").foreach { op =>
+    Seq("minhash_dedup", "span_scrub", "decontaminate", "bpe_count",
+        "longest_dup", "suffix_array").foreach { op =>
       val ex = intercept[IllegalArgumentException] {
         Pipeline.resultStream(spark, s"""
 entity: bad
