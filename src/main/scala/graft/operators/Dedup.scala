@@ -23,6 +23,19 @@ import org.apache.spark.sql.types.DoubleType
   */
 object Dedup {
 
+  /** Phase timing for the suffix-ladder family, printed only when
+    * GRAFT_PROF is set (bench/verify runs never pay or print it) —
+    * the measure-first hook the optimization rounds drive. */
+  private val profEnabled = sys.env.contains("GRAFT_PROF")
+  private def timed[A](label: => String)(f: => A): A =
+    if (!profEnabled) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[prof] $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
   /** Word n-gram shingles of a text column. Assumes ≥ n tokens; callers
     * filter shorter docs out (`size(split(text,' ')) >= n`) so the
     * DuckDB oracle can mirror the same predicate. */
@@ -961,30 +974,104 @@ object Dedup {
     spanCoverRebuild(base, cut)
   }
 
-  /** Distributed DENSE RANK over arbitrary key columns — the building
-    * block [[suffixRanks]] iterates. A global
-    * `dense_rank().over(Window.orderBy(...))` funnels every row
-    * through ONE sorting task; this shape stays distributed: the
-    * DISTINCT key set (≤ n rows) is range-partitioned, sorted within
-    * partitions, and numbered with `zipWithIndex` (per-partition
-    * counts + prefix offsets — no driver materialization). The index
-    * is deterministic regardless of where the range sampler draws its
-    * boundaries: keys are distinct and partitions are range-ordered,
-    * so the concatenated order IS the unique total order. Returns the
-    * (keys → rank) map frame; callers join it back on the keys. */
-  private def denseRankMap(
-      df: DataFrame, keys: Seq[String], out: String): DataFrame = {
+  /** Distributed DENSE RANK over arbitrary key columns, attached
+    * DIRECTLY to every input row — the building block [[suffixRanks]]
+    * iterates. A global `dense_rank().over(Window.orderBy(...))`
+    * funnels every row through ONE sorting task; this shape stays
+    * distributed: the rows are range-partitioned and sorted by the
+    * keys (equal keys land in one partition; partitions are
+    * range-ordered, and AQE coalescing only merges ADJACENT reducer
+    * partitions, so the concatenated partition order IS the global key
+    * order), one job counts the distinct keys per partition, and a
+    * lazy mapPartitionsWithIndex numbers the rows with the
+    * prefix-summed offsets — no driver materialization beyond one long
+    * per partition. Returns the ranked frame plus the TOTAL
+    * distinct-key count (= the max rank), which the ladder's
+    * early-stop reads for free instead of running a separate max(r)
+    * aggregation job.
+    *
+    * vs the round-14 `denseRankMap` shape (distinct → range sort →
+    * zipWithIndex → join back on the keys): the distinct exchange
+    * (≈ n rows once suffix ranks are near-distinct), the join-back
+    * exchange of the full input, the eager zipWithIndex job, AND the
+    * per-round early-stop aggregation all disappear — per doubling
+    * round the n-row exchanges drop 4 → 3 and the actions drop 3 → 1,
+    * because the SORTED rows themselves are what gets pinned: the
+    * counting job doubles as the level's materialization (the persist
+    * fills during it), and rank assignment is a lazy per-partition
+    * counter replayed over the pinned blocks on every read (an O(1)
+    * map per row — far cheaper than the join-back it replaces). The
+    * pinned level carries the (r1, r2) key columns alongside
+    * (doc_id, pos) — ~⅓ more bytes per level than pinning ranks alone,
+    * the price of one action per level instead of three (guide §1,
+    * §2.3–2.4). The rank VALUES are identical: dense ranks 1..d in
+    * ascending key order, independent of where the range sampler draws
+    * boundaries. Returns the pinned level projected to
+    * (doc_id, pos, r) plus the TOTAL distinct-key count (= max rank),
+    * which the ladder's early-stop reads for free. */
+  private def pinRanked(
+      df: DataFrame, keys: Seq[String], label: String): (PinnedFrame, Long) = {
+    import org.apache.spark.sql.catalyst.InternalRow
     val spark = df.sparkSession
     val keyCols = keys.map(col)
-    val sorted = df.select(keyCols: _*).distinct()
-      .repartitionByRange(keyCols: _*)
+    val sorted = df.repartitionByRange(keyCols: _*)
       .sortWithinPartitions(keyCols: _*)
-    val schema = org.apache.spark.sql.types.StructType(
-      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
-        out, org.apache.spark.sql.types.LongType, nullable = false))
-    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L)) }
-    spark.createDataFrame(indexed, schema)
+    val inSchema = sorted.schema
+    val outSchema = org.apache.spark.sql.types.StructType(
+      inSchema.fields :+ org.apache.spark.sql.types.StructField(
+        "r", org.apache.spark.sql.types.LongType, nullable = false))
+    val keyIdx = keys.map(inSchema.fieldIndex).toArray
+    val types = inSchema.fields.map(_.dataType)
+    val width = inSchema.length
+    // key comparison on internal values (UTF8String/Long equals);
+    // `prev` always holds a COPY in the counting pass — the sort
+    // iterator reuses row buffers, so holding a live reference across
+    // next() is corruption (the pinned replay below reads stable
+    // cached rows, where copies are unnecessary)
+    def sameKeys(a: InternalRow, b: InternalRow): Boolean = {
+      var i = 0
+      while (i < keyIdx.length) {
+        val f = keyIdx(i)
+        val av = a.get(f, types(f)); val bv = b.get(f, types(f))
+        val same = if (av == null) bv == null else av.equals(bv)
+        if (!same) return false
+        i += 1
+      }
+      true
+    }
+    val rdd = timed(s"$label toRdd")(sorted.queryExecution.toRdd).map(_.copy())
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE action: counting the per-partition distinct keys pulls every
+    // row through the persist, so this job IS the materialization
+    val counts = timed(s"$label count")(rdd.mapPartitions { it =>
+      var cnt = 0L
+      var prev: InternalRow = null
+      while (it.hasNext) {
+        val r = it.next()
+        if (prev == null || !sameKeys(prev, r)) { cnt += 1; prev = r }
+      }
+      Iterator.single(cnt)
+    }.collect())
+    timed(s"$label clean")(
+      org.apache.spark.graft.ShuffleBridge.cleanAllShuffles(rdd))
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val ranked = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var rank = offsets(pid)
+      var prev: InternalRow = null
+      it.map { r =>
+        if (prev == null || !sameKeys(prev, r)) { rank += 1; prev = r }
+        val vals = new Array[Any](width + 1)
+        var i = 0
+        while (i < width) { vals(i) = r.get(i, types(i)); i += 1 }
+        vals(width) = rank
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          vals): InternalRow
+      }
+    }
+    val frame = org.apache.spark.sql.graft.ColumnBridge
+      .internalCreateDataFrame(spark, ranked, outSchema)
+      .select(col("doc_id"), col("pos"), col("r"))
+    (new PinnedFrame(frame, rdd), counts.sum)
   }
 
   /** J17a — distributed SUFFIX-ARRAY ranks by prefix doubling
@@ -1001,7 +1088,7 @@ object Dedup {
     * suffix's rank with the rank k positions later (computed as a
     * SHIFT-join — `(doc, pos−k)` against `(doc, pos)` — so it is an
     * equi-join, never a range join), then one distributed dense
-    * re-rank over the (r, r_next) pairs via [[denseRankMap]]. Total
+    * re-rank over the (r, r_next) pairs via [[denseRankAttach]]. Total
     * work O(n log L) for max doc length L — the standard
     * prefix-doubling bound; every stage is shuffle-on-key, nothing
     * driver-side. Rounds stop early once all ranks are distinct
@@ -1049,11 +1136,11 @@ object Dedup {
     * the scan's reused buffers before caching; the frame stays in
     * InternalRow-land (no external-Row encoder pass on downstream
     * consumption — the connectedComponents posture). */
-  private def pinFrame(df: DataFrame): PinnedFrame = {
+  private def pinFrame(df: DataFrame, label: String = "pin"): PinnedFrame = {
     val schema = df.schema
-    val rdd = df.queryExecution.toRdd.map(_.copy())
+    val rdd = timed(s"$label toRdd")(df.queryExecution.toRdd).map(_.copy())
     rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    rdd.count()
+    timed(s"$label count")(rdd.count())
     // the round's SHUFFLE files exist only to recompute the blocks
     // just pinned — release them NOW, deterministically (ContextCleaner
     // reclaims only on a driver GC; nine rounds of ~270M-row exchanges
@@ -1062,7 +1149,8 @@ object Dedup {
     // shuffle, leaving the 3-4 exchanges beneath each round alive). A
     // lost pinned block recomputes through ordinary lineage recovery —
     // stage retry re-creates missing shuffle files.
-    org.apache.spark.graft.ShuffleBridge.cleanAllShuffles(rdd)
+    timed(s"$label clean")(
+      org.apache.spark.graft.ShuffleBridge.cleanAllShuffles(rdd))
     new PinnedFrame(
       org.apache.spark.sql.graft.ColumnBridge
         .internalCreateDataFrame(df.sparkSession, rdd, schema),
@@ -1092,15 +1180,15 @@ object Dedup {
       .toDF("doc_id", "pos", "tok")
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
       .persist()
-    val stats = base.agg(count(lit(1)), max(col("pos"))).head()
+    val stats = timed("ladder stats")(
+      base.agg(count(lit(1)), max(col("pos"))).head())
     val n = stats.getLong(0)
     val maxLen = if (stats.isNullAt(1)) 0L else stats.getLong(1) + 1L
     require(maxLen <= (1L << rounds),
       s"suffixRanks: longest document has $maxLen tokens but 2^$rounds = " +
         s"${1L << rounds} — ranks would compare only a prefix; raise `rounds`")
-    var cur = pinFrame(base
-      .join(denseRankMap(base, Seq("tok"), "r"), Seq("tok"))
-      .select(col("doc_id"), col("pos"), col("r")))
+    val (l0, d0) = pinRanked(base, Seq("tok"), "ladder L0")
+    var cur = l0
     base.unpersist()
     var levels = Vector(cur)
     var j = 0
@@ -1110,28 +1198,39 @@ object Dedup {
     // ranks then mean fully-equal suffixes, which no further round can
     // separate. The second matters when callers over-provision `rounds`
     // for oracle alignment: short-doc corpora stop at ceil(log2 L).
-    var done = (n > 0 && cur.frame.agg(max(col("r"))).head().getLong(0) == n) ||
-      (1L >= maxLen)
+    // The distinct-key count pinRanked already computed IS the max
+    // rank, so the check costs no job.
+    var done = (n > 0 && d0 == n) || (1L >= maxLen)
     while (j < rounds && !done) {
       val k = 1L << j
       val cf = cur.frame
-      val shifted = cf.select(
-        col("doc_id"), (col("pos") - k).as("pos"), col("r").as("__rn"))
-      val paired = cf.join(shifted, Seq("doc_id", "pos"), "left")
-        .select(col("doc_id"), col("pos"),
-          col("r").as("__r1"), coalesce(col("__rn"), lit(0L)).as("__r2"))
-      val next = pinFrame(paired
-        .join(denseRankMap(paired, Seq("__r1", "__r2"), "r"), Seq("__r1", "__r2"))
-        .select(col("doc_id"), col("pos"), col("r")))
+      // rank pairing as ONE union + (doc, pos) aggregation instead of a
+      // self-join: both union sides are map scans of the same pinned
+      // level, so the pairing costs one 2n-row exchange where the join
+      // shape paid two n-row exchanges plus their sort-merge sorts
+      // (guide §2.3–2.4). Equivalence to the left join: every position
+      // contributes its tag-0 row, the tag-1 row at (doc, pos) is the
+      // rank from pos+k and exists iff pos+k is inside the doc, and
+      // missing tag-1 folds to the rank-0 sentinel exactly like the
+      // join's null coalesce.
+      val paired = cf
+        .select(col("doc_id"), col("pos"), col("r"), lit(0).as("__t"))
+        .unionAll(cf.where(col("pos") >= k).select(
+          col("doc_id"), (col("pos") - k).as("pos"), col("r"), lit(1).as("__t")))
+        .groupBy(col("doc_id"), col("pos"))
+        .agg(
+          max(when(col("__t") === 0, col("r"))).as("__r1"),
+          coalesce(max(when(col("__t") === 1, col("r"))), lit(0L)).as("__r2"))
+      val (next, d) = pinRanked(paired, Seq("__r1", "__r2"), s"ladder L${j + 1}")
       // the previous round's blocks are unreferenced the moment `next`
-      // is materialized (pinFrame ran its count) — release them NOW
+      // is materialized (pinRanked ran its counting job) — release NOW
       if (!retainLevels) cur.release()
       cur = next
       levels = if (retainLevels) levels :+ cur else Vector(cur)
       j += 1
       if ((1L << j) >= maxLen) done = true // comparison depth covers max doc
       else if (j < rounds && n > 0) // all-distinct ⇒ fixpoint; skip last lap
-        done = cur.frame.agg(max(col("r"))).head().getLong(0) == n
+        done = d == n
     }
     (levels, n, maxLen)
   }
@@ -1191,27 +1290,37 @@ object Dedup {
       .where(!(col("doc_id") === col("f1.doc_id") && col("pos") === col("f1.pos")))
       .groupBy(col("r"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("f2"))
-    val grp = g1.join(g2, Seq("r"), "left")
+    // `grp` feeds BOTH the walk's representatives and the per-position
+    // report — pin it ONCE so the g1/g2 aggregations run once, not
+    // twice (one exchange and two aggregation passes saved; guide §1).
+    val grp0 = g1.join(g2, Seq("r"), "left")
+    val pinnedGrp = pinFrame(grp0, "walk grp")
+    val grp = pinnedGrp.frame
     val reps = grp.select(
       col("r"), col("f1.doc_id").as("rd"), col("f1.pos").as("rp"))
-    // adjacent representative pairs, keyed by the LOWER rank. Each
-    // rung of the halving walk is PINNED and its superseded
-    // predecessor's blocks + shuffles released — the ladder-build
-    // posture one stage downstream. Left lazy (the round-14 shape),
-    // all ~2·log L rungs' n-row exchanges chain in ONE job and their
+    // adjacent representative pairs, keyed by the LOWER rank. The
+    // halving walk is PINNED every TWO rungs and the superseded pin's
+    // blocks + shuffles released — the ladder-build posture one stage
+    // downstream. Left lazy end-to-end (the round-14 shape), all
+    // ~2·log L rungs' n-row exchanges chain in ONE job and their
     // files coexist until it ends: the exact disk-accumulation class
     // ShuffleBridge exists to prevent (at sf100, 9 rungs × 2 n-row
     // exchanges over 270M positions — the same monotonic climb the
-    // ladder build aborted on). A ladder level is likewise dead the
-    // moment the rung that consumes it is pinned (the walk descends),
+    // ladder build aborted on). Batching two rungs per pin halves the
+    // walk's materialization actions while bounding the live exchange
+    // files to one pinned rung + ≤2 lazy rungs' exchanges. A ladder
+    // level is dead the moment the batch that consumed it is pinned,
     // so every level but the final one — which the per-position
     // report still reads — releases inside the loop too, holding the
-    // executor footprint to ~2 rungs + 2 levels throughout.
-    var pairs = pinFrame(reps
+    // executor footprint to ~3 rungs + 3 levels throughout.
+    var pairs: PinnedFrame = null
+    var chain = reps
       .join(reps.select((col("r") - 1).as("r"),
         col("rd").as("db"), col("rp").as("pb")), Seq("r"))
       .select(col("r"), col("rd").as("da"), col("rp").as("pa"),
-        col("db"), col("pb"), lit(0L).as("lcp"), lit(0L).as("off")))
+        col("db"), col("pb"), lit(0L).as("lcp"), lit(0L).as("off"))
+    var sincePin = 0
+    var consumed = List.empty[Int]
     for (i <- levels.indices.reverse) {
       val li = levels(i).frame
       val kk = 1L << i
@@ -1219,21 +1328,27 @@ object Dedup {
         col("doc_id").as("__ad"), col("pos").as("__ap"), col("r").as("__ar"))
       val lb = li.select(
         col("doc_id").as("__bd"), col("pos").as("__bp"), col("r").as("__br"))
-      val pf = pairs.frame
-      val j1 = pf.join(la,
-        pf("da") === la("__ad") &&
-          (pf("pa") + pf("off")) === la("__ap"), "left")
+      val j1 = chain.join(la,
+        chain("da") === la("__ad") &&
+          (chain("pa") + chain("off")) === la("__ap"), "left")
       val j2 = j1.join(lb,
         j1("db") === lb("__bd") && (j1("pb") + j1("off")) === lb("__bp"), "left")
       val eq = col("__ar").isNotNull && col("__br").isNotNull &&
         col("__ar") === col("__br")
-      val next = pinFrame(
-        j2.select(col("r"), col("da"), col("pa"), col("db"), col("pb"),
-          when(eq, col("lcp") + kk).otherwise(col("lcp")).as("lcp"),
-          when(eq, col("off") + kk).otherwise(col("off")).as("off")))
-      pairs.release()
-      if (i != levels.size - 1) levels(i).release()
-      pairs = next
+      chain = j2.select(col("r"), col("da"), col("pa"), col("db"), col("pb"),
+        when(eq, col("lcp") + kk).otherwise(col("lcp")).as("lcp"),
+        when(eq, col("off") + kk).otherwise(col("off")).as("off"))
+      sincePin += 1
+      consumed ::= i
+      if (sincePin == 2 || i == 0) {
+        val next = pinFrame(chain, s"walk rung$i")
+        if (pairs != null) pairs.release()
+        consumed.foreach(ii => if (ii != levels.size - 1) levels(ii).release())
+        consumed = Nil
+        sincePin = 0
+        pairs = next
+        chain = pairs.frame
+      }
     }
     val adjN = pairs.frame.select(col("r"), col("lcp").as("ln"),
       struct(col("db").as("doc_id"), col("pb").as("pos")).as("nsrc"))
@@ -1272,9 +1387,10 @@ object Dedup {
     // materialize BEFORE releasing what the plan still reads from:
     // the final ladder level (withLen) and the walk's final rung
     // (adjN/adjP) — every earlier level/rung already released in-loop
-    val pinned = report.localCheckpoint(true)
+    val pinned = timed("report checkpoint")(report.localCheckpoint(true))
     levels.last.release()
     pairs.release()
+    pinnedGrp.release()
     pinned.orderBy("doc_id")
   }
 
