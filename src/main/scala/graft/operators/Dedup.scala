@@ -1235,6 +1235,91 @@ object Dedup {
     (levels, n, maxLen)
   }
 
+  /** Annotates every (doc_id, pos, r) row of a pinned ladder level with
+    * its rank group's occupancy and the group's two struct-min members,
+    * with NO exchange: equal ranks are a contiguous run inside one
+    * range partition of the level (see the call site for why), so a
+    * streaming buffered-run scan suffices. Output columns:
+    * (doc_id, pos, r, cnt, f1 struct, f2 struct — null when cnt = 1).
+    * Equivalent to groupBy(r){count, min(struct), second-min(struct)}
+    * joined back on r. A run buffers at most its own group (the same
+    * bound the sort-merge join it replaces paid for equal-key runs). */
+  private def rankGroupAnnotate(fin: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.types._
+    val spark = fin.sparkSession
+    val dt = fin.schema("doc_id").dataType
+    val memberType = StructType(Seq(
+      StructField("doc_id", dt, nullable = false),
+      StructField("pos", LongType, nullable = false)))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", dt, nullable = false),
+      StructField("pos", LongType, nullable = false),
+      StructField("r", LongType, nullable = false),
+      StructField("cnt", LongType, nullable = false),
+      StructField("f1", memberType, nullable = false),
+      StructField("f2", memberType, nullable = true)))
+    val docOrd = org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(dt)
+    // (doc, pos) lexicographic — the struct-min ordering of the
+    // aggregation shape this replaces
+    def less(ad: Any, ap: Long, bd: Any, bp: Long): Boolean = {
+      val c = docOrd.compare(ad, bd)
+      if (c != 0) c < 0 else ap < bp
+    }
+    val rdd = fin.queryExecution.toRdd.mapPartitions { it =>
+      new Iterator[InternalRow] {
+        // `ahead` holds the first row of the NEXT run (copied — the
+        // scan iterator reuses row buffers)
+        private var ahead: InternalRow =
+          if (it.hasNext) it.next().copy() else null
+        private var out: Iterator[InternalRow] = Iterator.empty
+        private val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+        private def refill(): Unit = {
+          while (!out.hasNext && ahead != null) {
+            val r = ahead.getLong(2)
+            buf.clear()
+            buf += ahead
+            ahead = null
+            var more = true
+            while (more && it.hasNext) {
+              val c = it.next().copy()
+              if (c.getLong(2) == r) buf += c
+              else { ahead = c; more = false }
+            }
+            // two struct-min members of the run
+            var i1 = 0; var i2 = -1
+            var i = 1
+            while (i < buf.length) {
+              val row = buf(i)
+              val d = row.get(0, dt); val p = row.getLong(1)
+              val m1 = buf(i1)
+              if (less(d, p, m1.get(0, dt), m1.getLong(1))) { i2 = i1; i1 = i }
+              else if (i2 < 0 ||
+                less(d, p, buf(i2).get(0, dt), buf(i2).getLong(1))) i2 = i
+              i += 1
+            }
+            val cnt = buf.length.toLong
+            val f1 = new GenericInternalRow(
+              Array[Any](buf(i1).get(0, dt), buf(i1).getLong(1)))
+            val f2 = if (i2 < 0) null
+              else new GenericInternalRow(
+                Array[Any](buf(i2).get(0, dt), buf(i2).getLong(1)))
+            out = buf.toArray.iterator.map { row =>
+              new GenericInternalRow(Array[Any](
+                row.get(0, dt), row.getLong(1), r, cnt, f1, f2)): InternalRow
+            }
+          }
+        }
+        def hasNext: Boolean = { refill(); out.hasNext }
+        def next(): InternalRow = { refill(); out.next() }
+      }
+    }
+    org.apache.spark.sql.graft.ColumnBridge
+      .internalCreateDataFrame(spark, rdd, outSchema)
+  }
+
   /** J17c — per-document LONGEST DUPLICATED SUBSTRING report from the
     * suffix-rank ladder (the number Lee et al. 2021 publish, and the
     * natural threshold-tuning diagnostic for [[spanDedupVar]]): for
@@ -1273,31 +1358,28 @@ object Dedup {
     val fin = levels.last.frame // (doc_id, pos, r)
     val base = df.select(
       col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
-    val withLen = fin
-      .join(base.select(col("doc_id"), size(col("toks")).cast("long").as("__dl")),
-        Seq("doc_id"))
-      .select(col("doc_id"), col("pos"), col("r"),
-        (col("__dl") - col("pos")).as("slen"))
-    // rank groups: occupancy + the two struct-min members (the second
-    // is the deterministic "other occurrence" when a position IS the
-    // min). Both are map-combinable struct-min aggregates — a
-    // row_number window would funnel a hot boilerplate rank's whole
-    // occurrence list through one sorting partition.
-    val g1 = withLen.groupBy(col("r")).agg(
-      count(lit(1)).as("cnt"),
-      min(struct(col("doc_id"), col("pos"))).as("f1"))
-    val g2 = withLen.join(g1, Seq("r"))
-      .where(!(col("doc_id") === col("f1.doc_id") && col("pos") === col("f1.pos")))
-      .groupBy(col("r"))
-      .agg(min(struct(col("doc_id"), col("pos"))).as("f2"))
-    // `grp` feeds BOTH the walk's representatives and the per-position
-    // report — pin it ONCE so the g1/g2 aggregations run once, not
-    // twice (one exchange and two aggregation passes saved; guide §1).
-    val grp0 = g1.join(g2, Seq("r"), "left")
-    val pinnedGrp = pinFrame(grp0, "walk grp")
-    val grp = pinnedGrp.frame
-    val reps = grp.select(
-      col("r"), col("f1.doc_id").as("rd"), col("f1.pos").as("rp"))
+    // rank-group stats (occupancy + the two struct-min members — the
+    // second is the deterministic "other occurrence" when a position IS
+    // the min), attached to every position with ZERO exchange: pinRanked
+    // range-partitions and sorts each level by its key pair, and r is
+    // the dense rank OF that pair, so every rank group is a contiguous
+    // run inside one partition (AQE only coalesces ADJACENT range
+    // partitions — the invariant pinRanked's numbering already relies
+    // on). One buffered-run scan per partition replaces the round-14
+    // shape's two n-row groupBy exchanges + join-back + pinned grp frame
+    // (guide §2.4). Left LAZY: recomputing it is a map over the pinned
+    // final level, so its two consumers (walk reps, per-position report)
+    // cost no extra shuffle or pin action.
+    val ann = rankGroupAnnotate(fin)
+    // doc lengths from the final level itself (max position + 1) — the
+    // partial-aggregated exchange carries one row per doc, where the
+    // round-14 shape re-scanned the corpus and re-split every text just
+    // to take size(toks) (guide §2.3: aggregate before you shuffle).
+    val lengths = fin.groupBy(col("doc_id"))
+      .agg((max(col("pos")) + 1L).as("__dl"))
+    val reps = ann
+      .where(col("doc_id") === col("f1.doc_id") && col("pos") === col("f1.pos"))
+      .select(col("r"), col("f1.doc_id").as("rd"), col("f1.pos").as("rp"))
     // adjacent representative pairs, keyed by the LOWER rank. The
     // halving walk is PINNED every TWO rungs and the superseded pin's
     // blocks + shuffles released — the ladder-build posture one stage
@@ -1354,8 +1436,14 @@ object Dedup {
       struct(col("db").as("doc_id"), col("pb").as("pos")).as("nsrc"))
     val adjP = pairs.frame.select((col("r") + 1).as("r"), col("lcp").as("lp"),
       struct(col("da").as("doc_id"), col("pa").as("pos")).as("psrc"))
-    val per = withLen
-      .join(grp, Seq("r"))
+    // per-position candidates: group stats ride along from `ann`
+    // (partition-local), so the only per-position joins left are doc
+    // length (one row per doc — broadcast at bench scale) and the two
+    // walk-adjacency frames, which chain on the SAME key r and so share
+    // one exchange of the position side.
+    val per = ann
+      .join(lengths, Seq("doc_id"))
+      .withColumn("slen", col("__dl") - col("pos"))
       .join(adjN, Seq("r"), "left")
       .join(adjP, Seq("r"), "left")
       .select(col("doc_id"), col("pos"),
@@ -1390,7 +1478,6 @@ object Dedup {
     val pinned = timed("report checkpoint")(report.localCheckpoint(true))
     levels.last.release()
     pairs.release()
-    pinnedGrp.release()
     pinned.orderBy("doc_id")
   }
 
