@@ -175,6 +175,16 @@ object Classifier {
     * sequence + transform fold), map-only. */
   private[graft] def charGramBuckets(
       textCol: Column, buckets: Int, n: Int): Column =
+    coalesce( // null text carries only the intercept, like the algebra
+      graft.functions.CharGramBuckets.char_gram_buckets(textCol, buckets, n),
+      typedlit(Seq(buckets)))
+
+  /** The pure-column-algebra formulation of [[charGramBuckets]], kept
+    * as the bit-equal reference the parity spec (and the DuckDB
+    * oracle's SQL) mirror — the fused kernel must match it window for
+    * window, including first-occurrence distinct order. */
+  private[graft] def charGramBucketsHof(
+      textCol: Column, buckets: Int, n: Int): Column =
     concat(
       array_distinct(transform(
         when(length(textCol) >= n, sequence(lit(1), length(textCol) - (n - 1)))
@@ -249,13 +259,13 @@ object Classifier {
     // loop to a few cores (measured 8× at sf10); gradient sums are
     // order-independent integers, so the result is bit-identical
     // (spec-held determinism across repartitioned input).
-    val feat = df.select(
+    val feat = graft.Prof.timed("langid featurize")(df.select(
       col(idCol).as("__id"),
       col(langCol).cast("string").as("__lang"),
       trainPred.cast("boolean").as("__train"),
       charGramBuckets(col(textCol), buckets, gramN).as("__barr"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .localCheckpoint(true)
+      .localCheckpoint(true))
     val train = feat.where(col("__train"))
     val weights = fitLangsOnFeatures(train, langs, buckets, epochs, lrNum)
     (feat, langs, weights)
@@ -281,20 +291,20 @@ object Classifier {
       s"classifier: need 1..64 epochs, got $epochs")
     require(lrNum >= 1 && lrNum <= 16,
       s"classifier: need 1..16 lrNum, got $lrNum")
-    val n = feat.count()
+    val n = graft.Prof.timed("langid count")(feat.count())
     require(n >= 1, "classifier: empty training corpus")
     val ws = langs.map(_ => Array.fill(buckets + 1)(0L))
-    for (_ <- 1 to epochs) {
+    for (ep <- 1 to epochs) {
       val errCols = langs.zipWithIndex.map { case (l, i) =>
         (probS(marginCol(col("__barr"), ws(i))) -
           when(col("__lang") === l, lit(S)).otherwise(lit(0L))).as(s"__e$i")
       }
       val gradCols = langs.indices.map(i => sum(col(s"__e$i")).as(s"__g$i"))
-      val grads = feat
+      val grads = graft.Prof.timed(s"langid epoch $ep")(feat
         .select(errCols :+ explode(col("__barr")).as("__b"): _*)
         .groupBy(col("__b"))
         .agg(gradCols.head, gradCols.tail: _*)
-        .collect()
+        .collect())
       grads.foreach { r =>
         val b = r.getInt(0)
         langs.indices.foreach { i =>

@@ -23,18 +23,8 @@ import org.apache.spark.sql.types.DoubleType
   */
 object Dedup {
 
-  /** Phase timing for the suffix-ladder family, printed only when
-    * GRAFT_PROF is set (bench/verify runs never pay or print it) —
-    * the measure-first hook the optimization rounds drive. */
-  private val profEnabled = sys.env.contains("GRAFT_PROF")
   private def timed[A](label: => String)(f: => A): A =
-    if (!profEnabled) f
-    else {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"[prof] $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      r
-    }
+    graft.Prof.timed(label)(f)
 
   /** Word n-gram shingles of a text column. Assumes ≥ n tokens; callers
     * filter shorter docs out (`size(split(text,' ')) >= n`) so the

@@ -177,6 +177,24 @@ class HashExpressionsSpec extends SparkSpec {
     assert(sk == ex)
   }
 
+  test("native char_gram_buckets is bit-equal to the HOF algebra") {
+    // real corpus rows + the edge shapes: empty, shorter-than-n,
+    // multibyte (code-point windows), repeated grams (distinct order),
+    // and null text (intercept-only)
+    val edge = Seq("", "ab", "abc", "ααβγδ", "xyxyxyxy", null, "漢字漢字テスト")
+      .toDF("text")
+    for (df <- Seq(Tables.documents(spark, "/root/testdata/sf0.001")
+           .limit(80).select(col("text")), edge);
+         (b, n) <- Seq((1024, 3), (64, 2), (256, 5))) {
+      val got = df.select(
+        graft.operators.Classifier.charGramBuckets(col("text"), b, n).as("k"),
+        graft.operators.Classifier.charGramBucketsHof(col("text"), b, n).as("ref"))
+        .collect()
+      assert(got.nonEmpty)
+      got.foreach(r => assert(r.getSeq[Int](0) === r.getSeq[Int](1)))
+    }
+  }
+
   test("native bucket_margin is bit-equal to the HOF fold and loud on corruption") {
     val w = Array.tabulate(65)(i => (i * 7919L - 250000L))
     val feat = docs.select(col("doc_id"),
