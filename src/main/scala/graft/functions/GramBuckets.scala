@@ -107,4 +107,71 @@ object CharGramBuckets {
   def char_gram_buckets(text: Column, buckets: Int, n: Int): Column =
     ColumnBridge.column(
       CharGramBuckets(ColumnBridge.expression(text), buckets, n))
+
+  def word_token_buckets(text: Column, buckets: Int): Column =
+    ColumnBridge.column(
+      WordTokenBuckets(ColumnBridge.expression(text), buckets))
+}
+
+/** Hashed WORD-token feature buckets — the fused twin of
+  * `array_distinct(transform(split(text, " "), tokenBucket)) ++
+  * [buckets]` (the [[graft.operators.Classifier.featureFrame]] /
+  * `scoreExpr` algebra; spec-held parity). Tokens are the `split`
+  * pieces EXACTLY: boundaries at every 0x20 byte (a space never occurs
+  * inside a multi-byte UTF-8 sequence), consecutive/leading/trailing
+  * separators yield empty tokens just like Java's Pattern.split with
+  * limit -1, and empty input is the single empty token. Null text
+  * stays null (concat's null propagation in the algebra). */
+case class WordTokenBuckets(child: Expression, buckets: Int)
+    extends UnaryExpression {
+
+  require(buckets >= 1, "word_token_buckets: buckets >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "word_token_buckets"
+
+  override def nullSafeEval(input: Any): Any =
+    WordTokenBuckets.compute(input.asInstanceOf[UTF8String], buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.WordTokenBuckets$$.MODULE$$" +
+        s".compute($t, $buckets);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordTokenBuckets =
+    copy(child = newChild)
+}
+
+object WordTokenBuckets {
+  private val mdTL: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  def compute(text: UTF8String, buckets: Int): ArrayData = {
+    val bytes = text.getBytes
+    val md = mdTL.get()
+    val seen = new Array[Boolean](buckets)
+    // tokens ≤ bytes.length + 1; distinct buckets ≤ buckets; +1 intercept
+    val out = new Array[Int](math.min(bytes.length + 1, buckets) + 1)
+    var k = 0
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == 0x20) {
+        val b = CharGramBuckets.bucketOf(md, bytes, start, i - start, buckets)
+        if (!seen(b)) { seen(b) = true; out(k) = b; k += 1 }
+        start = i + 1
+      }
+      i += 1
+    }
+    out(k) = buckets
+    k += 1
+    UnsafeArrayData.fromPrimitiveArray(
+      if (k == out.length) out else java.util.Arrays.copyOf(out, k))
+  }
 }

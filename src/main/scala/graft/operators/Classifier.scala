@@ -72,10 +72,17 @@ object Classifier {
     df.select(
       col(idCol).as("__id"),
       labelPred.cast("boolean").as("__y"),
-      concat(
-        array_distinct(transform(
-          split(col(textCol), " "), t => tokenBucket(t, buckets))),
-        array(lit(buckets))).as("__barr"))
+      graft.functions.CharGramBuckets
+        .word_token_buckets(col(textCol), buckets).as("__barr"))
+
+  /** The pure-column-algebra formulation of the feature array fused in
+    * [[featureFrame]]/[[scoreExpr]] — the bit-equal reference the
+    * parity spec (and the DuckDB oracle's SQL) mirror. */
+  private[graft] def wordBucketsHof(textCol: Column, buckets: Int): Column =
+    concat(
+      array_distinct(transform(
+        split(textCol, " "), t => tokenBucket(t, buckets))),
+      array(lit(buckets)))
 
   /** Margin of one document under integer weights: Σ_{b ∈ barr} w_b —
     * the native codegen'd [[graft.functions.BucketMargin]] kernel (no
@@ -160,10 +167,7 @@ object Classifier {
     * state). */
   def scoreExpr(textCol: Column, w: Array[Long], buckets: Int): Column =
     marginCol(
-      concat(
-        array_distinct(transform(
-          split(textCol, " "), t => tokenBucket(t, buckets))),
-        array(lit(buckets))),
+      graft.functions.CharGramBuckets.word_token_buckets(textCol, buckets),
       w)
 
   /** Hashed CHARACTER-n-gram bucket array of a text column — the

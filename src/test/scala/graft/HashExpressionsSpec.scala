@@ -195,6 +195,27 @@ class HashExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("native word_token_buckets is bit-equal to the HOF algebra") {
+    // split-on-space edge shapes the fused kernel must reproduce:
+    // consecutive/leading/trailing spaces (empty tokens), empty text
+    // (one empty token), null (null), multibyte tokens
+    val edge = Seq("", " ", "a  b", " lead", "trail ", "ein zwei", null,
+      "漢字 テスト 漢字").toDF("text")
+    for (df <- Seq(Tables.documents(spark, "/root/testdata/sf0.001")
+           .limit(80).select(col("text")), edge);
+         b <- Seq(64, 1024)) {
+      val got = df.select(
+        graft.functions.CharGramBuckets.word_token_buckets(col("text"), b).as("k"),
+        graft.operators.Classifier.wordBucketsHof(col("text"), b).as("ref"))
+        .collect()
+      assert(got.nonEmpty)
+      got.foreach { r =>
+        if (r.isNullAt(1)) assert(r.isNullAt(0))
+        else assert(r.getSeq[Int](0) === r.getSeq[Int](1))
+      }
+    }
+  }
+
   test("native bucket_margin is bit-equal to the HOF fold and loud on corruption") {
     val w = Array.tabulate(65)(i => (i * 7919L - 250000L))
     val feat = docs.select(col("doc_id"),
