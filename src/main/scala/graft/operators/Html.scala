@@ -152,7 +152,13 @@ object Html {
     * full RFC 3986 dot-segment resolution (iterative — not one-pass
     * column algebra); crawl pipelines apply this same pragmatic
     * subset. */
-  def urlNormalize(url: Column): Column = {
+  def urlNormalize(url: Column): Column =
+    graft.functions.UrlKernels.url_normalize(url)
+
+  /** The pure-column-algebra formulation of [[urlNormalize]] — the
+    * bit-equal reference the fuzzing parity spec pins the
+    * [[graft.functions.UrlKernels]] transcription against. */
+  private[graft] def urlNormalizeHof(url: Column): Column = {
     val noFrag = regexp_replace(trim(url), "(?s)#.*", "")
     val prefix = lower(regexp_extract(noFrag, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*).*", 1))
     val rest = pctNormalize(
@@ -214,7 +220,13 @@ object Html {
     * without a scheme://host prefix cannot anchor resolution; the ref
     * passes through untouched (loud would kill whole crawl partitions
     * on one malformed metadata row — the L11 pass-through posture). */
-  def urlResolve(base: Column, ref: Column): Column = {
+  def urlResolve(base: Column, ref: Column): Column =
+    graft.functions.UrlKernels.url_resolve(base, ref)
+
+  /** The pure-column-algebra formulation of [[urlResolve]] — the
+    * bit-equal reference the fuzzing parity spec pins the
+    * [[graft.functions.UrlKernels]] transcription against. */
+  private[graft] def urlResolveHof(base: Column, ref: Column): Column = {
     val b = trim(base)
     val r = trim(ref)
     val bScheme = regexp_extract(b, "^([a-zA-Z][a-zA-Z0-9+.-]*)://.*", 1)

@@ -15,6 +15,63 @@ class HtmlSpec extends SparkSpec {
     Html.htmlExtract(Seq((1L, html)).toDF("id", "html"), "id", "html")
       .collect().head
 
+  test("url kernels are bit-equal to the column algebra, incl. fuzz") {
+    // hand-built shapes covering every branch of both functions
+    val hand = Seq(
+      "https://Site3.Example.COM:443/Path/3#Frag",
+      "HTTP://WWW.x.COM:80/a#top", "http://x.com", "http://x.com/",
+      "  http://pad.example/x  ", "ftp://h:21/q", "not a url", "",
+      "http://MüNCHEN.Example.COM/x", "https://www.h/%41%2f%7e%zz",
+      "http://h/%", "http://h/%%", "http://h/a%4", "http://h/a%zz1",
+      "http://h/a?q=%2f#f", "relative/path", "//cdn.example.net/x",
+      "/rooted/../a/./b", "?query=1", "#fragonly", "mailto:a@b",
+      "javascript:void(0)", "http://h\nx/y", "http://h/a\nb?c",
+      "https://h/a/b/../../../c", "http://h/a/b/..", "http://h/a/b/.",
+      "x://y", "http://h:8080/p", "a%7Eb", "%41", "http://h/?")
+    val fuzz = {
+      val rnd = new scala.util.Random(20260818)
+      val alphabet =
+        "ab:/.%#?~zA4F \n\tü漢-_&=+ü%2f%41%ZZwww.httphttps0123456789".toCharArray
+      (0 until 4000).map { _ =>
+        val len = rnd.nextInt(40)
+        new String(Array.fill(len)(alphabet(rnd.nextInt(alphabet.length))))
+      }
+    }
+    val urls = (hand ++ fuzz).toDF("u")
+    val normChk = urls.select(col("u"),
+      Html.urlNormalize(col("u")).as("k"),
+      Html.urlNormalizeHof(col("u")).as("ref"))
+      .collect()
+    normChk.foreach { r =>
+      assert(Option(r.getString(1)) === Option(r.getString(2)),
+        s"urlNormalize mismatch on ${r.getString(0)}") }
+    // resolve: pair fuzz strings as (base, ref); also real-ish bases
+    val bases = Seq("https://site1.example.com/a/b/c?q=1",
+      "http://h", "http://h/", "nix", "", "http://h/x\ny/z?q") ++
+      fuzz.take(500)
+    val refs = Seq("", "#f", "?q=2", "/r", "//other.h/p", "d/e", "../up",
+      "./here", "../../../..", "mailto:x", "ftp://f/p", "a%2fb#c",
+      "x\ny?z") ++ fuzz.slice(500, 1000)
+    val pairs = (for (b <- bases; r <- refs) yield (b, r)).toDF("b", "r")
+    val resChk = pairs.select(col("b"), col("r"),
+      Html.urlResolve(col("b"), col("r")).as("k"),
+      Html.urlResolveHof(col("b"), col("r")).as("ref"))
+      .collect()
+    resChk.foreach { r =>
+      assert(Option(r.getString(2)) === Option(r.getString(3)),
+        s"urlResolve mismatch on base=${r.getString(0)} ref=${r.getString(1)}") }
+    // null propagation matches the algebra
+    val nulls = Seq((null: String, "x"), ("http://h", null: String),
+      (null: String, null: String)).toDF("b", "r")
+    nulls.select(Html.urlResolve(col("b"), col("r")).as("k"),
+      Html.urlResolveHof(col("b"), col("r")).as("ref"),
+      Html.urlNormalize(col("b")).as("nk"),
+      Html.urlNormalizeHof(col("b")).as("nref")).collect().foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1))
+      assert(r.isNullAt(2) === r.isNullAt(3))
+    }
+  }
+
   test("script and style blocks vanish, even when they contain closing tags") {
     val r = extract(
       "<html><head><style>p { a: 1; }</style>" +
