@@ -844,20 +844,23 @@ object Dedup {
       .select(col("doc_id"), col("pos"),
         xxhash64(col("span")).as("h1"),
         xxhash64(col("span"), lit(1)).as("h2"))
-    // flagged spans: >= minDocs distinct docs (two-level partial agg)
-    val dup = occ
-      .groupBy(col("h1"), col("h2"), col("doc_id")).agg(count(lit(1)).as("__occ"))
-      .groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("n_docs"))
-      .where(col("n_docs") >= minDocs)
-      .select(col("h1"), col("h2"))
-    val flagged = occ.join(dup, Seq("h1", "h2"))
-    // corpus-wide first occurrence survives; the rest scrub
-    val firstOcc = flagged
+    // dup decision AND corpus-wide first occurrence in ONE two-level
+    // partial agg: per (span, doc) keep the doc's min pos, then per
+    // span count docs + take the struct-min (= the global min, since
+    // lexicographic struct order resolves by doc first). The round-14
+    // shape joined occ against the dup set and re-aggregated the
+    // flagged mass for the first occurrence — two more flagged-mass
+    // exchanges and a join for the same rows (guide §2.4).
+    val grp = occ
+      .groupBy(col("h1"), col("h2"), col("doc_id"))
+      .agg(min(col("pos")).as("__mp"))
       .groupBy(col("h1"), col("h2"))
-      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(struct(col("doc_id"), col("__mp"))).as("f"))
+      .where(col("n_docs") >= minDocs)
       .select(col("h1"), col("h2"),
-        col("f.doc_id").as("fdoc"), col("f.pos").as("fpos"))
-    val cover = flagged.join(firstOcc, Seq("h1", "h2"))
+        col("f.doc_id").as("fdoc"), col("f.__mp").as("fpos"))
+    val cover = occ.join(grp, Seq("h1", "h2"))
       .where(!(col("doc_id") === col("fdoc") && col("pos") === col("fpos")))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(spanLen - 1))).as("tpos"))
@@ -871,23 +874,24 @@ object Dedup {
     * `(doc_id, toks)`, `cover` is distinct `(doc_id, tpos)` to remove. */
   private[graft] def spanCoverRebuild(
       base: DataFrame, cover: DataFrame): DataFrame = {
-    val toks = base.select(
-      col("doc_id"), posexplode(col("toks"))).toDF("doc_id", "tpos", "tok")
-    val kept = toks.join(cover, Seq("doc_id", "tpos"), "left_anti")
-      .groupBy(col("doc_id"))
-      .agg(
-        sort_array(collect_list(struct(col("tpos"), col("tok")))).as("kt"))
+    // per-doc SORTED cover array (exchange ∝ cover mass), then one
+    // merge-walk kernel per document — the round-14 shape posexploded
+    // EVERY corpus token into a (doc, tpos) anti-join exchange and
+    // re-assembled docs with collect_list + sort_array; the corpus
+    // tokens now never shuffle at all (guide §2.3/§2.4).
+    val covA = cover.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("tpos").cast("long"))).as("__cov"))
+    base.join(covA, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        graft.functions.SpanScrubApply.span_scrub_apply(
+          col("toks"),
+          coalesce(col("__cov"), typedlit(Seq.empty[Long]))).as("__s"),
+        size(col("toks")).as("__n"))
       .select(
         col("doc_id"),
-        array_join(transform(col("kt"), k => k.getField("tok")), " ").as("text_clean"),
-        size(col("kt")).as("n_kept"))
-    base.select(col("doc_id"), size(col("toks")).as("__n"))
-      .join(kept, Seq("doc_id"), "left_outer")
-      .select(
-        col("doc_id"),
-        coalesce(col("text_clean"), lit("")).as("text_clean"),
-        coalesce(col("n_kept"), lit(0)).cast("long").as("n_kept"),
-        (col("__n") - coalesce(col("n_kept"), lit(0))).cast("long").as("n_removed"))
+        col("__s.text_clean").as("text_clean"),
+        col("__s.n_kept").as("n_kept"),
+        (col("__n") - col("__s.n_kept")).cast("long").as("n_removed"))
       .orderBy("doc_id")
   }
 
@@ -935,18 +939,18 @@ object Dedup {
       .select(col("doc_id"), col("pos"),
         xxhash64(col("span")).as("h1"),
         xxhash64(col("span"), lit(1)).as("h2"))
-    val dup = occ
-      .groupBy(col("h1"), col("h2"), col("doc_id")).agg(count(lit(1)).as("__occ"))
-      .groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("n_docs"))
-      .where(col("n_docs") >= minDocs)
-      .select(col("h1"), col("h2"))
-    val flagged = occ.join(dup, Seq("h1", "h2"))
-    val firstOcc = flagged
+    // fused dup decision + first occurrence (the spanScrub shape —
+    // one two-level agg instead of dup join + flagged re-agg)
+    val grp = occ
+      .groupBy(col("h1"), col("h2"), col("doc_id"))
+      .agg(min(col("pos")).as("__mp"))
       .groupBy(col("h1"), col("h2"))
-      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(struct(col("doc_id"), col("__mp"))).as("f"))
+      .where(col("n_docs") >= minDocs)
       .select(col("h1"), col("h2"),
-        col("f.doc_id").as("fdoc"), col("f.pos").as("fpos"))
-    val tagged = flagged.join(firstOcc, Seq("h1", "h2"))
+        col("f.doc_id").as("fdoc"), col("f.__mp").as("fpos"))
+    val tagged = occ.join(grp, Seq("h1", "h2"))
     val isFirst = col("doc_id") === col("fdoc") && col("pos") === col("fpos")
     // ONE coverage pass: explode every flagged occurrence with its
     // first/non-first tag, then a single (doc_id, tpos) partial agg

@@ -120,13 +120,15 @@ object DedupQueries {
       val docs = Tables.documents(s, dir)
       val m = pmod(col("doc_id"), lit(5L))
       val idx = s"/tmp/graft-mhforget-${java.lang.Math.abs(dir.hashCode)}"
-      Dedup.minhashIndexWrite(docs.where(m >= 2), "doc_id", "text", idx)
-      Dedup.minhashIndexDelete(
-        docs.where(pmod(col("doc_id"), lit(10L)) === 7), "doc_id", idx)
+      graft.Prof.timed("forget write")(
+        Dedup.minhashIndexWrite(docs.where(m >= 2), "doc_id", "text", idx))
+      graft.Prof.timed("forget delete")(Dedup.minhashIndexDelete(
+        docs.where(pmod(col("doc_id"), lit(10L)) === 7), "doc_id", idx))
       // flagged with tombstones still pending (eager, pre-compaction)
-      val f0 = Dedup.dedupShardAgainstIndex(docs.where(m === 0), "doc_id", "text", idx)
-        .localCheckpoint(true)
-      Dedup.minhashIndexCompact(s, idx)
+      val f0 = graft.Prof.timed("forget probe0")(
+        Dedup.dedupShardAgainstIndex(docs.where(m === 0), "doc_id", "text", idx)
+          .localCheckpoint(true))
+      graft.Prof.timed("forget compact")(Dedup.minhashIndexCompact(s, idx))
       f0.unionAll(
           Dedup.dedupShardAgainstIndex(docs.where(m === 1), "doc_id", "text", idx))
         .orderBy("doc_id")
