@@ -633,6 +633,11 @@ object Multimodal {
     import df.sparkSession.implicits._
     df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
+      // the codec-synthesis pass is CPU-bound; a few-file parquet scan
+      // would otherwise pin it to the scan's partition count (the
+      // langIdCore posture). Row order is irrelevant downstream —
+      // every consumer aggregates or sorts.
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .mapPartitions { rows =>
         rows.map { case (id, _) =>
           (id % 3) match {
