@@ -111,6 +111,89 @@ object CharGramBuckets {
   def word_token_buckets(text: Column, buckets: Int): Column =
     ColumnBridge.column(
       WordTokenBuckets(ColumnBridge.expression(text), buckets))
+
+  def ngram_buckets(text: Column, buckets: Int, n: Int): Column =
+    ColumnBridge.column(
+      NGramBuckets(ColumnBridge.expression(text), buckets, n))
+}
+
+/** Hashed word-N-GRAM feature buckets, one per window in order (NO
+  * distinct) — the fused twin of `transform(string_ngrams(split(text,
+  * " "), n), g => hashedBucket(g, buckets))` (the DSIR gram stream,
+  * [[graft.operators.Importance.gramStream]]; spec-held parity).
+  * Tokens are the split pieces exactly (empties kept); each gram
+  * hashes the window's tokens joined by single spaces, streamed into
+  * the digest without building the gram string. Texts with fewer than
+  * n tokens yield an empty array. Null text stays null. */
+case class NGramBuckets(child: Expression, buckets: Int, n: Int)
+    extends UnaryExpression {
+
+  require(buckets >= 1 && n >= 1, "ngram_buckets: buckets, n >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "ngram_buckets"
+
+  override def nullSafeEval(input: Any): Any =
+    NGramBuckets.compute(input.asInstanceOf[UTF8String], buckets, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.NGramBuckets$$.MODULE$$" +
+        s".compute($t, $buckets, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): NGramBuckets =
+    copy(child = newChild)
+}
+
+object NGramBuckets {
+  private val mdTL: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+  private val SPACE = Array[Byte](0x20)
+
+  def compute(text: UTF8String, buckets: Int, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    // token boundaries: starts(i) .. ends(i), split on the 0x20 byte
+    var nTok = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == 0x20) nTok += 1; i += 1 }
+    if (nTok < n) return UnsafeArrayData.fromPrimitiveArray(Array.emptyIntArray)
+    val starts = new Array[Int](nTok)
+    val ends = new Array[Int](nTok)
+    var t = 0
+    var s = 0
+    i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == 0x20) {
+        starts(t) = s; ends(t) = i; t += 1; s = i + 1
+      }
+      i += 1
+    }
+    val md = mdTL.get()
+    val wins = nTok - n + 1
+    val out = new Array[Int](wins)
+    var w = 0
+    while (w < wins) {
+      md.reset()
+      var j = 0
+      while (j < n) {
+        if (j > 0) md.update(SPACE)
+        md.update(bytes, starts(w + j), ends(w + j) - starts(w + j))
+        j += 1
+      }
+      val d = md.digest()
+      val v = (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL))
+      out(w) = (v % buckets).toInt
+      w += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
 }
 
 /** Hashed WORD-token feature buckets — the fused twin of

@@ -70,10 +70,12 @@ object Importance {
       buckets: Int): DataFrame = df
     .withColumn("__toks", split(col(textCol), " "))
     .where(size(col("__toks")) >= 2)
+    // fused bigram bucketing: one digest per window straight off the
+    // text bytes — the string_ngrams + md5-hex + conv chain built and
+    // parsed a gram string per window (spec-held bit parity)
     .select(col(idCol), targetPred.as("__tgt"),
-      explode(graft.functions.HashFunctions.string_ngrams(col("__toks"), 2))
-        .as("gram"))
-    .withColumn("bucket", hashedBucket(col("gram"), buckets))
+      explode(graft.functions.CharGramBuckets
+        .ngram_buckets(col(textCol), buckets, 2)).as("bucket"))
 
   /** Resample the documents where `targetPred` is FALSE (the raw
     * corpus) toward the distribution of the documents where it is

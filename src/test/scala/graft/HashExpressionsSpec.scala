@@ -216,6 +216,26 @@ class HashExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("native ngram_buckets is bit-equal to the string_ngrams chain") {
+    val edge = Seq("", " ", "a", "a b", "a  b", " lead b", "trail b ",
+      null, "漢字 テスト 漢字 x").toDF("text")
+    for (df <- Seq(Tables.documents(spark, "/root/testdata/sf0.001")
+           .limit(80).select(col("text")), edge);
+         (b, n) <- Seq((64, 2), (1024, 3))) {
+      val ref = transform(
+        graft.functions.HashFunctions.string_ngrams(split(col("text"), " "), n),
+        g => graft.operators.Importance.hashedBucket(g, b))
+      val got = df.select(
+        graft.functions.CharGramBuckets.ngram_buckets(col("text"), b, n).as("k"),
+        ref.as("ref")).collect()
+      assert(got.nonEmpty)
+      got.foreach { r =>
+        if (r.isNullAt(1)) assert(r.isNullAt(0))
+        else assert(r.getSeq[Int](0) === r.getSeq[Int](1))
+      }
+    }
+  }
+
   test("native bucket_margin is bit-equal to the HOF fold and loud on corruption") {
     val w = Array.tabulate(65)(i => (i * 7919L - 250000L))
     val feat = docs.select(col("doc_id"),
