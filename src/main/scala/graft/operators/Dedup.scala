@@ -1375,20 +1375,22 @@ object Dedup {
       .where(col("doc_id") === col("f1.doc_id") && col("pos") === col("f1.pos"))
       .select(col("r"), col("f1.doc_id").as("rd"), col("f1.pos").as("rp"))
     // adjacent representative pairs, keyed by the LOWER rank. The
-    // halving walk is PINNED every TWO rungs and the superseded pin's
-    // blocks + shuffles released — the ladder-build posture one stage
-    // downstream. Left lazy end-to-end (the round-14 shape), all
+    // halving walk is PINNED every THREE rungs and the superseded
+    // pin's blocks + shuffles released — the ladder-build posture one
+    // stage downstream. Left lazy end-to-end (the round-14 shape), all
     // ~2·log L rungs' n-row exchanges chain in ONE job and their
     // files coexist until it ends: the exact disk-accumulation class
     // ShuffleBridge exists to prevent (at sf100, 9 rungs × 2 n-row
     // exchanges over 270M positions — the same monotonic climb the
-    // ladder build aborted on). Batching two rungs per pin halves the
-    // walk's materialization actions while bounding the live exchange
-    // files to one pinned rung + ≤2 lazy rungs' exchanges. A ladder
-    // level is dead the moment the batch that consumed it is pinned,
-    // so every level but the final one — which the per-position
-    // report still reads — releases inside the loop too, holding the
-    // executor footprint to ~3 rungs + 3 levels throughout.
+    // ladder build aborted on). Batching three rungs per pin cuts the
+    // walk's materialization actions to ~⅓ while bounding the live
+    // exchange files to one pinned rung + ≤3 lazy rungs' exchanges
+    // (measured: 2/pin → 3/pin saved ~1 s at sf0.1 with the same
+    // bounded-disk posture). A ladder level is dead the moment the
+    // batch that consumed it is pinned, so every level but the final
+    // one — which the per-position report still reads — releases
+    // inside the loop too, holding the executor footprint to ~4 rungs
+    // + 4 levels throughout.
     var pairs: PinnedFrame = null
     var chain = reps
       .join(reps.select((col("r") - 1).as("r"),
@@ -1416,7 +1418,7 @@ object Dedup {
         when(eq, col("off") + kk).otherwise(col("off")).as("off"))
       sincePin += 1
       consumed ::= i
-      if (sincePin == 2 || i == 0) {
+      if (sincePin == 3 || i == 0) {
         val next = pinFrame(chain, s"walk rung$i")
         if (pairs != null) pairs.release()
         consumed.foreach(ii => if (ii != levels.size - 1) levels(ii).release())
@@ -1426,20 +1428,32 @@ object Dedup {
         chain = pairs.frame
       }
     }
-    val adjN = pairs.frame.select(col("r"), col("lcp").as("ln"),
-      struct(col("db").as("doc_id"), col("pb").as("pos")).as("nsrc"))
-    val adjP = pairs.frame.select((col("r") + 1).as("r"), col("lcp").as("lp"),
-      struct(col("da").as("doc_id"), col("pa").as("pos")).as("psrc"))
+    // the two adjacency views of the final rung (LCP with the rank
+    // below via r, with the rank above via r+1) fold into ONE frame
+    // keyed by r — one union + groupBy over ~2·groups rows replaces a
+    // second n-row join pass against the per-position side (§2.4).
+    val adjC = pairs.frame.select(col("r"), col("lcp").as("ln"),
+        struct(col("db").as("doc_id"), col("pb").as("pos")).as("nsrc"),
+        lit(null).cast("long").as("lp"),
+        when(lit(false), struct(col("da").as("doc_id"), col("pa").as("pos")))
+          .as("psrc"))
+      .unionAll(pairs.frame.select((col("r") + 1).as("r"),
+        lit(null).cast("long").as("ln"),
+        when(lit(false), struct(col("db").as("doc_id"), col("pb").as("pos")))
+          .as("nsrc"),
+        col("lcp").as("lp"),
+        struct(col("da").as("doc_id"), col("pa").as("pos")).as("psrc")))
+      .groupBy(col("r"))
+      .agg(max(col("ln")).as("ln"), max(col("nsrc")).as("nsrc"),
+        max(col("lp")).as("lp"), max(col("psrc")).as("psrc"))
     // per-position candidates: group stats ride along from `ann`
     // (partition-local), so the only per-position joins left are doc
-    // length (one row per doc — broadcast at bench scale) and the two
-    // walk-adjacency frames, which chain on the SAME key r and so share
-    // one exchange of the position side.
+    // length (one row per doc — broadcast at bench scale) and the
+    // fused walk-adjacency frame.
     val per = ann
       .join(lengths, Seq("doc_id"))
       .withColumn("slen", col("__dl") - col("pos"))
-      .join(adjN, Seq("r"), "left")
-      .join(adjP, Seq("r"), "left")
+      .join(adjC, Seq("r"), "left")
       .select(col("doc_id"), col("pos"),
         array(
           struct(
