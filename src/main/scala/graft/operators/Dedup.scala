@@ -838,12 +838,14 @@ object Dedup {
     // exchange — every downstream key is fixed-width
     val occ = base
       .where(size(col("toks")) >= spanLen)
+      // fused window hashing: token byte slices stream into one XXH64
+      // pass per window — bit-equal to the string_ngrams + xxhash64
+      // chain (spec-held parity), no window-string materialization
       .select(col("doc_id"), posexplode(
-        graft.functions.HashFunctions.string_ngrams(col("toks"), spanLen)))
-      .toDF("doc_id", "pos", "span")
+        graft.functions.SpanWindowHashes.span_window_hashes(col("toks"), spanLen)))
+      .toDF("doc_id", "pos", "hs")
       .select(col("doc_id"), col("pos"),
-        xxhash64(col("span")).as("h1"),
-        xxhash64(col("span"), lit(1)).as("h2"))
+        col("hs.h1").as("h1"), col("hs.h2").as("h2"))
     // dup decision AND corpus-wide first occurrence in ONE two-level
     // partial agg: per (span, doc) keep the doc's min pos, then per
     // span count docs + take the struct-min (= the global min, since
@@ -933,12 +935,14 @@ object Dedup {
       col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
     val occ = base
       .where(size(col("toks")) >= minLen)
+      // fused window hashing: token byte slices stream into one XXH64
+      // pass per window — bit-equal to the string_ngrams + xxhash64
+      // chain (spec-held parity), no window-string materialization
       .select(col("doc_id"), posexplode(
-        graft.functions.HashFunctions.string_ngrams(col("toks"), minLen)))
-      .toDF("doc_id", "pos", "span")
+        graft.functions.SpanWindowHashes.span_window_hashes(col("toks"), minLen)))
+      .toDF("doc_id", "pos", "hs")
       .select(col("doc_id"), col("pos"),
-        xxhash64(col("span")).as("h1"),
-        xxhash64(col("span"), lit(1)).as("h2"))
+        col("hs.h1").as("h1"), col("hs.h2").as("h2"))
     // fused dup decision + first occurrence (the spanScrub shape —
     // one two-level agg instead of dup join + flagged re-agg)
     val grp = occ
@@ -1521,12 +1525,14 @@ object Dedup {
       col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
     val occ = base
       .where(size(col("toks")) >= minLen)
+      // fused window hashing: token byte slices stream into one XXH64
+      // pass per window — bit-equal to the string_ngrams + xxhash64
+      // chain (spec-held parity), no window-string materialization
       .select(col("doc_id"), posexplode(
-        graft.functions.HashFunctions.string_ngrams(col("toks"), minLen)))
-      .toDF("doc_id", "pos", "span")
+        graft.functions.SpanWindowHashes.span_window_hashes(col("toks"), minLen)))
+      .toDF("doc_id", "pos", "hs")
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        xxhash64(col("span")).as("h1"),
-        xxhash64(col("span"), lit(1)).as("h2"))
+        col("hs.h1").as("h1"), col("hs.h2").as("h2"))
     val dup = occ
       .groupBy(col("h1"), col("h2"), col("doc_id")).agg(count(lit(1)).as("__o"))
       .groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("n_docs"))

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import graft.functions.HashFunctions
 import graft.operators.Dedup
@@ -232,6 +233,27 @@ class HashExpressionsSpec extends SparkSpec {
       got.foreach { r =>
         if (r.isNullAt(1)) assert(r.isNullAt(0))
         else assert(r.getSeq[Int](0) === r.getSeq[Int](1))
+      }
+    }
+  }
+
+  test("native span_window_hashes is bit-equal to the string_ngrams+xxhash chain") {
+    val edge = Seq("", "a", "a b", "a b c d e", "a  b  c", " x y ",
+      "漢字 テスト x y", "same same same same").toDF("text")
+    for (df <- Seq(Tables.documents(spark, "/root/testdata/sf0.001")
+           .limit(80).select(col("text")), edge);
+         n <- Seq(2, 3, 8)) {
+      val toks = split(col("text"), " ")
+      val ref = transform(HashFunctions.string_ngrams(toks, n),
+        s => struct(xxhash64(s).as("h1"), xxhash64(s, lit(1)).as("h2")))
+      val got = df.select(
+        graft.functions.SpanWindowHashes.span_window_hashes(toks, n).as("k"),
+        ref.as("ref")).collect()
+      assert(got.nonEmpty)
+      got.foreach { r =>
+        val k = r.getSeq[Row](0).map(x => (x.getLong(0), x.getLong(1)))
+        val ref2 = r.getSeq[Row](1).map(x => (x.getLong(0), x.getLong(1)))
+        assert(k === ref2)
       }
     }
   }
