@@ -362,20 +362,34 @@ object Dedup {
     * post-compact verdicts equal a cleanly built index
     * (spec-asserted). */
   def minhashIndexCompact(
-      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    minhashIndexCompactPrepare(spark, path)()
+
+  /** [[minhashIndexCompact]] split at its natural barrier (guide §2.6):
+    * everything returned-thunk-ward MUTATES the live tables (renames +
+    * tombstone clear, a handful of namenode calls); everything before
+    * it only READS them (the rewrite jobs land in sibling tmp dirs).
+    * A maintenance pipeline can therefore run tombstones-live probes
+    * CONCURRENTLY with the rewrite and commit once they finish —
+    * probe-before-compact results are unchanged by construction (the
+    * probed files are immutable until the thunk runs). The returned
+    * commit must run with no reader in flight and no intervening
+    * recover() (IndexSwap contract). */
+  def minhashIndexCompactPrepare(
+      spark: org.apache.spark.sql.SparkSession, path: String): () => Unit = {
     import org.apache.spark.sql.SaveMode
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     // crash-safe: write-aside + two renames with forward/back recovery
     // (IndexSwap) — the table is readable at every intermediate state
-    def swap(table: String, rewrite: DataFrame => DataFrame): Unit = {
+    def prep(table: String, rewrite: DataFrame => DataFrame): () => Unit = {
       val cur = new Path(s"$path/$table")
-      IndexSwap.swap(fs, cur) { tmp =>
+      IndexSwap.prepare(fs, cur) { tmp =>
         rewrite(spark.read.parquet(cur.toString))
           .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       }
     }
-    swap("bands", { bands =>
+    val commitBands = prep("bands", { bands =>
       val ids = dropTombstoned(
         bands.select(col("doc_id"), col("band"), col("bucket")).distinct(),
         "doc_id", path)
@@ -384,11 +398,15 @@ object Dedup {
           .agg(count(lit(1)).as("n_bucket")),
         Seq("band", "bucket"))
     })
-    swap("shingles", sh =>
+    val commitShingles = prep("shingles", sh =>
       dropTombstoned(sh.dropDuplicates("doc_id"), "doc_id", path))
-    // tombstones are now physically applied — clear them so future
-    // probes stop paying the anti-join
-    fs.delete(new Path(s"$path/tombstones"), true)
+    () => {
+      commitBands()
+      commitShingles()
+      // tombstones are now physically applied — clear them so future
+      // probes stop paying the anti-join
+      fs.delete(new Path(s"$path/tombstones"), true)
+    }
   }
 
   /** Roll forward/back any compaction a crash interrupted, so probes
@@ -1005,15 +1023,35 @@ object Dedup {
     * §2.3–2.4). The rank VALUES are identical: dense ranks 1..d in
     * ascending key order, independent of where the range sampler draws
     * boundaries. Returns the pinned level projected to
-    * (doc_id, pos, r) plus the TOTAL distinct-key count (= max rank),
-    * which the ladder's early-stop reads for free. */
+    * (doc_id, pos, r), the TOTAL distinct-key count (= max rank),
+    * which the ladder's early-stop reads for free, and the cumulative
+    * distinct-count offsets at every partition edge — the EXACT range
+    * boundaries of this level's rank column, which the next round's
+    * re-sort routes by instead of paying a range-sampling job
+    * ([[graft.functions.RankRoute]]; partition sizes are preserved
+    * because the paired frame carries one row per (doc, pos) with r1 =
+    * this level's rank — the identical distribution). */
   private def pinRanked(
-      df: DataFrame, keys: Seq[String], label: String): (PinnedFrame, Long) = {
+      df: DataFrame, keys: Seq[String], label: String,
+      route: Option[Array[Long]] = None): (PinnedFrame, Long, Array[Long]) = {
     import org.apache.spark.sql.catalyst.InternalRow
     val spark = df.sparkSession
     val keyCols = keys.map(col)
-    val sorted = df.repartitionByRange(keyCols: _*)
-      .sortWithinPartitions(keyCols: _*)
+    val sorted = route match {
+      case Some(edges) =>
+        // computed rank routing: partition index = rank bucket, no
+        // sampling job; equal keys still land in one partition (equal
+        // (r1, r2) ⇒ equal r1 ⇒ one bucket) and partition order is
+        // rank order — both invariants the numbering below needs
+        val p = edges.length - 1
+        val pre = graft.functions.RankRoute.preimages(p)
+        df.repartition(p,
+            graft.functions.RankRoute.rank_route(col(keys.head), edges, pre))
+          .sortWithinPartitions(keyCols: _*)
+      case None =>
+        df.repartitionByRange(keyCols: _*)
+          .sortWithinPartitions(keyCols: _*)
+    }
     val inSchema = sorted.schema
     val outSchema = org.apache.spark.sql.types.StructType(
       inSchema.fields :+ org.apache.spark.sql.types.StructField(
@@ -1069,7 +1107,7 @@ object Dedup {
     val frame = org.apache.spark.sql.graft.ColumnBridge
       .internalCreateDataFrame(spark, ranked, outSchema)
       .select(col("doc_id"), col("pos"), col("r"))
-    (new PinnedFrame(frame, rdd), counts.sum)
+    (new PinnedFrame(frame, rdd), counts.sum, offsets)
   }
 
   /** J17a — distributed SUFFIX-ARRAY ranks by prefix doubling
@@ -1185,8 +1223,9 @@ object Dedup {
     require(maxLen <= (1L << rounds),
       s"suffixRanks: longest document has $maxLen tokens but 2^$rounds = " +
         s"${1L << rounds} — ranks would compare only a prefix; raise `rounds`")
-    val (l0, d0) = pinRanked(base, Seq("tok"), "ladder L0")
+    val (l0, d0, off0) = pinRanked(base, Seq("tok"), "ladder L0")
     var cur = l0
+    var edges = off0
     base.unpersist()
     var levels = Vector(cur)
     var j = 0
@@ -1219,7 +1258,12 @@ object Dedup {
         .agg(
           max(when(col("__t") === 0, col("r"))).as("__r1"),
           coalesce(max(when(col("__t") === 1, col("r"))), lit(0L)).as("__r2"))
-      val (next, d) = pinRanked(paired, Seq("__r1", "__r2"), s"ladder L${j + 1}")
+      // rounds >= 1 route by the previous level's EXACT rank edges —
+      // no range-sampling job (RankRoute; only L0, whose string keys
+      // have no precomputed distribution, pays the one-time sample)
+      val (next, d, offN) = pinRanked(
+        paired, Seq("__r1", "__r2"), s"ladder L${j + 1}", route = Some(edges))
+      edges = offN
       // the previous round's blocks are unreferenced the moment `next`
       // is materialized (pinRanked ran its counting job) — release NOW
       if (!retainLevels) cur.release()
@@ -1240,9 +1284,22 @@ object Dedup {
     * streaming buffered-run scan suffices. Output columns:
     * (doc_id, pos, r, cnt, f1 struct, f2 struct — null when cnt = 1).
     * Equivalent to groupBy(r){count, min(struct), second-min(struct)}
-    * joined back on r. A run buffers at most its own group (the same
-    * bound the sort-merge join it replaces paid for equal-key runs). */
-  private def rankGroupAnnotate(fin: DataFrame): DataFrame = {
+    * joined back on r.
+    *
+    * Memory: O(1) per partition, never O(group). The round-15 shape
+    * buffered each run in a heap ArrayBuffer — the sort-merge join it
+    * replaced buffered the same run in Spark's SPILLABLE
+    * ExternalAppendOnlyUnsafeRowArray, so a degenerate corpus whose
+    * hot suffix class never separates (identical boilerplate suffixes
+    * across millions of docs) degraded from slow to OOM (round-15
+    * verdict). Now TWO lockstep iterators over the same pinned
+    * partition (zipPartitions of the level's RDD with itself — each
+    * side re-reads the persisted blocks independently): a stats
+    * cursor runs one run AHEAD holding only (count, two struct-min
+    * members), and the emit cursor replays the same rows attaching
+    * the finished stats — no row of the group is ever retained
+    * (guide §5). SuffixArraySpec pins the hot-rank corpus. */
+  private[graft] def rankGroupAnnotate(fin: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
     import org.apache.spark.sql.types._
@@ -1266,52 +1323,58 @@ object Dedup {
       val c = docOrd.compare(ad, bd)
       if (c != 0) c < 0 else ap < bp
     }
-    val rdd = fin.queryExecution.toRdd.mapPartitions { it =>
+    val base = fin.queryExecution.toRdd
+    val rdd = base.zipPartitions(base) { (statsIt, emitIt) =>
       new Iterator[InternalRow] {
-        // `ahead` holds the first row of the NEXT run (copied — the
-        // scan iterator reuses row buffers)
-        private var ahead: InternalRow =
-          if (it.hasNext) it.next().copy() else null
-        private var out: Iterator[InternalRow] = Iterator.empty
-        private val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-        private def refill(): Unit = {
-          while (!out.hasNext && ahead != null) {
-            val r = ahead.getLong(2)
-            buf.clear()
-            buf += ahead
-            ahead = null
-            var more = true
-            while (more && it.hasNext) {
-              val c = it.next().copy()
-              if (c.getLong(2) == r) buf += c
-              else { ahead = c; more = false }
-            }
-            // two struct-min members of the run
-            var i1 = 0; var i2 = -1
-            var i = 1
-            while (i < buf.length) {
-              val row = buf(i)
-              val d = row.get(0, dt); val p = row.getLong(1)
-              val m1 = buf(i1)
-              if (less(d, p, m1.get(0, dt), m1.getLong(1))) { i2 = i1; i1 = i }
-              else if (i2 < 0 ||
-                less(d, p, buf(i2).get(0, dt), buf(i2).getLong(1))) i2 = i
-              i += 1
-            }
-            val cnt = buf.length.toLong
-            val f1 = new GenericInternalRow(
-              Array[Any](buf(i1).get(0, dt), buf(i1).getLong(1)))
-            val f2 = if (i2 < 0) null
-              else new GenericInternalRow(
-                Array[Any](buf(i2).get(0, dt), buf(i2).getLong(1)))
-            out = buf.toArray.iterator.map { row =>
-              new GenericInternalRow(Array[Any](
-                row.get(0, dt), row.getLong(1), r, cnt, f1, f2)): InternalRow
-            }
+        // `pending` holds the first row of the NEXT run (copied — the
+        // scan iterator reuses row buffers); the stats cursor owns at
+        // most three copied rows at any time (pending + two mins)
+        private var pending: InternalRow =
+          if (statsIt.hasNext) statsIt.next().copy() else null
+        private var curR = 0L
+        private var cnt = 0L
+        private var emitted = 0L
+        private var f1s: GenericInternalRow = null
+        private var f2s: GenericInternalRow = null
+        private def nextRunStats(): Unit = {
+          curR = pending.getLong(2)
+          cnt = 1L
+          var m1 = pending
+          var m2: InternalRow = null
+          pending = null
+          var more = true
+          while (more && statsIt.hasNext) {
+            val c = statsIt.next()
+            if (c.getLong(2) == curR) {
+              cnt += 1
+              val d = c.get(0, dt); val p = c.getLong(1)
+              // copy only when the row becomes one of the two mins
+              if (less(d, p, m1.get(0, dt), m1.getLong(1))) {
+                m2 = m1; m1 = c.copy()
+              } else if (m2 == null ||
+                less(d, p, m2.get(0, dt), m2.getLong(1))) m2 = c.copy()
+            } else { pending = c.copy(); more = false }
           }
+          f1s = new GenericInternalRow(
+            Array[Any](m1.get(0, dt), m1.getLong(1)))
+          f2s = if (m2 == null) null
+            else new GenericInternalRow(
+              Array[Any](m2.get(0, dt), m2.getLong(1)))
+          emitted = 0L
         }
-        def hasNext: Boolean = { refill(); out.hasNext }
-        def next(): InternalRow = { refill(); out.next() }
+        def hasNext: Boolean = emitted < cnt || pending != null
+        def next(): InternalRow = {
+          if (emitted == cnt) nextRunStats()
+          // the emit cursor replays the same partition one run behind
+          // the stats cursor; hasNext() first — codegen iterators fill
+          // their buffer there — and copy() because buffers are reused
+          if (!emitIt.hasNext) throw new IllegalStateException(
+            "rankGroupAnnotate: emit cursor exhausted before stats cursor")
+          val row = emitIt.next().copy()
+          emitted += 1
+          new GenericInternalRow(Array[Any](
+            row.get(0, dt), row.getLong(1), curR, cnt, f1s, f2s)): InternalRow
+        }
       }
     }
     org.apache.spark.sql.graft.ColumnBridge

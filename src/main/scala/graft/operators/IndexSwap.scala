@@ -80,7 +80,19 @@ private[graft] object IndexSwap {
     * `write` materializes the replacement at the tmp path it is given
     * (and must leave a `_SUCCESS` marker — checked loudly, because a
     * marker-less tmp is one [[recover]] could not roll forward). */
-  def swap(fs: FileSystem, cur: Path)(write: Path => Unit): Unit = {
+  def swap(fs: FileSystem, cur: Path)(write: Path => Unit): Unit =
+    prepare(fs, cur)(write)()
+
+  /** The [[swap]] split at its natural barrier: everything up to and
+    * including the tmp write (which only READS `cur`) runs now; the
+    * returned thunk performs the two renames + aside delete (the only
+    * steps that MUTATE `cur`). Lets a maintenance pipeline overlap the
+    * rewrite with concurrent readers of the pre-swap table (guide
+    * §2.6) and commit once they finish — the single-maintainer
+    * contract above still applies to the COMMIT: no reader may be
+    * in flight when the thunk runs, and recover() must not run
+    * between prepare and commit (it would delete the prepared tmp). */
+  def prepare(fs: FileSystem, cur: Path)(write: Path => Unit): () => Unit = {
     recover(fs, cur)
     val tmp = tmpPath(cur)
     val old = oldPath(cur)
@@ -88,8 +100,10 @@ private[graft] object IndexSwap {
     require(fs.exists(new Path(tmp, "_SUCCESS")),
       s"index swap: $tmp has no _SUCCESS marker — a crash here would be " +
         "unrecoverable forward; use a committer that writes one")
-    require(fs.rename(cur, old), s"index swap: rename $cur -> $old failed")
-    require(fs.rename(tmp, cur), s"index swap: rename $tmp -> $cur failed")
-    fs.delete(old, true)
+    () => {
+      require(fs.rename(cur, old), s"index swap: rename $cur -> $old failed")
+      require(fs.rename(tmp, cur), s"index swap: rename $tmp -> $cur failed")
+      fs.delete(old, true)
+    }
   }
 }

@@ -124,14 +124,32 @@ object DedupQueries {
         Dedup.minhashIndexWrite(docs.where(m >= 2), "doc_id", "text", idx))
       graft.Prof.timed("forget delete")(Dedup.minhashIndexDelete(
         docs.where(pmod(col("doc_id"), lit(10L)) === 7), "doc_id", idx))
-      // flagged with tombstones still pending (eager, pre-compaction)
-      val f0 = graft.Prof.timed("forget probe0")(
-        Dedup.dedupShardAgainstIndex(docs.where(m === 0), "doc_id", "text", idx)
-          .localCheckpoint(true))
-      graft.Prof.timed("forget compact")(Dedup.minhashIndexCompact(s, idx))
-      f0.unionAll(
-          Dedup.dedupShardAgainstIndex(docs.where(m === 1), "doc_id", "text", idx))
-        .orderBy("doc_id")
+      // probe-0 (tombstones LIVE, pre-compaction) OVERLAPS the
+      // compaction rewrite (guide §2.6): both only READ the current
+      // tables — the rewrite lands in sibling tmp dirs — and the
+      // mutating commit (renames + tombstone clear) waits for the
+      // probe, so results are identical to the sequential lifecycle by
+      // construction (the probed files are immutable until commit).
+      // The probe's plan builds on THIS thread first: its recover()
+      // must not race the prepare's tmp write, and its eager shingle
+      // checkpoint job is part of the probe phase either way.
+      val probe0 = Dedup.dedupShardAgainstIndex(
+        docs.where(m === 0), "doc_id", "text", idx)
+      val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+      try {
+        val f0fut = pool.submit(
+          new java.util.concurrent.Callable[org.apache.spark.sql.DataFrame] {
+            def call(): org.apache.spark.sql.DataFrame =
+              graft.Prof.timed("forget probe0")(probe0.localCheckpoint(true))
+          })
+        val commit = graft.Prof.timed("forget compact prepare")(
+          Dedup.minhashIndexCompactPrepare(s, idx))
+        val f0 = f0fut.get()
+        graft.Prof.timed("forget compact commit")(commit())
+        f0.unionAll(
+            Dedup.dedupShardAgainstIndex(docs.where(m === 1), "doc_id", "text", idx))
+          .orderBy("doc_id")
+      } finally pool.shutdown()
     },
     // J14b gate — the FULL rolling-ingest loop under one hash: probe
     // shard 0, anti-join its flagged docs to keep the novel ones,
@@ -384,23 +402,44 @@ object DedupQueries {
     "q_ann_ivf_forget" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       val idx = s"/tmp/graft-ivf-forget-$runToken-${java.lang.Math.abs(dir.hashCode)}"
-      Similarity.buildIvfIndex(
-        emb, "vec_id", "embedding", autoSqrtStride(emb), idx)
-      // appended shard: ids shifted past the corpus, vectors = the
-      // first 16 corpus vectors with every component +0.25 — novel
-      // rows the probe must FIND, deterministic for the oracle
-      val maxId = emb.agg(max(col("vec_id"))).head.getLong(0)
-      Similarity.ivfIndexAppend(
-        emb.where(col("vec_id") < 16).select(
-          (col("vec_id") + maxId + 1).as("vec_id"),
-          transform(col("embedding"), x => x + lit(0.25f)).as("embedding")),
-        "vec_id", "embedding", idx)
-      Similarity.ivfIndexDelete(
-        emb.where(col("vec_id") % 17 === 3).select(col("vec_id")), "vec_id", idx)
-      Similarity.ivfIndexCompact(s, idx)
-      Similarity.probeIvfIndex(
-        s, emb.where(col("vec_id") < 8), "vec_id", "embedding",
-        k = 10, nProbe = 4, indexDir = idx)
+      // two independent-phase overlaps (guide §2.6); the lifecycle
+      // ORDER the gate verifies is untouched — every overlapped pair
+      // is mutation-disjoint, so results match the sequential runs:
+      //  - maxId (a corpus agg feeding the appended shard's id shift)
+      //    is independent of the index BUILD — it runs alongside it;
+      //  - APPEND (reads stored codebook, appends under cells/) and
+      //    DELETE (writes tombstones/) touch disjoint artifact parts —
+      //    both strictly after build (which clears stale tombstones)
+      //    and strictly before compact.
+      val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+      try {
+        val maxIdFut = pool.submit(
+          new java.util.concurrent.Callable[Long] {
+            def call(): Long = emb.agg(max(col("vec_id"))).head.getLong(0)
+          })
+        graft.Prof.timed("ivf-forget build")(Similarity.buildIvfIndex(
+          emb, "vec_id", "embedding", autoSqrtStride(emb), idx))
+        // appended shard: ids shifted past the corpus, vectors = the
+        // first 16 corpus vectors with every component +0.25 — novel
+        // rows the probe must FIND, deterministic for the oracle
+        val maxId = maxIdFut.get()
+        val delFut = pool.submit(new java.lang.Runnable {
+          def run(): Unit = graft.Prof.timed("ivf-forget delete")(
+            Similarity.ivfIndexDelete(
+              emb.where(col("vec_id") % 17 === 3).select(col("vec_id")),
+              "vec_id", idx))
+        })
+        graft.Prof.timed("ivf-forget append")(Similarity.ivfIndexAppend(
+          emb.where(col("vec_id") < 16).select(
+            (col("vec_id") + maxId + 1).as("vec_id"),
+            transform(col("embedding"), x => x + lit(0.25f)).as("embedding")),
+          "vec_id", "embedding", idx))
+        delFut.get()
+        graft.Prof.timed("ivf-forget compact")(Similarity.ivfIndexCompact(s, idx))
+        graft.Prof.timed("ivf-forget probe")(Similarity.probeIvfIndex(
+          s, emb.where(col("vec_id") < 8), "vec_id", "embedding",
+          k = 10, nProbe = 4, indexDir = idx))
+      } finally pool.shutdown()
     },
     // K4 gate — product-quantization ANN, VERBATIM: the DuckDB oracle
     // replays the whole compressed-domain pipeline — stride-sampled

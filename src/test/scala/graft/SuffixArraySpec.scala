@@ -284,6 +284,68 @@ class SuffixArraySpec extends SparkSpec {
     }
   }
 
+  test("hot rank group: one suffix class spanning the whole corpus " +
+      "(rankGroupAnnotate streams, never buffers the group)") {
+    // Degenerate corpus for the round-15 verdict's OOM class: many docs
+    // with IDENTICAL text, so every suffix class holds one member per
+    // doc and the rank groups never separate — the largest group spans
+    // `hot` rows. The streaming two-cursor rankGroupAnnotate must
+    // produce the same report as the buffered shape did (pinned here
+    // against brute force), holding O(1) rows per partition.
+    val hot = 400
+    val hotText = (1 to 24).map(i => s"h$i").mkString(" ")
+    val hotCorpus = (1L to hot.toLong).map(id => (id, hotText)) ++
+      Seq((hot + 1L, "unique tail tokens zz yy xx"))
+    val df = hotCorpus.toDF("doc_id", "text").repartition(7)
+    val rows = Dedup.longestDuplicate(df, "doc_id", "text", rounds = 8)
+      .collect()
+    assert(rows.length === hot + 1)
+    val ref = refLongestDup(hotCorpus)
+    rows.foreach { r =>
+      assert(r.getLong(1) === ref(r.getLong(0)),
+        s"doc ${r.getLong(0)} longest-dup length under hot rank groups")
+    }
+    // every identical doc's longest dup is its full 24-token text at
+    // pos 0, certified from a DIFFERENT (doc, pos)
+    rows.filter(_.getLong(0) <= hot).foreach { r =>
+      assert(r.getLong(1) === 24L && r.getLong(2) === 0L)
+      assert((r.getLong(3), r.getLong(4)) !== ((r.getLong(0), 0L)))
+    }
+  }
+
+  test("rankGroupAnnotate equals the groupBy reference on a skewed " +
+      "range-partitioned level") {
+    // direct contract check of the streaming annotator: occupancy +
+    // two struct-min members per rank group, attached to every row —
+    // on an input honoring its invariant (equal ranks contiguous
+    // inside one range partition — the contract pinRanked provides),
+    // with one hot group, one mid-sized group, and a singleton tail.
+    val rows = (1L to 500L).map { i =>
+      val r = if (i <= 300) 1L else if (i <= 310) 2L else 2L + (i - 310)
+      (i, i * 3 % 97, r) // (doc_id, pos, rank)
+    }
+    val fin = rows.toDF("doc_id", "pos", "r")
+      .repartitionByRange(5, col("r"))
+      .sortWithinPartitions("r")
+    val got = Dedup.rankGroupAnnotate(fin)
+      .select("doc_id", "pos", "r", "cnt", "f1.doc_id", "f1.pos",
+        "f2.doc_id", "f2.pos")
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        (x.getLong(4), x.getLong(5)),
+        if (x.isNullAt(6)) null else (x.getLong(6), x.getLong(7))))
+    assert(got.length === 500)
+    val byRank = rows.groupBy(_._3)
+    got.foreach { case (d, p, r, cnt, f1, f2) =>
+      val grp = byRank(r).map(x => (x._1, x._2)).sorted
+      assert(cnt === grp.length.toLong, s"rank $r occupancy")
+      assert(f1 === grp.head, s"rank $r struct-min")
+      if (grp.length >= 2) assert(f2 === grp(1), s"rank $r second min")
+      else assert(f2 === null)
+      assert(rows.contains((d, p, r)))
+    }
+  }
+
   test("spanDedupVar covered positions equal spanScrub's removal cover") {
     // the scrub (J12) and the variable-length report (J17b) must agree
     // on WHICH positions are duplicated: every position inside a J17b
