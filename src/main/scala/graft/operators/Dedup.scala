@@ -787,28 +787,60 @@ object Dedup {
     * collapses within-partition repeats before the ONE shuffle on the
     * span key, and only spans surviving the HAVING materialize in the
     * result. Shuffle ∝ distinct (span, doc) pairs — the same posture
-    * as the J4 inverted index, no pairwise comparison anywhere. */
+    * as the J4 inverted index, no pairwise comparison anywhere.
+    *
+    * Span identity travels as a 128-BIT HASH, never the string (the
+    * same posture as [[spanScrub]], same fused one-pass window kernel):
+    * every aggregation key shrinks from a ~spanLen-word string to two
+    * longs, and the span STRING the report needs is re-derived for
+    * SURVIVORS ONLY by slicing the corpus at each span's first
+    * occurrence — non-surviving spans (the overwhelming mass) never
+    * ship their text anywhere (guide §2.3 / §8: decide with small
+    * rows, attach the heavy bytes once). Cross-span collisions are
+    * ~2⁻¹²⁸ per pair — the certainty-at-scale argument spanScrub's
+    * contract already carries. */
   def spanDedup(
       df: DataFrame, idCol: String, textCol: String,
       spanLen: Int, minDocs: Int = 2): DataFrame = {
     require(spanLen >= 1, "spanDedup: spanLen must be >= 1")
     require(minDocs >= 2, "spanDedup: minDocs must be >= 2 (cross-doc duplicates)")
-    // windows come from the codegen'd StringNgrams expression (one
-    // compiled pass per doc — the HOF transform/slice form interprets
-    // a lambda per window and is the documented slow path)
-    val windows = df
-      .withColumn("__toks", split(col(textCol), " "))
+    // fused window hashing: token byte slices stream into one XXH64
+    // pass per window — bit-equal to the string_ngrams + xxhash64
+    // chain (spec-held parity), no window-string materialization
+    val occ = df
+      .select(col(idCol).as("__id"), split(col(textCol), " ").as("__toks"))
       .where(size(col("__toks")) >= spanLen)
-      .select(
-        col(idCol).as("__id"),
-        explode(graft.functions.HashFunctions.string_ngrams(
-          col("__toks"), spanLen)).as("span"))
-    windows
-      .groupBy(col("span"), col("__id"))
-      .agg(count(lit(1)).as("__occ"))
-      .groupBy(col("span"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("__occ")).as("n_occ"))
+      .select(col("__id"), posexplode(
+        graft.functions.SpanWindowHashes.span_window_hashes(col("__toks"), spanLen)))
+      .toDF("__id", "__pos", "__hs")
+      .select(col("__id"), col("__pos"),
+        col("__hs.h1").as("__h1"), col("__hs.h2").as("__h2"))
+    // doc count, occurrence count AND the first occurrence in one
+    // two-level partial agg; the struct-min is the corpus-wide first
+    // occurrence (lexicographic order resolves by doc first; (id, mp)
+    // is unique within a span group, so min_by has no tie and equals
+    // min(struct) — chosen because min_by hash-aggregates
+    // (ObjectHashAggregate) where min-of-struct falls back to a
+    // per-partition SortAggregate)
+    val survivors = occ
+      .groupBy(col("__h1"), col("__h2"), col("__id"))
+      .agg(count(lit(1)).as("__occ"), min(col("__pos")).as("__mp"))
+      .groupBy(col("__h1"), col("__h2"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__occ")).as("n_occ"),
+        min_by(struct(col("__id"), col("__mp")),
+          struct(col("__id"), col("__mp"))).as("__f"))
       .where(col("n_docs") >= minDocs)
+      .select(col("__f.__id").as("__fid"), col("__f.__mp").as("__fpos"),
+        col("n_docs"), col("n_occ"))
+    // survivors only: slice the span text out of its first-occurrence
+    // doc (AQE broadcasts the survivor side when it is small; at scale
+    // this joins flagged spans ≪ corpus, never the window mass)
+    df.select(col(idCol).as("__fid"), split(col(textCol), " ").as("__toks"))
+      .join(survivors, "__fid")
+      .select(
+        concat_ws(" ",
+          slice(col("__toks"), col("__fpos") + lit(1), lit(spanLen))).as("span"),
+        col("n_docs"), col("n_occ"))
       .orderBy(col("span"))
   }
 

@@ -124,10 +124,16 @@ class SkewSpec extends SparkSpec {
     assert(boilerRows.nonEmpty) // the mega span IS reported...
     assert(rows.length < 50)    // ...as aggregate rows, not pairs
     boilerRows.foreach(r => assert(r.getLong(2) == 300L))
-    // and the plan aggregates with a map-side partial, no join
+    // and the plan aggregates with a map-side partial over the 128-bit
+    // window hashes; the only join is the survivors-only span-string
+    // re-derivation (an equi-join — never pairwise/cartesian), so the
+    // exploded window mass itself is never joined
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("partial_"))
-    assert(!plan.toLowerCase.contains("join"))
+    assert(!plan.toLowerCase.contains("nestedloop"))
+    assert(!plan.toLowerCase.contains("cartesian"))
+    assert(plan.contains("key=[__h1") && !plan.contains("key=[span"),
+      "dup decision must key on window hashes, not span strings")
   }
 
   test("Q3: hot-domain top-k keeps the bounded-heap partial limit in the plan") {
