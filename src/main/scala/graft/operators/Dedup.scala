@@ -819,9 +819,11 @@ object Dedup {
     // two-level partial agg; the struct-min is the corpus-wide first
     // occurrence (lexicographic order resolves by doc first; (id, mp)
     // is unique within a span group, so min_by has no tie and equals
-    // min(struct) — chosen because min_by hash-aggregates
-    // (ObjectHashAggregate) where min-of-struct falls back to a
-    // per-partition SortAggregate)
+    // min(struct)). Either first-occ form puts this level on a
+    // SortAggregate (struct-typed agg buffer — same as spanScrub's);
+    // the sorted mass is one row per distinct (span, doc), already
+    // combined map-side, and min_by measured no worse than min(struct)
+    // on the same-window A/B
     val survivors = occ
       .groupBy(col("__h1"), col("__h2"), col("__id"))
       .agg(count(lit(1)).as("__occ"), min(col("__pos")).as("__mp"))
@@ -1547,7 +1549,9 @@ object Dedup {
         max(col("lp")).as("lp"), max(col("psrc")).as("psrc"))
     // per-position candidates: group stats ride along from `ann`
     // (partition-local), so the only per-position joins left are doc
-    // length (one row per doc — broadcast at bench scale) and the
+    // length (a plain equi-join on doc_id, one row per doc — AQE
+    // broadcasts it when the doc table is small; at scale it is an
+    // ordinary shuffled equi-join, which is correct there too) and the
     // fused walk-adjacency frame.
     val per = ann
       .join(lengths, Seq("doc_id"))
